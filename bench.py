@@ -1,0 +1,64 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from engine.registry import all_queries
+from engine.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    specs = all_queries()
+    names = sys.argv[1:] or [n for n, s in specs.items() if "headline" in s.tags]
+    spark = get_spark("bench")
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session startup.
+    from engine.io import load_table
+
+    load_table(spark, SF_DIR, "lineitem").count()
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = specs[name].fn(spark, SF_DIR)
+        n = df.count()  # full execution without driver-side materialization
+        per_query[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {per_query[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Table IO: load the synthetic TPC-H-ish parquet fixtures.
+
+Reference analog: the reference's only source is a directory of text
+files listed in sorted order (``manager/__main__.py:193``); our engine
+generalizes to parquet columnar scans with predicate pushdown and
+column pruning (free via Catalyst), plus the text source used by the
+Layer-A MapReduce runner (``engine.mapreduce``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables: always broadcast-join these against facts.
+# At 100 TB the facts (lineitem/orders/events/documents) are the only
+# tables that grow past broadcast size.
+SMALL_DIMS = ("region", "nation", "supplier", "part", "customer")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # The caller may hand us a session built without engine.session's
+    # configs (the driver does); these two are load-bearing for
+    # correctness and are runtime-settable, so pin them here.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as long (see engine.session); convert to
+        # microsecond timestamp with integer division — `ts/1000` in
+        # doubles would lose precision at ~1.7e18 ns epochs.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for the SQL API) and return them."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

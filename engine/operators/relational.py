@@ -1,0 +1,634 @@
+"""Relational query suite over the TPC-H-ish synthetic tables.
+
+The reference framework has NO relational operators — its entire surface
+is map/reduce over text lines (SURVEY.md §2.3, evidence:
+``worker/__main__.py:55-58`` dispatches only new_map_task /
+new_reduce_task). This module is the Layer-B engine mandated by
+BASELINE.json's north star: scans with pushdown, filters, projections,
+equi/broadcast/semi/anti joins, hash aggregation, rollup/cube/grouping
+sets, having, conditional aggregation, set ops, scalar functions, and
+deterministic top-k — all pure ``pyspark.sql`` so Catalyst plans them
+(broadcast join for dims, partial aggregation map-side, predicate
+pushdown into the parquet scan).
+
+Scale notes (100 TB design stance):
+- ``lineitem``/``orders``/``events`` are the only tables that grow;
+  every dim join below is explicitly ``F.broadcast`` so no shuffle of
+  the fact side is ever needed for enrichment.
+- Aggregations group by low-cardinality keys ⇒ map-side partial agg
+  collapses the shuffle to ~|groups| × |partitions| rows.
+- Top-k queries use ORDER BY + LIMIT which Spark executes as
+  TakeOrderedAndProject (per-partition heap, no global sort).
+
+All money sums are rounded to 2 decimals and averages to 4-6 decimals
+in BOTH the Spark plan and the oracle SQL so float summation order
+cannot flip the comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.io import load_table
+from engine.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Q1-style pricing summary: full-scan aggregate, the flagship query.
+# --------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("relational", "aggregate", "headline"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 adapted: scan → filter (pushed to parquet) → hash agg.
+
+    At 100 TB this is one shuffle of 6 groups × n_partitions partial
+    rows — the scan dominates, which is exactly right.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3-style: 3-way join + agg + deterministic top-k.
+# --------------------------------------------------------------------------
+@query(
+    "q3_top_revenue",
+    oracle="""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    tags=("relational", "join", "topk", "headline"),
+)
+def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 adapted. customer is broadcast (dim); orders⋈lineitem is
+    the only shuffle join; LIMIT executes as TakeOrderedAndProject.
+    Tie-broken by l_orderkey so top-k is deterministic."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4-style: EXISTS → left-semi join with extra join condition.
+# --------------------------------------------------------------------------
+@query(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+    tags=("relational", "semijoin"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join (no row multiplication, early-out probe)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == orders.o_orderkey) & (li.l_shipdate > orders.o_orderdate)
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5-style: 6-way join through the dim snowflake.
+# --------------------------------------------------------------------------
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""",
+    tags=("relational", "join", "headline"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: every non-fact table broadcast; the plan shuffles
+    lineitem⋈orders once and streams through four broadcast hash joins."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6-style: pure filter + scalar aggregate (pushdown showcase).
+# --------------------------------------------------------------------------
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.04 AND l_discount <= 0.06
+  AND l_quantity < 24
+""",
+    tags=("relational", "filter"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four predicates push into the parquet scan (check
+    PushedFilters in .explain); zero shuffle, single partial-agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10-style: returned-item ranking, 4-way join + top-k.
+# --------------------------------------------------------------------------
+@query(
+    "q10_returned_items",
+    oracle="""
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    tags=("relational", "join", "topk"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12-style: conditional aggregation (CASE WHEN inside sum).
+# --------------------------------------------------------------------------
+@query(
+    "q12_priority_lines",
+    oracle="""
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+""",
+    tags=("relational", "aggregate"),
+)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14-style: promo revenue ratio (broadcast join + global conditional agg).
+# --------------------------------------------------------------------------
+@query(
+    "q14_promo_revenue",
+    oracle="""
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-09-01 00:00:00'
+""",
+    tags=("relational", "join", "aggregate"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-09-01 00:00:00").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18-style: HAVING over a join aggregate.
+# --------------------------------------------------------------------------
+@query(
+    "q18_large_orders",
+    oracle="""
+SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING sum(l_quantity) > 150
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+    tags=("relational", "having", "topk"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.sum("l_quantity").alias("_raw_qty"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .filter(F.col("_raw_qty") > 150)
+        .drop("_raw_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Anti join: customers with no orders.
+# --------------------------------------------------------------------------
+@query(
+    "customers_without_orders",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+""",
+    tags=("relational", "antijoin"),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP / CUBE / GROUPING SETS.
+# --------------------------------------------------------------------------
+@query(
+    "rollup_order_status",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    tags=("relational", "rollup"),
+)
+def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "cube_lineitem_flags",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+       round(sum(l_quantity), 2) AS total_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    tags=("relational", "cube"),
+)
+def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations.
+# --------------------------------------------------------------------------
+@query(
+    "setop_repeat_customers",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+""",
+    tags=("relational", "setop"),
+)
+def setop_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) of 1996 and 1997 buyers."""
+    orders = _t(spark, sf_dir, "orders")
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select(F.col("o_custkey").alias("custkey"))
+    y97 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select(F.col("o_custkey").alias("custkey"))
+    return y96.intersect(y97)
+
+
+@query(
+    "setop_lapsed_customers",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders
+WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+EXCEPT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+""",
+    tags=("relational", "setop"),
+)
+def setop_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): bought before 1997, never after."""
+    orders = _t(spark, sf_dir, "orders")
+    before = orders.filter(
+        F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    after = orders.filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    return before.subtract(after)
+
+
+# --------------------------------------------------------------------------
+# Scalar function sampler: string / math functions in one projection.
+# --------------------------------------------------------------------------
+@query(
+    "scalar_part_functions",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name)                      AS uname,
+       substr(p_name, 1, 5)               AS prefix,
+       CAST(length(p_name) AS INT)        AS name_len,
+       round(p_retailprice * 1.1, 2)      AS taxed_price,
+       abs(p_size - 25)                   AS size_dev,
+       p_size % 7                         AS size_mod,
+       CAST(floor(sqrt(p_retailprice)) AS BIGINT) AS price_sqrt_floor,
+       concat(p_brand, ':', p_type)       AS brand_type
+FROM part
+WHERE p_size >= 10 AND p_size <= 40
+""",
+    tags=("relational", "scalar"),
+)
+def scalar_part_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.filter((F.col("p_size") >= 10) & (F.col("p_size") <= 40)).select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.substring("p_name", 1, 5).alias("prefix"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("taxed_price"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.floor(F.sqrt("p_retailprice")).cast("bigint").alias("price_sqrt_floor"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@query(
+    "scalar_date_functions",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT)      AS o_year,
+       CAST(quarter(o_orderdate) AS INT)   AS o_quarter,
+       CAST(month(o_orderdate) AS INT)     AS o_month,
+       CAST(dayofmonth(o_orderdate) AS INT) AS o_day,
+       CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+""",
+    tags=("relational", "scalar", "datetime"),
+)
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.quarter("o_orderdate").cast("int").alias("o_quarter"),
+        F.month("o_orderdate").cast("int").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("o_day"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON extraction over the events stream table.
+# --------------------------------------------------------------------------
+@query(
+    "events_json_props",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events
+GROUP BY event_type
+""",
+    tags=("relational", "json", "events"),
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: get_json_object (Spark) vs
+    json_extract_string (DuckDB) — same '$.k' path semantics."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.min(k).cast("int").alias("min_k"),
+        F.max(k).cast("int").alias("max_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Tumbling time bucket (batch analog of the streaming window).
+# --------------------------------------------------------------------------
+@query(
+    "events_daily_rollup",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("relational", "datetime", "events", "headline"),
+)
+def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -1,0 +1,44 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode here is a stand-in for a real cluster: the configs below are
+the ones that carry to 1000-executor deployments (AQE, adaptive skew
+join, broadcast threshold, UTC timezone, Arrow for the Pandas-UDF
+paths). ``spark.sql.shuffle.partitions`` is sized for local[32]; on a
+real cluster AQE coalescing makes the static number mostly moot.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "engine", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local parallelism (default ``*``).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no ns type —
+        # read as long and convert in engine.io.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

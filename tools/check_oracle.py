@@ -1,0 +1,158 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every registered query's Spark plan AND its oracle SQL at a given
+scale factor, then compares: row count, sorted column names, and values
+(rows sorted by all columns, numerics compared with tolerance). This is
+the fast feedback loop — run it after every operator lands:
+
+    python tools/check_oracle.py [--sf /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import math
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from engine.io import TABLES, table_path  # noqa: E402
+from engine.registry import all_queries  # noqa: E402
+from engine.session import get_spark  # noqa: E402
+
+
+def _norm(v):
+    """Normalize a cell for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def _sort_key(row):
+    return tuple(
+        (v is None, str(type(v).__name__), str(v)) for v in row
+    )
+
+
+def _cells_equal(a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        if isinstance(a, str) or isinstance(b, str):  # NaN sentinel
+            return a == b
+        try:
+            return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
+        except (TypeError, ValueError):
+            return a == b
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(_cells_equal(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols) -> list[str]:
+    errs = []
+    if len(spark_rows) != len(duck_rows):
+        errs.append(f"row count: spark={len(spark_rows)} duckdb={len(duck_rows)}")
+    s_cols, d_cols = sorted(spark_cols), sorted(duck_cols)
+    if s_cols != d_cols:
+        errs.append(f"columns: spark={s_cols} duckdb={d_cols}")
+        return errs
+    # reorder both to sorted column order, normalize, sort rows
+    s_idx = [spark_cols.index(c) for c in s_cols]
+    d_idx = [duck_cols.index(c) for c in d_cols]
+    s_data = sorted(
+        (tuple(_norm(r[i]) for i in s_idx) for r in spark_rows), key=_sort_key
+    )
+    d_data = sorted(
+        (tuple(_norm(r[i]) for i in d_idx) for r in duck_rows), key=_sort_key
+    )
+    n_bad = 0
+    for i, (sr, dr) in enumerate(zip(s_data, d_data)):
+        if not all(_cells_equal(a, b) for a, b in zip(sr, dr)):
+            n_bad += 1
+            if n_bad <= 3:
+                errs.append(f"row {i}: spark={sr} duckdb={dr}")
+    if n_bad > 3:
+        errs.append(f"... {n_bad} mismatched rows total")
+    return errs
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    specs = all_queries()
+    names = args.names or list(specs)
+    unknown = [n for n in names if n not in specs]
+    if unknown:
+        print(f"unknown queries: {unknown}; available: {list(specs)}")
+        return 2
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = table_path(args.sf, t)
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    spark = get_spark("oracle-check")
+    n_pass = n_fail = n_skip = 0
+    for name in names:
+        spec = specs[name]
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, args.sf)
+            spark_cols = sdf.columns
+            spark_rows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL {name}: spark side raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        if spec.oracle is None:
+            print(f"SKIP {name}: no oracle (rows={len(spark_rows)}) [{time.time()-t0:.1f}s]")
+            n_skip += 1
+            continue
+        try:
+            rel = con.sql(spec.oracle)
+            duck_cols = list(rel.columns)
+            duck_rows = rel.fetchall()
+        except Exception:
+            print(f"FAIL {name}: duckdb side raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        errs = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        if errs:
+            print(f"FAIL {name} [{time.time()-t0:.1f}s]")
+            for e in errs:
+                print(f"   {e}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} rows={len(spark_rows)} [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} no-oracle")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
