@@ -1,0 +1,120 @@
+"""Layer A golden-output parity tests against the reference's own test
+corpus and correct/ files (mirrors tests/test_integration_0{0,1,2}.py
+in /root/reference)."""
+
+import filecmp
+import os
+
+from engine.mapreduce import run_job
+from tests.conftest import REFDATA
+
+EXEC = f"{REFDATA}/exec"
+INPUT = f"{REFDATA}/input"
+CORRECT = f"{REFDATA}/correct"
+
+
+def _read_sorted(path: str) -> list[str]:
+    with open(path, encoding="utf-8") as f:
+        return sorted(f.readlines())
+
+
+def test_wordcount_golden(spark, tmp_path):
+    """Reference test_integration_01: wc job, 2 mappers / 1 reducer,
+    sorted-line equality with word_count_correct.txt."""
+    out = str(tmp_path / "out")
+    parts = run_job(
+        spark, INPUT, out,
+        mapper=f"{EXEC}/wc_map.sh", reducer=f"{EXEC}/wc_reduce.sh",
+        num_mappers=2, num_reducers=1,
+    )
+    assert [os.path.basename(p) for p in parts] == ["part-00000"]
+    assert _read_sorted(parts[0]) == _read_sorted(f"{CORRECT}/word_count_correct.txt")
+
+
+def test_wordcount_two_reducers(spark, tmp_path):
+    """Reference test_integration_02: 4 mappers / 2 reducers — exactly
+    two part files whose merged sorted content matches the golden."""
+    out = str(tmp_path / "out")
+    parts = run_job(
+        spark, INPUT, out,
+        mapper=f"{EXEC}/wc_map.sh", reducer=f"{EXEC}/wc_reduce.sh",
+        num_mappers=4, num_reducers=2,
+    )
+    assert [os.path.basename(p) for p in parts] == ["part-00000", "part-00001"]
+    assert len(list(os.listdir(out))) == 2
+    merged = sorted(
+        line for p in parts for line in open(p, encoding="utf-8").readlines()
+    )
+    assert merged == _read_sorted(f"{CORRECT}/word_count_correct.txt")
+
+
+def test_grep_golden(spark, tmp_path):
+    """Reference test_integration_00: grep job, exact filecmp — also
+    pins the whole-line sort order inside a partition."""
+    out = str(tmp_path / "out")
+    parts = run_job(
+        spark, INPUT, out,
+        mapper=f"{EXEC}/grep_map.py", reducer=f"{EXEC}/grep_reduce.py",
+        num_mappers=2, num_reducers=1,
+    )
+    assert filecmp.cmp(f"{CORRECT}/grep_correct.txt", parts[0], shallow=False)
+
+
+def test_grep_query_argv(spark, tmp_path):
+    """grep_map.py takes the query via argv (grep_map.py:14-17)."""
+    out = str(tmp_path / "out")
+    parts = run_job(
+        spark, INPUT, out,
+        mapper=[f"{EXEC}/grep_map.py", "hadoop"], reducer=f"{EXEC}/grep_reduce.py",
+        num_mappers=2, num_reducers=1,
+    )
+    lines = open(parts[0], encoding="utf-8").read().splitlines()
+    assert lines, "expected at least one matching line for 'hadoop'"
+    assert all("hadoop" in line.lower() for line in lines)
+
+
+def test_native_mode_wordcount(spark, tmp_path):
+    """Native mode: mapper/reducer as Python callables with the same
+    line-contract — W2/W4 semantics (wc_map.py / wc_reduce.py)."""
+    import itertools
+
+    def mapper(lines):
+        for line in lines:
+            for word in line.split():
+                yield f"{word}\t1"
+
+    def reducer(lines):
+        parsed = (line.partition("\t") for line in lines)
+        for word, group in itertools.groupby(parsed, key=lambda t: t[0]):
+            yield f"{word} {sum(int(v) for _, _, v in group)}"
+
+    out = str(tmp_path / "out")
+    parts = run_job(
+        spark, INPUT, out, mapper=mapper, reducer=reducer,
+        num_mappers=2, num_reducers=2,
+    )
+    counts = {}
+    for p in parts:
+        for line in open(p, encoding="utf-8"):
+            w, _, c = line.rstrip("\n").rpartition(" ")
+            counts[w] = counts.get(w, 0) + int(c)
+    assert counts["Hello"] == 2  # file01 + file02, case preserved in W2
+    assert counts["Hadoop"] == 2
+
+
+def test_empty_key_partitioning(spark, tmp_path):
+    """Empty string is a legal key (test_worker_05.py:122-124): lines
+    '\\t1' must flow through partition/sort/reduce intact."""
+    inp = tmp_path / "in"
+    inp.mkdir()
+    (inp / "f1").write_text("  leading spaces\nA  B\n", encoding="utf-8")
+
+    out = str(tmp_path / "out")
+    parts = run_job(
+        spark, str(inp), out,
+        mapper=f"{REFDATA}/exec/wc_map.sh", reducer=f"{REFDATA}/exec/wc_reduce.sh",
+        num_mappers=1, num_reducers=1,
+    )
+    text = open(parts[0], encoding="utf-8").read()
+    # tokens: '', '', 'leading', 'spaces', 'a', '', 'b' → empty key ×3
+    assert "\t3\n" in text
