@@ -1,1 +1,359 @@
-"""Placeholder — filled in as operators land."""
+"""Deduplication operators for LLM training-data pipelines: exact
+(hash groupBy), n-gram Jaccard, MinHash+LSH banding, SimHash.
+
+Absent from the reference framework (its only dedup-adjacent operation
+is `uniq -c` inside the wordcount reducer executable,
+tests/testdata/exec/wc_reduce.sh:14); this is new Layer-B capability
+per BASELINE.json's north star.
+
+Scale design (the part that matters at 100 TB):
+- NOTHING here is all-pairs. Jaccard joins only documents sharing a
+  shingle; MinHash compares only documents sharing an LSH band bucket;
+  SimHash compares only documents sharing one of four 15-bit chunks
+  (pigeonhole: hamming ≤ 3 over 60 bits ⇒ ≥ 1 of 4 chunks equal).
+- Shingle/band joins shuffle by the blocking key, so skewed hot
+  shingles are the known risk; AQE skew-join handles moderate skew and
+  a document-frequency cap is the standard mitigation (not needed at
+  this corpus's max DF of 7).
+- All hashes are the engine-agnostic md5-derived 60-bit integers
+  (SPARK_H60/DUCK_H60) so the DuckDB oracle reproduces results bit
+  for bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.io import load_table
+from engine.registry import query
+from engine.operators.textstats import DUCK_H60, SPARK_H60
+
+JACCARD_THRESHOLD = 0.2
+MINHASH_K = 16  # 8 bands × 2 rows
+MINHASH_EST_THRESHOLD = 0.25
+SIMHASH_BITS = 60  # 4 chunks × 15 bits
+SIMHASH_MAX_HAMMING = 3
+
+# Distinct word-3-shingles per document (shared CTE text, DuckDB side).
+_DUCK_SHINGLES = """
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks
+)
+"""
+
+
+def _spark_shingles(docs: DataFrame) -> DataFrame:
+    """doc_id → distinct word-3-shingles, as exploded rows."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(lower(text), ' ')) - 2, 0)),"
+                    " i -> concat_ws(' ', element_at(split(lower(text), ' '), i),"
+                    " element_at(split(lower(text), ' '), i + 1),"
+                    " element_at(split(lower(text), ' '), i + 2)))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT sha256(text) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY sha256(text)
+""",
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one shuffle keyed on sha256(text),
+    keep the lowest doc_id per group. At 100 TB, group on the 32-byte
+    hash (not the document body) so shuffle volume is O(corpus count),
+    not O(corpus bytes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.sha2("text", 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_DUCK_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS both_cnt
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(both_cnt * 1.0 / (na.n + nb.n - both_cnt), 6) AS jaccard
+FROM inter
+JOIN sizes na ON doc_a = na.doc_id
+JOIN sizes nb ON doc_b = nb.doc_id
+WHERE both_cnt * 1.0 / (na.n + nb.n - both_cnt) >= {JACCARD_THRESHOLD}
+""",
+    tags=("dedup", "jaccard", "headline"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, shingle-blocked: only
+    documents sharing ≥1 word-3-shingle are compared (25 pairs survive
+    at threshold 0.2 on this corpus vs 125k all-pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _spark_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+    )
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    jac = F.col("both_cnt") * 1.0 / (F.col("na.n") + F.col("nb.n") - F.col("both_cnt"))
+    return (
+        inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_DUCK_MINHASH = f"""
+{_DUCK_SHINGLES},
+mh AS (
+  SELECT doc_id, h.hi,
+         min({DUCK_H60.format(x="CAST(h.hi AS VARCHAR) || '|' || shingle")}) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range(0, {MINHASH_K})) AS hi) h
+  GROUP BY doc_id, h.hi
+),
+bands AS (
+  SELECT doc_id, hi % 8 AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY hi)) AS sig
+  FROM mh GROUP BY doc_id, hi % 8
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_DUCK_MINHASH}
+SELECT c.doc_a, c.doc_b,
+       round(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / {MINHASH_K}.0, 4)
+         AS est_jaccard
+FROM cand c
+JOIN mh x ON x.doc_id = c.doc_a
+JOIN mh y ON y.doc_id = c.doc_b AND x.hi = y.hi
+GROUP BY c.doc_a, c.doc_b
+HAVING sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / {MINHASH_K}.0
+       >= {MINHASH_EST_THRESHOLD}
+""",
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup detection: shingle → 16 minhashes
+    → 8 bands of 2 → candidates share a band signature → estimated
+    Jaccard = fraction of equal minhashes. The banded join is the 100 TB
+    path: comparisons scale with bucket collisions, not corpus².
+    Deterministic md5-derived hash functions make this reproducible
+    across engines (and runs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _spark_shingles(docs)
+    mh = (
+        sh.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("hi"),
+            "shingle",
+        )
+        .select(
+            "doc_id",
+            "hi",
+            F.expr(
+                SPARK_H60.format(x="concat(cast(hi as string), '|', shingle)")
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "hi")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = mh.groupBy("doc_id", (F.col("hi") % 8).alias("band")).agg(
+        F.expr(
+            "md5(concat_ws(',', transform(array_sort(collect_list(struct(hi, mh))),"
+            " s -> cast(s.mh as string))))"
+        ).alias("sig")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = mh.alias("x")
+    y = mh.alias("y")
+    est = F.sum(F.when(F.col("x.mh") == F.col("y.mh"), 1).otherwise(0)) / float(
+        MINHASH_K
+    )
+    return (
+        cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, (F.col("doc_b") == F.col("y.doc_id")) & (F.col("x.hi") == F.col("y.hi")))
+        .groupBy("doc_a", "doc_b")
+        .agg(est.alias("_est"))
+        .filter(F.col("_est") >= MINHASH_EST_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("_est", 4).alias("est_jaccard"))
+    )
+
+
+_DUCK_SIMHASH = f"""
+toks2 AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+tokcnt AS (SELECT doc_id, token, count(*) AS cnt FROM toks2 GROUP BY 1, 2),
+bitsum AS (
+  SELECT doc_id, b.bitpos,
+         sum(CASE WHEN ({DUCK_H60.format(x='token')} >> b.bitpos) & 1 = 1
+                  THEN cnt ELSE -cnt END) AS s
+  FROM tokcnt CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BITS})) AS bitpos) b
+  GROUP BY doc_id, b.bitpos
+),
+simh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bitpos)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM bitsum GROUP BY doc_id
+)
+"""
+
+
+@query(
+    "simhash_fingerprint",
+    oracle=f"WITH {_DUCK_SIMHASH} SELECT doc_id, simhash FROM simh",
+    tags=("dedup", "simhash"),
+)
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (Charikar'02): weighted bit votes
+    from token-frequency counts. One narrow aggregation pipeline —
+    tokens × 60 bit positions — shuffled by (doc_id, bit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokcnt = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", F.expr(SPARK_H60.format(x="token")))
+    )
+    bitsum = (
+        tokcnt.select(
+            "doc_id",
+            "cnt",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bitpos"),
+        )
+        .groupBy("doc_id", "bitpos")
+        .agg(
+            F.sum(
+                F.when(F.expr("(shiftright(h, bitpos) & 1) = 1"), F.col("cnt")).otherwise(
+                    -F.col("cnt")
+                )
+            ).alias("s")
+        )
+    )
+    return (
+        bitsum.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(1L, bitpos)")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("simhash")
+        )
+    )
+
+
+@query(
+    "simhash_near_pairs",
+    oracle=f"""
+WITH {_DUCK_SIMHASH},
+chunks AS (
+  SELECT doc_id, simhash, c.chunk_id,
+         (simhash >> (c.chunk_id * 15)) & 32767 AS chunk_val
+  FROM simh CROSS JOIN (SELECT unnest(range(0, 4)) AS chunk_id) c
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a,
+                  b.doc_id AS doc_b, b.simhash AS sh_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}
+""",
+    tags=("dedup", "simhash", "lsh"),
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with pigeonhole blocking: hamming ≤ 3
+    over 60 bits ⇒ at least one of four 15-bit chunks is equal, so the
+    join key is (chunk_id, chunk_val) — never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    simh = simhash_fingerprint(spark, sf_dir)
+    chunks = simh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk_id"),
+    ).withColumn("chunk_val", F.expr("shiftright(simhash, chunk_id * 15) & 32767"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sh_a ^ sh_b)")
+    return cand.filter(hamming <= SIMHASH_MAX_HAMMING).select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    )

@@ -1,1 +1,259 @@
-"""Placeholder — filled in as operators land."""
+"""Text analysis for LLM training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All expressions are built-in `pyspark.sql.functions` (JVM-side,
+whole-stage-codegen'd) — no Python UDF anywhere, so the hot path over
+100 TB of documents stays vectorized. Every query has an exact DuckDB
+oracle twin built from the same deterministic arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.io import load_table
+from engine.registry import query
+
+# Tiny per-language stopword inventories for the n-gram/stopword
+# language-ID heuristic. Deterministic and engine-agnostic.
+STOPWORDS = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en": ("the", "of", "and", "to", "a", "in", "is", "it"),
+    "es": ("el", "los", "de", "que", "y", "en", "un", "se"),
+    "fr": ("le", "la", "les", "et", "une", "des", "est", "dans"),
+    "zh": ("的", "是", "不", "了", "在", "人", "有", "我"),
+}
+
+
+def _sql_array(words: tuple[str, ...]) -> str:
+    return "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def _duck_list(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@query(
+    "text_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END AS INT) AS n_chars_ok,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       round(length(replace(text, ' ', '')) * 1.0
+             / nullif(len(regexp_extract_all(text, '\\S+')), 0), 4) AS avg_token_len,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+             / nullif(length(text), 0), 6) AS digit_ratio,
+       round(length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0
+             / nullif(length(text), 0), 6) AS upper_ratio
+FROM documents
+""",
+    tags=("textstats",),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surface statistics (recomputes and validates the
+    stored n_chars — FIXTURES.md documents schema)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0)).cast("bigint")
+    n_chars = F.length("text")
+    return docs.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars_calc"),
+        F.when(n_chars == F.col("n_chars"), 1).otherwise(0).cast("int").alias("n_chars_ok"),
+        n_tokens.alias("n_tokens"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) * 1.0
+            / F.nullif(n_tokens, F.lit(0)),
+            4,
+        ).alias("avg_token_len"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^0-9]", "")) * 1.0
+            / F.nullif(n_chars, F.lit(0)),
+            6,
+        ).alias("digit_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^A-Z]", "")) * 1.0
+            / F.nullif(n_chars, F.lit(0)),
+            6,
+        ).alias("upper_ratio"),
+    )
+
+
+def _lang_scores_sql(engine: str) -> dict[str, str]:
+    """Per-language stopword-hit-count expressions, one dialect each."""
+    out = {}
+    for lang, words in STOPWORDS.items():
+        if engine == "spark":
+            arr = _sql_array(words)
+            out[lang] = (
+                f"size(filter(split(lower(text), ' '), t -> array_contains({arr}, t)))"
+            )
+        else:
+            lst = _duck_list(words)
+            out[lang] = (
+                f"len(list_filter(string_split(lower(text), ' '),"
+                f" t -> list_contains({lst}, t)))"
+            )
+    return out
+
+
+def _langid_case(scores: dict[str, str]) -> str:
+    """argmax with deterministic lexicographic tiebreak (sorted langs)."""
+    g = "greatest(" + ", ".join(scores[lang] for lang in sorted(scores)) + ")"
+    whens = " ".join(
+        f"WHEN {scores[lang]} = {g} THEN '{lang}'" for lang in sorted(scores)
+    )
+    return f"CASE {whens} END"
+
+
+_LANGID_ORACLE = f"""
+SELECT doc_id, lang AS lang_declared,
+       {_langid_case(_lang_scores_sql('duck'))} AS lang_predicted,
+       CAST({_lang_scores_sql('duck')['en']} AS BIGINT) AS en_stopword_hits
+FROM documents
+"""
+
+
+@query("langid_stopword", oracle=_LANGID_ORACLE, tags=("textstats", "langid"))
+def langid_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID: score = stopword hits per language,
+    argmax with lexicographic tiebreak. Pure JVM expressions — at scale
+    this is a single codegen'd projection over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = _lang_scores_sql("spark")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        F.expr(_langid_case(scores)).alias("lang_predicted"),
+        F.expr(scores["en"]).cast("bigint").alias("en_stopword_hits"),
+    )
+
+
+_QUALITY_SPARK = (
+    "round(1.0 / (1.0 + exp(-("
+    "0.3 * ln(1 + {n_tokens}) + 2.0 * {stop_ratio} - 5.0 * {digit_ratio}"
+    "))), 6)"
+)
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         {_lang_scores_sql('duck')['en']} * 1.0
+           / nullif(len(regexp_extract_all(text, '\\S+')), 0) AS stop_ratio,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+           / nullif(length(text), 0) AS digit_ratio
+  FROM documents
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(0.3 * ln(1 + n_tokens) + 2.0 * stop_ratio
+                                - 5.0 * digit_ratio))), 6) AS quality
+FROM feat
+""",
+    tags=("textstats", "quality"),
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic quality score from (length, stopword ratio, digit
+    ratio) — the standard pretraining-corpus heuristic family."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
+    stop_ratio = F.expr(_lang_scores_sql("spark")["en"]) * 1.0 / F.nullif(
+        n_tokens, F.lit(0)
+    )
+    digit_ratio = F.length(F.regexp_replace("text", "[^0-9]", "")) * 1.0 / F.nullif(
+        F.length("text"), F.lit(0)
+    )
+    quality = F.round(
+        1.0
+        / (1.0 + F.exp(-(0.3 * F.log(1 + n_tokens) + 2.0 * stop_ratio - 5.0 * digit_ratio))),
+        6,
+    )
+    return docs.select("doc_id", quality.alias("quality"))
+
+
+@query(
+    "token_count_bpeish",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+         AS n_bpeish_tokens
+FROM documents
+""",
+    tags=("textstats", "tokenize"),
+)
+def token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    (alnum runs + individual punctuation) — the cheap proxy for LLM
+    token budgeting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
+        .cast("bigint")
+        .alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0)
+        )
+        .cast("bigint")
+        .alias("n_bpeish_tokens"),
+    )
+
+
+# Shared Spark/DuckDB deterministic 60-bit hash (see SURVEY.md §7:
+# never rely on engine-internal hashes for cross-engine parity).
+SPARK_H60 = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
+DUCK_H60 = "CAST(CAST(('0x' || substr(md5({x}), 1, 15)) AS UBIGINT) AS BIGINT)"
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), sl AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(t) - 1, 1)),
+           i -> {{'pos': i,
+                 'h': {DUCK_H60.format(x="t[i] || ' ' || t[i+1] || ' ' || t[i+2]")}}})
+           AS lst
+  FROM toks
+), hashed AS (
+  SELECT doc_id, unnest(lst, recursive := true) FROM sl
+)
+SELECT DISTINCT doc_id,
+       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+FROM hashed
+""",
+    tags=("textstats", "fingerprint"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprints: rolling hash over 3-token
+    shingles, min-hash per 4-shingle window, distinct per doc — the
+    MOSS/winnowing construction (Schleimer et al., SIGMOD'03) that
+    keeps fingerprint density constant per document length."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(lower(text), ' ')) - 2, 0)),"
+                " i -> concat_ws(' ', element_at(split(lower(text), ' '), i),"
+                " element_at(split(lower(text), ' '), i + 1),"
+                " element_at(split(lower(text), ' '), i + 2)))"
+            )
+        ).alias("pos0", "shingle"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr(SPARK_H60.format(x="shingle")).alias("h"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+    return sh.select("doc_id", F.min("h").over(w).alias("fp")).distinct()

@@ -1,1 +1,179 @@
-"""Placeholder — filled in as operators land."""
+"""Window-function operators: ranking, running totals, sliding frames,
+gap-based sessionization.
+
+Absent from the reference (SURVEY.md §2.3) — new Layer-B capability.
+Scale notes: every window below partitions by a high-cardinality key
+(user_id, nation) so the shuffle spreads evenly; no global
+un-partitioned window is ever used on a fact table (that would
+serialize 100 TB through one task).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from engine.io import load_table
+from engine.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "w_top_customers_per_nation",
+    oracle="""
+WITH rev AS (
+  SELECT c_custkey, c_nationkey, round(sum(o_totalprice), 2) AS total_spend
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey, c_nationkey
+)
+SELECT n_name, c_custkey, total_spend, rnk FROM (
+  SELECT n_name, c_custkey, total_spend,
+         CAST(rank() OVER (PARTITION BY n_name
+                           ORDER BY total_spend DESC, c_custkey) AS BIGINT) AS rnk
+  FROM rev JOIN nation ON c_nationkey = n_nationkey
+) t WHERE rnk <= 3
+""",
+    tags=("window", "rank"),
+)
+def w_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 spenders per nation: agg → broadcast dim join → ranked
+    window partitioned by nation (ties broken by custkey)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    )
+    w = W.partitionBy("n_name").orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
+    return (
+        rev.join(F.broadcast(nation), rev.c_nationkey == nation.n_nationkey)
+        .withColumn("rnk", F.rank().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "c_custkey", "total_spend", "rnk")
+    )
+
+
+@query(
+    "w_running_purchase_totals",
+    oracle="""
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_value,
+       lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
+FROM events WHERE event_type = 'purchase'
+""",
+    tags=("window", "events"),
+)
+def w_running_purchase_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running purchase value + lag + sequence number."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)), 2).alias(
+            "running_value"
+        ),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.row_number().over(w).cast("bigint").alias("seq"),
+    )
+
+
+@query(
+    "w_moving_avg_value",
+    oracle="""
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mov_avg_7
+FROM events WHERE event_type = 'purchase'
+""",
+    tags=("window", "events"),
+)
+def w_moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row sliding mean of purchase value per user."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("mov_avg_7"),
+    )
+
+
+@query(
+    "w_sessionize_events",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM ordered
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s
+FROM sess GROUP BY user_id, session_seq
+""",
+    tags=("window", "sessionize", "events"),
+)
+def w_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): the classic
+    lag → new-session flag → running sum pattern. One shuffle on
+    user_id serves both windows and the final aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    sess = (
+        ev.withColumn(
+            "is_new",
+            F.when(gap_us.isNull() | (gap_us > 1800 * 1000 * 1000), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("bigint"),
+        )
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_seconds(F.max("ts")) - F.unix_seconds(F.min("ts"))).alias("duration_s"),
+    )
+
+
+@query(
+    "w_supplier_rank_stats",
+    oracle="""
+SELECT s_suppkey, s_nationkey,
+       CAST(dense_rank() OVER (ORDER BY round(s_acctbal, 2) DESC) AS BIGINT) AS balance_rank,
+       round(percent_rank() OVER (ORDER BY round(s_acctbal, 2) DESC), 6) AS balance_pctile,
+       CAST(ntile(4) OVER (ORDER BY round(s_acctbal, 2) DESC, s_suppkey) AS BIGINT) AS quartile
+FROM supplier
+""",
+    tags=("window", "rank"),
+)
+def w_supplier_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank / percent_rank / ntile over supplier balances.
+    ntile is tie-broken by s_suppkey to stay deterministic."""
+    supp = _t(spark, sf_dir, "supplier")
+    bal = F.round(F.col("s_acctbal"), 2)
+    w_val = W.orderBy(bal.desc())
+    w_det = W.orderBy(bal.desc(), F.col("s_suppkey"))
+    return supp.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.dense_rank().over(w_val).cast("bigint").alias("balance_rank"),
+        F.round(F.percent_rank().over(w_val), 6).alias("balance_pctile"),
+        F.ntile(4).over(w_det).cast("bigint").alias("quartile"),
+    )
