@@ -1,0 +1,24 @@
+"""Structured Streaming layer: the events table as a stream.
+
+The reference has no streaming constructs at all (SURVEY.md §2.3) —
+this is new Layer-B capability: file-source streams, watermarked
+tumbling/session windows, and streaming exact dedup, all composable
+with the batch operators since Structured Streaming shares the
+DataFrame API and Catalyst.
+"""
+
+from engine.streaming.events import (
+    read_event_stream,
+    streaming_dedup,
+    streaming_session_windows,
+    streaming_tumbling_counts,
+    run_available_now,
+)
+
+__all__ = [
+    "read_event_stream",
+    "streaming_dedup",
+    "streaming_session_windows",
+    "streaming_tumbling_counts",
+    "run_available_now",
+]

@@ -1,0 +1,106 @@
+"""Streaming operators over the events table (file-source stream).
+
+Scale notes: a production deployment swaps the file source for Kafka
+with identical downstream plans. Watermarks bound state: the tumbling
+window keeps |windows within watermark| × |event types| rows of state;
+streaming dedup keeps only event_ids younger than the watermark.
+``session_window`` gives native gap-based sessions (the batch twin is
+``w_sessionize_events``, which the DuckDB oracle checks).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Parquet stores ts as TIMESTAMP(NANOS); with nanosAsLong (set by
+# engine.io.load_table / engine.session) it surfaces as bigint.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream (one-file directory —
+    real deployments point this at a landing zone or Kafka)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def streaming_tumbling_counts(
+    events: DataFrame, window: str = "1 day", watermark: str = "2 days"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type — the
+    streaming twin of the batch `events_daily_rollup` query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("day"), "event_type", "n_events", "total_value"
+        )
+    )
+
+
+def streaming_session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 day"
+) -> DataFrame:
+    """Native gap-based session windows per user (batch twin:
+    w_sessionize_events)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming exact dedup on event_id with watermark-bounded state."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_available_now(df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Process everything currently available into a memory sink and
+    return the materialized result (test/driver harness).
+
+    Use output_mode="complete" for aggregated streams: with a bounded
+    file source the watermark never passes the final window, so append
+    mode would emit nothing.
+    """
+    spark = df.sparkSession
+    with tempfile.TemporaryDirectory(prefix="ckpt-") as ckpt:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)

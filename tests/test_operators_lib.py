@@ -1,0 +1,73 @@
+"""Library-level operator tests (beyond the oracle gate): the generic
+asof_join and the multimodal decode stubs/plumbing."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.operators.asof import asof_join
+from engine.operators.multimodal import decode_audio, decode_image, extract_blob_meta
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_strict_prior(spark):
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01T10:00:00"), 100.0),
+            ("A", _ts("2024-01-01T10:00:05"), 101.0),
+            ("A", _ts("2024-01-01T10:00:10"), 102.0),
+            ("B", _ts("2024-01-01T10:00:03"), 50.0),
+        ],
+        ["sym", "qts", "px"],
+    )
+    trades = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01T10:00:07"), 10),   # latest prior quote: 101.0
+            ("A", _ts("2024-01-01T10:00:05"), 20),   # tie ts, strict ⇒ 100.0
+            ("B", _ts("2024-01-01T10:00:01"), 30),   # no prior quote ⇒ NULL
+        ],
+        ["sym", "tts", "qty"],
+    )
+    out = {
+        (r["sym"], r["qty"]): r["asof_px"]
+        for r in asof_join(trades, quotes, "sym", "tts", "qts", ["px"]).collect()
+    }
+    assert out[("A", 10)] == 101.0
+    assert out[("A", 20)] == 100.0
+    assert out[("B", 30)] is None
+
+
+def test_asof_join_inclusive(spark):
+    quotes = spark.createDataFrame(
+        [("A", _ts("2024-01-01T10:00:05"), 101.0)], ["sym", "qts", "px"]
+    )
+    trades = spark.createDataFrame(
+        [("A", _ts("2024-01-01T10:00:05"), 1)], ["sym", "tts", "qty"]
+    )
+    row = asof_join(trades, quotes, "sym", "tts", "qts", ["px"], strict=False).first()
+    assert row["asof_px"] == 101.0
+
+
+def test_multimodal_decode_stubs_raise():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF")
+
+
+def test_extract_blob_meta_plumbing(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, "world!")], ["doc_id", "txt"])
+    blobs = df.select("doc_id", F.encode("txt", "UTF-8").alias("payload"))
+    rows = {r["doc_id"]: r for r in extract_blob_meta(blobs, "doc_id", "payload").collect()}
+    assert rows[1]["n_bytes"] == 5
+    assert rows[2]["n_bytes"] == 6
+    import hashlib
+
+    assert rows[1]["checksum"] == hashlib.md5(b"hello").hexdigest()
+    assert 1 <= rows[1]["fake_width"] <= 1920
+    assert 1 <= rows[1]["fake_height"] <= 1080
+    assert 1 <= rows[1]["fake_channels"] <= 3

@@ -1,0 +1,57 @@
+"""Structured Streaming tests: the streaming queries must agree with
+their batch twins on the same bounded input."""
+
+from pyspark.sql import functions as F
+
+from engine.io import load_table
+from engine.streaming import (
+    read_event_stream,
+    run_available_now,
+    streaming_dedup,
+    streaming_session_windows,
+    streaming_tumbling_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_tumbling_counts_match_batch(spark):
+    stream = read_event_stream(spark, SF_SMOKE)
+    result = run_available_now(
+        streaming_tumbling_counts(stream), "t_tumbling", output_mode="complete"
+    )
+    from engine.operators.relational import events_daily_rollup
+
+    batch = events_daily_rollup(spark, SF_SMOKE)
+    got = {tuple(r) for r in result.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_dedup_is_noop_on_unique_ids(spark):
+    stream = read_event_stream(spark, SF_SMOKE)
+    result = run_available_now(streaming_dedup(stream), "t_dedup")
+    n_batch = load_table(spark, SF_SMOKE, "events").count()
+    assert result.count() == n_batch
+    assert result.select("event_id").distinct().count() == n_batch
+
+
+def test_session_windows_match_batch_sessionizer(spark):
+    stream = read_event_stream(spark, SF_SMOKE)
+    result = run_available_now(
+        streaming_session_windows(stream), "t_sessions", output_mode="complete"
+    )
+    from engine.operators.windows import w_sessionize_events
+
+    batch = w_sessionize_events(spark, SF_SMOKE)
+    # Same number of sessions per user, same total events.
+    got = (
+        result.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_ev"))
+        .collect()
+    )
+    want = (
+        batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_ev"))
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
