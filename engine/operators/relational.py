@@ -406,15 +406,20 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_mktsegment, count(*) AS n_customers
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
 GROUP BY c_mktsegment
 """,
     tags=("relational", "antijoin"),
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS as a left-anti join."""
+    """NOT EXISTS as a left-anti join (restricted to recent orders so
+    the result is non-trivial at every scale factor)."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy("c_mktsegment")

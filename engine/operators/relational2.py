@@ -1,0 +1,441 @@
+"""Relational suite, part 2: correlated subqueries, scalar subqueries,
+histogram aggregation, disjunctive predicates, pivot, grouping sets,
+and the SQL-string API surface.
+
+Everything remains declarative DataFrame/SQL so Catalyst handles
+decorrelation (subquery → join), pushdown, and join strategy. Queries
+marked with spark.sql(...) exercise the SQL parser path on registered
+temp views — same Catalyst plans as the fluent API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.io import load_table
+from engine.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q7_nation_volume",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name, year(o_orderdate)
+""",
+    tags=("relational", "join"),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 adapted: cross-nation trade volume by year. All dims
+    broadcast; the lineitem⋈orders shuffle is the only big exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = F.col("supp_nation").isin("NATION_1", "NATION_2") & F.col(
+        "cust_nation"
+    ).isin("NATION_1", "NATION_2") & (F.col("supp_nation") != F.col("cust_nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "volume"
+            )
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 2) AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_type = 'PROMO'
+GROUP BY n_name, year(o_orderdate)
+""",
+    tags=("relational", "join"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted (0.6·retailprice stands in for ps_supplycost,
+    which this schema lacks): profit by supplier nation and year."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+@query(
+    "q13_order_count_histogram",
+    oracle="""
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) t GROUP BY c_count
+""",
+    tags=("relational", "outerjoin", "aggregate"),
+)
+def q13_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: orders-per-customer histogram via left outer join
+    (customers with zero orders count as c_count = 0)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+    tags=("relational", "subquery"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: CTE + scalar max subquery. In Spark the scalar
+    subquery is a broadcast of one row — no second scan of lineitem
+    thanks to CTE reuse."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        supp.join(revenue, supp.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q16_part_supplier_counts",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' AND p_size IN (5, 10, 15, 20)
+GROUP BY p_brand, p_type, p_size
+""",
+    tags=("relational", "distinct"),
+)
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted: distinct supplier counts per part group.
+    countDistinct expands to a two-phase aggregate — partial distinct
+    map-side, exact count reduce-side."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(5, 10, 15, 20)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)
+""",
+    tags=("relational", "subquery"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated avg subquery, decorrelated into a
+    per-part aggregate joined back to the fact — the plan Catalyst's
+    decorrelation produces from the SQL form, written explicitly."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part_avg, li.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#2' AND p_size <= 25 AND l_quantity >= 5 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#3' AND p_size <= 35 AND l_quantity >= 10 AND l_quantity <= 40)
+""",
+    tags=("relational", "filter"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs predicate across join sides — exercises
+    CNF conversion / partial pushdown (the p_size bounds push into the
+    part scan; the mixed conjuncts stay on the join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 25) & q.between(5, 30))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 35) & q.between(10, 40))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    oracle="""
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+""",
+    tags=("relational", "subquery", "antijoin"),
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted: above-average balances, no recent (2000+)
+    orders — scalar subquery broadcast + anti join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "pivot_priority_by_status",
+    oracle="""
+SELECT o_orderstatus,
+       round(coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 0), 2) AS urgent,
+       round(coalesce(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 0), 2) AS high,
+       round(coalesce(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 0), 2) AS low
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("relational", "pivot"),
+)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order priorities to columns. Explicit value list keeps the
+    plan single-pass (no distinct-values pre-query) — required practice
+    at scale."""
+    orders = _t(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "5-LOW"])
+        .sum("o_totalprice")
+    )
+    return piv.select(
+        "o_orderstatus",
+        F.round(F.coalesce(F.col("1-URGENT"), F.lit(0.0)), 2).alias("urgent"),
+        F.round(F.coalesce(F.col("2-HIGH"), F.lit(0.0)), 2).alias("high"),
+        F.round(F.coalesce(F.col("5-LOW"), F.lit(0.0)), 2).alias("low"),
+    )
+
+
+@query(
+    "grouping_sets_sql",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_extendedprice), 2) AS total
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+    tags=("relational", "groupingsets", "sql"),
+)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the SQL-string API (same Catalyst plan as
+    the fluent rollup — exercises the parser surface)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_extendedprice), 2) AS total
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "union_all_activity",
+    oracle="""
+SELECT actor_id, kind, n FROM (
+  SELECT o_custkey AS actor_id, 'order' AS kind, count(*) AS n
+  FROM orders GROUP BY o_custkey
+  UNION ALL
+  SELECT user_id AS actor_id, 'event' AS kind, count(*) AS n
+  FROM events GROUP BY user_id
+) t
+""",
+    tags=("relational", "setop"),
+)
+def union_all_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two differently-sourced aggregates (bag semantics,
+    no dedup shuffle — contrast with setop_* queries)."""
+    orders = _t(spark, sf_dir, "orders")
+    events = _t(spark, sf_dir, "events")
+    a = orders.groupBy(F.col("o_custkey").alias("actor_id")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select("actor_id", F.lit("order").alias("kind"), "n")
+    b = events.groupBy(F.col("user_id").alias("actor_id")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select("actor_id", F.lit("event").alias("kind"), "n")
+    return a.unionByName(b)
+
+
+@query(
+    "null_bucketing",
+    oracle="""
+SELECT CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 1000 THEN 'low'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'high' END AS bal_bucket,
+       count(*) AS n,
+       round(avg(coalesce(nullif(c_acctbal, 0.0), 0.0)), 4) AS avg_bal
+FROM customer
+GROUP BY 1
+""",
+    tags=("relational", "scalar"),
+)
+def null_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE bucketing + coalesce/nullif null plumbing."""
+    cust = _t(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    return cust.groupBy(bucket.alias("bal_bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.avg(F.coalesce(F.nullif(F.col("c_acctbal"), F.lit(0.0)), F.lit(0.0))), 4
+        ).alias("avg_bal"),
+    )
+
+
+@query(
+    "like_regexp_filters",
+    oracle="""
+SELECT p_partkey, p_name, p_brand
+FROM part
+WHERE p_name LIKE 'small%'
+  AND regexp_matches(p_brand, '^Brand#[12]$')
+""",
+    tags=("relational", "scalar", "filter"),
+)
+def like_regexp_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE prefix (pushed to parquet as a range) + RLIKE regex."""
+    part = _t(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_name").like("small%") & F.col("p_brand").rlike("^Brand#[12]$")
+    ).select("p_partkey", "p_name", "p_brand")

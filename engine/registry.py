@@ -21,6 +21,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # so a bug in one module doesn't break `import engine`).
 _OPERATOR_MODULES = (
     "engine.operators.relational",
+    "engine.operators.relational2",
     "engine.operators.windows",
     "engine.operators.textstats",
     "engine.operators.dedup",
