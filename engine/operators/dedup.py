@@ -46,18 +46,31 @@ sh AS (
 )
 """
 
+# Hashed variant: join/compare on the 60-bit shingle hash instead of the
+# string — 8-byte shuffle keys instead of ~30-byte strings. Both engines
+# apply the SAME hash, so results stay identical by construction even in
+# the (≈2^-60) collision case.
+_DUCK_SHINGLES_H = f"""
+{_DUCK_SHINGLES},
+shh AS (SELECT DISTINCT doc_id, {DUCK_H60.format(x='shingle')} AS sh_h FROM sh)
+"""
+
 
 def _spark_shingles(docs: DataFrame) -> DataFrame:
-    """doc_id → distinct word-3-shingles, as exploded rows."""
+    """doc_id → distinct word-3-shingles, as exploded rows.
+
+    Tokenizes once into a column before the shingle transform —
+    Catalyst does not CSE the split() inside a lambda, and evaluating
+    it 3× per shingle triples the scan-side CPU at corpus scale."""
     return (
-        docs.select(
+        docs.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+        .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, greatest(size(split(lower(text), ' ')) - 2, 0)),"
-                    " i -> concat_ws(' ', element_at(split(lower(text), ' '), i),"
-                    " element_at(split(lower(text), ' '), i + 1),"
-                    " element_at(split(lower(text), ' '), i + 2)))"
+                    "transform(sequence(1, greatest(size(t) - 2, 0)),"
+                    " i -> concat_ws(' ', element_at(t, i),"
+                    " element_at(t, i + 1), element_at(t, i + 2)))"
                 )
             ).alias("shingle"),
         )
@@ -95,11 +108,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-WITH {_DUCK_SHINGLES},
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+WITH {_DUCK_SHINGLES_H},
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS both_cnt
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shh a JOIN shh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -116,21 +129,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents sharing ≥1 word-3-shingle are compared (25 pairs survive
     at threshold 0.2 on this corpus vs 125k all-pairs)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _spark_shingles(docs)
+    # No second distinct: _spark_shingles already dedups (doc_id,
+    # shingle), and the hash is injective in practice (any 2^-60
+    # collision affects the oracle identically).
+    sh = _spark_shingles(docs).select(
+        "doc_id", F.expr(SPARK_H60.format(x="shingle")).alias("sh_h")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sh_h") == F.col("b.sh_h"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("both_cnt"))
     )
-    na = sizes.alias("na")
-    nb = sizes.alias("nb")
+    # Shingle-set sizes are one row per document — broadcast both sides
+    # of the enrichment join so the (potentially huge) pair table never
+    # shuffles again.
+    na = F.broadcast(sizes.alias("na"))
+    nb = F.broadcast(sizes.alias("nb"))
     jac = F.col("both_cnt") * 1.0 / (F.col("na.n") + F.col("nb.n") - F.col("both_cnt"))
     return (
         inter.join(na, F.col("doc_a") == F.col("na.doc_id"))

@@ -239,13 +239,14 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps fingerprint density constant per document length."""
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("t")
+    ).select(
         "doc_id",
         F.posexplode(
             F.expr(
-                "transform(sequence(1, greatest(size(split(lower(text), ' ')) - 2, 0)),"
-                " i -> concat_ws(' ', element_at(split(lower(text), ' '), i),"
-                " element_at(split(lower(text), ' '), i + 1),"
-                " element_at(split(lower(text), ' '), i + 2)))"
+                "transform(sequence(1, greatest(size(t) - 2, 0)),"
+                " i -> concat_ws(' ', element_at(t, i),"
+                " element_at(t, i + 1), element_at(t, i + 2)))"
             )
         ).alias("pos0", "shingle"),
     ).select(
