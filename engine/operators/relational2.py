@@ -439,3 +439,60 @@ def like_regexp_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.filter(
         F.col("p_name").like("small%") & F.col("p_brand").rlike("^Brand#[12]$")
     ).select("p_partkey", "p_name", "p_brand")
+
+
+@query(
+    "stats_lineitem_summary",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(var_samp(l_discount), 6) AS var_disc,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("relational", "stats"),
+)
+def stats_lineitem_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: sample stddev/variance, Pearson
+    correlation, exact interpolated percentiles (percentile ==
+    DuckDB quantile_cont semantics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+    )
+
+
+@query(
+    "minmax_by_lookup",
+    oracle="""
+SELECT n_name,
+       max_by(c_name, round(c_acctbal, 2) || '-' || c_custkey) AS richest_customer,
+       round(max(c_acctbal), 2) AS max_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    tags=("relational", "stats"),
+)
+def minmax_by_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by argmax aggregation (deterministic: ordering key includes
+    the unique custkey as tiebreak)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    order_key = F.concat_ws(
+        "-", F.round(F.col("c_acctbal"), 2).cast("string"), F.col("c_custkey")
+    )
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max_by("c_name", order_key).alias("richest_customer"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )

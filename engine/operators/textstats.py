@@ -204,10 +204,9 @@ def token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared Spark/DuckDB deterministic 60-bit hash (see SURVEY.md §7:
-# never rely on engine-internal hashes for cross-engine parity).
-SPARK_H60 = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
-DUCK_H60 = "CAST(CAST(('0x' || substr(md5({x}), 1, 15)) AS UBIGINT) AS BIGINT)"
+# Shared Spark/DuckDB deterministic 60-bit hash (canonical home:
+# engine.functions.hashing; re-exported here for operator modules).
+from engine.functions.hashing import DUCK_H60, SPARK_H60  # noqa: E402
 
 
 @query(

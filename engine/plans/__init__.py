@@ -1,0 +1,19 @@
+"""Plan inspection utilities — the engine's optimizer story is
+'Catalyst does it'; these helpers let tests PROVE the plans stay
+optimal (pushdown reached the scan, dims broadcast, no cartesian)."""
+
+from engine.plans.inspect import (
+    formatted_plan,
+    has_broadcast_hash_join,
+    has_cartesian_product,
+    n_exchanges,
+    pushed_filters,
+)
+
+__all__ = [
+    "formatted_plan",
+    "has_broadcast_hash_join",
+    "has_cartesian_product",
+    "n_exchanges",
+    "pushed_filters",
+]

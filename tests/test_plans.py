@@ -1,0 +1,61 @@
+"""Plan-shape assertions: the scale-readiness contract. Correct results
+with a bad plan fail here — pushdown must reach the scan, dim joins
+must broadcast, pair generation must never be a cartesian product."""
+
+from engine.plans import (
+    formatted_plan,
+    has_broadcast_hash_join,
+    has_cartesian_product,
+    n_exchanges,
+    pushed_filters,
+)
+from engine.registry import all_queries
+from tests.conftest import SF_SMOKE
+
+SPECS = all_queries()
+
+
+def _df(spark, name):
+    return SPECS[name].fn(spark, SF_SMOKE)
+
+
+def test_q6_filters_reach_parquet_scan(spark):
+    pushed = pushed_filters(_df(spark, "q6_forecast_revenue"))
+    assert any("l_shipdate" in p for p in pushed)
+    assert any("l_discount" in p for p in pushed)
+    assert any("l_quantity" in p for p in pushed)
+
+
+def test_q3_dim_join_broadcasts_and_filters_push(spark):
+    df = _df(spark, "q3_top_revenue")
+    assert has_broadcast_hash_join(df)
+    assert any("c_mktsegment" in p for p in pushed_filters(df))
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_q1_single_shuffle(spark):
+    # scan → partial agg → ONE exchange → final agg
+    assert n_exchanges(_df(spark, "q1_pricing_summary")) == 1
+
+
+def test_jaccard_no_cartesian(spark):
+    df = _df(spark, "dedup_ngram_jaccard")
+    assert not has_cartesian_product(df)
+
+
+def test_minhash_no_cartesian(spark):
+    assert not has_cartesian_product(_df(spark, "dedup_minhash_lsh"))
+
+
+def test_simhash_pairs_no_cartesian(spark):
+    assert not has_cartesian_product(_df(spark, "simhash_near_pairs"))
+
+
+def test_sign_lsh_no_cartesian(spark):
+    assert not has_cartesian_product(_df(spark, "sign_lsh_near_dups"))
+
+
+def test_q5_broadcasts_every_dim(spark):
+    plan = formatted_plan(_df(spark, "q5_local_supplier_volume"))
+    # customer, supplier, nation, region all broadcast
+    assert plan.count("BroadcastExchange") >= 4
