@@ -177,3 +177,56 @@ def w_supplier_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w_val), 6).alias("balance_pctile"),
         F.ntile(4).over(w_det).cast("bigint").alias("quartile"),
     )
+
+
+@query(
+    "funnel_view_to_purchase",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS first_purchase
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > v.first_view
+  GROUP BY e.user_id
+)
+SELECT count(v.user_id) AS n_viewers,
+       count(p.user_id) AS n_converted,
+       round(count(p.user_id) * 1.0 / count(v.user_id), 6) AS conversion_rate,
+       round(avg(floor(epoch(p.first_purchase)) - floor(epoch(v.first_view))), 2)
+         AS avg_seconds_to_convert
+FROM v LEFT JOIN p ON v.user_id = p.user_id
+""",
+    tags=("window", "funnel", "events"),
+)
+def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion funnel: first view per user, first
+    purchase strictly after it, conversion rate and mean latency.
+    Two keyed aggregates + one small join — at 100 TB both aggregates
+    shuffle on user_id once and the join is between user-cardinality
+    tables, not events."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    joined = v.join(p, "user_id", "left")
+    return joined.agg(
+        F.count("user_id").alias("n_viewers"),
+        F.count("first_purchase").alias("n_converted"),
+        F.round(F.count("first_purchase") * 1.0 / F.count("user_id"), 6).alias(
+            "conversion_rate"
+        ),
+        F.round(
+            F.avg(F.unix_seconds("first_purchase") - F.unix_seconds("first_view")), 2
+        ).alias("avg_seconds_to_convert"),
+    )

@@ -28,6 +28,7 @@ _OPERATOR_MODULES = (
     "engine.operators.similarity",
     "engine.operators.multimodal",
     "engine.operators.mapreduce_queries",
+    "engine.operators.pandas_udfs",
     "engine.operators.asof",
 )
 

@@ -1,0 +1,57 @@
+"""Sink tests: partitioned parquet round-trip with partition pruning,
+and the bucketed co-located join (zero shuffle exchanges)."""
+
+from pyspark.sql import functions as F
+
+from engine.io import load_table
+from engine.plans import formatted_plan, n_exchanges
+from engine.sinks import read_table, write_bucketed_table, write_parquet
+from tests.conftest import SF_SMOKE
+
+
+def test_partitioned_parquet_roundtrip_and_pruning(spark, tmp_path):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    out = str(tmp_path / "li_part")
+    write_parquet(li, out, partition_by=["l_returnflag"])
+
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+
+    pruned = back.filter(F.col("l_returnflag") == "R")
+    want = li.filter(F.col("l_returnflag") == "R").count()
+    assert pruned.count() == want
+    # Partition pruning: the scan must carry a partition filter, and
+    # only the matching directory is read.
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters" in plan and "l_returnflag" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load_table(spark, SF_SMOKE, "orders")
+    try:
+        write_bucketed_table(
+            li, "li_b", str(tmp_path / "li_b"), "l_orderkey", 8, sort_col="l_orderkey"
+        )
+        write_bucketed_table(
+            orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+            "ord_b",
+            str(tmp_path / "ord_b"),
+            "l_orderkey",
+            8,
+            sort_col="l_orderkey",
+        )
+        a, b = read_table(spark, "li_b"), read_table(spark, "ord_b")
+        # Disable broadcast so the join would otherwise shuffle both sides.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, "l_orderkey")
+            assert n_exchanges(joined) == 0, formatted_plan(joined)
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
