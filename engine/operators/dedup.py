@@ -22,6 +22,7 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -132,9 +133,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No second distinct: _spark_shingles already dedups (doc_id,
     # shingle), and the hash is injective in practice (any 2^-60
     # collision affects the oracle identically).
+    # Persisted: three consumers (two join sides + sizes) would each
+    # re-run the tokenize/explode/md5 pipeline — the dominant CPU cost.
+    # MEMORY_AND_DISK so the (hash, doc_id) table — far smaller than the
+    # raw text — spills rather than OOMs at corpus scale.
     sh = _spark_shingles(docs).select(
         "doc_id", F.expr(SPARK_H60.format(x="shingle")).alias("sh_h")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -222,6 +227,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "hi")
         .agg(F.min("h").alias("mh"))
+        # Three consumers (banding + both verification sides); K rows per
+        # document, tiny next to the shingle stream it derives from.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bands = mh.groupBy("doc_id", (F.col("hi") % 8).alias("band")).agg(
         F.expr(
