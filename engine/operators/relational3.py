@@ -1,0 +1,438 @@
+"""Relational query suite, part 3 — the remaining TPC-H query shapes
+(Q2, Q8, Q11, Q20, Q21), adapted to the fixture schema.
+
+The synthetic tables (FIXTURES.md §2) have no ``partsupp`` relation, so
+the three queries that consume it (Q2/Q11/Q20) are re-anchored on
+``lineitem`` as the part↔supplier relation: "supply cost" becomes the
+minimum observed unit price (``l_extendedprice / l_quantity``) and
+"stock value" becomes shipped revenue. The query SHAPES — correlated
+min subquery, scalar-subquery threshold, nested EXISTS / NOT EXISTS —
+are preserved; those are what exercise the engine.
+
+Reference parity note: the reference framework has no relational
+operators at all (SURVEY.md §2.3; ``worker/__main__.py:55-58``
+dispatches only map/reduce tasks), so this whole module is Layer-B
+capability mandated by BASELINE.json's north star.
+
+Cross-engine determinism: internal comparisons (argmin cost, EXISTS
+date ordering) use per-row doubles or exact MIN/MAX — never
+differently-ordered SUM/AVG — so Spark and DuckDB agree bit-for-bit;
+rounding happens only on output columns.
+
+Scale notes:
+- Every dim join (part, supplier, nation, region, customer) is
+  broadcast; only lineitem/orders ever shuffle.
+- Q2's argmin is a window over (part) on the pre-aggregated
+  part×supplier table — cardinality |parts|×|suppliers observed|, not
+  |lineitem|.
+- Q21's triple self-correlation is one shuffle on l_orderkey feeding a
+  max-window + semi/anti logic, not three passes over lineitem.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from engine.io import load_table
+from engine.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Q2-style: minimum-cost supplier per part (correlated min subquery).
+# --------------------------------------------------------------------------
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+ranked AS (
+  SELECT p.p_partkey, p.p_name, eu.s_name, eu.s_acctbal, eu.n_name,
+         c.unit_cost,
+         row_number() OVER (PARTITION BY p.p_partkey
+                            ORDER BY c.unit_cost, eu.s_suppkey) AS rn
+  FROM part p
+  JOIN cost c ON p.p_partkey = c.l_partkey
+  JOIN eu ON c.l_suppkey = eu.s_suppkey
+  WHERE p.p_type IN ('SMALL', 'MEDIUM')
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       round(unit_cost, 4) AS min_unit_cost
+FROM ranked WHERE rn = 1
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    tags=("relational", "join", "subquery", "topk"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each SMALL/MEDIUM part, the EUROPE supplier offering the
+    lowest observed unit price. The classic Q2 correlated-min subquery,
+    decorrelated as an argmin window over the part×supplier cost table.
+    Argmin compares exact per-row MIN doubles (deterministic across
+    engines); s_suppkey breaks cost ties."""
+    li = _t(spark, sf_dir, "lineitem")
+    cost = li.groupBy(
+        "l_partkey", "l_suppkey"
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_type").isin("SMALL", "MEDIUM")
+    ).select("p_partkey", "p_name")
+    ranked = (
+        cost.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("p_partkey").orderBy("unit_cost", "s_suppkey")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        ranked.select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("unit_cost", 4).alias("min_unit_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8-style: national market share within a region's market.
+# --------------------------------------------------------------------------
+@query(
+    "q8_market_share",
+    oracle="""
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_2'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN part      ON l_partkey = p_partkey
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region    ON cn.n_regionkey = r_regionkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+GROUP BY year(o_orderdate)
+ORDER BY o_year
+""",
+    tags=("relational", "join", "aggregate"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_2's share of ECONOMY-part revenue sold to ASIA customers,
+    per order year. Eight-table join: lineitem shuffles once onto
+    orders; part/customer/supplier/nation/region all broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    nat = _t(spark, sf_dir, "nation")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nat.alias("cn")),
+            F.col("c_nationkey") == F.col("cn.n_nationkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "region")),
+            F.col("cn.n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.alias("sn")),
+            F.col("s_nationkey") == F.col("sn.n_nationkey"),
+        )
+        .select("s_suppkey", F.col("sn.n_name").alias("supp_nation"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11-style: important parts by stocked value (scalar-subquery threshold).
+# --------------------------------------------------------------------------
+@query(
+    "q11_important_parts",
+    oracle="""
+WITH eu_value AS (
+  SELECT l_partkey, sum(l_extendedprice) AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, round(part_value, 2) AS part_value
+FROM eu_value
+WHERE part_value > (SELECT avg(part_value) * 2.4 FROM eu_value)
+ORDER BY part_value DESC, p_partkey
+""",
+    tags=("relational", "subquery", "aggregate"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose EUROPE-supplied revenue exceeds 2.4× the per-part
+    average (scale-free threshold ⇒ ~top 1% at any sf) — Q11's
+    scalar-subquery-over-the-same-aggregate shape. The per-part
+    aggregate is computed once; the global average is its single-row
+    re-aggregation, joined back by broadcast (no second lineitem
+    pass)."""
+    li = _t(spark, sf_dir, "lineitem")
+    eu_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey")
+    )
+    eu_value = (
+        li.join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("part_value"))
+    )
+    total = eu_value.agg(
+        (F.avg("part_value") * 2.4).alias("threshold")
+    )
+    return (
+        eu_value.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("part_value", 2).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20-style: suppliers dominating supply of a part family (nested IN).
+# --------------------------------------------------------------------------
+@query(
+    "q20_dominant_suppliers",
+    oracle="""
+WITH blue AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'blue%'
+),
+shipped AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+  FROM lineitem JOIN blue ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+part_total AS (
+  SELECT l_partkey, sum(supp_qty) AS total_qty FROM shipped GROUP BY 1
+)
+SELECT DISTINCT s_name, n_name
+FROM shipped
+JOIN part_total USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE supp_qty > 0.15 * total_qty
+ORDER BY s_name
+""",
+    tags=("relational", "subquery", "semi-join"),
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers shipping >15% of any 'blue' part's total quantity —
+    Q20's nested-subquery shape (correlated availability threshold)
+    re-anchored on shipped quantities. Decorrelated: one aggregate per
+    (part, supplier), its per-part re-aggregation broadcast back.
+    Quantities are small integers in doubles, so the 0.3× comparison is
+    exact across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    blue = _t(spark, sf_dir, "part").filter(F.col("p_name").like("blue%")).select(
+        "p_partkey"
+    )
+    shipped = (
+        li.join(F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    part_total = shipped.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("total_qty")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        shipped.join(F.broadcast(part_total), "l_partkey")
+        .filter(F.col("supp_qty") > 0.15 * F.col("total_qty"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "n_name")
+        .distinct()
+        .orderBy("s_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21-style: suppliers who were last to ship in multi-supplier orders
+# (EXISTS + NOT EXISTS double correlation).
+# --------------------------------------------------------------------------
+@query(
+    "q21_last_to_ship_suppliers",
+    oracle="""
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN orders   ON l1.l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    tags=("relational", "exists", "topk"),
+)
+def q21_last_to_ship_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21's double-correlated EXISTS/NOT EXISTS, re-anchored on ship
+    order: count, per supplier, finished-order lines where another
+    supplier participated (EXISTS) but none shipped later (NOT EXISTS).
+    Decorrelated into ONE window pass over lineitem keyed on
+    l_orderkey — max(shipdate) over other suppliers' lines — instead of
+    three lineitem scans; MAX comparisons are exact doubles, so the
+    anti-condition matches the oracle bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    w = W.partitionBy("l_orderkey")
+    # Per line: max shipdate over the whole order, count of distinct
+    # suppliers, and max shipdate among lines of the SAME supplier —
+    # "some other supplier shipped later" ⇔ order max > this supplier's
+    # max within the order... but the correlation is per-LINE, so:
+    # another supplier shipped after l1 ⇔ max-over-others > l1.shipdate.
+    # max-over-others = order_max if l1 isn't the unique max holder;
+    # computing it directly: max over lines with a different suppkey.
+    # Trick: top-2 distinct (shipdate, suppkey) pairs give the answer:
+    #   other_max = order_max              if max-holder.suppkey <> l1's
+    #             = second_distinct_max    otherwise (max over lines
+    #               whose shipdate == order_max but other supplier, else
+    #               strictly-smaller max).
+    # Simpler and still single-shuffle: collect the max shipdate per
+    # (order, supplier), then per order the top-2 of those supplier
+    # maxima decide every line's fate.
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_max")
+    )
+    w2 = W.partitionBy("l_orderkey")
+    per_supp = per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w2)).withColumn(
+        "order_max", F.max("supp_max").over(w2)
+    )
+    # max over OTHER suppliers' maxima: if this supplier holds the
+    # unique max, it's the 2nd-highest; otherwise the order max.
+    w_rank = W.partitionBy("l_orderkey").orderBy(
+        F.col("supp_max").desc(), F.col("l_suppkey")
+    )
+    per_supp = per_supp.withColumn(
+        "top1_max", F.first("supp_max").over(w_rank.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    ).withColumn(
+        "top1_supp",
+        F.first("l_suppkey").over(
+            w_rank.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ),
+    ).withColumn(
+        "top2_max",
+        F.nth_value("supp_max", 2).over(
+            w_rank.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ),
+    )
+    other_max = F.when(
+        F.col("l_suppkey") == F.col("top1_supp"), F.col("top2_max")
+    ).otherwise(F.col("top1_max"))
+    qualifying_supp = per_supp.filter(
+        (F.col("n_supp") > 1)  # EXISTS another supplier
+        & (F.col("supp_max") >= other_max)  # this supplier's max line
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        other_max.alias("other_max"),
+    )
+    # Back to LINE granularity: a line l1 qualifies iff no other
+    # supplier shipped strictly later ⇔ l1.shipdate >= other_max.
+    lines = li.join(qualifying_supp, ["l_orderkey", "l_suppkey"]).filter(
+        F.col("l_shipdate") >= F.col("other_max")
+    )
+    fin = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lines.join(fin, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

@@ -25,6 +25,7 @@ _OPERATOR_MODULES = (
     "engine.operators.windows",
     "engine.operators.textstats",
     "engine.operators.dedup",
+    "engine.operators.relational3",
     "engine.operators.similarity",
     "engine.operators.multimodal",
     "engine.operators.mapreduce_queries",
