@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from engine.operators.asof import asof_join
 from engine.operators.multimodal import decode_audio, decode_image, extract_blob_meta
+from tests.conftest import SF_SMOKE
 
 
 def _ts(s):
@@ -71,3 +72,20 @@ def test_extract_blob_meta_plumbing(spark):
     assert 1 <= rows[1]["fake_width"] <= 1920
     assert 1 <= rows[1]["fake_height"] <= 1080
     assert 1 <= rows[1]["fake_channels"] <= 3
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF top-k must recover most of the exact top-k (nprobe=4 of 16
+    cells). Recall is the operator's quality contract; correctness of
+    the IVF result itself is oracle-checked."""
+    from engine.operators.similarity import ann_cosine_topk, ann_ivf_topk
+
+    sf = SF_SMOKE
+    exact = {
+        (r.query_id, r.neighbor_id) for r in ann_cosine_topk(spark, sf).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in ann_ivf_topk(spark, sf).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
