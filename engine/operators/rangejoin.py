@@ -1,0 +1,188 @@
+"""Range join and hypertable-style rollup operators.
+
+Absent from the reference (SURVEY.md §2.3 — its worker dispatches only
+map/reduce tasks, ``worker/__main__.py:55-58``); both are Layer-B
+capability for time-series / interval workloads.
+
+Range join, the scale problem: Spark plans a non-equi interval
+containment join (``point BETWEEN start AND end``) as
+BroadcastNestedLoopJoin or a cartesian product — O(|points|×|intervals|)
+at 100 TB. The standard fix (used by Databricks' range-join hints and
+every streaming interval join) is BUCKETING: overlay a fixed-width grid,
+emit each interval once per grid cell it covers, equi-join points to
+cells, then apply the exact containment predicate. Cost becomes
+O(|points| + Σ interval_width/bucket) shuffled on the cell key — an
+ordinary hash join Catalyst and AQE already know how to execute.
+
+Hypertable rollup (continuous-aggregate pattern): aggregate raw events
+ONCE at the finest grain, then fold each coarser grain from the next
+finer one — day from hour, month from day. At 100 TB the raw table is
+scanned exactly once; coarser rollups re-aggregate ~1/3600th of the
+data. Averages are carried as (sum, count) pairs so re-aggregation is
+lossless (avg-of-avg is wrong under uneven buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.io import load_table
+from engine.registry import query
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int,
+    how: str = "inner",
+    extra_condition: Column | None = None,
+) -> DataFrame:
+    """Bucketed interval-containment join: rows of ``points`` matched to
+    rows of ``intervals`` where ``start_col <= point_col < end_col``
+    (half-open, the time-series convention).
+
+    ``bucket_seconds`` is the grid width — choose it near the typical
+    interval length: too small multiplies interval replication
+    (Σ width/bucket), too large multiplies false candidates per cell.
+    Both inputs shuffle once on the cell key; no cartesian, no nested
+    loop.
+    """
+    p_b = points.withColumn(
+        "__cell", F.floor(F.unix_timestamp(F.col(point_col)) / bucket_seconds)
+    )
+    i_b = intervals.withColumn(
+        "__cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / bucket_seconds),
+                # end is exclusive: an interval ending exactly on a cell
+                # boundary does not reach into that cell.
+                F.floor(
+                    (F.unix_timestamp(F.col(end_col)) - F.lit(1)) / bucket_seconds
+                ),
+            )
+        ),
+    )
+    cond = (F.col(point_col) >= F.col(start_col)) & (
+        F.col(point_col) < F.col(end_col)
+    )
+    if extra_condition is not None:
+        cond = cond & extra_condition
+    return p_b.join(i_b, "__cell", how).filter(cond).drop("__cell")
+
+
+@query(
+    "range_join_order_day_events",
+    oracle="""
+SELECT o_orderkey,
+       count(event_id) AS n_events,
+       round(coalesce(sum(value), 0), 2) AS sum_value
+FROM orders
+LEFT JOIN events
+  ON ts >= o_orderdate AND ts < o_orderdate + INTERVAL 1 DAY
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderkey
+""",
+    tags=("rangejoin", "events", "join"),
+)
+def range_join_order_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per open order: how many events (any user) landed in the 24 h
+    after the order timestamp — a pure non-equi interval join, executed
+    as a bucketed equi-join (1-day grid) instead of the
+    BroadcastNestedLoopJoin Spark would otherwise plan."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("win_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("win_end"),
+        )
+    )
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    matched = range_join(
+        events, orders, "ts", "win_start", "win_end", bucket_seconds=86400
+    )
+    # LEFT semantics: orders with no event in window keep a zero row.
+    counts = matched.groupBy("o_orderkey").agg(
+        F.count("event_id").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return (
+        orders.select("o_orderkey")
+        .join(counts, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "hypertable_rollup",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket_start,
+         count(*) AS n_events,
+         sum(value) AS sum_value
+  FROM events GROUP BY 1
+),
+daily AS (
+  SELECT date_trunc('day', bucket_start) AS bucket_start,
+         sum(n_events) AS n_events, sum(sum_value) AS sum_value
+  FROM hourly GROUP BY 1
+),
+monthly AS (
+  SELECT date_trunc('month', bucket_start) AS bucket_start,
+         sum(n_events) AS n_events, sum(sum_value) AS sum_value
+  FROM daily GROUP BY 1
+)
+SELECT 'hour' AS grain, bucket_start, n_events,
+       round(sum_value, 2) AS sum_value,
+       round(sum_value / n_events, 4) AS avg_value
+FROM hourly
+UNION ALL
+SELECT 'day', bucket_start, n_events, round(sum_value, 2),
+       round(sum_value / n_events, 4)
+FROM daily
+UNION ALL
+SELECT 'month', bucket_start, n_events, round(sum_value, 2),
+       round(sum_value / n_events, 4)
+FROM monthly
+""",
+    tags=("rollup", "events", "timeseries"),
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity continuous aggregate (hour → day → month):
+    raw events are scanned and aggregated once at hour grain; each
+    coarser grain folds the next finer rollup (~1/24, ~1/30 of the
+    rows), never the raw table. Averages derive from carried
+    (sum, count) — avg-of-avg would be wrong under uneven buckets."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    daily = hourly.groupBy(
+        F.date_trunc("day", "bucket_start").alias("bucket_start")
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value"))
+    monthly = daily.groupBy(
+        F.date_trunc("month", "bucket_start").alias("bucket_start")
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value"))
+
+    def fmt(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket_start",
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+            F.round(F.col("sum_value") / F.col("n_events"), 4).alias("avg_value"),
+        )
+
+    return fmt(hourly, "hour").unionAll(fmt(daily, "day")).unionAll(
+        fmt(monthly, "month")
+    )

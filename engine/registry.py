@@ -26,6 +26,7 @@ _OPERATOR_MODULES = (
     "engine.operators.textstats",
     "engine.operators.dedup",
     "engine.operators.relational3",
+    "engine.operators.rangejoin",
     "engine.operators.similarity",
     "engine.operators.multimodal",
     "engine.operators.mapreduce_queries",

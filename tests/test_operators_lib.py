@@ -89,3 +89,34 @@ def test_ivf_recall_vs_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
+
+
+def test_range_join_generic_semantics(spark):
+    """Half-open containment, multi-bucket intervals, extra conditions."""
+    from engine.operators.rangejoin import range_join
+
+    points = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00")),
+         (2, _ts("2024-01-01 11:59:59")),
+         (3, _ts("2024-01-02 12:00:00")),   # == interval end: excluded
+         (4, _ts("2024-01-03 00:00:00"))],
+        "pid int, t timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(10, _ts("2024-01-01 00:00:00"), _ts("2024-01-02 12:00:00")),
+         (11, _ts("2024-01-02 12:00:00"), _ts("2024-01-04 00:00:00"))],
+        "iid int, s timestamp, e timestamp",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(points, intervals, "t", "s", "e", 3600).collect()
+    }
+    # pid=1 starts exactly at interval 10's start (inclusive); pid=3 is
+    # exactly interval 10's end (exclusive) and interval 11's start.
+    assert got == {(1, 10), (2, 10), (3, 11), (4, 11)}
+
+    narrowed = range_join(
+        points, intervals, "t", "s", "e", 3600,
+        extra_condition=F.col("pid") != 3,
+    )
+    assert {(r.pid, r.iid) for r in narrowed.collect()} == {(1, 10), (2, 10), (4, 11)}

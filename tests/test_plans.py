@@ -59,3 +59,12 @@ def test_q5_broadcasts_every_dim(spark):
     plan = formatted_plan(_df(spark, "q5_local_supplier_volume"))
     # customer, supplier, nation, region all broadcast
     assert plan.count("BroadcastExchange") >= 4
+
+
+def test_range_join_is_bucketed_equi_join(spark):
+    """The interval join must execute as a hash/sort-merge equi-join on
+    the grid cell, never BroadcastNestedLoopJoin or cartesian."""
+    df = _df(spark, "range_join_order_day_events")
+    plan = formatted_plan(df)
+    assert not has_cartesian_product(df), plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
