@@ -12,6 +12,7 @@ from engine.streaming.events import (
     streaming_dedup,
     streaming_session_windows,
     streaming_tumbling_counts,
+    streaming_user_value_stats,
     run_available_now,
 )
 
@@ -20,5 +21,6 @@ __all__ = [
     "streaming_dedup",
     "streaming_session_windows",
     "streaming_tumbling_counts",
+    "streaming_user_value_stats",
     "run_available_now",
 ]

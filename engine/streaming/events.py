@@ -104,3 +104,70 @@ def run_available_now(df: DataFrame, name: str, output_mode: str = "append") -> 
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def streaming_user_value_stats(
+    events: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user purchase stats (count, total, max) maintained in explicit
+    group state across micro-batches — the pattern for stateful logic
+    the built-in aggregations can't express (per-entity model state,
+    custom eviction, decayed counters).
+
+    State is one fixed-width tuple per user — O(|users|), not
+    O(|events|); Arrow-batched per group. Emits the updated stats row
+    for every user seen in the micro-batch ("update" semantics)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("mx", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total, mx = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_max = float(pdf["value"].max())
+            mx = batch_max if mx is None else max(mx, batch_max)
+        state.update((n, total, mx))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "n_events": n,
+                    "total_value": total,
+                    "max_value": mx,
+                }
+            ]
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -55,3 +55,34 @@ def test_session_windows_match_batch_sessionizer(spark):
         .collect()
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_stateful_user_stats_match_batch(spark):
+    """applyInPandasWithState running stats must agree with the batch
+    groupBy over the same bounded input."""
+    from pyspark.sql import functions as F
+
+    from engine.io import load_table
+    from engine.streaming.events import streaming_user_value_stats
+
+    stream = read_event_stream(spark, SF_SMOKE)
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6), r.max_value)
+        for r in run_available_now(
+            streaming_user_value_stats(stream), "t_stateful", output_mode="update"
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, round(r.total_value, 6), r.max_value)
+        for r in (
+            load_table(spark, SF_SMOKE, "events")
+            .filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("total_value"),
+                F.max("value").alias("max_value"),
+            )
+        ).collect()
+    }
+    assert got == want
