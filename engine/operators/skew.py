@@ -1,0 +1,99 @@
+"""Skew mitigation: salted joins and two-phase aggregation.
+
+At 100 TB a handful of hot keys (the empty-string token, a viral
+user_id, a default partkey) can put >90% of a shuffle partition's rows
+on one reducer. Two standard mitigations, both expressible as plain
+DataFrame transforms:
+
+- **Salted join** (for joining a skewed fact to a dimension): append a
+  random-ish salt in [0, S) to the fact's key; replicate each dim row S
+  times, one per salt value; equi-join on (key, salt). Hot keys spread
+  over S reducers at the cost of S× the (small) dim side. AQE's
+  skew-join split handles moderate skew automatically; salting is the
+  explicit fix when one key alone exceeds an executor.
+
+- **Two-phase aggregation** (for skewed groupBy): aggregate on
+  (key, salt) first — the partial results are at most S rows per key —
+  then re-aggregate on key. Spark's map-side partial aggregation
+  already does this implicitly for algebraic aggregates; the explicit
+  form matters for aggregates without partial pushdown (collect_list,
+  exact distinct via sets).
+
+The salt is deterministic (hash of a row-unique column, not rand()) so
+results are reproducible and retried tasks emit identical rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _salt(
+    df: DataFrame, n_salts: int, salt_source: str | Column | None
+) -> Column:
+    """Deterministic per-row salt in [0, n_salts)."""
+    if salt_source is None:
+        src = F.xxhash64(*[F.col(c) for c in df.columns])
+    elif isinstance(salt_source, Column):
+        src = F.xxhash64(salt_source)
+    else:
+        src = F.xxhash64(F.col(salt_source))
+    return F.pmod(src, F.lit(n_salts)).cast("int")
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    salt_source: str | Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``fact`` to (small) ``dim`` on ``key`` with S-way salting.
+
+    ``salt_source``: the column the fact-side salt is derived from. It
+    must VARY WITHIN a key (a row-unique id is ideal) — salting by the
+    key itself would put every hot-key row back in one bucket. Defaults
+    to a hash of ALL fact columns: deterministic under task retries
+    (unlike ``rand()`` / ``monotonically_increasing_id``), and only
+    fully-duplicate rows share a salt.
+    """
+    salt_col = _salt(fact, n_salts, salt_source)
+    f = fact.withColumn("__salt", salt_col)
+    d = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return f.join(d, [key, "__salt"], how).drop("__salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 8,
+    salt_source: str | Column | None = None,
+) -> DataFrame:
+    """Two-phase (salted) aggregation on a skewed ``key``.
+
+    ``aggs`` maps output column → (input column, agg), where agg is one
+    of ``sum`` / ``count`` / ``min`` / ``max`` — the algebraic
+    aggregates that re-combine losslessly (count re-combines as sum).
+    Salt defaults to a hash of all columns (varies within a key).
+    """
+    salt_col = _salt(df, n_salts, salt_source)
+    phase1_exprs = []
+    phase2_exprs = []
+    for out, (col, agg) in aggs.items():
+        if agg == "count":
+            phase1_exprs.append(F.count(col).alias(out))
+            phase2_exprs.append(F.sum(out).alias(out))
+        elif agg in ("sum", "min", "max"):
+            phase1_exprs.append(getattr(F, agg)(col).alias(out))
+            phase2_exprs.append(getattr(F, agg)(out).alias(out))
+        else:
+            raise ValueError(f"non-algebraic agg {agg!r} cannot be salted")
+    partial = df.withColumn("__salt", salt_col).groupBy(key, "__salt").agg(
+        *phase1_exprs
+    )
+    return partial.groupBy(key).agg(*phase2_exprs)

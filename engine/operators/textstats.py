@@ -257,3 +257,66 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
     return sh.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+WITH toks3 AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS cnt FROM toks3
+  WHERE token <> '' GROUP BY 1, 2
+),
+doclen AS (SELECT doc_id, sum(cnt) AS dl FROM tf GROUP BY 1),
+df AS (SELECT token, count(*) AS ndocs FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf)
+SELECT doc_id, token,
+       round((cnt * 1.0 / dl) * ln(n_docs * 1.0 / ndocs), 6) AS tfidf,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT tf.doc_id, tf.token, tf.cnt, doclen.dl, df.ndocs, n.n_docs,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY (cnt * 1.0 / dl) * ln(n_docs * 1.0 / ndocs) DESC, tf.token
+         ) AS rnk
+  FROM tf JOIN doclen USING (doc_id) JOIN df USING (token) CROSS JOIN n
+) t WHERE rnk <= 3
+""",
+    tags=("textstats", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (tf = term fraction of doc,
+    idf = ln(N/df)). One shuffle builds the (doc, token) counts; doc
+    length comes from a window over the same partitioning; the
+    document-frequency table is one small aggregate broadcast back —
+    the raw token stream is never re-shuffled."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dl = F.sum("cnt").over(W.partitionBy("doc_id"))
+    tf = tf.withColumn("dl", dl)
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("ndocs"))
+    n_docs = tf.select(F.countDistinct("doc_id").alias("n_docs"))
+    score = (F.col("cnt") * 1.0 / F.col("dl")) * F.log(
+        F.col("n_docs") * 1.0 / F.col("ndocs")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("_s").desc(), "token")
+    return (
+        tf.join(F.broadcast(df), "token")
+        .join(F.broadcast(n_docs))
+        .withColumn("_s", score)
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", F.round("_s", 6).alias("tfidf"), "rnk")
+    )
