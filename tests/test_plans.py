@@ -68,3 +68,17 @@ def test_range_join_is_bucketed_equi_join(spark):
     plan = formatted_plan(df)
     assert not has_cartesian_product(df), plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_plan_audit_all_queries_clean(spark):
+    """Every registered query passes the physical-plan audit: no
+    unintended cartesian/nested-loop joins, no unintended global
+    windows (tools/plan_audit.py; whitelists documented there)."""
+    from tools.plan_audit import audit
+
+    flagged = {}
+    for name, spec in SPECS.items():
+        findings = audit(name, spec.fn)
+        if findings:
+            flagged[name] = findings
+    assert not flagged, flagged

