@@ -7,6 +7,6 @@ DataFrames so the operator layer is source-agnostic.
 """
 
 from engine.sources.text import read_text_dir
-from engine.sources.tabular import read_csv, read_json, read_parquet
+from engine.sources.tabular import read_csv, read_json, read_orc, read_parquet, write_orc
 
-__all__ = ["read_text_dir", "read_csv", "read_json", "read_parquet"]
+__all__ = ["read_text_dir", "read_csv", "read_json", "read_orc", "read_parquet", "write_orc"]

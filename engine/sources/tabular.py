@@ -31,3 +31,13 @@ def read_csv(
 
 def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     return spark.read.schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scans get the same vectorized reader + predicate pushdown as
+    parquet (spark.sql.orc.impl=native is the default)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)

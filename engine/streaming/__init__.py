@@ -13,6 +13,7 @@ from engine.streaming.events import (
     streaming_session_windows,
     streaming_tumbling_counts,
     streaming_user_value_stats,
+    streaming_view_purchase_join,
     run_available_now,
 )
 
@@ -22,5 +23,6 @@ __all__ = [
     "streaming_session_windows",
     "streaming_tumbling_counts",
     "streaming_user_value_stats",
+    "streaming_view_purchase_join",
     "run_available_now",
 ]

@@ -171,3 +171,46 @@ def streaming_user_value_stats(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_view_purchase_join(
+    events: DataFrame, horizon: str = "1 hour", watermark: str = "1 day"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's views in the preceding ``horizon``. Both sides carry
+    watermarks and the join has a time-range condition, so state for
+    either side is dropped once the watermark passes view_ts + horizon
+    — bounded state, the requirement for an unbounded 100 TB/day
+    stream."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

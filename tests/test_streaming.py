@@ -86,3 +86,37 @@ def test_stateful_user_stats_match_batch(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Watermarked stream-stream view→purchase join must agree with the
+    equivalent batch range join on the bounded input."""
+    from engine.streaming.events import streaming_view_purchase_join
+
+    stream = read_event_stream(spark, SF_SMOKE)
+    got = {
+        (r.view_id, r.purchase_id)
+        for r in run_available_now(
+            streaming_view_purchase_join(stream), "t_ssjoin"
+        ).collect()
+    }
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("vts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    want = {
+        (r.view_id, r.purchase_id)
+        for r in v.join(p, "u")
+        .filter(
+            (F.col("pts") > F.col("vts"))
+            & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
