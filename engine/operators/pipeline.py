@@ -1,0 +1,234 @@
+"""Training-data pipeline operators: deterministic splits, stratified
+sampling, source mixing, document chunking, vocabulary construction.
+
+These are the assembly steps between the raw corpus and a training run
+— absent from the reference (whose only workloads are wordcount/grep,
+SURVEY.md §2.2) and mandated by BASELINE.json's north star.
+
+Design rules at 100 TB:
+- **Sampling/splitting is a pure hash predicate** — `h60(id) % N`
+  with the engine-agnostic md5 hash — so it is (a) a narrow filter
+  Catalyst pushes down, no shuffle, no rand() (nondeterministic under
+  task retry ⇒ a document could land in BOTH train and test on
+  different runs), and (b) bit-reproducible across engines and
+  re-runs.
+- **Mixing** is sampling with per-source rates: a broadcast rate table
+  and one filter pass; never a per-source union of N scans.
+- **Chunking** multiplies rows, not bytes: explode over a sequence of
+  offsets computed from token counts, all JVM-side.
+- **Vocabulary** is one token-count shuffle + a rank; ids assigned by
+  (freq desc, token) so they are stable across runs and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from engine.functions.hashing import DUCK_H60, SPARK_H60
+from engine.io import load_table
+from engine.registry import query
+
+TEST_PCT = 5  # h60 buckets 0-4 of 100 → test
+VAL_PCT = 5  # buckets 5-9 → val
+CHUNK_TOKENS = 40
+CHUNK_STRIDE = 30  # 10-token overlap
+VOCAB_MIN_FREQ = 5
+
+_SPLIT_BUCKET_SPARK = SPARK_H60.format(x="concat('split:', cast(doc_id as string))") + " % 100"
+_SPLIT_BUCKET_DUCK = DUCK_H60.format(x="'split:' || CAST(doc_id AS VARCHAR)") + " % 100"
+
+
+@query(
+    "pipeline_train_val_test_split",
+    oracle=f"""
+SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM (
+  SELECT doc_id, n_chars,
+         CASE WHEN {_SPLIT_BUCKET_DUCK} < {TEST_PCT} THEN 'test'
+              WHEN {_SPLIT_BUCKET_DUCK} < {TEST_PCT + VAL_PCT} THEN 'val'
+              ELSE 'train' END AS split
+  FROM documents
+) t GROUP BY split
+""",
+    tags=("pipeline", "split", "documents"),
+)
+def pipeline_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split via the salted md5
+    bucket of doc_id — a pushed-down filter predicate, zero shuffles
+    for the assignment itself (the count here just audits it). rand()
+    splits are wrong at scale: task retries resample them."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPLIT_BUCKET_SPARK)
+    split = (
+        F.when(bucket < TEST_PCT, "test")
+        .when(bucket < TEST_PCT + VAL_PCT, "val")
+        .otherwise("train")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@query(
+    "pipeline_stratified_sample",
+    oracle=f"""
+SELECT lang, count(*) AS n_sampled
+FROM documents
+WHERE {DUCK_H60.format(x="'sample:' || CAST(doc_id AS VARCHAR)")} % 100
+      < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 30 ELSE 50 END
+GROUP BY lang
+""",
+    tags=("pipeline", "sampling", "documents"),
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling rates (downsample the dominant language,
+    keep more of the rare ones) as ONE hash predicate — the mixing
+    primitive for corpus rebalancing. No shuffle until the audit
+    count."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        SPARK_H60.format(x="concat('sample:', cast(doc_id as string))") + " % 100"
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 10)
+        .when(F.col("lang") == "de", 30)
+        .otherwise(50)
+    )
+    return (
+        docs.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+@query(
+    "pipeline_source_mix",
+    oracle=f"""
+WITH sampled AS (
+  SELECT source FROM documents
+  WHERE {DUCK_H60.format(x="'mix:' || CAST(doc_id AS VARCHAR)")} % 1000
+        < CASE source WHEN 'web' THEN 200 WHEN 'books' THEN 800
+                      WHEN 'code' THEN 600 ELSE 400 END
+)
+SELECT source, count(*) AS n_docs,
+       round(count(*) * 1.0 / (SELECT count(*) FROM sampled), 4) AS frac
+FROM sampled GROUP BY source
+""",
+    tags=("pipeline", "sampling", "documents"),
+)
+def pipeline_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing (web downweighted, books upweighted...)
+    via per-source keep-rates out of 1000 — the data-mixture step of a
+    pretraining pipeline, as one scan + one audit aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        SPARK_H60.format(x="concat('mix:', cast(doc_id as string))") + " % 1000"
+    )
+    rate = (
+        F.when(F.col("source") == "web", 200)
+        .when(F.col("source") == "books", 800)
+        .when(F.col("source") == "code", 600)
+        .otherwise(400)
+    )
+    sampled = docs.filter(bucket < rate).select("source")
+    total = sampled.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        sampled.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("n_docs") * 1.0 / F.col("n_total"), 4).alias("frac"),
+        )
+    )
+
+
+@query(
+    "pipeline_doc_chunks",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+)
+SELECT doc_id,
+       CAST(c AS BIGINT) AS chunk_id,
+       CAST(c * {CHUNK_STRIDE} + 1 AS BIGINT) AS tok_start,
+       CAST(least(c * {CHUNK_STRIDE} + {CHUNK_TOKENS}, len(t)) AS BIGINT) AS tok_end,
+       array_to_string(t[c * {CHUNK_STRIDE} + 1 :
+                         least(c * {CHUNK_STRIDE} + {CHUNK_TOKENS}, len(t))], ' ')
+         AS chunk_text
+FROM toks
+CROSS JOIN unnest(range(0, greatest((len(t) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
+                                    // {CHUNK_STRIDE}, 0) + 1)) AS r(c)
+""",
+    tags=("pipeline", "chunking", "documents"),
+)
+def pipeline_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token windows ({CHUNK_TOKENS} tokens,
+    stride {CHUNK_STRIDE}) per document — the context-window packing
+    step. Tokenize once, explode a chunk-index sequence, slice the
+    token array: all JVM expressions, output rows ∝ corpus tokens /
+    stride."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    n_chunks = F.expr(
+        f"greatest(ceil((size(t) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}), 0) + 1"
+    ).cast("int")
+    chunks = toks.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("c"),
+    )
+    start = F.col("c") * CHUNK_STRIDE + 1
+    end = F.least(F.col("c") * CHUNK_STRIDE + CHUNK_TOKENS, F.size("t"))
+    return chunks.select(
+        "doc_id",
+        F.col("c").cast("bigint").alias("chunk_id"),
+        start.cast("bigint").alias("tok_start"),
+        end.cast("bigint").alias("tok_end"),
+        F.concat_ws(
+            " ", F.slice("t", start, end - start + 1)
+        ).alias("chunk_text"),
+    )
+
+
+@query(
+    "pipeline_vocab",
+    oracle=f"""
+WITH tf AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+counted AS (
+  SELECT token, count(*) AS freq FROM tf WHERE token <> '' GROUP BY token
+)
+SELECT token, freq,
+       CAST(row_number() OVER (ORDER BY freq DESC, token) - 1 AS BIGINT)
+         AS token_id
+FROM counted WHERE freq >= {VOCAB_MIN_FREQ}
+""",
+    tags=("pipeline", "vocab", "documents"),
+)
+def pipeline_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction: corpus token counts, min-frequency
+    cutoff, ids by (freq desc, token) — stable across runs/engines.
+    The global rank runs on the POST-CUTOFF vocabulary (bounded:
+    ~100k-1M rows at any corpus size), not the raw token stream, so
+    the single-partition window is safe by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= VOCAB_MIN_FREQ)
+    )
+    w = W.orderBy(F.col("freq").desc(), "token")
+    return counted.select(
+        "token",
+        "freq",
+        (F.row_number().over(w) - 1).cast("bigint").alias("token_id"),
+    )

@@ -27,6 +27,7 @@ _OPERATOR_MODULES = (
     "engine.operators.dedup",
     "engine.operators.relational3",
     "engine.operators.rangejoin",
+    "engine.operators.pipeline",
     "engine.operators.similarity",
     "engine.operators.multimodal",
     "engine.operators.mapreduce_queries",

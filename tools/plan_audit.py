@@ -43,6 +43,7 @@ NESTED_LOOP_OK = {
     "minmax_by_lookup",  # 1-row argmax broadcast
     "stats_lineitem_summary",  # 1-row stats broadcast
     "tfidf_top_terms",  # 1-row corpus-size broadcast
+    "pipeline_source_mix",  # 1-row sampled-total broadcast
 }
 
 # Queries allowed a global (unpartitioned) window: the input at that
@@ -52,6 +53,9 @@ GLOBAL_WINDOW_OK: set[str] = {
     # semantics; input is the supplier dim (bounded, ~1e4× smaller than
     # facts), not a fact table.
     "w_supplier_rank_stats",
+    # global token-id rank runs on the post-cutoff vocabulary (bounded
+    # ~1M rows at any corpus size), not the raw token stream.
+    "pipeline_vocab",
 }
 
 
