@@ -28,6 +28,7 @@ _OPERATOR_MODULES = (
     "engine.operators.relational3",
     "engine.operators.rangejoin",
     "engine.operators.pipeline",
+    "engine.operators.approx",
     "engine.operators.similarity",
     "engine.operators.multimodal",
     "engine.operators.mapreduce_queries",
