@@ -1,0 +1,106 @@
+"""CLI for the engine — the user-visible parity surface.
+
+The reference exposes three executables (``pyproject.toml:22-25``):
+``mapreduce-submit`` (job submission, ``submit.py:53-97``),
+``mapreduce-manager`` and ``mapreduce-worker`` (cluster membership —
+replaced wholesale by Spark, SURVEY.md §3.1). This CLI preserves the
+one that carries user intent:
+
+    python -m engine submit --input DIR --output DIR \\
+        --mapper EXE --reducer EXE [--nmappers 2] [--nreducers 2]
+
+(flag names and 2/2 defaults match ``submit.py:37-58``), and adds the
+Layer-B surface:
+
+    python -m engine list                       # registered queries
+    python -m engine query NAME [--sf-dir DIR] [--limit N] [--explain]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark():
+    from engine.session import get_spark
+
+    return get_spark("engine-cli")
+
+
+def cmd_submit(args: argparse.Namespace) -> int:
+    from engine.mapreduce.runner import run_job
+
+    mapper = [args.mapper] + args.mapper_args
+    reducer = [args.reducer] + args.reducer_args
+    outputs = run_job(
+        _spark(),
+        args.input,
+        args.output,
+        mapper if len(mapper) > 1 else args.mapper,
+        reducer if len(reducer) > 1 else args.reducer,
+        num_mappers=args.nmappers,
+        num_reducers=args.nreducers,
+    )
+    for p in outputs:
+        print(p)
+    return 0
+
+
+def cmd_list(_args: argparse.Namespace) -> int:
+    from engine.registry import all_queries
+
+    for name, spec in all_queries().items():
+        oracle = "oracled" if spec.oracle else "rows-only"
+        print(f"{name:40s} [{', '.join(spec.tags)}] ({oracle})")
+    return 0
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    from engine.registry import all_queries
+
+    specs = all_queries()
+    if args.name not in specs:
+        print(f"unknown query {args.name!r}; see `python -m engine list`",
+              file=sys.stderr)
+        return 2
+    df = specs[args.name].fn(_spark(), args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+        return 0
+    df.show(args.limit, truncate=False)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="python -m engine")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    # Flags mirror the reference's mapreduce-submit (submit.py:37-58).
+    s = sub.add_parser("submit", help="run a Hadoop-Streaming-style job")
+    s.add_argument("--input", "-i", required=True)
+    s.add_argument("--output", "-o", required=True)
+    s.add_argument("--mapper", "-m", required=True)
+    s.add_argument("--reducer", "-r", required=True)
+    s.add_argument("--nmappers", type=int, default=2)
+    s.add_argument("--nreducers", type=int, default=2)
+    s.add_argument("--mapper-args", nargs="*", default=[])
+    s.add_argument("--reducer-args", nargs="*", default=[])
+    s.set_defaults(fn=cmd_submit)
+
+    l = sub.add_parser("list", help="list registered queries")
+    l.set_defaults(fn=cmd_list)
+
+    q = sub.add_parser("query", help="run a registered query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=20)
+    q.add_argument("--explain", action="store_true")
+    q.set_defaults(fn=cmd_query)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

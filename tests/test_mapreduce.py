@@ -3,6 +3,7 @@ corpus and correct/ files (mirrors tests/test_integration_0{0,1,2}.py
 in /root/reference)."""
 
 import filecmp
+import glob
 import os
 
 from engine.mapreduce import run_job
@@ -118,3 +119,44 @@ def test_empty_key_partitioning(spark, tmp_path):
     text = open(parts[0], encoding="utf-8").read()
     # tokens: '', '', 'leading', 'spaces', 'a', '', 'b' → empty key ×3
     assert "\t3\n" in text
+
+
+def test_cli_submit_wordcount_golden(spark, tmp_path):
+    """`python -m engine submit` (the mapreduce-submit parity surface,
+    reference submit.py:37-58) reproduces the wordcount golden output."""
+    from engine.__main__ import main
+
+    out = str(tmp_path / "wc_cli")
+    rc = main(
+        [
+            "submit",
+            "-i", f"{REFDATA}/input",
+            "-o", out,
+            "-m", f"{REFDATA}/exec/wc_map.sh",
+            "-r", f"{REFDATA}/exec/wc_reduce.sh",
+            "--nreducers", "1",
+        ]
+    )
+    assert rc == 0
+    got = sorted(
+        line
+        for p in sorted(glob.glob(f"{out}/part-*"))
+        for line in open(p, encoding="utf-8").read().splitlines()
+    )
+    want = sorted(
+        open(
+            f"{REFDATA}/correct/word_count_correct.txt", encoding="utf-8"
+        )
+        .read()
+        .splitlines()
+    )
+    assert got == want
+
+
+def test_cli_list_and_query(capsys):
+    from engine.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary" in out and "(oracled)" in out
+    assert main(["query", "nope"]) == 2
