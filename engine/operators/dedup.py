@@ -359,7 +359,9 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     over 60 bits ⇒ at least one of four 15-bit chunks is equal, so the
     join key is (chunk_id, chunk_val) — never all-pairs."""
     docs = load_table(spark, sf_dir, "documents")
-    simh = simhash_fingerprint(spark, sf_dir)
+    # Both join sides derive from the fingerprint table (1 row/doc);
+    # persisted so the 3-stage SimHash pipeline runs once.
+    simh = simhash_fingerprint(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     chunks = simh.select(
         "doc_id",
         "simhash",

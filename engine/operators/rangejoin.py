@@ -24,6 +24,7 @@ lossless (avg-of-avg is wrong under uneven buckets).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -164,12 +165,21 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows), never the raw table. Averages derive from carried
     (sum, count) — avg-of-avg would be wrong under uneven buckets."""
     ev = load_table(spark, sf_dir, "events")
+    # Each rollup feeds two consumers (its own output + the next
+    # grain); persisted so the raw table is scanned ONCE and each grain
+    # folds the cached finer one — without this, every union branch
+    # re-aggregates from raw and the "continuous aggregate" claim is a
+    # lie in the physical plan. Rollups are bounded (|hours|, |days|).
     hourly = ev.groupBy(
         F.date_trunc("hour", "ts").alias("bucket_start")
-    ).agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     daily = hourly.groupBy(
         F.date_trunc("day", "bucket_start").alias("bucket_start")
-    ).agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value"))
+    ).agg(
+        F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     monthly = daily.groupBy(
         F.date_trunc("month", "bucket_start").alias("bucket_start")
     ).agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value"))

@@ -31,6 +31,7 @@ Scale notes:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -248,11 +249,13 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name") == "EUROPE")
         .select("s_suppkey")
     )
+    # Scalar-subquery shape: eu_value feeds both the threshold and the
+    # filter; persisted (1 row/part) so lineitem scans once.
     eu_value = (
         li.join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum("l_extendedprice").alias("part_value"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     total = eu_value.agg(
         (F.avg("part_value") * 2.4).alias("threshold")
     )
@@ -305,11 +308,13 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     blue = _t(spark, sf_dir, "part").filter(F.col("p_name").like("blue%")).select(
         "p_partkey"
     )
+    # Feeds both the per-part total and the final filter; persisted
+    # (bounded: |parts|×|suppliers observed|) so lineitem scans once.
     shipped = (
         li.join(F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("supp_qty"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     part_total = shipped.groupBy("l_partkey").agg(
         F.sum("supp_qty").alias("total_qty")
     )

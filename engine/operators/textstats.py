@@ -295,7 +295,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw token stream is never re-shuffled."""
     from pyspark.sql import Window as W
 
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
+    # Three consumers (scores, DF table, corpus size) — persisted so
+    # the tokenize/explode/count pipeline runs once; (doc, token, cnt)
+    # is the classic inverted-index materialization, far smaller than
+    # the token stream it summarizes.
     tf = (
         docs.select(
             "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
@@ -303,7 +309,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     dl = F.sum("cnt").over(W.partitionBy("doc_id"))
     tf = tf.withColumn("dl", dl)
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("ndocs"))

@@ -206,12 +206,16 @@ def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two keyed aggregates + one small join — at 100 TB both aggregates
     shuffle on user_id once and the join is between user-cardinality
     tables, not events."""
+    from pyspark import StorageLevel
+
     ev = load_table(spark, sf_dir, "events")
+    # v feeds both the purchase-correlation join and the final funnel
+    # join; persisted (1 row/user) so events is scanned twice, not 3×.
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_view"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     p = (
         ev.filter(F.col("event_type") == "purchase")
         .join(v, "user_id")
