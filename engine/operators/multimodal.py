@@ -138,3 +138,120 @@ def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     with_blob = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return extract_blob_meta(with_blob, "doc_id", "payload")
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("char_start", T.LongType()),
+        T.StructField("frame_checksum", T.StringType()),
+    ]
+)
+
+N_FRAMES = 4
+FRAME_LEN = 32
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    n_frames: int = N_FRAMES,
+    frame_len: int = FRAME_LEN,
+) -> DataFrame:
+    """Frame sampling over a fake 'video' payload: decode (UTF-8), take
+    ``n_frames`` evenly-spaced fixed-length slices, one output row per
+    frame — the 1→N ``mapInPandas`` expansion shape real video frame
+    extraction uses (ffmpeg drops into the slice step unchanged)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib as _hl
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[blob_col]):
+                content = bytes(payload).decode("utf-8")
+                # Evenly-spaced frame starts over the decodable span.
+                span = max(len(content) - frame_len, 0)
+                for i in range(n_frames):
+                    start = (span * i) // max(n_frames - 1, 1)
+                    frame = content[start : start + frame_len]
+                    rows.append(
+                        (
+                            int(doc_id),
+                            i,
+                            start + 1,  # 1-based, matches SQL substring
+                            _hl.md5(frame.encode("utf-8")).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "char_start", "frame_checksum"]
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST((greatest(length(text) - {FRAME_LEN}, 0) * i)
+            // greatest({N_FRAMES} - 1, 1) + 1 AS BIGINT) AS char_start,
+       md5(substring(text,
+            CAST((greatest(length(text) - {FRAME_LEN}, 0) * i)
+                 // greatest({N_FRAMES} - 1, 1) + 1 AS INT),
+            {FRAME_LEN})) AS frame_checksum
+FROM documents
+CROSS JOIN (SELECT unnest(range(0, {N_FRAMES})) AS i) f
+""",
+    tags=("multimodal", "pandas_udf", "frames"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evenly-spaced frame sampling from binary payloads (text bytes as
+    the stand-in video): 4 frames × 32 chars, checksummed. The oracle
+    recomputes every frame slice in SQL, pinning the full
+    binary→decode→slice→hash round trip."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_blob = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return sample_frames(with_blob, "doc_id", "payload")
+
+
+@query(
+    "multimodal_resize_dims",
+    oracle=f"""
+SELECT doc_id, fake_width, fake_height,
+       CAST(greatest(fake_width * 224 // greatest(fake_width, fake_height), 1)
+            AS INT) AS out_width,
+       CAST(greatest(fake_height * 224 // greatest(fake_width, fake_height), 1)
+            AS INT) AS out_height
+FROM (
+  SELECT doc_id,
+         CAST({_H_CK} % 1920 + 1 AS INT) AS fake_width,
+         CAST(({_H_CK} // 1920) % 1080 + 1 AS INT) AS fake_height
+  FROM documents
+)
+""",
+    tags=("multimodal", "resize"),
+)
+def multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-to-fit-224 dimension planning over the decoded metadata —
+    integer math only (reproducible everywhere); a real resize kernel
+    consumes (out_width, out_height) per payload in the same
+    mapInPandas pass as the decoder."""
+    meta = multimodal_blob_meta(spark, sf_dir)
+    longest = F.greatest("fake_width", "fake_height")
+    return meta.select(
+        "doc_id",
+        "fake_width",
+        "fake_height",
+        F.greatest(F.expr("fake_width * 224") / longest, F.lit(1))
+        .cast("int")
+        .alias("out_width"),
+        F.greatest(F.expr("fake_height * 224") / longest, F.lit(1))
+        .cast("int")
+        .alias("out_height"),
+    )
