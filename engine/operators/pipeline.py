@@ -232,3 +232,86 @@ def pipeline_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         (F.row_number().over(w) - 1).cast("bigint").alias("token_id"),
     )
+
+
+# Simple, engine-portable patterns (identical regex semantics in Spark
+# and DuckDB's RE2-style engines: no lookaround, no backrefs).
+_URL_RE = "https?://[^ ]+"
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+
+@query(
+    "pipeline_scrub_text",
+    oracle=f"""
+SELECT doc_id,
+       length(text) AS n_chars_before,
+       length(regexp_replace(regexp_replace(text, '{_URL_RE}', '<URL>', 'g'),
+                             '{_EMAIL_RE}', '<EMAIL>', 'g')) AS n_chars_after,
+       length(text) - length(regexp_replace(text, '{_URL_RE}', '', 'g'))
+         AS url_chars,
+       length(text) - length(regexp_replace(text, '{_EMAIL_RE}', '', 'g'))
+         AS email_chars
+FROM documents
+""",
+    tags=("pipeline", "scrub", "documents"),
+)
+def pipeline_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL scrubbing audit: URLs → <URL>, emails → <EMAIL>, with
+    per-document before/after char accounting. Pure regexp_replace —
+    JVM-side, narrow, no shuffle; the actual cleaned text column is the
+    same expression minus the length()."""
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _URL_RE, "<URL>"), _EMAIL_RE, "<EMAIL>"
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_before"),
+        F.length(scrubbed).alias("n_chars_after"),
+        (F.length("text") - F.length(F.regexp_replace("text", _URL_RE, ""))).alias(
+            "url_chars"
+        ),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", _EMAIL_RE, ""))
+        ).alias("email_chars"),
+    )
+
+
+@query(
+    "pipeline_bigram_counts",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+bi AS (
+  SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+                i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks
+)
+SELECT bigram, count(*) AS freq
+FROM bi WHERE bigram IS NOT NULL
+GROUP BY bigram HAVING count(*) >= 5
+""",
+    tags=("pipeline", "ngram", "documents"),
+)
+def pipeline_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies (min-count 5) — the n-gram LM /
+    contamination-check statistic. Tokenize once, slide a 2-window via
+    transform, one count shuffle keyed by bigram; hot bigrams are the
+    classic skew case AQE handles (or salted_agg for the extreme
+    tail)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower("text"), " ").alias("t"))
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(t) - 1, 1)),"
+                " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bi.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= 5)
+    )
