@@ -51,3 +51,39 @@ def write_bucketed_table(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet directory into ~target-size files; returns the
+    new file count.
+
+    Small-files pathology: a streaming sink or over-partitioned write
+    leaves thousands of KB-scale files; every downstream scan then pays
+    per-file open/footer cost and the driver pays listing cost. The fix
+    is a periodic rewrite sized by DATA VOLUME, not partition count.
+    Writes to a staging dir first, then swaps — readers never see a
+    half-compacted directory (the swap is the atomicity boundary; on a
+    real deployment prefer a table format with a transactional commit).
+    """
+    import math
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        int(f.stat().st_size) for f in Path(path).rglob("*.parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    staging = tempfile.mkdtemp(prefix="compact-", dir=str(Path(path).parent))
+    try:
+        df.repartition(n_files).write.mode("overwrite").parquet(staging)
+        shutil.rmtree(path)
+        shutil.move(staging, path)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return n_files

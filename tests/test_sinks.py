@@ -55,3 +55,24 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """1000 tiny files → a handful of target-sized ones, same rows."""
+    from engine.sinks import compact_parquet
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    out = str(tmp_path / "li_small")
+    li.repartition(64).write.parquet(out)
+    import glob
+
+    before = len(glob.glob(f"{out}/*.parquet"))
+    assert before >= 64
+    want = li.count()
+
+    n_files = compact_parquet(spark, out, target_file_bytes=1024 * 1024)
+    after = len(glob.glob(f"{out}/*.parquet"))
+    assert after == n_files < before
+    back = spark.read.parquet(out)
+    assert back.count() == want
+    assert set(back.columns) == set(li.columns)
