@@ -120,3 +120,33 @@ def test_range_join_generic_semantics(spark):
         extra_condition=F.col("pid") != 3,
     )
     assert {(r.pid, r.iid) for r in narrowed.collect()} == {(1, 10), (2, 10), (4, 11)}
+
+
+def test_lsh_dedup_recall_floors(spark):
+    """Quality contracts for the approximate dedup paths, measured
+    against their exact twins (values at sf0.001; floors leave margin):
+    sign-LSH ~0.52 of cos>=0.4 pairs with 16 bits / 4 bands — raise
+    bits for higher recall; MinHash banding recovers ~all exact-Jaccard
+    pairs; SimHash blocking finds most of them under a different
+    (hamming) metric."""
+    from engine.registry import all_queries
+
+    q = all_queries()
+    sf = SF_SMOKE
+    brute = {
+        (r.vec_a, r.vec_b)
+        for r in q["embedding_near_dups_brute"].fn(spark, sf).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b) for r in q["sign_lsh_near_dups"].fn(spark, sf).collect()
+    }
+    assert len(brute & lsh) / len(brute) >= 0.4
+
+    exact = {
+        (r.doc_a, r.doc_b) for r in q["dedup_ngram_jaccard"].fn(spark, sf).collect()
+    }
+    mh = {(r.doc_a, r.doc_b) for r in q["dedup_minhash_lsh"].fn(spark, sf).collect()}
+    assert len(exact & mh) / len(exact) >= 0.9
+
+    sh = {(r.doc_a, r.doc_b) for r in q["simhash_near_pairs"].fn(spark, sf).collect()}
+    assert len(exact & sh) / len(exact) >= 0.7
