@@ -103,3 +103,65 @@ def test_salted_agg_equals_plain_agg(spark, rows, n_salts):
         ).collect()
     }
     assert plain == salted
+
+
+@given(
+    file_lines=st.lists(
+        st.lists(
+            st.text(
+                alphabet="abcXYZ  ", min_size=0, max_size=30
+            ).map(lambda s: s.replace("\n", "").replace("\r", "")),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    n_reducers=st.sampled_from([1, 2, 3]),
+)
+@_prop_settings
+def test_run_job_native_wordcount_equals_counter(
+    spark, tmp_path_factory, file_lines, n_reducers
+):
+    """Layer-A runner, native mode: wordcount over arbitrary text files
+    (any whitespace mess, any file/reducer split) must equal a plain
+    Python Counter with W2 semantics (line.split())."""
+    import collections
+    import itertools
+
+    from engine.mapreduce.runner import run_job
+
+    base = tmp_path_factory.mktemp("mr")
+    indir = base / "in"
+    indir.mkdir()
+    for i, lines in enumerate(file_lines):
+        (indir / f"file{i:02d}").write_text(
+            "".join(line + "\n" for line in lines), encoding="utf-8"
+        )
+
+    def mapper(lines):
+        for line in lines:
+            for word in line.split():
+                yield f"{word}\t1"
+
+    def reducer(lines):
+        parsed = (line.partition("\t") for line in lines)
+        for word, group in itertools.groupby(parsed, key=lambda t: t[0]):
+            yield f"{word} {sum(int(v) for _, _, v in group)}"
+
+    out = str(base / "out")
+    parts = run_job(
+        spark, str(indir), out, mapper=mapper, reducer=reducer,
+        num_mappers=2, num_reducers=n_reducers,
+    )
+    got = collections.Counter()
+    for p in parts:
+        for line in open(p, encoding="utf-8"):
+            w, _, c = line.rstrip("\n").rpartition(" ")
+            got[w] += int(c)
+    got = +got
+
+    want = collections.Counter(
+        w for lines in file_lines for line in lines for w in line.split()
+    )
+    assert got == want
