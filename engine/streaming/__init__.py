@@ -15,6 +15,7 @@ from engine.streaming.events import (
     streaming_user_value_stats,
     streaming_view_purchase_join,
     run_available_now,
+    write_stream_parquet,
 )
 
 __all__ = [
@@ -25,4 +26,5 @@ __all__ = [
     "streaming_user_value_stats",
     "streaming_view_purchase_join",
     "run_available_now",
+    "write_stream_parquet",
 ]

@@ -214,3 +214,23 @@ def streaming_view_purchase_join(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def write_stream_parquet(
+    df: DataFrame, path: str, checkpoint: str, name: str = "sink"
+):
+    """Exactly-once parquet sink: the file-sink commit log under
+    ``checkpoint`` records which micro-batch wrote which files, so a
+    restart after failure neither drops nor duplicates batches — reruns
+    of already-committed batches are skipped, and readers ignore
+    uncommitted files via the _spark_metadata log. Returns the query
+    (caller awaits termination)."""
+    return (
+        df.writeStream.format("parquet")
+        .queryName(name)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

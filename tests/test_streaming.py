@@ -120,3 +120,19 @@ def test_stream_stream_join_matches_batch(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_parquet_sink_exactly_once_on_restart(spark, tmp_path):
+    """Restarting the same query over the same (fully-consumed) source
+    with the same checkpoint must be a no-op: no duplicate rows."""
+    from engine.streaming.events import write_stream_parquet
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    n_src = load_table(spark, SF_SMOKE, "events").count()
+
+    for _ in range(2):  # second run re-processes nothing
+        stream = read_event_stream(spark, SF_SMOKE)
+        q = write_stream_parquet(stream, out, ckpt, name="t_pq_sink")
+        q.awaitTermination()
+
+    assert spark.read.parquet(out).count() == n_src
