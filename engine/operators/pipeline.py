@@ -215,9 +215,11 @@ FROM counted WHERE freq >= {VOCAB_MIN_FREQ}
 def pipeline_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary construction: corpus token counts, min-frequency
     cutoff, ids by (freq desc, token) — stable across runs/engines.
-    The global rank runs on the POST-CUTOFF vocabulary (bounded:
-    ~100k-1M rows at any corpus size), not the raw token stream, so
-    the single-partition window is safe by construction."""
+    Ids come from the range-partition global row number
+    (engine.operators.globalrank) — no single-partition window, so the
+    plan stays parallel even for a 100M-token vocabulary."""
+    from engine.operators.globalrank import with_global_row_number
+
     docs = load_table(spark, sf_dir, "documents")
     counted = (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
@@ -226,11 +228,13 @@ def pipeline_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= VOCAB_MIN_FREQ)
     )
-    w = W.orderBy(F.col("freq").desc(), "token")
-    return counted.select(
+    numbered, _ = with_global_row_number(
+        counted, [F.col("freq").desc(), "token"], out_col="_rn"
+    )
+    return numbered.select(
         "token",
         "freq",
-        (F.row_number().over(w) - 1).cast("bigint").alias("token_id"),
+        (F.col("_rn") - 1).cast("bigint").alias("token_id"),
     )
 
 

@@ -164,18 +164,43 @@ FROM supplier
     tags=("window", "rank"),
 )
 def w_supplier_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dense_rank / percent_rank / ntile over supplier balances.
-    ntile is tie-broken by s_suppkey to stay deterministic."""
+    """dense_rank / percent_rank / ntile over supplier balances —
+    WITHOUT a single-partition window. Global positions come from the
+    range-partition + broadcast-offset operator (globalrank.py), so the
+    plan stays fully parallel at any supplier cardinality:
+
+    - row number over (bal desc, suppkey) → NTILE via closed form;
+    - rank(value) = min global row number within the value (partitioned
+      window on the value) → percent_rank = (rank-1)/(N-1);
+    - dense_rank(value) = global row number over the DISTINCT-value
+      table (bounded by the value domain), joined back on value.
+    """
+    from engine.operators.globalrank import ntile_expr, with_global_row_number
+
     supp = _t(spark, sf_dir, "supplier")
-    bal = F.round(F.col("s_acctbal"), 2)
-    w_val = W.orderBy(bal.desc())
-    w_det = W.orderBy(bal.desc(), F.col("s_suppkey"))
-    return supp.select(
-        "s_suppkey",
-        "s_nationkey",
-        F.dense_rank().over(w_val).cast("bigint").alias("balance_rank"),
-        F.round(F.percent_rank().over(w_val), 6).alias("balance_pctile"),
-        F.ntile(4).over(w_det).cast("bigint").alias("quartile"),
+    base = supp.select(
+        "s_suppkey", "s_nationkey", F.round(F.col("s_acctbal"), 2).alias("_v")
+    )
+    numbered, n_rows = with_global_row_number(
+        base, [F.col("_v").desc(), F.col("s_suppkey")], out_col="_rn"
+    )
+    vals, _ = with_global_row_number(
+        base.select("_v").distinct(), [F.col("_v").desc()], out_col="_dense"
+    )
+    w_val = W.partitionBy("_v")
+    pr_denom = max(n_rows - 1, 1)  # single row ⇒ percent_rank 0.0
+    return (
+        numbered.join(vals, "_v")
+        .withColumn("_rank", F.min("_rn").over(w_val))
+        .select(
+            "s_suppkey",
+            "s_nationkey",
+            F.col("_dense").alias("balance_rank"),
+            F.round((F.col("_rank") - 1) / F.lit(pr_denom), 6).alias(
+                "balance_pctile"
+            ),
+            ntile_expr(F.col("_rn"), n_rows, 4).cast("bigint").alias("quartile"),
+        )
     )
 
 

@@ -46,17 +46,10 @@ NESTED_LOOP_OK = {
     "pipeline_source_mix",  # 1-row sampled-total broadcast
 }
 
-# Queries allowed a global (unpartitioned) window: the input at that
-# point is already aggregated to a bounded cardinality.
-GLOBAL_WINDOW_OK: set[str] = {
-    # dense_rank/percent_rank/ntile across ALL suppliers is the query's
-    # semantics; input is the supplier dim (bounded, ~1e4× smaller than
-    # facts), not a fact table.
-    "w_supplier_rank_stats",
-    # global token-id rank runs on the post-cutoff vocabulary (bounded
-    # ~1M rows at any corpus size), not the raw token stream.
-    "pipeline_vocab",
-}
+# Queries allowed a global (unpartitioned) window. EMPTY by design:
+# global ranks go through engine.operators.globalrank (range-partition
+# + broadcast offsets), which needs no single-partition window.
+GLOBAL_WINDOW_OK: set[str] = set()
 
 
 def audit(name: str, fn) -> list[str]:
