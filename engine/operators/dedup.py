@@ -388,3 +388,82 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(hamming <= SIMHASH_MAX_HAMMING).select(
         "doc_a", "doc_b", hamming.cast("int").alias("hamming")
     )
+
+
+CC_MAX_ROUNDS = 50  # safety bound; near-dup graphs have tiny diameter
+
+
+@query(
+    "dedup_canonical_components",
+    oracle=f"""
+WITH RECURSIVE {_DUCK_MINHASH},
+p AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN mh x ON x.doc_id = c.doc_a
+  JOIN mh y ON y.doc_id = c.doc_b AND x.hi = y.hi
+  GROUP BY c.doc_a, c.doc_b
+  HAVING sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / {MINHASH_K}.0
+         >= {MINHASH_EST_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM p
+),
+walk(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+)
+SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS canonical_id
+FROM walk GROUP BY src
+""",
+    tags=("dedup", "connected-components", "iterative"),
+)
+def dedup_canonical_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: connected components over the
+    MinHash near-dup pair graph; every clustered document maps to the
+    minimum doc_id in its component (the canonical survivor — the
+    "keep one per duplicate cluster" step after pair detection).
+
+    Iterative min-label propagation: each round joins labels to the
+    symmetric edge list and takes the per-node min — one shuffle join
+    + one aggregate per round, converging in ≤ graph-diameter rounds
+    (near-dup graphs are shallow; Kiveris'14 large-star/small-star
+    halves rounds if ever needed). Lineage is cut with localCheckpoint
+    per round; the driver sees only a scalar convergence check, never
+    rows. The DuckDB oracle is the same fixpoint as a recursive CTE."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(CC_MAX_ROUNDS):
+        prop = edges.join(
+            labels, edges["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), "lbl")
+        labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        # Labels only ever decrease: an unchanged sum ⇔ a fixpoint.
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:  # pragma: no cover - CC_MAX_ROUNDS >> any real diameter
+        raise RuntimeError("connected components did not converge")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").cast("bigint").alias("canonical_id")
+    )

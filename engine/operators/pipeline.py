@@ -319,3 +319,137 @@ def pipeline_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= 5)
     )
+
+
+# Word n-gram size for contamination checks. Production pipelines use
+# 8-13; this synthetic corpus has almost no natural 5+-gram overlap
+# (1 doc), so 4 keeps the oracle gate exercising a real multi-row join.
+DECON_NGRAM = 4
+DECON_EVAL_MOD = 20  # h60 bucket 0 of 20 → ~5% held-out eval set
+PACK_CTX = 256  # tokens per packed training sequence
+PACK_BUCKETS = 8  # independent packing streams (≈ executors × k at scale)
+
+_DECON_EVAL_SPARK = (
+    SPARK_H60.format(x="concat('decon:', cast(doc_id as string))")
+    + f" % {DECON_EVAL_MOD} = 0"
+)
+_DECON_EVAL_DUCK = (
+    DUCK_H60.format(x="'decon:' || CAST(doc_id AS VARCHAR)") + f" % {DECON_EVAL_MOD} = 0"
+)
+
+
+@query(
+    "pipeline_decontaminate",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_DECON_EVAL_DUCK} AS is_eval,
+         string_split(lower(text), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, is_eval,
+         {DUCK_H60.format(x="array_to_string(t[i : i + " + str(DECON_NGRAM - 1) + "], ' ')")} AS g
+  FROM toks
+  CROSS JOIN unnest(range(1, greatest(len(t) - {DECON_NGRAM - 1}, 1) + 1)) AS r(i)
+)
+SELECT tr.doc_id, count(*) AS n_shared_grams
+FROM (SELECT doc_id, g FROM grams WHERE NOT is_eval) tr
+JOIN (SELECT DISTINCT g FROM grams WHERE is_eval) ev USING (g)
+GROUP BY tr.doc_id
+""",
+    tags=("pipeline", "decontamination", "documents"),
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-{DECON_NGRAM}-gram with the held-out eval slice (deterministic
+    ~5% h60 bucket of doc_id). Output = contaminated train doc →
+    distinct shared-gram count.
+
+    Scale shape: grams are hashed to 60-bit ints (8-byte shuffle keys),
+    deduped per document, and the train⋈eval join shuffles on the gram
+    hash — never on text. The eval side is ~5% of the corpus, too big
+    to broadcast at 100 TB, so a shuffle hash join on g is the right
+    plan; one persist serves both branches of the gram stream."""
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr(_DECON_EVAL_SPARK).alias("is_eval"),
+        F.split(F.lower("text"), " ").alias("t"),
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            "is_eval",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(t) - {DECON_NGRAM - 1}, 1)),"
+                    f" i -> concat_ws(' ', slice(t, i, {DECON_NGRAM})))"
+                )
+            ).alias("gram"),
+        )
+        .select(
+            "doc_id", "is_eval", F.expr(SPARK_H60.format(x="gram")).alias("g")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ev = grams.filter("is_eval").select("g").distinct()
+    return (
+        grams.filter(~F.col("is_eval"))
+        .join(ev, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+@query(
+    "pipeline_pack_sequences",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         {DUCK_H60.format(x="'pack:' || CAST(doc_id AS VARCHAR)")} % {PACK_BUCKETS}
+           AS bucket,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(sum(n_tokens) OVER w, 0) // {PACK_CTX} AS BIGINT) AS seq_id,
+       CAST(COALESCE(sum(n_tokens) OVER w, 0) % {PACK_CTX} AS BIGINT) AS seq_offset
+FROM d
+WINDOW w AS (PARTITION BY bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+""",
+    tags=("pipeline", "packing", "documents"),
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-split): documents are concatenated
+    in deterministic order within {PACK_BUCKETS} independent hash
+    buckets and cut into {PACK_CTX}-token training sequences; each doc
+    gets the sequence id and offset where it starts.
+
+    Scale shape: the running token total is a window partitioned by the
+    pack bucket — at 100 TB set PACK_BUCKETS ≈ total_cores so every
+    partition packs one bounded stream in parallel; no global window,
+    no driver state. Token counts, not token arrays, flow through the
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        (
+            F.expr(SPARK_H60.format(x="concat('pack:', cast(doc_id as string))"))
+            % PACK_BUCKETS
+        ).alias("bucket"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = W.partitionBy("bucket").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (cum_before / PACK_CTX).cast("bigint").alias("seq_id"),
+        (cum_before % PACK_CTX).cast("bigint").alias("seq_offset"),
+    )
