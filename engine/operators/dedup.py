@@ -130,16 +130,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents sharing ≥1 word-3-shingle are compared (25 pairs survive
     at threshold 0.2 on this corpus vs 125k all-pairs)."""
     docs = load_table(spark, sf_dir, "documents")
-    # No second distinct: _spark_shingles already dedups (doc_id,
-    # shingle), and the hash is injective in practice (any 2^-60
-    # collision affects the oracle identically).
+    # Hash BEFORE the distinct: the dedup shuffle then moves 8-byte
+    # ints, not ~30-byte shingle strings (the oracle dedups strings
+    # first, but hashing is injective in practice and both engines
+    # collapse any 2^-60 collision identically after their distinct).
     # Persisted: three consumers (two join sides + sizes) would each
     # re-run the tokenize/explode/md5 pipeline — the dominant CPU cost.
     # MEMORY_AND_DISK so the (hash, doc_id) table — far smaller than the
     # raw text — spills rather than OOMs at corpus scale.
-    sh = _spark_shingles(docs).select(
-        "doc_id", F.expr(SPARK_H60.format(x="shingle")).alias("sh_h")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = (
+        docs.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(t) - 2, 0)),"
+                    " i -> concat_ws(' ', element_at(t, i),"
+                    " element_at(t, i + 1), element_at(t, i + 2)))"
+                )
+            ).alias("shingle"),
+        )
+        .select("doc_id", F.expr(SPARK_H60.format(x="shingle")).alias("sh_h"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
