@@ -259,3 +259,37 @@ def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.unix_seconds("first_purchase") - F.unix_seconds("first_view")), 2
         ).alias("avg_seconds_to_convert"),
     )
+
+
+@query(
+    "w_order_value_shifts",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(lead(o_totalprice) OVER w, 2) AS next_price,
+       round(first_value(o_totalprice) OVER w, 2) AS first_price,
+       round(last_value(o_totalprice)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+         AS last_price,
+       round(cume_dist() OVER w, 6) AS date_cume_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    tags=("window", "navigation"),
+)
+def w_order_value_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation-function surface — lead / first_value / last_value
+    (full frame) / cume_dist — over each customer's order history.
+    Partitioned by o_custkey (high cardinality), one window shuffle
+    serves all four functions."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w_full), 2).alias("last_price"),
+        F.round(F.cume_dist().over(w), 6).alias("date_cume_dist"),
+    )
