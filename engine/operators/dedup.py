@@ -449,6 +449,16 @@ def dedup_canonical_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round; the driver sees only a scalar convergence check, never
     rows. The DuckDB oracle is the same fixpoint as a recursive CTE."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return min_label_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("lbl").cast("bigint").alias("canonical_id")
+    )
+
+
+def min_label_components(pairs: DataFrame) -> DataFrame:
+    """Connected components of an undirected pair list (columns
+    ``doc_a``, ``doc_b``) by iterative min-label propagation; returns
+    (node, lbl) where lbl = the component's minimum node id. See
+    dedup_canonical_components for the scale analysis."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -478,6 +488,4 @@ def dedup_canonical_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_sum = cur_sum
     else:  # pragma: no cover - CC_MAX_ROUNDS >> any real diameter
         raise RuntimeError("connected components did not converge")
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("lbl").cast("bigint").alias("canonical_id")
-    )
+    return labels

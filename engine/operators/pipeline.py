@@ -453,3 +453,55 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cum_before / PACK_CTX).cast("bigint").alias("seq_id"),
         (cum_before % PACK_CTX).cast("bigint").alias("seq_offset"),
     )
+
+
+@query(
+    "pipeline_quality_funnel",
+    oracle="""
+WITH m AS (
+  SELECT n_chars >= 200 AS c_len,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+           / greatest(length(text), 1) >= 0.82 AS c_alpha,
+         length(text) * 1.0 / len(string_split(text, ' '))
+           BETWEEN 5.3 AND 5.7 AS c_wlen
+  FROM documents
+)
+SELECT count(*) AS n_total,
+       sum(CASE WHEN c_len THEN 1 ELSE 0 END) AS n_after_len,
+       sum(CASE WHEN c_len AND c_alpha THEN 1 ELSE 0 END) AS n_after_alpha,
+       sum(CASE WHEN c_len AND c_alpha AND c_wlen THEN 1 ELSE 0 END)
+         AS n_after_wordlen
+FROM m
+""",
+    tags=("pipeline", "quality", "documents"),
+)
+def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter cascade attrition audit: minimum length →
+    alphabetic-character ratio → mean-word-length band, reported as
+    survivors after each successive stage (the standard "how much does
+    each filter cost me" dashboard before a pretraining run).
+
+    ONE scan, conditional aggregation — the cascade never materializes
+    intermediate corpora; at 100 TB this is a single map-side-combined
+    pass. The same boolean columns, used as a filter instead of
+    counted, ARE the production filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    c_len = F.col("n_chars") >= 200
+    c_alpha = (
+        F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+        * 1.0
+        / F.greatest(F.length("text"), F.lit(1))
+        >= 0.82
+    )
+    wlen = F.length("text") * 1.0 / F.size(F.split("text", " "))
+    c_wlen = (wlen >= 5.3) & (wlen <= 5.7)
+    m = docs.select(c_len.alias("c_len"), c_alpha.alias("c_alpha"), c_wlen.alias("c_wlen"))
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return m.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        one(F.col("c_len")).alias("n_after_len"),
+        one(F.col("c_len") & F.col("c_alpha")).alias("n_after_alpha"),
+        one(F.col("c_len") & F.col("c_alpha") & F.col("c_wlen")).alias(
+            "n_after_wordlen"
+        ),
+    )

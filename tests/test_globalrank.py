@@ -51,3 +51,33 @@ def test_ntile_closed_form_matches_spark(spark, k, n):
         "rn", F.ntile(k).over(W.orderBy("rn")).alias("tile")
     )
     assert got.exceptAll(expected).isEmpty()
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-5, max_value=5), min_size=0, max_size=60
+    )
+)
+def test_row_number_property_duplicate_heavy(spark, vals):
+    """Heavy duplicate keys + unique tie-break: numbering equals the
+    Python sorted() enumeration regardless of range-boundary placement."""
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows or [(0, 0)], "id INT, v INT")
+    if not rows:
+        df = df.filter(F.lit(False))
+    got, total = with_global_row_number(
+        df, [F.col("v").desc(), "id"], out_col="rn", num_partitions=5
+    )
+    assert total == len(rows)
+    expected = {
+        id_: i + 1
+        for i, (id_, _) in enumerate(
+            sorted(rows, key=lambda r: (-r[1], r[0]))
+        )
+    }
+    for r in got.collect():
+        assert r["rn"] == expected[r["id"]]
