@@ -234,3 +234,28 @@ def write_stream_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_enriched_purchases(
+    events: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Stream-static dimension enrichment: purchase events joined to
+    the static customer→nation dimensions (events.user_id → c_custkey
+    per the fixture join graph).
+
+    The canonical "attach dimensions to a firehose" pattern: the static
+    side is re-read and broadcast per micro-batch, so the join keeps
+    ZERO stream state (no watermark bookkeeping, unlike stream-stream
+    joins) and the stream side never shuffles — at 100 TB/day the
+    events only flow map-side through the broadcast hash join."""
+    dims = (
+        customer.join(
+            F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"]
+        )
+        .select(F.col("c_custkey").alias("user_id"), F.col("n_name"))
+    )
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(dims), "user_id", "left")
+        .select("event_id", "user_id", "n_name", "value")
+    )

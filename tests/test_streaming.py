@@ -136,3 +136,28 @@ def test_parquet_sink_exactly_once_on_restart(spark, tmp_path):
         q.awaitTermination()
 
     assert spark.read.parquet(out).count() == n_src
+
+
+def test_stream_static_enrichment_matches_batch(spark):
+    """Stream-static broadcast join == the same join done in batch."""
+    from engine.io import load_table
+    from engine.streaming.events import (
+        read_event_stream,
+        run_available_now,
+        streaming_enriched_purchases,
+    )
+
+    customer = load_table(spark, SF_SMOKE, "customer")
+    nation = load_table(spark, SF_SMOKE, "nation")
+    stream = read_event_stream(spark, SF_SMOKE)
+    got = run_available_now(
+        streaming_enriched_purchases(stream, customer, nation),
+        "enriched_purchases",
+    )
+    batch_events = load_table(spark, SF_SMOKE, "events")
+    expected = streaming_enriched_purchases(batch_events, customer, nation)
+    assert got.count() == expected.count() > 0
+    assert got.exceptAll(expected).isEmpty()
+    assert expected.exceptAll(got).isEmpty()
+    # left join keeps purchases with no matching customer (if any)
+    assert got.filter(F.col("event_id").isNull()).count() == 0
