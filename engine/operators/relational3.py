@@ -441,3 +441,49 @@ def q21_last_to_ship_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "array_agg_functions",
+    oracle="""
+WITH qs AS (
+  SELECT l_orderkey, list_sort(list(l_quantity)) AS q
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(q) AS INT) AS n_items,
+       round(q[1], 2) AS min_qty,
+       round(q[-1], 2) AS max_qty,
+       round(list_sum(list_transform(q, x -> CAST(x AS DOUBLE))), 2) AS sum_qty,
+       CAST(list_contains(q, 25.0) AS BOOLEAN) AS has_qty_25,
+       CAST(len(list_distinct(q)) AS INT) AS n_distinct_qty
+FROM qs
+""",
+    tags=("relational", "array", "functions"),
+)
+def array_agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over per-order quantity lists:
+    collect → sort → index (first/last) → fold (aggregate) → contains
+    → distinct. collect_list is order-nondeterministic under retries,
+    so every derived value goes through array_sort / order-insensitive
+    folds — the same rule that makes the query engine-reproducible
+    makes it retry-safe at scale. One shuffle (the groupBy); scalar
+    outputs keep the value-hash gate array-free."""
+    li = _t(spark, sf_dir, "lineitem")
+    qs = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_quantity")).alias("q")
+    )
+    return qs.select(
+        "l_orderkey",
+        F.size("q").cast("int").alias("n_items"),
+        F.round(F.element_at("q", 1), 2).alias("min_qty"),
+        F.round(F.element_at("q", -1), 2).alias("max_qty"),
+        F.round(
+            F.expr(
+                "aggregate(q, cast(0.0 as double), (acc, x) -> acc + cast(x as double))"
+            ),
+            2,
+        ).alias("sum_qty"),
+        F.array_contains("q", 25.0).alias("has_qty_25"),
+        F.size(F.array_distinct("q")).cast("int").alias("n_distinct_qty"),
+    )
