@@ -505,3 +505,40 @@ def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_after_wordlen"
         ),
     )
+
+
+RESERVOIR_K = 20  # fixed sample size per source
+
+_RES_KEY_SPARK = SPARK_H60.format(x="concat('res:', cast(doc_id as string))")
+_RES_KEY_DUCK = DUCK_H60.format(x="'res:' || CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "pipeline_reservoir_per_source",
+    oracle=f"""
+SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY {_RES_KEY_DUCK}, doc_id)
+           AS rk
+  FROM documents
+) t WHERE rk <= {RESERVOIR_K}
+""",
+    tags=("pipeline", "sampling", "documents"),
+)
+def pipeline_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-SIZE sample of {RESERVOIR_K} docs per source
+    (vs the rate-based samplers): rank by a salted hash priority and
+    keep the top {RESERVOIR_K} — the distributed, retry-safe stand-in
+    for reservoir sampling (same marginal distribution, no RNG state).
+
+    Scale shape: partitioned window + rank filter ⇒ Spark rewrites it
+    to WindowGroupLimit (per-partition top-k pushed before the full
+    sort materializes); one shuffle on source. Skewed source sizes
+    don't matter — every group keeps ≤ {RESERVOIR_K} rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.expr(_RES_KEY_SPARK), "doc_id")
+    return (
+        docs.select("source", "doc_id", "n_chars", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= RESERVOIR_K)
+        .select("source", "doc_id", "n_chars")
+    )
