@@ -73,7 +73,7 @@ ranked AS (
   WHERE p.p_type IN ('SMALL', 'MEDIUM')
 )
 SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
-       round(unit_cost, 4) AS min_unit_cost
+       floor(unit_cost * 10000 + 0.5) / 10000 AS min_unit_cost
 FROM ranked WHERE rn = 1
 ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
 LIMIT 100
@@ -85,7 +85,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowest observed unit price. The classic Q2 correlated-min subquery,
     decorrelated as an argmin window over the part×supplier cost table.
     Argmin compares exact per-row MIN doubles (deterministic across
-    engines); s_suppkey breaks cost ties."""
+    engines); s_suppkey breaks cost ties.
+
+    Output rounding is floor(x*1e4 + 0.5)/1e4 — identical IEEE double
+    ops in both engines — because price/quantity often TERMINATES at
+    the x.xxxx5 boundary, where Spark's BigDecimal HALF_UP and DuckDB's
+    scaled-double nearbyint disagree (hit at sf0.1: 225.17875)."""
     li = _t(spark, sf_dir, "lineitem")
     cost = li.groupBy(
         "l_partkey", "l_suppkey"
@@ -124,7 +129,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             "p_partkey",
             "p_name",
-            F.round("unit_cost", 4).alias("min_unit_cost"),
+            (F.floor(F.col("unit_cost") * 10000 + 0.5) / 10000).alias(
+                "min_unit_cost"
+            ),
         )
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)

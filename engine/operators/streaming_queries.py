@@ -1,0 +1,151 @@
+"""Registry entries for the Structured Streaming layer: each runs a
+bounded availableNow pass over the events file stream and returns the
+materialized result, so the DuckDB oracle can hash-check STREAMING
+semantics (window/session assignment, dedup, stream-static join) —
+stronger than the rows-only check non-SQL ops get.
+
+The reference has no streaming constructs at all (SURVEY.md §2.3);
+this is new Layer-B capability. Scale notes live on the underlying
+operators in engine/streaming/events.py (watermark-bounded state,
+zero-state broadcast enrichment); the availableNow harness here is the
+test/driver entry point — production swaps in a continuous trigger and
+a real sink, same plan.
+
+Boundary semantics pinned by the oracles:
+- tumbling windows are UTC epoch-aligned days (`date_trunc('day')`);
+- `session_window` starts a NEW session when the gap is >= the 30-min
+  timeout (merge requires next_start < session_end), which differs
+  from the batch sessionizer `w_sessionize_events` (gap > timeout);
+  the session oracle below uses >= accordingly.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.io import load_table
+from engine.registry import query
+from engine.streaming.events import (
+    read_event_stream,
+    run_available_now,
+    streaming_dedup,
+    streaming_enriched_purchases,
+    streaming_session_windows,
+    streaming_tumbling_counts,
+)
+
+# memory-sink query names must be unique within a SparkSession
+_seq = itertools.count()
+
+
+def _sink(name: str) -> str:
+    return f"{name}_{next(_seq)}"
+
+
+@query(
+    "streaming_tumbling_daily",
+    oracle="""
+SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+    tags=("streaming", "window", "events"),
+)
+def streaming_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling daily counts, executed as a bounded
+    availableNow stream; on bounded input the final complete-mode
+    result equals the batch GROUP BY, which is what the oracle pins."""
+    ev = read_event_stream(spark, sf_dir)
+    return run_available_now(
+        streaming_tumbling_counts(ev),
+        _sink("t_daily"),
+        output_mode="complete",
+    )
+
+
+@query(
+    "streaming_session_bounds",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(CAST(ts AS TIMESTAMP))
+                      - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                      >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM ordered
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_seq
+""",
+    tags=("streaming", "sessionize", "events"),
+)
+def streaming_session_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native `session_window` sessions (30-min gap) as a bounded
+    stream; the oracle re-derives Spark's merge rule in SQL
+    (new session iff gap >= timeout; end = last event + timeout)."""
+    ev = read_event_stream(spark, sf_dir)
+    return run_available_now(
+        streaming_session_windows(ev),
+        _sink("t_sessions"),
+        output_mode="complete",
+    )
+
+
+@query(
+    "streaming_dedup_counts",
+    oracle="""
+SELECT event_type, count(DISTINCT event_id) AS n_unique
+FROM events GROUP BY event_type
+""",
+    tags=("streaming", "dedup", "events"),
+)
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup on event_id, then a per-type
+    count — equals DISTINCT counting on bounded input."""
+    ev = read_event_stream(spark, sf_dir)
+    deduped = streaming_dedup(ev)
+    counts = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique")
+    )
+    return run_available_now(
+        counts, _sink("t_dedup"), output_mode="complete"
+    )
+
+
+@query(
+    "streaming_enriched_purchase_rows",
+    oracle="""
+SELECT e.event_id, e.user_id, n.n_name, e.value
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE e.event_type = 'purchase'
+""",
+    tags=("streaming", "join", "events"),
+)
+def streaming_enriched_purchase_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast dimension enrichment (zero stream
+    state): purchases joined per micro-batch to the static
+    customer→nation dims."""
+    ev = read_event_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return run_available_now(
+        streaming_enriched_purchases(ev, customer, nation),
+        _sink("t_enriched"),
+    )

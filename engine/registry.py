@@ -34,6 +34,7 @@ _OPERATOR_MODULES = (
     "engine.operators.mapreduce_queries",
     "engine.operators.pandas_udfs",
     "engine.operators.asof",
+    "engine.operators.streaming_queries",
 )
 
 
