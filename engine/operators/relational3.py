@@ -494,3 +494,51 @@ def array_agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains("q", 25.0).alias("has_qty_25"),
         F.size(F.array_distinct("q")).cast("int").alias("n_distinct_qty"),
     )
+
+
+N_HIST_BUCKETS = 10
+
+
+@query(
+    "histogram_order_totalprice",
+    oracle=f"""
+WITH b AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+)
+SELECT CAST(least(floor((o_totalprice - lo) / (hi - lo) * {N_HIST_BUCKETS}),
+            {N_HIST_BUCKETS - 1}) AS BIGINT) AS bucket,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS bucket_min,
+       round(max(o_totalprice), 2) AS bucket_max
+FROM orders, b
+GROUP BY 1
+""",
+    tags=("relational", "aggregate", "histogram"),
+)
+def histogram_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of order totals: global min/max as a
+    1-row broadcast scalar (never a global sort), then a pure
+    expression bucket id — two scans, one count shuffle on ≤{N_HIST_BUCKETS}
+    keys. Bucket edges use the same IEEE double ops in both engines,
+    so assignment is bit-identical."""
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("lo"))
+            / (F.col("hi") - F.col("lo"))
+            * N_HIST_BUCKETS
+        ),
+        F.lit(N_HIST_BUCKETS - 1),
+    )
+    return (
+        orders.join(F.broadcast(bounds))
+        .groupBy(bucket.cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+    )

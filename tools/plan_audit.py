@@ -42,6 +42,7 @@ NESTED_LOOP_OK = {
     "q22_idle_rich_customers",  # 1-row scalar avg broadcast
     "minmax_by_lookup",  # 1-row argmax broadcast
     "stats_lineitem_summary",  # 1-row stats broadcast
+    "histogram_order_totalprice",  # 1-row min/max bounds broadcast
     "tfidf_top_terms",  # 1-row corpus-size broadcast
     "pipeline_source_mix",  # 1-row sampled-total broadcast
 }
