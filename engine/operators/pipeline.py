@@ -43,7 +43,8 @@ _SPLIT_BUCKET_DUCK = DUCK_H60.format(x="'split:' || CAST(doc_id AS VARCHAR)") + 
 @query(
     "pipeline_train_val_test_split",
     oracle=f"""
-SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT split, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM (
   SELECT doc_id, n_chars,
          CASE WHEN {_SPLIT_BUCKET_DUCK} < {TEST_PCT} THEN 'test'
@@ -459,10 +460,13 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_quality_funnel",
     oracle="""
 WITH m AS (
+  -- CAST AS DOUBLE, not "* 1.0": DuckDB parses 1.0 as DECIMAL and
+  -- decimal division lands differently than Spark's double division
+  -- exactly at the 0.82 / 5.3 / 5.7 predicate boundaries.
   SELECT n_chars >= 200 AS c_len,
-         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
            / greatest(length(text), 1) >= 0.82 AS c_alpha,
-         length(text) * 1.0 / len(string_split(text, ' '))
+         CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
            BETWEEN 5.3 AND 5.7 AS c_wlen
   FROM documents
 )

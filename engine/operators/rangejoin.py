@@ -28,6 +28,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from engine.functions.rounding import duck_round_he, round_he
 from engine.io import load_table
 from engine.registry import query
 
@@ -81,13 +82,13 @@ def range_join(
     oracle="""
 SELECT o_orderkey,
        count(event_id) AS n_events,
-       round(coalesce(sum(value), 0), 2) AS sum_value
+       {sum2} AS sum_value
 FROM orders
 LEFT JOIN events
   ON ts >= o_orderdate AND ts < o_orderdate + INTERVAL 1 DAY
 WHERE o_orderstatus = 'O'
 GROUP BY o_orderkey
-""",
+""".format(sum2=duck_round_he("coalesce(sum(value), 0)", 2)),
     tags=("rangejoin", "events", "join"),
 )
 def range_join_order_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,7 +112,7 @@ def range_join_order_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LEFT semantics: orders with no event in window keep a zero row.
     counts = matched.groupBy("o_orderkey").agg(
         F.count("event_id").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        round_he(F.sum("value"), 2).alias("sum_value"),
     )
     return (
         orders.select("o_orderkey")
@@ -144,18 +145,19 @@ monthly AS (
   FROM daily GROUP BY 1
 )
 SELECT 'hour' AS grain, bucket_start, n_events,
-       round(sum_value, 2) AS sum_value,
-       round(sum_value / n_events, 4) AS avg_value
+       {sum2} AS sum_value,
+       {avg4} AS avg_value
 FROM hourly
 UNION ALL
-SELECT 'day', bucket_start, n_events, round(sum_value, 2),
-       round(sum_value / n_events, 4)
+SELECT 'day', bucket_start, n_events, {sum2}, {avg4}
 FROM daily
 UNION ALL
-SELECT 'month', bucket_start, n_events, round(sum_value, 2),
-       round(sum_value / n_events, 4)
+SELECT 'month', bucket_start, n_events, {sum2}, {avg4}
 FROM monthly
-""",
+""".format(
+        sum2=duck_round_he("sum_value", 2),
+        avg4=duck_round_he("sum_value / n_events", 4),
+    ),
     tags=("rollup", "events", "timeseries"),
 )
 def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,8 +191,11 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(grain).alias("grain"),
             "bucket_start",
             "n_events",
-            F.round("sum_value", 2).alias("sum_value"),
-            F.round(F.col("sum_value") / F.col("n_events"), 4).alias("avg_value"),
+            # Half-up via identical IEEE ops on both engines — plain
+            # round() lands on decimal half-way boundaries here
+            # (ADVICE r1: 1702.33/40 = 42.55825).
+            round_he("sum_value", 2).alias("sum_value"),
+            round_he(F.col("sum_value") / F.col("n_events"), 4).alias("avg_value"),
         )
 
     return fmt(hourly, "hour").unionAll(fmt(daily, "day")).unionAll(

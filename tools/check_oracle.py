@@ -2,10 +2,13 @@
 
 Runs every registered query's Spark plan AND its oracle SQL at a given
 scale factor, then compares: row count, sorted column names, and values
-(rows sorted by all columns, numerics compared with tolerance). This is
-the fast feedback loop — run it after every operator lands:
+(rows sorted by all columns).  Comparison is EXACT by default — the
+driver hashes raw values, so a float that is merely within 1e-9 still
+hash-mismatches there (that is precisely how hypertable_rollup slipped
+through round 1).  Pass ``--tol`` to get the old tolerant comparison
+when debugging magnitude-level breakage:
 
-    python tools/check_oracle.py [--sf /root/testdata/sf0.01] [names...]
+    python tools/check_oracle.py [--sf /root/testdata/sf0.01] [--tol] [names...]
 """
 
 from __future__ import annotations
@@ -54,22 +57,28 @@ def _sort_key(row):
     )
 
 
-def _cells_equal(a, b) -> bool:
+def _cells_equal(a, b, tol: bool = False) -> bool:
     if a is None or b is None:
         return a is None and b is None
     if isinstance(a, float) or isinstance(b, float):
         if isinstance(a, str) or isinstance(b, str):  # NaN sentinel
             return a == b
         try:
-            return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
+            if tol:
+                return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
+            return float(a) == float(b)  # driver hashes exact values
         except (TypeError, ValueError):
             return a == b
     if isinstance(a, tuple) and isinstance(b, tuple):
-        return len(a) == len(b) and all(_cells_equal(x, y) for x, y in zip(a, b))
+        return len(a) == len(b) and all(
+            _cells_equal(x, y, tol) for x, y in zip(a, b)
+        )
     return a == b
 
 
-def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols) -> list[str]:
+def compare(
+    name: str, spark_rows, spark_cols, duck_rows, duck_cols, tol: bool = False
+) -> list[str]:
     errs = []
     if len(spark_rows) != len(duck_rows):
         errs.append(f"row count: spark={len(spark_rows)} duckdb={len(duck_rows)}")
@@ -88,7 +97,7 @@ def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols) -> list[str
     )
     n_bad = 0
     for i, (sr, dr) in enumerate(zip(s_data, d_data)):
-        if not all(_cells_equal(a, b) for a, b in zip(sr, dr)):
+        if not all(_cells_equal(a, b, tol) for a, b in zip(sr, dr)):
             n_bad += 1
             if n_bad <= 3:
                 errs.append(f"row {i}: spark={sr} duckdb={dr}")
@@ -100,6 +109,11 @@ def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols) -> list[str
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--tol",
+        action="store_true",
+        help="tolerant float comparison (1e-9) instead of driver-exact",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -141,7 +155,7 @@ def main() -> int:
             print(f"FAIL {name}: duckdb side raised\n{traceback.format_exc()}")
             n_fail += 1
             continue
-        errs = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        errs = compare(name, spark_rows, spark_cols, duck_rows, duck_cols, args.tol)
         if errs:
             print(f"FAIL {name} [{time.time()-t0:.1f}s]")
             for e in errs:
