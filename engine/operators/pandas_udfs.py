@@ -65,22 +65,12 @@ def zscore_purchases_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(per_user, schema=schema)
 
 
-@query(
-    "normalize_embeddings",
-    oracle="""
-SELECT vec_id,
-       list_transform(CAST(embedding AS DOUBLE[]),
-         e -> round(e / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                              CAST(embedding AS DOUBLE[]))), 6))
-         AS unit_vec
-FROM embeddings
-""",
-    tags=("pandas_udf", "similarity"),
-)
 def normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2-normalize embeddings with a scalar Arrow pandas_udf (numpy
-    vectorized over the whole batch — the right shape for per-vector
-    math that built-ins can't express efficiently)."""
+    """L2-normalize embeddings with a scalar Arrow pandas_udf — the
+    library form returning ``array<double>``.  Library-only: the
+    driver's value hash cannot canonicalize array columns (round-1
+    crash), so the registry ships the exploded scalar shape instead
+    (``embedding_transforms`` in similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))

@@ -21,23 +21,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-@query(
-    "w_top_customers_per_nation",
-    oracle="""
-WITH rev AS (
-  SELECT c_custkey, c_nationkey, round(sum(o_totalprice), 2) AS total_spend
-  FROM customer JOIN orders ON c_custkey = o_custkey
-  GROUP BY c_custkey, c_nationkey
-)
-SELECT n_name, c_custkey, total_spend, rnk FROM (
-  SELECT n_name, c_custkey, total_spend,
-         CAST(rank() OVER (PARTITION BY n_name
-                           ORDER BY total_spend DESC, c_custkey) AS BIGINT) AS rnk
-  FROM rev JOIN nation ON c_nationkey = n_nationkey
-) t WHERE rnk <= 3
-""",
-    tags=("window", "rank"),
-)
 def w_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 spenders per nation: agg → broadcast dim join → ranked
     window partitioned by nation (ties broken by custkey)."""
@@ -58,18 +41,6 @@ def w_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "w_running_purchase_totals",
-    oracle="""
-SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
-       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING), 2) AS running_value,
-       lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id,
-       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
-FROM events WHERE event_type = 'purchase'
-""",
-    tags=("window", "events"),
-)
 def w_running_purchase_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running purchase value + lag + sequence number."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
@@ -86,16 +57,6 @@ def w_running_purchase_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "w_moving_avg_value",
-    oracle="""
-SELECT event_id, user_id,
-       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mov_avg_7
-FROM events WHERE event_type = 'purchase'
-""",
-    tags=("window", "events"),
-)
 def w_moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-row sliding mean of purchase value per user."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
@@ -152,17 +113,6 @@ def w_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "w_supplier_rank_stats",
-    oracle="""
-SELECT s_suppkey, s_nationkey,
-       CAST(dense_rank() OVER (ORDER BY round(s_acctbal, 2) DESC) AS BIGINT) AS balance_rank,
-       round(percent_rank() OVER (ORDER BY round(s_acctbal, 2) DESC), 6) AS balance_pctile,
-       CAST(ntile(4) OVER (ORDER BY round(s_acctbal, 2) DESC, s_suppkey) AS BIGINT) AS quartile
-FROM supplier
-""",
-    tags=("window", "rank"),
-)
 def w_supplier_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dense_rank / percent_rank / ntile over supplier balances —
     WITHOUT a single-partition window. Global positions come from the
@@ -172,9 +122,16 @@ def w_supplier_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     - row number over (bal desc, suppkey) → NTILE via closed form;
     - rank(value) = min global row number within the value (partitioned
       window on the value) → percent_rank = (rank-1)/(N-1);
-    - dense_rank(value) = global row number over the DISTINCT-value
-      table (bounded by the value domain), joined back on value.
+    - dense_rank derives from the EXISTING numbering: the value-first
+      rows (_rn == value's rank) are one row per distinct value and
+      already carry their global position, so dense-numbering them
+      never re-scans or re-shuffles the base table (round-1 advice:
+      this halves the exchange count vs a second full global pass).
+      The distinct-value table is bounded by the value domain
+      (cents-rounded balances), so joining it back is a broadcast.
     """
+    from pyspark import StorageLevel
+
     from engine.operators.globalrank import ntile_expr, with_global_row_number
 
     supp = _t(spark, sf_dir, "supplier")
@@ -184,14 +141,16 @@ def w_supplier_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbered, n_rows = with_global_row_number(
         base, [F.col("_v").desc(), F.col("s_suppkey")], out_col="_rn"
     )
-    vals, _ = with_global_row_number(
-        base.select("_v").distinct(), [F.col("_v").desc()], out_col="_dense"
-    )
     w_val = W.partitionBy("_v")
+    # Feeds the value-first extraction AND the final projection.
+    ranked = numbered.withColumn("_rank", F.min("_rn").over(w_val)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    firsts = ranked.filter(F.col("_rn") == F.col("_rank")).select("_v", "_rank")
+    vals, _ = with_global_row_number(firsts, [F.col("_rank")], out_col="_dense")
     pr_denom = max(n_rows - 1, 1)  # single row ⇒ percent_rank 0.0
     return (
-        numbered.join(vals, "_v")
-        .withColumn("_rank", F.min("_rn").over(w_val))
+        ranked.join(F.broadcast(vals.select("_v", "_dense")), "_v")
         .select(
             "s_suppkey",
             "s_nationkey",
@@ -261,22 +220,6 @@ def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "w_order_value_shifts",
-    oracle="""
-SELECT o_custkey, o_orderkey,
-       round(lead(o_totalprice) OVER w, 2) AS next_price,
-       round(first_value(o_totalprice) OVER w, 2) AS first_price,
-       round(last_value(o_totalprice)
-             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
-         AS last_price,
-       round(cume_dist() OVER w, 6) AS date_cume_dist
-FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-""",
-    tags=("window", "navigation"),
-)
 def w_order_value_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Navigation-function surface — lead / first_value / last_value
     (full frame) / cume_dist — over each customer's order history.
@@ -293,3 +236,112 @@ def w_order_value_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("o_totalprice").over(w_full), 2).alias("last_price"),
         F.round(F.cume_dist().over(w), 6).alias("date_cume_dist"),
     )
+
+
+# -- consolidated registry queries -----------------------------------------
+#
+# The driver's correctness gate records ~50 entries, so the per-frame /
+# per-ranking variants above are library forms; the registry ships two
+# federated queries that exercise the full surface in fewer rows.
+
+
+@query(
+    "w_frames_navigation",
+    oracle="""
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+       CAST(row_number() OVER w AS BIGINT) AS seq,
+       lag(event_id) OVER w AS prev_event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_value,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+         AS mov_avg_7,
+       round(lead(value) OVER w, 2) AS next_value,
+       round(first_value(value) OVER w, 2) AS first_val,
+       round(last_value(value)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+         AS last_val,
+       round(cume_dist() OVER w, 6) AS ts_cume_dist
+FROM events WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    tags=("window", "navigation", "events"),
+)
+def w_frames_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full frame + navigation function surface over one window:
+    row_number / lag / running sum / 7-row sliding mean / lead /
+    first_value / last_value (full frame) / cume_dist, all partitioned
+    by user_id over purchase events.  ONE shuffle serves every frame
+    variant — the reason to federate these is exactly the reason it is
+    the right production shape: each former single-function query paid
+    the same window shuffle to demonstrate one function."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(W.unboundedPreceding, 0)
+    w_mov = w.rowsBetween(-6, 0)
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.row_number().over(w).cast("bigint").alias("seq"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.round(F.sum("value").over(w_run), 2).alias("running_value"),
+        F.round(F.avg("value").over(w_mov), 4).alias("mov_avg_7"),
+        F.round(F.lead("value").over(w), 2).alias("next_value"),
+        F.round(F.first("value").over(w), 2).alias("first_val"),
+        F.round(F.last("value").over(w_full), 2).alias("last_val"),
+        F.round(F.cume_dist().over(w), 6).alias("ts_cume_dist"),
+    )
+
+
+@query(
+    "w_rankings",
+    oracle="""
+WITH rev AS (
+  SELECT c_custkey, c_nationkey, round(sum(o_totalprice), 2) AS total_spend
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey, c_nationkey
+)
+SELECT 'top_customer' AS facet, n_name AS grp, c_custkey AS key,
+       rnk, CAST(NULL AS BIGINT) AS rnk2, total_spend AS x
+FROM (
+  SELECT n_name, c_custkey, total_spend,
+         CAST(rank() OVER (PARTITION BY n_name
+                           ORDER BY total_spend DESC, c_custkey) AS BIGINT) AS rnk
+  FROM rev JOIN nation ON c_nationkey = n_nationkey
+) t WHERE rnk <= 3
+UNION ALL
+SELECT 'supplier_balance', CAST(s_nationkey AS VARCHAR), s_suppkey,
+       CAST(dense_rank() OVER (ORDER BY round(s_acctbal, 2) DESC) AS BIGINT),
+       CAST(ntile(4) OVER (ORDER BY round(s_acctbal, 2) DESC, s_suppkey) AS BIGINT),
+       round(percent_rank() OVER (ORDER BY round(s_acctbal, 2) DESC), 6)
+FROM supplier
+""",
+    tags=("window", "rank"),
+)
+def w_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking surface, two facets: partitioned top-k (`top_customer`:
+    rank() per nation, k=3) and global ranking without a global window
+    (`supplier_balance`: dense_rank / ntile / percent_rank via the
+    range-partition + broadcast-offset machinery in globalrank.py).
+    The oracle's plain OVER () windows are the semantics; the Spark
+    plan never funnels rows through one task."""
+    top = w_top_customers_per_nation(spark, sf_dir).select(
+        F.lit("top_customer").alias("facet"),
+        F.col("n_name").alias("grp"),
+        F.col("c_custkey").alias("key"),
+        "rnk",
+        F.lit(None).cast("bigint").alias("rnk2"),
+        F.col("total_spend").alias("x"),
+    )
+    supp = w_supplier_rank_stats(spark, sf_dir).select(
+        F.lit("supplier_balance").alias("facet"),
+        F.col("s_nationkey").cast("string").alias("grp"),
+        F.col("s_suppkey").alias("key"),
+        F.col("balance_rank").alias("rnk"),
+        F.col("quartile").alias("rnk2"),
+        F.col("balance_pctile").alias("x"),
+    )
+    return top.unionAll(supp)

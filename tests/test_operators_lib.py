@@ -133,9 +133,11 @@ def test_lsh_dedup_recall_floors(spark):
 
     q = all_queries()
     sf = SF_SMOKE
+    from engine.operators.similarity import embedding_near_dups_brute
+
     brute = {
         (r.vec_a, r.vec_b)
-        for r in q["embedding_near_dups_brute"].fn(spark, sf).collect()
+        for r in embedding_near_dups_brute(spark, sf).collect()
     }
     lsh = {
         (r.vec_a, r.vec_b) for r in q["sign_lsh_near_dups"].fn(spark, sf).collect()
