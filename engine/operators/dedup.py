@@ -79,17 +79,6 @@ def _spark_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "dedup_exact",
-    oracle="""
-SELECT sha256(text) AS content_hash,
-       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
-       count(*) AS n_copies
-FROM documents
-GROUP BY sha256(text)
-""",
-    tags=("dedup", "exact"),
-)
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash: one shuffle keyed on sha256(text),
     keep the lowest doc_id per group. At 100 TB, group on the 32-byte
@@ -299,11 +288,6 @@ simh AS (
 """
 
 
-@query(
-    "simhash_fingerprint",
-    oracle=f"WITH {_DUCK_SIMHASH} SELECT doc_id, simhash FROM simh",
-    tags=("dedup", "simhash"),
-)
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (Charikar'02): weighted bit votes
     from token-frequency counts. One narrow aggregation pipeline —
@@ -345,9 +329,7 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "simhash_near_pairs",
-    oracle=f"""
+_SIMHASH_PAIRS_ORACLE_BODY = f"""
 WITH {_DUCK_SIMHASH},
 chunks AS (
   SELECT doc_id, simhash, c.chunk_id,
@@ -365,17 +347,21 @@ SELECT doc_a, doc_b,
        CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
 FROM cand
 WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}
-""",
-    tags=("dedup", "simhash", "lsh"),
-)
+"""
+
+
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with pigeonhole blocking: hamming ≤ 3
     over 60 bits ⇒ at least one of four 15-bit chunks is equal, so the
     join key is (chunk_id, chunk_val) — never all-pairs."""
-    docs = load_table(spark, sf_dir, "documents")
     # Both join sides derive from the fingerprint table (1 row/doc);
     # persisted so the 3-stage SimHash pipeline runs once.
     simh = simhash_fingerprint(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    return _simhash_pairs_from(simh)
+
+
+def _simhash_pairs_from(simh: DataFrame) -> DataFrame:
+    """Pigeonhole-blocked pair search over a (doc_id, simhash) table."""
     chunks = simh.select(
         "doc_id",
         "simhash",
@@ -407,9 +393,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 CC_MAX_ROUNDS = 50  # safety bound; near-dup graphs have tiny diameter
 
 
-@query(
-    "dedup_canonical_components",
-    oracle=f"""
+_COMPONENTS_ORACLE = f"""
 WITH RECURSIVE {_DUCK_MINHASH},
 p AS (
   SELECT c.doc_a, c.doc_b
@@ -432,9 +416,9 @@ walk(src, dst) AS (
 )
 SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS canonical_id
 FROM walk GROUP BY src
-""",
-    tags=("dedup", "connected-components", "iterative"),
-)
+"""
+
+
 def dedup_canonical_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster resolution: connected components over the
     MinHash near-dup pair graph; every clustered document maps to the
@@ -489,3 +473,81 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
     else:  # pragma: no cover - CC_MAX_ROUNDS >> any real diameter
         raise RuntimeError("connected components did not converge")
     return labels
+
+
+# -- consolidated registry queries -----------------------------------------
+
+
+@query(
+    "dedup_exact_components",
+    oracle=f"""
+SELECT 'exact' AS facet, sha256(text) AS key,
+       CAST(min(doc_id) AS BIGINT) AS doc_id, count(*) AS n
+FROM documents
+GROUP BY sha256(text)
+UNION ALL
+SELECT 'component', CAST(doc_id AS VARCHAR), canonical_id, CAST(NULL AS BIGINT)
+FROM ({_COMPONENTS_ORACLE.replace('WITH RECURSIVE', 'WITH RECURSIVE ').strip()}) cc
+""",
+    tags=("dedup", "exact", "connected-components"),
+)
+def dedup_exact_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-resolution dedup surface, two facets: `exact`
+    (sha256-content groups: key = content hash, doc_id = kept min,
+    n = copy count — one shuffle keyed on the 32-byte hash so shuffle
+    volume is O(corpus count) not O(corpus bytes)) and `component`
+    (connected components over the MinHash near-dup graph via
+    iterative min-label propagation: key = member doc, doc_id = the
+    component's canonical minimum). The iterative propagation is the
+    genuinely non-SQL-shaped operator here; the recursive-CTE oracle
+    proves it exact."""
+    exact = dedup_exact(spark, sf_dir).select(
+        F.lit("exact").alias("facet"),
+        F.col("content_hash").alias("key"),
+        F.col("keep_doc_id").alias("doc_id"),
+        F.col("n_copies").alias("n"),
+    )
+    comp = dedup_canonical_components(spark, sf_dir).select(
+        F.lit("component").alias("facet"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("canonical_id").alias("doc_id"),
+        F.lit(None).cast("bigint").alias("n"),
+    )
+    return exact.unionAll(comp)
+
+
+@query(
+    "simhash_dedup",
+    oracle=f"""
+WITH {_DUCK_SIMHASH}
+SELECT 'fingerprint' AS facet, doc_id AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
+       CAST(NULL AS INT) AS hamming, simhash
+FROM simh
+UNION ALL
+SELECT 'near_pair', doc_a, doc_b, hamming, CAST(NULL AS BIGINT)
+FROM ({_SIMHASH_PAIRS_ORACLE_BODY.strip()}) np
+""",
+    tags=("dedup", "simhash", "lsh"),
+)
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup, two facets: `fingerprint` (the 60-bit Charikar
+    fingerprint per document) and `near_pair` (hamming ≤ 3 pairs found
+    via pigeonhole chunk blocking — never all-pairs). The fingerprint
+    table feeds the pair search, so the federated query computes it
+    once and shows both the index and its use."""
+    simh = simhash_fingerprint(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    fp = simh.select(
+        F.lit("fingerprint").alias("facet"),
+        F.col("doc_id").alias("doc_a"),
+        F.lit(None).cast("bigint").alias("doc_b"),
+        F.lit(None).cast("int").alias("hamming"),
+        "simhash",
+    )
+    pairs = _simhash_pairs_from(simh).select(
+        F.lit("near_pair").alias("facet"),
+        "doc_a",
+        "doc_b",
+        "hamming",
+        F.lit(None).cast("bigint").alias("simhash"),
+    )
+    return fp.unionAll(pairs)

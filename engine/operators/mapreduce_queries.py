@@ -60,18 +60,6 @@ def grep_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "token_topk",
-    oracle="""
-SELECT token, count(*) AS cnt
-FROM (SELECT unnest(string_split_regex(lower(text), '[ \t]')) AS token
-      FROM documents) t
-GROUP BY token
-ORDER BY cnt DESC, token
-LIMIT 20
-""",
-    tags=("mapreduce", "wordcount", "topk"),
-)
 def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 tokens: wordcount + TakeOrderedAndProject (per-partition
     heaps — no global sort of the vocabulary)."""

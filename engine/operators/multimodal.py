@@ -116,19 +116,6 @@ def extract_blob_meta(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
 _H_CK = DUCK_H60.format(x="md5(text)")
 
 
-@query(
-    "multimodal_blob_meta",
-    oracle=f"""
-SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       md5(text) AS checksum,
-       CAST({_H_CK} % 1920 + 1 AS INT) AS fake_width,
-       CAST(({_H_CK} // 1920) % 1080 + 1 AS INT) AS fake_height,
-       CAST({_H_CK} % 3 + 1 AS INT) AS fake_channels
-FROM documents
-""",
-    tags=("multimodal", "pandas_udf"),
-)
 def multimodal_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal plumbing: synthesize the binary payload
     column (UTF-8 bytes of text — stands in for image bytes), then run
@@ -194,22 +181,6 @@ def sample_frames(
     return df.select(id_col, blob_col).mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
-@query(
-    "multimodal_frame_sample",
-    oracle=f"""
-SELECT doc_id,
-       CAST(i AS INT) AS frame_idx,
-       CAST((greatest(length(text) - {FRAME_LEN}, 0) * i)
-            // greatest({N_FRAMES} - 1, 1) + 1 AS BIGINT) AS char_start,
-       md5(substring(text,
-            CAST((greatest(length(text) - {FRAME_LEN}, 0) * i)
-                 // greatest({N_FRAMES} - 1, 1) + 1 AS INT),
-            {FRAME_LEN})) AS frame_checksum
-FROM documents
-CROSS JOIN (SELECT unnest(range(0, {N_FRAMES})) AS i) f
-""",
-    tags=("multimodal", "pandas_udf", "frames"),
-)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evenly-spaced frame sampling from binary payloads (text bytes as
     the stand-in video): 4 frames × 32 chars, checksummed. The oracle
@@ -220,23 +191,6 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(with_blob, "doc_id", "payload")
 
 
-@query(
-    "multimodal_resize_dims",
-    oracle=f"""
-SELECT doc_id, fake_width, fake_height,
-       CAST(greatest(fake_width * 224 // greatest(fake_width, fake_height), 1)
-            AS INT) AS out_width,
-       CAST(greatest(fake_height * 224 // greatest(fake_width, fake_height), 1)
-            AS INT) AS out_height
-FROM (
-  SELECT doc_id,
-         CAST({_H_CK} % 1920 + 1 AS INT) AS fake_width,
-         CAST(({_H_CK} // 1920) % 1080 + 1 AS INT) AS fake_height
-  FROM documents
-)
-""",
-    tags=("multimodal", "resize"),
-)
 def multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize-to-fit-224 dimension planning over the decoded metadata —
     integer math only (reproducible everywhere); a real resize kernel
@@ -255,3 +209,108 @@ def multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("out_height"),
     )
+
+
+# -- consolidated registry query -------------------------------------------
+
+
+@query(
+    "multimodal_facets",
+    oracle=f"""
+WITH meta AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS checksum,
+         CAST({_H_CK} % 1920 + 1 AS INT) AS fake_width,
+         CAST(({_H_CK} // 1920) % 1080 + 1 AS INT) AS fake_height,
+         CAST({_H_CK} % 3 + 1 AS INT) AS fake_channels
+  FROM documents
+)
+SELECT 'meta' AS facet, doc_id, CAST(NULL AS INT) AS idx, n_bytes, checksum,
+       fake_width AS d1, fake_height AS d2, fake_channels AS d3
+FROM meta
+UNION ALL
+SELECT 'frame', doc_id, CAST(i AS INT),
+       CAST((greatest(length(text) - {FRAME_LEN}, 0) * i)
+            // greatest({N_FRAMES} - 1, 1) + 1 AS BIGINT),
+       md5(substring(text,
+            CAST((greatest(length(text) - {FRAME_LEN}, 0) * i)
+                 // greatest({N_FRAMES} - 1, 1) + 1 AS INT),
+            {FRAME_LEN})),
+       CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT)
+FROM documents
+CROSS JOIN (SELECT unnest(range(0, {N_FRAMES})) AS i) f
+UNION ALL
+SELECT 'resize', doc_id, CAST(NULL AS INT), CAST(NULL AS BIGINT),
+       CAST(NULL AS VARCHAR),
+       CAST(greatest(fake_width * 224 // greatest(fake_width, fake_height), 1)
+            AS INT),
+       CAST(greatest(fake_height * 224 // greatest(fake_width, fake_height), 1)
+            AS INT),
+       CAST(NULL AS INT)
+FROM meta
+""",
+    tags=("multimodal", "pandas_udf", "frames", "resize"),
+)
+def multimodal_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal plumbing surface, three facets over the synthetic
+    binary payload column (UTF-8 text bytes standing in for image /
+    video bytes — real codecs are a container limitation, see module
+    docstring):
+
+    - `meta`:   Arrow-batched mapInPandas decode → (n_bytes, checksum,
+                fake WxHxC) — d1/d2/d3 = width/height/channels;
+    - `frame`:  1→N frame sampling (4 evenly-spaced 32-char slices,
+                checksummed) — idx = frame index, n_bytes = char_start;
+    - `resize`: fit-to-224 dimension planning from the decoded
+                metadata — d1/d2 = out_width/out_height.
+
+    The oracle recomputes all three in pure SQL, pinning the whole
+    Python/Arrow round trip byte-for-byte. Zero shuffle: every facet is
+    embarrassingly parallel over the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_blob = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    # meta feeds its own facet AND the resize facet — persist the
+    # mapInPandas output so the decode runs once per payload.
+    from pyspark import StorageLevel
+
+    meta = extract_blob_meta(with_blob, "doc_id", "payload").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    null_i = F.lit(None).cast("int")
+    m = meta.select(
+        F.lit("meta").alias("facet"),
+        "doc_id",
+        null_i.alias("idx"),
+        "n_bytes",
+        "checksum",
+        F.col("fake_width").alias("d1"),
+        F.col("fake_height").alias("d2"),
+        F.col("fake_channels").alias("d3"),
+    )
+    fr = sample_frames(with_blob, "doc_id", "payload").select(
+        F.lit("frame").alias("facet"),
+        "doc_id",
+        F.col("frame_idx").alias("idx"),
+        F.col("char_start").alias("n_bytes"),
+        F.col("frame_checksum").alias("checksum"),
+        null_i.alias("d1"),
+        null_i.alias("d2"),
+        null_i.alias("d3"),
+    )
+    longest = F.greatest("fake_width", "fake_height")
+    rz = meta.select(
+        F.lit("resize").alias("facet"),
+        "doc_id",
+        null_i.alias("idx"),
+        F.lit(None).cast("bigint").alias("n_bytes"),
+        F.lit(None).cast("string").alias("checksum"),
+        F.greatest(F.expr("fake_width * 224") / longest, F.lit(1))
+        .cast("int")
+        .alias("d1"),
+        F.greatest(F.expr("fake_height * 224") / longest, F.lit(1))
+        .cast("int")
+        .alias("d2"),
+        null_i.alias("d3"),
+    )
+    return m.unionAll(fr).unionAll(rz)

@@ -74,17 +74,6 @@ def pipeline_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query(
-    "pipeline_stratified_sample",
-    oracle=f"""
-SELECT lang, count(*) AS n_sampled
-FROM documents
-WHERE {DUCK_H60.format(x="'sample:' || CAST(doc_id AS VARCHAR)")} % 100
-      < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 30 ELSE 50 END
-GROUP BY lang
-""",
-    tags=("pipeline", "sampling", "documents"),
-)
 def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language sampling rates (downsample the dominant language,
     keep more of the rare ones) as ONE hash predicate — the mixing
@@ -106,21 +95,6 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pipeline_source_mix",
-    oracle=f"""
-WITH sampled AS (
-  SELECT source FROM documents
-  WHERE {DUCK_H60.format(x="'mix:' || CAST(doc_id AS VARCHAR)")} % 1000
-        < CASE source WHEN 'web' THEN 200 WHEN 'books' THEN 800
-                      WHEN 'code' THEN 600 ELSE 400 END
-)
-SELECT source, count(*) AS n_docs,
-       round(count(*) * 1.0 / (SELECT count(*) FROM sampled), 4) AS frac
-FROM sampled GROUP BY source
-""",
-    tags=("pipeline", "sampling", "documents"),
-)
 def pipeline_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted source mixing (web downweighted, books upweighted...)
     via per-source keep-rates out of 1000 — the data-mixture step of a
@@ -149,25 +123,6 @@ def pipeline_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pipeline_doc_chunks",
-    oracle=f"""
-WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-)
-SELECT doc_id,
-       CAST(c AS BIGINT) AS chunk_id,
-       CAST(c * {CHUNK_STRIDE} + 1 AS BIGINT) AS tok_start,
-       CAST(least(c * {CHUNK_STRIDE} + {CHUNK_TOKENS}, len(t)) AS BIGINT) AS tok_end,
-       array_to_string(t[c * {CHUNK_STRIDE} + 1 :
-                         least(c * {CHUNK_STRIDE} + {CHUNK_TOKENS}, len(t))], ' ')
-         AS chunk_text
-FROM toks
-CROSS JOIN unnest(range(0, greatest((len(t) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
-                                    // {CHUNK_STRIDE}, 0) + 1)) AS r(c)
-""",
-    tags=("pipeline", "chunking", "documents"),
-)
 def pipeline_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping fixed-size token windows ({CHUNK_TOKENS} tokens,
     stride {CHUNK_STRIDE}) per document — the context-window packing
@@ -197,22 +152,6 @@ def pipeline_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pipeline_vocab",
-    oracle=f"""
-WITH tf AS (
-  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
-),
-counted AS (
-  SELECT token, count(*) AS freq FROM tf WHERE token <> '' GROUP BY token
-)
-SELECT token, freq,
-       CAST(row_number() OVER (ORDER BY freq DESC, token) - 1 AS BIGINT)
-         AS token_id
-FROM counted WHERE freq >= {VOCAB_MIN_FREQ}
-""",
-    tags=("pipeline", "vocab", "documents"),
-)
 def pipeline_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary construction: corpus token counts, min-frequency
     cutoff, ids by (freq desc, token) — stable across runs/engines.
@@ -245,21 +184,6 @@ _URL_RE = "https?://[^ ]+"
 _EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
 
-@query(
-    "pipeline_scrub_text",
-    oracle=f"""
-SELECT doc_id,
-       length(text) AS n_chars_before,
-       length(regexp_replace(regexp_replace(text, '{_URL_RE}', '<URL>', 'g'),
-                             '{_EMAIL_RE}', '<EMAIL>', 'g')) AS n_chars_after,
-       length(text) - length(regexp_replace(text, '{_URL_RE}', '', 'g'))
-         AS url_chars,
-       length(text) - length(regexp_replace(text, '{_EMAIL_RE}', '', 'g'))
-         AS email_chars
-FROM documents
-""",
-    tags=("pipeline", "scrub", "documents"),
-)
 def pipeline_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII/URL scrubbing audit: URLs → <URL>, emails → <EMAIL>, with
     per-document before/after char accounting. Pure regexp_replace —
@@ -282,23 +206,6 @@ def pipeline_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pipeline_bigram_counts",
-    oracle="""
-WITH toks AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
-),
-bi AS (
-  SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
-                i -> t[i] || ' ' || t[i+1])) AS bigram
-  FROM toks
-)
-SELECT bigram, count(*) AS freq
-FROM bi WHERE bigram IS NOT NULL
-GROUP BY bigram HAVING count(*) >= 5
-""",
-    tags=("pipeline", "ngram", "documents"),
-)
 def pipeline_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram frequencies (min-count 5) — the n-gram LM /
     contamination-check statistic. Tokenize once, slide a 2-window via
@@ -339,27 +246,6 @@ _DECON_EVAL_DUCK = (
 )
 
 
-@query(
-    "pipeline_decontaminate",
-    oracle=f"""
-WITH toks AS (
-  SELECT doc_id, {_DECON_EVAL_DUCK} AS is_eval,
-         string_split(lower(text), ' ') AS t
-  FROM documents
-),
-grams AS (
-  SELECT DISTINCT doc_id, is_eval,
-         {DUCK_H60.format(x="array_to_string(t[i : i + " + str(DECON_NGRAM - 1) + "], ' ')")} AS g
-  FROM toks
-  CROSS JOIN unnest(range(1, greatest(len(t) - {DECON_NGRAM - 1}, 1) + 1)) AS r(i)
-)
-SELECT tr.doc_id, count(*) AS n_shared_grams
-FROM (SELECT doc_id, g FROM grams WHERE NOT is_eval) tr
-JOIN (SELECT DISTINCT g FROM grams WHERE is_eval) ev USING (g)
-GROUP BY tr.doc_id
-""",
-    tags=("pipeline", "decontamination", "documents"),
-)
 def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     word-{DECON_NGRAM}-gram with the held-out eval slice (deterministic
@@ -405,26 +291,6 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pipeline_pack_sequences",
-    oracle=f"""
-WITH d AS (
-  SELECT doc_id,
-         {DUCK_H60.format(x="'pack:' || CAST(doc_id AS VARCHAR)")} % {PACK_BUCKETS}
-           AS bucket,
-         len(string_split(text, ' ')) AS n_tokens
-  FROM documents
-)
-SELECT CAST(bucket AS BIGINT) AS bucket, doc_id,
-       CAST(n_tokens AS BIGINT) AS n_tokens,
-       CAST(COALESCE(sum(n_tokens) OVER w, 0) // {PACK_CTX} AS BIGINT) AS seq_id,
-       CAST(COALESCE(sum(n_tokens) OVER w, 0) % {PACK_CTX} AS BIGINT) AS seq_offset
-FROM d
-WINDOW w AS (PARTITION BY bucket ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-""",
-    tags=("pipeline", "packing", "documents"),
-)
 def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (concat-and-split): documents are concatenated
     in deterministic order within {PACK_BUCKETS} independent hash
@@ -456,29 +322,6 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pipeline_quality_funnel",
-    oracle="""
-WITH m AS (
-  -- CAST AS DOUBLE, not "* 1.0": DuckDB parses 1.0 as DECIMAL and
-  -- decimal division lands differently than Spark's double division
-  -- exactly at the 0.82 / 5.3 / 5.7 predicate boundaries.
-  SELECT n_chars >= 200 AS c_len,
-         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-           / greatest(length(text), 1) >= 0.82 AS c_alpha,
-         CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
-           BETWEEN 5.3 AND 5.7 AS c_wlen
-  FROM documents
-)
-SELECT count(*) AS n_total,
-       sum(CASE WHEN c_len THEN 1 ELSE 0 END) AS n_after_len,
-       sum(CASE WHEN c_len AND c_alpha THEN 1 ELSE 0 END) AS n_after_alpha,
-       sum(CASE WHEN c_len AND c_alpha AND c_wlen THEN 1 ELSE 0 END)
-         AS n_after_wordlen
-FROM m
-""",
-    tags=("pipeline", "quality", "documents"),
-)
 def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter cascade attrition audit: minimum length →
     alphabetic-character ratio → mean-word-length band, reported as
@@ -517,18 +360,6 @@ _RES_KEY_SPARK = SPARK_H60.format(x="concat('res:', cast(doc_id as string))")
 _RES_KEY_DUCK = DUCK_H60.format(x="'res:' || CAST(doc_id AS VARCHAR)")
 
 
-@query(
-    "pipeline_reservoir_per_source",
-    oracle=f"""
-SELECT source, doc_id, n_chars FROM (
-  SELECT source, doc_id, n_chars,
-         row_number() OVER (PARTITION BY source ORDER BY {_RES_KEY_DUCK}, doc_id)
-           AS rk
-  FROM documents
-) t WHERE rk <= {RESERVOIR_K}
-""",
-    tags=("pipeline", "sampling", "documents"),
-)
 def pipeline_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fixed-SIZE sample of {RESERVOIR_K} docs per source
     (vs the rate-based samplers): rank by a salted hash priority and
@@ -546,3 +377,346 @@ def pipeline_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rk") <= RESERVOIR_K)
         .select("source", "doc_id", "n_chars")
     )
+
+
+# -- consolidated registry queries -----------------------------------------
+#
+# The driver's correctness gate records ~50 entries, so the single-step
+# queries above are library forms; the registry ships federated or
+# composed queries. Compositions (scrub→chunk, decontaminate→pack) are
+# the honest production lineage anyway: nobody chunks unscrubbed text
+# or packs contaminated documents.
+
+
+@query(
+    "pipeline_samplers",
+    oracle=f"""
+SELECT 'stratified' AS facet, lang AS grp, CAST(NULL AS BIGINT) AS doc_id,
+       count(*) AS n
+FROM documents
+WHERE {DUCK_H60.format(x="'sample:' || CAST(doc_id AS VARCHAR)")} % 100
+      < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 30 ELSE 50 END
+GROUP BY lang
+UNION ALL
+SELECT 'reservoir', source, doc_id, CAST(n_chars AS BIGINT) FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY {_RES_KEY_DUCK}, doc_id)
+           AS rk
+  FROM documents
+) t WHERE rk <= {RESERVOIR_K}
+""",
+    tags=("pipeline", "sampling", "documents"),
+)
+def pipeline_samplers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two sampling families, federated: `stratified` (rate-based
+    per-language hash-predicate sampling — grp = lang, n = kept count)
+    and `reservoir` (fixed-size top-RESERVOIR_K per source by salted
+    hash priority, WindowGroupLimit plan — grp = source, one row per
+    kept doc with n = n_chars). Both are deterministic hash machinery:
+    no rand(), retry-safe, engine-reproducible."""
+    strat = pipeline_stratified_sample(spark, sf_dir).select(
+        F.lit("stratified").alias("facet"),
+        F.col("lang").alias("grp"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.col("n_sampled").alias("n"),
+    )
+    res = pipeline_reservoir_per_source(spark, sf_dir).select(
+        F.lit("reservoir").alias("facet"),
+        F.col("source").alias("grp"),
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n"),
+    )
+    return strat.unionAll(res)
+
+
+@query(
+    "pipeline_mix_funnel",
+    oracle=f"""
+WITH sampled AS (
+  SELECT source FROM documents
+  WHERE {DUCK_H60.format(x="'mix:' || CAST(doc_id AS VARCHAR)")} % 1000
+        < CASE source WHEN 'web' THEN 200 WHEN 'books' THEN 800
+                      WHEN 'code' THEN 600 ELSE 400 END
+),
+m AS (
+  SELECT n_chars >= 200 AS c_len,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) >= 0.82 AS c_alpha,
+         CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
+           BETWEEN 5.3 AND 5.7 AS c_wlen
+  FROM documents
+),
+funnel AS (
+  SELECT count(*) AS n_total,
+         sum(CASE WHEN c_len THEN 1 ELSE 0 END) AS n_after_len,
+         sum(CASE WHEN c_len AND c_alpha THEN 1 ELSE 0 END) AS n_after_alpha,
+         sum(CASE WHEN c_len AND c_alpha AND c_wlen THEN 1 ELSE 0 END)
+           AS n_after_wordlen
+  FROM m
+)
+SELECT 'mix' AS facet, source AS key, count(*) AS n,
+       round(count(*) * 1.0 / (SELECT count(*) FROM sampled), 4) AS frac
+FROM sampled GROUP BY source
+UNION ALL
+SELECT 'funnel', stage, n, CAST(NULL AS DOUBLE) FROM (
+  SELECT 'n_total' AS stage, n_total AS n FROM funnel
+  UNION ALL SELECT 'n_after_len', n_after_len FROM funnel
+  UNION ALL SELECT 'n_after_alpha', n_after_alpha FROM funnel
+  UNION ALL SELECT 'n_after_wordlen', n_after_wordlen FROM funnel
+) s
+""",
+    tags=("pipeline", "sampling", "quality", "documents"),
+)
+def pipeline_mix_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-assembly dashboards, federated: `mix` (weighted source
+    mixing via per-source keep rates — key = source, n = kept docs,
+    frac = share of the mixture) and `funnel` (quality-filter cascade
+    attrition — key = stage name, n = surviving docs). The funnel's
+    single wide row is unpivoted to rows so every number rides the
+    same facet schema."""
+    mix = pipeline_source_mix(spark, sf_dir).select(
+        F.lit("mix").alias("facet"),
+        F.col("source").alias("key"),
+        F.col("n_docs").alias("n"),
+        "frac",
+    )
+    funnel = pipeline_quality_funnel(spark, sf_dir).select(
+        F.expr(
+            "stack(4, 'n_total', n_total, 'n_after_len', n_after_len,"
+            " 'n_after_alpha', n_after_alpha, 'n_after_wordlen', n_after_wordlen)"
+        ).alias("key", "n")
+    ).select(
+        F.lit("funnel").alias("facet"),
+        "key",
+        "n",
+        F.lit(None).cast("double").alias("frac"),
+    )
+    return mix.unionAll(funnel)
+
+
+@query(
+    "pipeline_scrub_chunks",
+    oracle=f"""
+WITH scrubbed AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(text, '{_URL_RE}', '<URL>', 'g'),
+                        '{_EMAIL_RE}', '<EMAIL>', 'g') AS stext
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, string_split(stext, ' ') AS t FROM scrubbed
+)
+SELECT 'scrub' AS facet, doc_id, CAST(NULL AS BIGINT) AS chunk_id,
+       CAST(length(text) AS BIGINT) AS n1,
+       CAST(length(stext) AS BIGINT) AS n2,
+       CAST(length(text) - length(regexp_replace(text, '{_URL_RE}', '', 'g'))
+            AS BIGINT) AS n3,
+       CAST(length(text) - length(regexp_replace(text, '{_EMAIL_RE}', '', 'g'))
+            AS BIGINT) AS n4,
+       CAST(NULL AS VARCHAR) AS txt
+FROM scrubbed
+UNION ALL
+SELECT 'chunk', doc_id, CAST(c AS BIGINT),
+       CAST(c * {CHUNK_STRIDE} + 1 AS BIGINT),
+       CAST(least(c * {CHUNK_STRIDE} + {CHUNK_TOKENS}, len(t)) AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       array_to_string(t[c * {CHUNK_STRIDE} + 1 :
+                         least(c * {CHUNK_STRIDE} + {CHUNK_TOKENS}, len(t))], ' ')
+FROM toks
+CROSS JOIN unnest(range(0, greatest((len(t) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
+                                    // {CHUNK_STRIDE}, 0) + 1)) AS r(c)
+""",
+    tags=("pipeline", "scrub", "chunking", "documents"),
+)
+def pipeline_scrub_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub → chunk composition: URLs/emails are replaced with
+    placeholder tags, then the CLEANED text is windowed into
+    overlapping training chunks (CHUNK_TOKENS tokens, CHUNK_STRIDE
+    stride). Facets: `scrub` (per-doc audit: n1/n2 = chars
+    before/after, n3/n4 = url/email chars removed) and `chunk` (one
+    row per chunk of scrubbed text: chunk_id, n1/n2 = token
+    start/end, txt = chunk text). All JVM regexp/array expressions,
+    zero shuffle — the full pipeline is a narrow map at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    stext = F.regexp_replace(
+        F.regexp_replace("text", _URL_RE, "<URL>"), _EMAIL_RE, "<EMAIL>"
+    )
+    scrubbed = docs.select("doc_id", "text", stext.alias("stext"))
+    null_b = F.lit(None).cast("bigint")
+    audit = scrubbed.select(
+        F.lit("scrub").alias("facet"),
+        "doc_id",
+        null_b.alias("chunk_id"),
+        F.length("text").cast("bigint").alias("n1"),
+        F.length("stext").cast("bigint").alias("n2"),
+        (F.length("text") - F.length(F.regexp_replace("text", _URL_RE, "")))
+        .cast("bigint")
+        .alias("n3"),
+        (F.length("text") - F.length(F.regexp_replace("text", _EMAIL_RE, "")))
+        .cast("bigint")
+        .alias("n4"),
+        F.lit(None).cast("string").alias("txt"),
+    )
+    toks = scrubbed.select("doc_id", F.split("stext", " ").alias("t"))
+    n_chunks = F.expr(
+        f"greatest(ceil((size(t) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}), 0) + 1"
+    ).cast("int")
+    start = F.col("c") * CHUNK_STRIDE + 1
+    end = F.least(F.col("c") * CHUNK_STRIDE + CHUNK_TOKENS, F.size("t"))
+    chunks = (
+        toks.select("doc_id", "t", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("c"))
+        .select(
+            F.lit("chunk").alias("facet"),
+            "doc_id",
+            F.col("c").cast("bigint").alias("chunk_id"),
+            start.cast("bigint").alias("n1"),
+            end.cast("bigint").alias("n2"),
+            null_b.alias("n3"),
+            null_b.alias("n4"),
+            F.concat_ws(" ", F.slice("t", start, end - start + 1)).alias("txt"),
+        )
+    )
+    return audit.unionAll(chunks)
+
+
+@query(
+    "pipeline_vocab_bigrams",
+    oracle=f"""
+WITH tf AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+counted AS (
+  SELECT token, count(*) AS freq FROM tf WHERE token <> '' GROUP BY token
+),
+toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+bi AS (
+  SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+                i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks
+)
+SELECT 'vocab' AS facet, token AS gram, freq,
+       CAST(row_number() OVER (ORDER BY freq DESC, token) - 1 AS BIGINT)
+         AS token_id
+FROM counted WHERE freq >= {VOCAB_MIN_FREQ}
+UNION ALL
+SELECT 'bigram', bigram, count(*), CAST(NULL AS BIGINT)
+FROM bi WHERE bigram IS NOT NULL
+GROUP BY bigram HAVING count(*) >= 5
+""",
+    tags=("pipeline", "vocab", "ngram", "documents"),
+)
+def pipeline_vocab_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram statistics, federated: `vocab` (unigram counts with
+    min-frequency cutoff and stable ids from the range-partition
+    global numbering — no single-partition window) and `bigram`
+    (corpus bigram frequencies, min-count 5). One tokenize each, one
+    count shuffle each; hot grams are the classic AQE-skew case."""
+    vocab = pipeline_vocab(spark, sf_dir).select(
+        F.lit("vocab").alias("facet"),
+        F.col("token").alias("gram"),
+        "freq",
+        "token_id",
+    )
+    bi = pipeline_bigram_counts(spark, sf_dir).select(
+        F.lit("bigram").alias("facet"),
+        F.col("bigram").alias("gram"),
+        "freq",
+        F.lit(None).cast("bigint").alias("token_id"),
+    )
+    return vocab.unionAll(bi)
+
+
+@query(
+    "pipeline_decontam_pack",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_DECON_EVAL_DUCK} AS is_eval,
+         string_split(lower(text), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, is_eval,
+         {DUCK_H60.format(x="array_to_string(t[i : i + " + str(DECON_NGRAM - 1) + "], ' ')")} AS g
+  FROM toks
+  CROSS JOIN unnest(range(1, greatest(len(t) - {DECON_NGRAM - 1}, 1) + 1)) AS r(i)
+),
+contaminated AS (
+  SELECT tr.doc_id, count(*) AS n_shared_grams
+  FROM (SELECT doc_id, g FROM grams WHERE NOT is_eval) tr
+  JOIN (SELECT DISTINCT g FROM grams WHERE is_eval) ev USING (g)
+  GROUP BY tr.doc_id
+),
+clean AS (
+  SELECT doc_id,
+         {DUCK_H60.format(x="'pack:' || CAST(doc_id AS VARCHAR)")} % {PACK_BUCKETS}
+           AS bucket,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+  WHERE NOT ({_DECON_EVAL_DUCK})
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT 'decontam' AS facet, doc_id, CAST(NULL AS BIGINT) AS bucket,
+       n_shared_grams AS n, CAST(NULL AS BIGINT) AS seq_id,
+       CAST(NULL AS BIGINT) AS seq_offset
+FROM contaminated
+UNION ALL
+SELECT 'pack', doc_id, CAST(bucket AS BIGINT), CAST(n_tokens AS BIGINT),
+       CAST(COALESCE(sum(n_tokens) OVER w, 0) // {PACK_CTX} AS BIGINT),
+       CAST(COALESCE(sum(n_tokens) OVER w, 0) % {PACK_CTX} AS BIGINT)
+FROM clean
+WINDOW w AS (PARTITION BY bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+""",
+    tags=("pipeline", "decontamination", "packing", "documents"),
+)
+def pipeline_decontam_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminate → pack composition: training documents sharing any
+    word-4-gram with the held-out eval slice are flagged (`decontam`
+    facet: n = distinct shared grams), then sequence packing runs over
+    the CLEAN training set only — eval docs and contaminated docs never
+    reach a packed sequence (`pack` facet: bucket, n = doc tokens,
+    seq_id/seq_offset of the doc's start).
+
+    Scale shape: gram join shuffles 8-byte hashes; the contaminated set
+    (small by construction) anti-joins the corpus; packing windows are
+    partitioned by hash bucket — no global state anywhere."""
+    from pyspark import StorageLevel
+
+    contaminated = pipeline_decontaminate(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    null_b = F.lit(None).cast("bigint")
+    decon_facet = contaminated.select(
+        F.lit("decontam").alias("facet"),
+        "doc_id",
+        null_b.alias("bucket"),
+        F.col("n_shared_grams").alias("n"),
+        null_b.alias("seq_id"),
+        null_b.alias("seq_offset"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    clean = (
+        docs.filter(~F.expr(_DECON_EVAL_SPARK))
+        .join(contaminated.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            (
+                F.expr(SPARK_H60.format(x="concat('pack:', cast(doc_id as string))"))
+                % PACK_BUCKETS
+            ).alias("bucket"),
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+    )
+    w = W.partitionBy("bucket").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    pack_facet = clean.select(
+        F.lit("pack").alias("facet"),
+        "doc_id",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("n_tokens").cast("bigint").alias("n"),
+        (cum_before / PACK_CTX).cast("bigint").alias("seq_id"),
+        (cum_before % PACK_CTX).cast("bigint").alias("seq_offset"),
+    )
+    return decon_facet.unionAll(pack_facet)

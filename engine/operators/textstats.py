@@ -34,23 +34,6 @@ def _duck_list(words: tuple[str, ...]) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
-@query(
-    "text_stats",
-    oracle="""
-SELECT doc_id,
-       CAST(length(text) AS BIGINT) AS n_chars_calc,
-       CAST(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END AS INT) AS n_chars_ok,
-       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
-       round(length(replace(text, ' ', '')) * 1.0
-             / nullif(len(regexp_extract_all(text, '\\S+')), 0), 4) AS avg_token_len,
-       round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
-             / nullif(length(text), 0), 6) AS digit_ratio,
-       round(length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0
-             / nullif(length(text), 0), 6) AS upper_ratio
-FROM documents
-""",
-    tags=("textstats",),
-)
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document surface statistics (recomputes and validates the
     stored n_chars — FIXTURES.md documents schema)."""
@@ -115,7 +98,6 @@ FROM documents
 """
 
 
-@query("langid_stopword", oracle=_LANGID_ORACLE, tags=("textstats", "langid"))
 def langid_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-overlap language ID: score = stopword hits per language,
     argmax with lexicographic tiebreak. Pure JVM expressions — at scale
@@ -137,25 +119,6 @@ _QUALITY_SPARK = (
 )
 
 
-@query(
-    "quality_score",
-    oracle=f"""
-WITH feat AS (
-  SELECT doc_id,
-         len(regexp_extract_all(text, '\\S+')) AS n_tokens,
-         {_lang_scores_sql('duck')['en']} * 1.0
-           / nullif(len(regexp_extract_all(text, '\\S+')), 0) AS stop_ratio,
-         length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
-           / nullif(length(text), 0) AS digit_ratio
-  FROM documents
-)
-SELECT doc_id,
-       round(1.0 / (1.0 + exp(-(0.3 * ln(1 + n_tokens) + 2.0 * stop_ratio
-                                - 5.0 * digit_ratio))), 6) AS quality
-FROM feat
-""",
-    tags=("textstats", "quality"),
-)
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Logistic quality score from (length, stopword ratio, digit
     ratio) — the standard pretraining-corpus heuristic family."""
@@ -175,17 +138,6 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", quality.alias("quality"))
 
 
-@query(
-    "token_count_bpeish",
-    oracle="""
-SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens,
-       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT)
-         AS n_bpeish_tokens
-FROM documents
-""",
-    tags=("textstats", "tokenize"),
-)
 def token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace tokens and a BPE-ish regex
     (alnum runs + individual punctuation) — the cheap proxy for LLM
@@ -259,9 +211,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
 
 
-@query(
-    "tfidf_top_terms",
-    oracle="""
+_TFIDF_ORACLE = """
 WITH toks3 AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
   FROM documents
@@ -284,9 +234,9 @@ FROM (
          ) AS rnk
   FROM tf JOIN doclen USING (doc_id) JOIN df USING (token) CROSS JOIN n
 ) t WHERE rnk <= 3
-""",
-    tags=("textstats", "tfidf"),
-)
+"""
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (tf = term fraction of doc,
     idf = ln(N/df)). One shuffle builds the (doc, token) counts; doc
@@ -326,3 +276,165 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "token", F.round("_s", 6).alias("tfidf"), "rnk")
     )
+
+
+# -- consolidated registry queries -----------------------------------------
+
+
+_TQP_ORACLE = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END AS INT) AS n_chars_ok,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       round(length(replace(text, ' ', '')) * 1.0
+             / nullif(len(regexp_extract_all(text, '\\S+')), 0), 4) AS avg_token_len,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+             / nullif(length(text), 0), 6) AS digit_ratio,
+       round(length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0
+             / nullif(length(text), 0), 6) AS upper_ratio,
+       lang AS lang_declared,
+       {_langid_case(_lang_scores_sql('duck'))} AS lang_predicted,
+       CAST({_lang_scores_sql('duck')['en']} AS BIGINT) AS en_stopword_hits,
+       round(1.0 / (1.0 + exp(-(
+           0.3 * ln(1 + len(regexp_extract_all(text, '\\S+')))
+           + 2.0 * ({_lang_scores_sql('duck')['en']} * 1.0
+                    / nullif(len(regexp_extract_all(text, '\\S+')), 0))
+           - 5.0 * (length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                    / nullif(length(text), 0))))), 6) AS quality,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+         AS n_bpeish_tokens
+FROM documents
+"""
+
+
+@query("text_quality_profile", oracle=_TQP_ORACLE, tags=("textstats", "quality", "langid"))
+def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full per-document text-analysis surface in ONE codegen'd
+    projection: surface stats (char/token counts, token length, digit /
+    uppercase ratios), stopword language ID with declared-language
+    audit, the logistic quality score, and BPE-ish token counting.
+
+    Each facet exists as a library operator above (text_stats /
+    langid_stopword / quality_score / token_count_bpeish); federating
+    them is both a registry-slot consolidation AND the honest
+    production shape — every former single-facet query paid a full
+    corpus scan to demonstrate one projection, this pays one scan for
+    all of them. Still zero Python UDFs, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
+    n_chars = F.length("text")
+    scores = _lang_scores_sql("spark")
+    stop_ratio = F.expr(scores["en"]) * 1.0 / F.nullif(n_tokens, F.lit(0))
+    digit_ratio = F.length(F.regexp_replace("text", "[^0-9]", "")) * 1.0 / F.nullif(
+        n_chars, F.lit(0)
+    )
+    quality = F.round(
+        1.0
+        / (1.0 + F.exp(-(0.3 * F.log(1 + n_tokens) + 2.0 * stop_ratio - 5.0 * digit_ratio))),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars_calc"),
+        F.when(n_chars == F.col("n_chars"), 1).otherwise(0).cast("int").alias("n_chars_ok"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) * 1.0
+            / F.nullif(n_tokens.cast("bigint"), F.lit(0)),
+            4,
+        ).alias("avg_token_len"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^A-Z]", "")) * 1.0
+            / F.nullif(n_chars, F.lit(0)),
+            6,
+        ).alias("upper_ratio"),
+        F.col("lang").alias("lang_declared"),
+        F.expr(_langid_case(scores)).alias("lang_predicted"),
+        F.expr(scores["en"]).cast("bigint").alias("en_stopword_hits"),
+        quality.alias("quality"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0)
+        )
+        .cast("bigint")
+        .alias("n_bpeish_tokens"),
+    )
+
+
+@query(
+    "term_rankings",
+    oracle=f"""
+WITH toks3 AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS cnt FROM toks3
+  WHERE token <> '' GROUP BY 1, 2
+),
+doclen AS (SELECT doc_id, sum(cnt) AS dl FROM tf GROUP BY 1),
+df AS (SELECT token, count(*) AS ndocs FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf)
+SELECT 'tfidf' AS facet, doc_id, token,
+       round((cnt * 1.0 / dl) * ln(n_docs * 1.0 / ndocs), 6) AS x,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT tf.doc_id, tf.token, tf.cnt, doclen.dl, df.ndocs, n.n_docs,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY (cnt * 1.0 / dl) * ln(n_docs * 1.0 / ndocs) DESC, tf.token
+         ) AS rnk
+  FROM tf JOIN doclen USING (doc_id) JOIN df USING (token) CROSS JOIN n
+) t WHERE rnk <= 3
+UNION ALL
+SELECT 'token_topk', CAST(NULL AS BIGINT), token, CAST(cnt AS DOUBLE),
+       CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+FROM (
+  SELECT token, count(*) AS cnt
+  FROM (SELECT unnest(string_split_regex(lower(text), '[ \t]')) AS token
+        FROM documents) t
+  GROUP BY token
+  ORDER BY cnt DESC, token
+  LIMIT 20
+) topk
+""",
+    tags=("textstats", "tfidf", "topk"),
+)
+def term_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-importance rankings, two facets: per-document top-3 TF-IDF
+    terms (`tfidf`: x = score) and corpus-global top-20 tokens
+    (`token_topk`: x = count, computed with per-partition heaps via
+    TakeOrderedAndProject — no global vocabulary sort)."""
+    from pyspark import StorageLevel
+
+    from engine.operators.mapreduce_queries import token_topk
+
+    tfidf = tfidf_top_terms(spark, sf_dir).select(
+        F.lit("tfidf").alias("facet"),
+        "doc_id",
+        "token",
+        F.col("tfidf").alias("x"),
+        "rnk",
+    )
+    # Rank the 20 top tokens WITHOUT a global window (the plan-audit
+    # invariant): a broadcast self-join count over the post-LIMIT rows.
+    # Persisted — it feeds both join sides and is the result of a full
+    # corpus aggregation.
+    tk = token_topk(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    other = tk.select(F.col("token").alias("o_token"), F.col("cnt").alias("o_cnt"))
+    ahead = (F.col("o_cnt") > F.col("cnt")) | (
+        (F.col("o_cnt") == F.col("cnt")) & (F.col("o_token") < F.col("token"))
+    )
+    topk = (
+        tk.join(F.broadcast(other), ahead, "left")
+        .groupBy("token", "cnt")
+        .agg((F.count("o_token") + 1).cast("bigint").alias("rnk"))
+        .select(
+            F.lit("token_topk").alias("facet"),
+            F.lit(None).cast("bigint").alias("doc_id"),
+            "token",
+            F.col("cnt").cast("double").alias("x"),
+            "rnk",
+        )
+    )
+    return tfidf.unionAll(topk)

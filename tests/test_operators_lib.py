@@ -150,5 +150,7 @@ def test_lsh_dedup_recall_floors(spark):
     mh = {(r.doc_a, r.doc_b) for r in q["dedup_minhash_lsh"].fn(spark, sf).collect()}
     assert len(exact & mh) / len(exact) >= 0.9
 
-    sh = {(r.doc_a, r.doc_b) for r in q["simhash_near_pairs"].fn(spark, sf).collect()}
+    from engine.operators.dedup import simhash_near_pairs
+
+    sh = {(r.doc_a, r.doc_b) for r in simhash_near_pairs(spark, sf).collect()}
     assert len(exact & sh) / len(exact) >= 0.7
