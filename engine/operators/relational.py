@@ -145,6 +145,7 @@ WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY o_orderpriority
 """,
     tags=("relational", "semijoin"),
+    exported=False,
 )
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS as a left-semi join (no row multiplication, early-out probe)."""
@@ -224,6 +225,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_quantity < 24
 """,
     tags=("relational", "filter"),
+    exported=False,
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All four predicates push into the parquet scan (check
@@ -307,6 +309,7 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY l_linestatus
 """,
     tags=("relational", "aggregate"),
+    exported=False,
 )
 def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
@@ -340,6 +343,7 @@ WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-09-01 00:00:00'
 """,
     tags=("relational", "join", "aggregate"),
+    exported=False,
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(

@@ -39,6 +39,7 @@ WHERE n1.n_name IN ('NATION_1', 'NATION_2')
 GROUP BY n1.n_name, n2.n_name, year(o_orderdate)
 """,
     tags=("relational", "join"),
+    exported=False,
 )
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 adapted: cross-nation trade volume by year. All dims
@@ -88,6 +89,7 @@ WHERE p_type = 'PROMO'
 GROUP BY n_name, year(o_orderdate)
 """,
     tags=("relational", "join"),
+    exported=False,
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 adapted (0.6·retailprice stands in for ps_supplycost,
@@ -153,6 +155,7 @@ FROM supplier JOIN revenue ON s_suppkey = supplier_no
 WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 """,
     tags=("relational", "subquery"),
+    exported=False,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: CTE + scalar max subquery. In Spark the scalar
@@ -190,6 +193,7 @@ WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' AND p_size IN (5, 10, 15, 20)
 GROUP BY p_brand, p_type, p_size
 """,
     tags=("relational", "distinct"),
+    exported=False,
 )
 def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 adapted: distinct supplier counts per part group.
@@ -218,6 +222,7 @@ WHERE p_brand = 'Brand#1'
                     WHERE l2.l_partkey = lineitem.l_partkey)
 """,
     tags=("relational", "subquery"),
+    exported=False,
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: correlated avg subquery, decorrelated into a
@@ -247,6 +252,7 @@ WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity >= 1 AND l_quantity <
    OR (p_brand = 'Brand#3' AND p_size <= 35 AND l_quantity >= 10 AND l_quantity <= 40)
 """,
     tags=("relational", "filter"),
+    exported=False,
 )
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19: OR-of-ANDs predicate across join sides — exercises

@@ -161,6 +161,7 @@ GROUP BY year(o_orderdate)
 ORDER BY o_year
 """,
     tags=("relational", "join", "aggregate"),
+    exported=False,
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NATION_2's share of ECONOMY-part revenue sold to ASIA customers,
@@ -234,6 +235,7 @@ WHERE part_value > (SELECT avg(part_value) * 2.4 FROM eu_value)
 ORDER BY part_value DESC, p_partkey
 """,
     tags=("relational", "subquery", "aggregate"),
+    exported=False,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parts whose EUROPE-supplied revenue exceeds 2.4× the per-part
@@ -303,6 +305,7 @@ WHERE supp_qty > 0.15 * total_qty
 ORDER BY s_name
 """,
     tags=("relational", "subquery", "semi-join"),
+    exported=False,
 )
 def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers shipping >15% of any 'blue' part's total quantity —
@@ -367,6 +370,7 @@ ORDER BY numwait DESC, s_name
 LIMIT 20
 """,
     tags=("relational", "exists", "topk"),
+    exported=False,
 )
 def q21_last_to_ship_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21's double-correlated EXISTS/NOT EXISTS, re-anchored on ship

@@ -32,6 +32,7 @@ _OPERATOR_MODULES = (
     "engine.operators.similarity",
     "engine.operators.multimodal",
     "engine.operators.mapreduce_queries",
+    "engine.operators.tpch_merged",
     "engine.operators.pandas_udfs",
     "engine.operators.asof",
     "engine.operators.streaming_queries",
@@ -44,20 +45,35 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None = None
     tags: tuple[str, ...] = field(default_factory=tuple)
+    exported: bool = True
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+def query(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    exported: bool = True,
+):
     """Register a query. ``oracle`` is ANSI SQL DuckDB runs on the same
     parquet tables; None ⇒ the driver records a weaker rows-only check
-    (reserved for genuinely non-SQL-expressible ops)."""
+    (reserved for genuinely non-SQL-expressible ops).
+
+    ``exported=False`` keeps the query (and its oracle) runnable by the
+    local gate (``tools/check_oracle.py --all``) but leaves it out of
+    the driver-facing ``__spark_entry__.queries()`` surface — used for
+    single-operator library forms whose coverage the driver sees
+    through a federated registry query (the driver's correctness file
+    records ~50 entries, so the exported surface is consolidated)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tuple(tags))
+        _REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, tags=tuple(tags), exported=exported
+        )
         return fn
 
     return deco
@@ -69,5 +85,16 @@ def _load_all() -> None:
 
 
 def all_queries() -> dict[str, QuerySpec]:
+    """The driver-facing (exported) query surface."""
+    _load_all()
+    return dict(
+        sorted((n, s) for n, s in _REGISTRY.items() if s.exported)
+    )
+
+
+def all_queries_including_library() -> dict[str, QuerySpec]:
+    """Exported queries PLUS oracle-bearing library forms — the local
+    correctness gate runs both so demoted operators keep their exact
+    cross-engine checks."""
     _load_all()
     return dict(sorted(_REGISTRY.items()))

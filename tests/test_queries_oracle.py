@@ -8,11 +8,11 @@ import duckdb
 import pytest
 
 from engine.io import TABLES, table_path
-from engine.registry import all_queries
+from engine.registry import all_queries_including_library
 from tests.conftest import SF_SMOKE
 from tools.check_oracle import compare
 
-SPECS = all_queries()
+SPECS = all_queries_including_library()
 
 
 @pytest.fixture(scope="module")

@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 
 from engine.io import TABLES, table_path  # noqa: E402
-from engine.registry import all_queries  # noqa: E402
+from engine.registry import all_queries_including_library  # noqa: E402
 from engine.session import get_spark  # noqa: E402
 
 
@@ -117,7 +117,7 @@ def main() -> int:
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
-    specs = all_queries()
+    specs = all_queries_including_library()
     names = args.names or list(specs)
     unknown = [n for n in names if n not in specs]
     if unknown:
