@@ -14,6 +14,17 @@ Layer-B surface:
 
     python -m engine list                       # registered queries
     python -m engine query NAME [--sf-dir DIR] [--limit N] [--explain]
+
+Lifecycle parity (reference ``bin/mapreduce start|stop|status``):
+``start`` / ``status`` / ``stop`` map the reference's manager+worker
+daemon lifecycle onto the Spark session lifecycle. There are no
+long-lived daemons to manage — cluster membership, heartbeats, and
+fault detection are Spark's (SURVEY.md §3.1: F13-F16 delegated), so
+``start`` brings up a session and reports its topology, ``status``
+reports the active session (or that none exists), and ``stop`` tears
+the active session down. On a real cluster these wrap
+``spark-submit`` / the cluster manager instead; the subcommands exist
+so every reference executable has a named counterpart.
 """
 
 from __future__ import annotations
@@ -47,12 +58,49 @@ def cmd_submit(args: argparse.Namespace) -> int:
     return 0
 
 
-def cmd_list(_args: argparse.Namespace) -> int:
-    from engine.registry import all_queries
+def cmd_list(args: argparse.Namespace) -> int:
+    from engine.registry import all_queries, all_queries_including_library
 
-    for name, spec in all_queries().items():
+    specs = all_queries_including_library() if args.all else all_queries()
+    exported = set(all_queries())
+    for name, spec in specs.items():
         oracle = "oracled" if spec.oracle else "rows-only"
-        print(f"{name:40s} [{', '.join(spec.tags)}] ({oracle})")
+        kind = "" if name in exported else " (library)"
+        print(f"{name:40s} [{', '.join(spec.tags)}] ({oracle}){kind}")
+    return 0
+
+
+def cmd_start(_args: argparse.Namespace) -> int:
+    spark = _spark()
+    sc = spark.sparkContext
+    print(f"session up: app={sc.applicationId} master={sc.master} "
+          f"cores={sc.defaultParallelism} spark={spark.version}")
+    return 0
+
+
+def cmd_status(_args: argparse.Namespace) -> int:
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is None:
+        print("no active session in this process "
+              "(sessions are per-process; `start` creates one)")
+        return 1
+    sc = active.sparkContext
+    print(f"active: app={sc.applicationId} master={sc.master} "
+          f"cores={sc.defaultParallelism}")
+    return 0
+
+
+def cmd_stop(_args: argparse.Namespace) -> int:
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is None:
+        print("no active session to stop")
+        return 1
+    active.stop()
+    print("session stopped")
     return 0
 
 
@@ -89,7 +137,20 @@ def main(argv: list[str] | None = None) -> int:
     s.set_defaults(fn=cmd_submit)
 
     l = sub.add_parser("list", help="list registered queries")
+    l.add_argument(
+        "--all",
+        action="store_true",
+        help="include library forms federated into registry queries",
+    )
     l.set_defaults(fn=cmd_list)
+
+    for name, fn, help_ in (
+        ("start", cmd_start, "bring up a Spark session and report topology"),
+        ("status", cmd_status, "report the active session"),
+        ("stop", cmd_stop, "stop the active session"),
+    ):
+        pp = sub.add_parser(name, help=help_)
+        pp.set_defaults(fn=fn)
 
     q = sub.add_parser("query", help="run a registered query")
     q.add_argument("name")

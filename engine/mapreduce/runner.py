@@ -76,7 +76,12 @@ def _exec_command(executable: str | list[str]) -> str:
             parts = interp + parts
         else:
             parts = ["sh"] + parts
-    return " ".join(str(p) for p in parts)
+    # RDD.pipe tokenizes the command string; quote each part so
+    # executable paths or argv entries containing spaces/quotes don't
+    # silently split into wrong tokens (round-1 advice).
+    import shlex
+
+    return " ".join(shlex.quote(str(p)) for p in parts)
 
 
 def list_input_files(input_dir: str) -> list[str]:
@@ -108,6 +113,12 @@ def run_job(
     files = list_input_files(input_directory)
     if not files:
         raise FileNotFoundError(f"no input files in {input_directory}")
+    # sc.textFile takes a comma-separated path list, so a comma INSIDE a
+    # filename would silently split into two bogus paths (round-1
+    # advice). Reject loudly; such names also break Hadoop's own API.
+    bad = [f for f in files if "," in f]
+    if bad:
+        raise ValueError(f"input paths must not contain commas: {bad}")
 
     # Map stage. minPartitions=num_mappers for task-shape parity with
     # the reference's round-robin split (manager/__main__.py:195-202);

@@ -85,6 +85,7 @@ SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, prev_view_ts,
 FROM enriched WHERE event_type = 'purchase'
 """,
     tags=("asof", "events"),
+    exported=False,
 )
 def asof_purchase_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every purchase, the most recent strictly-prior view by the

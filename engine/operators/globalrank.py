@@ -89,3 +89,122 @@ def ntile_expr(rn: Column, total: int, k: int) -> Column:
     return F.when(rn <= big, F.ceil(rn / (q + 1))).otherwise(
         r + F.ceil((rn - big) / denom)
     )
+
+
+def with_global_value_ranks(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    value_col: str,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """row_number + rank + dense_rank over a global ordering in ONE
+    range pass — no second global numbering, no per-value window.
+
+    ``order_cols`` must be a total ordering whose FIRST component is
+    ``value_col`` (ties beyond the value broken by the remaining
+    columns); rank/dense_rank are computed with respect to runs of
+    equal ``value_col``.
+
+    Construction: after ``repartitionByRange`` every partition holds a
+    contiguous slice of the global order, so a row starts a new value
+    run iff its in-partition predecessor has a different value — except
+    each partition's FIRST row, whose run may have started in the
+    previous partition. That boundary is resolved on the driver from
+    one O(num_partitions) aggregate (first/last value, last run-start
+    position per partition), then broadcast back:
+
+    - ``rn``    = in-partition row_number + row offset;
+    - ``dense`` = in-partition run-start count + run offset (carry-in
+      runs cancel their spurious local flag);
+    - ``rank``  = global position of the row's run start (carry-in rows
+      take the boundary run's start from the driver walk).
+
+    Cost: one range shuffle + one partitioned window + a broadcast —
+    every stage fully parallel, driver state O(num_partitions).
+    """
+    cols = _as_cols(order_cols)
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    part = (
+        df.repartitionByRange(n, *cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    w = W.partitionBy(_PID).orderBy(*cols)
+    w_cum = w.rowsBetween(W.unboundedPreceding, 0)
+    v = F.col(value_col)
+    flag = F.when(
+        F.lag(v).over(w).isNull() | (F.lag(v).over(w) != v), 1
+    ).otherwise(0)
+    local = (
+        part.withColumn("_l_rn", F.row_number().over(w))
+        .withColumn("_l_flag", flag)
+        .withColumn("_l_runs", F.sum("_l_flag").over(w_cum))
+        .withColumn(
+            "_l_run_start",
+            F.max(F.when(F.col("_l_flag") == 1, F.col("_l_rn"))).over(w_cum),
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    stats = {
+        r[_PID]: r
+        for r in local.groupBy(_PID)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("_l_flag").alias("flags"),
+            F.min(F.struct("_l_rn", v.alias("v"))).alias("first"),
+            F.max(F.struct("_l_rn", v.alias("v"))).alias("last"),
+            F.max(F.when(F.col("_l_flag") == 1, F.col("_l_rn"))).alias(
+                "last_run_start"
+            ),
+        )
+        .collect()
+    }
+    total = sum(r["cnt"] for r in stats.values())
+
+    # Driver walk in partition order: offsets + carry-in resolution.
+    rows_acc = 0
+    runs_acc = 0
+    carry_rank = 0  # global rn of the run spanning into this partition
+    prev_last_v = None
+    offsets = []
+    for pid in sorted(stats):
+        r = stats[pid]
+        spurious = int(prev_last_v is not None and r["first"]["v"] == prev_last_v)
+        offsets.append((pid, rows_acc, runs_acc, spurious, carry_rank))
+        # Next partition's carry: the global start of the run in
+        # progress at this partition's end.
+        if r["last_run_start"] is not None and not (
+            spurious and r["flags"] == 1
+        ):
+            # a genuine run started here; its global position:
+            carry_rank = rows_acc + r["last_run_start"]
+        # else: the whole partition continues the carried run.
+        rows_acc += r["cnt"]
+        runs_acc += r["flags"] - spurious
+        prev_last_v = r["last"]["v"]
+
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0, 0, 0, 0)],
+        f"{_PID} INT, _row_off BIGINT, _run_off BIGINT, _spur INT, _carry BIGINT",
+    )
+    in_carry = (F.col("_spur") == 1) & (F.col("_l_runs") == 1)
+    out = (
+        local.join(F.broadcast(off_df), _PID)
+        .withColumn("rn", (F.col("_l_rn") + F.col("_row_off")).cast("bigint"))
+        .withColumn(
+            "dense",
+            (F.col("_l_runs") - F.col("_spur") + F.col("_run_off")).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "rank",
+            F.when(in_carry, F.col("_carry"))
+            .otherwise(F.col("_l_run_start") + F.col("_row_off"))
+            .cast("bigint"),
+        )
+        .drop(_PID, "_l_rn", "_l_flag", "_l_runs", "_l_run_start",
+              "_row_off", "_run_off", "_spur", "_carry")
+    )
+    return out, total

@@ -32,6 +32,7 @@ WHERE event_type = 'purchase'
 WINDOW w AS (PARTITION BY user_id)
 """,
     tags=("pandas_udf", "events"),
+    exported=False,
 )
 def zscore_purchases_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user z-score of purchase values via grouped applyInPandas

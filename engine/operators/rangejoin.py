@@ -90,6 +90,7 @@ WHERE o_orderstatus = 'O'
 GROUP BY o_orderkey
 """.format(sum2=duck_round_he("coalesce(sum(value), 0)", 2)),
     tags=("rangejoin", "events", "join"),
+    exported=False,
 )
 def range_join_order_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per open order: how many events (any user) landed in the 24 h
@@ -158,7 +159,7 @@ FROM monthly
         sum2=duck_round_he("sum_value", 2),
         avg4=duck_round_he("sum_value / n_events", 4),
     ),
-    tags=("rollup", "events", "timeseries"),
+    tags=("rollup", "events", "timeseries", "headline"),
 )
 def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-granularity continuous aggregate (hour → day → month):

@@ -416,6 +416,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders
 GROUP BY c_mktsegment
 """,
     tags=("relational", "antijoin"),
+    exported=False,
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS as a left-anti join (restricted to recent orders so
@@ -443,6 +444,7 @@ FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
     tags=("relational", "rollup"),
+    exported=False,
 )
 def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
@@ -461,6 +463,7 @@ FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
     tags=("relational", "cube"),
+    exported=False,
 )
 def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -485,6 +488,7 @@ WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
 """,
     tags=("relational", "setop"),
+    exported=False,
 )
 def setop_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT (distinct) of 1996 and 1997 buyers."""
@@ -510,6 +514,7 @@ SELECT o_custkey FROM orders
 WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
 """,
     tags=("relational", "setop"),
+    exported=False,
 )
 def setop_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT (distinct): bought before 1997, never after."""
@@ -542,6 +547,7 @@ FROM part
 WHERE p_size >= 10 AND p_size <= 40
 """,
     tags=("relational", "scalar"),
+    exported=False,
 )
 def scalar_part_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
@@ -572,6 +578,7 @@ FROM orders
 WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
 """,
     tags=("relational", "scalar", "datetime"),
+    exported=False,
 )
 def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
@@ -603,6 +610,7 @@ FROM events
 GROUP BY event_type
 """,
     tags=("relational", "json", "events"),
+    exported=False,
 )
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props column: get_json_object (Spark) vs
@@ -631,6 +639,7 @@ FROM events
 GROUP BY 1, 2
 """,
     tags=("relational", "datetime", "events", "headline"),
+    exported=False,
 )
 def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")

@@ -78,8 +78,11 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     oracle="""
 SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)
-                 - 0.6 * p_retailprice * l_quantity), 2) AS profit
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                - 60 * CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                     * CAST(l_quantity AS BIGINT))
+            AS DOUBLE) / 10000.0 AS profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -93,15 +96,23 @@ GROUP BY n_name, year(o_orderdate)
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 adapted (0.6·retailprice stands in for ps_supplycost,
-    which this schema lacks): profit by supplier nation and year."""
+    which this schema lacks): profit by supplier nation and year.
+
+    Profit is aggregated as EXACT integer 1e-4 dollars (cents ×
+    discount-hundredths are integers, quantity is integral), then
+    divided back once: a double sum re-associates differently across
+    engines and partitionings, and at sf0.1 the result actually
+    straddled a cent boundary (round-2 finding) — integer sums are
+    order-independent, so the output is bit-stable under ANY plan."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     supp = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders")
     nation = _t(spark, sf_dir, "nation")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    profit_1e4 = cents("l_extendedprice") * (
+        F.lit(100) - cents("l_discount")
+    ) - F.lit(60) * cents("p_retailprice") * F.col("l_quantity").cast("bigint")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -111,7 +122,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .agg(
+            (F.sum(profit_1e4).cast("double") / F.lit(10000.0)).alias("profit")
+        )
     )
 
 
@@ -328,6 +341,7 @@ FROM orders
 GROUP BY o_orderstatus
 """,
     tags=("relational", "pivot"),
+    exported=False,
 )
 def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: order priorities to columns. Explicit value list keeps the
@@ -356,6 +370,7 @@ FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """,
     tags=("relational", "groupingsets", "sql"),
+    exported=False,
 )
 def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS through the SQL-string API (same Catalyst plan as
@@ -383,6 +398,7 @@ SELECT actor_id, kind, n FROM (
 ) t
 """,
     tags=("relational", "setop"),
+    exported=False,
 )
 def union_all_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL of two differently-sourced aggregates (bag semantics,
@@ -411,6 +427,7 @@ FROM customer
 GROUP BY 1
 """,
     tags=("relational", "scalar"),
+    exported=False,
 )
 def null_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE bucketing + coalesce/nullif null plumbing."""
@@ -438,6 +455,7 @@ WHERE p_name LIKE 'small%'
   AND regexp_matches(p_brand, '^Brand#[12]$')
 """,
     tags=("relational", "scalar", "filter"),
+    exported=False,
 )
 def like_regexp_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIKE prefix (pushed to parquet as a range) + RLIKE regex."""
@@ -460,6 +478,7 @@ FROM lineitem
 GROUP BY l_returnflag
 """,
     tags=("relational", "stats"),
+    exported=False,
 )
 def stats_lineitem_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: sample stddev/variance, Pearson
@@ -485,6 +504,7 @@ FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """,
     tags=("relational", "stats"),
+    exported=False,
 )
 def minmax_by_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_by argmax aggregation (deterministic: ordering key includes

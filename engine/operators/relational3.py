@@ -509,8 +509,9 @@ N_HIST_BUCKETS = 10
 WITH b AS (
   SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
 )
-SELECT CAST(least(floor((o_totalprice - lo) / (hi - lo) * {N_HIST_BUCKETS}),
-            {N_HIST_BUCKETS - 1}) AS BIGINT) AS bucket,
+SELECT CAST(CASE WHEN hi = lo THEN 0
+            ELSE least(floor((o_totalprice - lo) / (hi - lo) * {N_HIST_BUCKETS}),
+                       {N_HIST_BUCKETS - 1}) END AS BIGINT) AS bucket,
        count(*) AS n_orders,
        round(min(o_totalprice), 2) AS bucket_min,
        round(max(o_totalprice), 2) AS bucket_max
@@ -518,6 +519,7 @@ FROM orders, b
 GROUP BY 1
 """,
     tags=("relational", "aggregate", "histogram"),
+    exported=False,
 )
 def histogram_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-width histogram of order totals: global min/max as a
@@ -529,13 +531,18 @@ def histogram_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = orders.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
-    bucket = F.least(
-        F.floor(
-            (F.col("o_totalprice") - F.col("lo"))
-            / (F.col("hi") - F.col("lo"))
-            * N_HIST_BUCKETS
-        ),
-        F.lit(N_HIST_BUCKETS - 1),
+    # hi == lo (single-valued column) would be 0/0 → NaN bucket in
+    # Spark vs NULL/error in DuckDB; pin the degenerate case to bucket 0
+    # on both engines (round-1 advice).
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * N_HIST_BUCKETS
+            ),
+            F.lit(N_HIST_BUCKETS - 1),
+        )
     )
     return (
         orders.join(F.broadcast(bounds))

@@ -97,3 +97,72 @@ def salted_agg(
         *phase1_exprs
     )
     return partial.groupBy(key).agg(*phase2_exprs)
+
+
+# -- registry query ---------------------------------------------------------
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from engine.io import load_table  # noqa: E402
+from engine.registry import query  # noqa: E402
+
+EVENT_WEIGHTS = [
+    ("view", 1),
+    ("click", 2),
+    ("purchase", 10),
+    ("signup", 5),
+    ("error", 0),
+]
+_SALTS = 8
+
+
+@query(
+    "skew_salted_events",
+    oracle="""
+WITH w(event_type, weight) AS (VALUES
+  ('view', 1), ('click', 2), ('purchase', 10), ('signup', 5), ('error', 0)
+)
+SELECT e.event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT) * weight) AS BIGINT)
+         AS weighted_cents
+FROM events e JOIN w USING (event_type)
+GROUP BY e.event_type
+""",
+    tags=("skew", "join", "events"),
+)
+def skew_salted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately worst-case skewed join + aggregation through the
+    salting machinery: events' join key (event_type) has only 5
+    distinct values, so an unsalted shuffle join would put ~20% of the
+    fact table on single reducers. `salted_join` spreads each hot key
+    over 8 salt buckets (the dim side replicates 8×, visible as the
+    explode in the plan); `salted_agg` then two-phase-aggregates on
+    (key, salt) before re-combining per key.
+
+    Values are aggregated as integer cents × integer weights, so the
+    two-phase sum is order-independent and bit-equal to the oracle's
+    single-phase sum (double sums would re-associate differently)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("cents"),
+    )
+    dim = ev.sparkSession.createDataFrame(
+        EVENT_WEIGHTS, "event_type string, weight int"
+    )
+    joined = salted_join(
+        ev, dim, "event_type", n_salts=_SALTS, salt_source="event_id"
+    ).withColumn("wcents", F.col("cents") * F.col("weight"))
+    return salted_agg(
+        joined,
+        "event_type",
+        {
+            "n_events": ("wcents", "count"),
+            "weighted_cents": ("wcents", "sum"),
+        },
+        n_salts=_SALTS,
+        salt_source="event_id",
+    )

@@ -55,6 +55,7 @@ SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
 FROM events GROUP BY 1, 2
 """,
     tags=("streaming", "window", "events"),
+    exported=False,
 )
 def streaming_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling daily counts, executed as a bounded
@@ -72,7 +73,7 @@ def streaming_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_session_bounds",
     oracle="""
 WITH ordered AS (
-  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR epoch_us(CAST(ts AS TIMESTAMP))
                       - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
@@ -82,7 +83,7 @@ WITH ordered AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
   SELECT user_id, ts,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM ordered
 )
@@ -113,6 +114,7 @@ SELECT event_type, count(DISTINCT event_id) AS n_unique
 FROM events GROUP BY event_type
 """,
     tags=("streaming", "dedup", "events"),
+    exported=False,
 )
 def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-bounded streaming dedup on event_id, then a per-type
@@ -149,3 +151,43 @@ def streaming_enriched_purchase_rows(spark: SparkSession, sf_dir: str) -> DataFr
         streaming_enriched_purchases(ev, customer, nation),
         _sink("t_enriched"),
     )
+
+
+@query(
+    "streaming_windowed_counts",
+    oracle="""
+SELECT 'tumbling' AS facet,
+       CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS x
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'dedup', CAST(NULL AS TIMESTAMP), event_type,
+       count(DISTINCT event_id), CAST(NULL AS DOUBLE)
+FROM events GROUP BY event_type
+""",
+    tags=("streaming", "window", "dedup", "events"),
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful-aggregation surface, two facets, each a
+    bounded availableNow run whose final complete-mode result the
+    oracle pins against batch SQL: `tumbling` (watermarked tumbling
+    daily counts + value sums per event type) and `dedup`
+    (watermark-bounded dropDuplicates on event_id, then per-type
+    unique counts)."""
+    tumb = streaming_tumbling_daily(spark, sf_dir).select(
+        F.lit("tumbling").alias("facet"),
+        "day",
+        "event_type",
+        F.col("n_events").alias("n"),
+        F.col("total_value").alias("x"),
+    )
+    ded = streaming_dedup_counts(spark, sf_dir).select(
+        F.lit("dedup").alias("facet"),
+        F.lit(None).cast("timestamp").alias("day"),
+        "event_type",
+        F.col("n_unique").alias("n"),
+        F.lit(None).cast("double").alias("x"),
+    )
+    return tumb.unionAll(ded)

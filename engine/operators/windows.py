@@ -119,47 +119,31 @@ def w_supplier_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-partition + broadcast-offset operator (globalrank.py), so the
     plan stays fully parallel at any supplier cardinality:
 
-    - row number over (bal desc, suppkey) → NTILE via closed form;
-    - rank(value) = min global row number within the value (partitioned
-      window on the value) → percent_rank = (rank-1)/(N-1);
-    - dense_rank derives from the EXISTING numbering: the value-first
-      rows (_rn == value's rank) are one row per distinct value and
-      already carry their global position, so dense-numbering them
-      never re-scans or re-shuffles the base table (round-1 advice:
-      this halves the exchange count vs a second full global pass).
-      The distinct-value table is bounded by the value domain
-      (cents-rounded balances), so joining it back is a broadcast.
+    All three ranks come from ONE range pass
+    (globalrank.with_global_value_ranks — round-1 advice asked for the
+    second global pass to go; this removes it AND the per-value window):
+    row_number → NTILE via closed form, rank → percent_rank =
+    (rank-1)/(N-1), dense_rank from run-start counting with
+    driver-stitched partition boundaries (O(num_partitions) state).
     """
-    from pyspark import StorageLevel
-
-    from engine.operators.globalrank import ntile_expr, with_global_row_number
+    from engine.operators.globalrank import ntile_expr, with_global_value_ranks
 
     supp = _t(spark, sf_dir, "supplier")
     base = supp.select(
         "s_suppkey", "s_nationkey", F.round(F.col("s_acctbal"), 2).alias("_v")
     )
-    numbered, n_rows = with_global_row_number(
-        base, [F.col("_v").desc(), F.col("s_suppkey")], out_col="_rn"
+    ranked, n_rows = with_global_value_ranks(
+        base, [F.col("_v").desc(), F.col("s_suppkey")], value_col="_v"
     )
-    w_val = W.partitionBy("_v")
-    # Feeds the value-first extraction AND the final projection.
-    ranked = numbered.withColumn("_rank", F.min("_rn").over(w_val)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    firsts = ranked.filter(F.col("_rn") == F.col("_rank")).select("_v", "_rank")
-    vals, _ = with_global_row_number(firsts, [F.col("_rank")], out_col="_dense")
     pr_denom = max(n_rows - 1, 1)  # single row ⇒ percent_rank 0.0
-    return (
-        ranked.join(F.broadcast(vals.select("_v", "_dense")), "_v")
-        .select(
-            "s_suppkey",
-            "s_nationkey",
-            F.col("_dense").alias("balance_rank"),
-            F.round((F.col("_rank") - 1) / F.lit(pr_denom), 6).alias(
-                "balance_pctile"
-            ),
-            ntile_expr(F.col("_rn"), n_rows, 4).cast("bigint").alias("quartile"),
-        )
+    return ranked.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.col("dense").alias("balance_rank"),
+        F.round((F.col("rank") - 1) / F.lit(pr_denom), 6).alias(
+            "balance_pctile"
+        ),
+        ntile_expr(F.col("rn"), n_rows, 4).cast("bigint").alias("quartile"),
     )
 
 
@@ -183,6 +167,7 @@ SELECT count(v.user_id) AS n_viewers,
 FROM v LEFT JOIN p ON v.user_id = p.user_id
 """,
     tags=("window", "funnel", "events"),
+    exported=False,
 )
 def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """View→purchase conversion funnel: first view per user, first

@@ -33,6 +33,8 @@ _OPERATOR_MODULES = (
     "engine.operators.multimodal",
     "engine.operators.mapreduce_queries",
     "engine.operators.tpch_merged",
+    "engine.operators.facets",
+    "engine.operators.skew",
     "engine.operators.pandas_udfs",
     "engine.operators.asof",
     "engine.operators.streaming_queries",

@@ -65,11 +65,16 @@ def compact_parquet(
     leaves thousands of KB-scale files; every downstream scan then pays
     per-file open/footer cost and the driver pays listing cost. The fix
     is a periodic rewrite sized by DATA VOLUME, not partition count.
-    Writes to a staging dir first, then swaps — readers never see a
-    half-compacted directory (the swap is the atomicity boundary; on a
-    real deployment prefer a table format with a transactional commit).
+    Writes to a staging dir first, then publishes via two renames (old
+    aside, staging in): the published path itself only ever changes by
+    rename, so a reader either sees the old directory or the new one,
+    and a crash leaves the data recoverable in one of the two dirs —
+    never a missing path mid-``rmtree``. (On a real deployment prefer a
+    table format with a transactional commit; same-filesystem rename is
+    the strongest primitive a plain directory sink has.)
     """
     import math
+    import os
     import shutil
     import tempfile
     from pathlib import Path
@@ -79,11 +84,18 @@ def compact_parquet(
         int(f.stat().st_size) for f in Path(path).rglob("*.parquet")
     )
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
-    staging = tempfile.mkdtemp(prefix="compact-", dir=str(Path(path).parent))
+    parent = str(Path(path).parent)
+    staging = tempfile.mkdtemp(prefix="compact-", dir=parent)
+    retired = tempfile.mktemp(prefix="compact-old-", dir=parent)
     try:
         df.repartition(n_files).write.mode("overwrite").parquet(staging)
-        shutil.rmtree(path)
-        shutil.move(staging, path)
+        os.rename(path, retired)
+        try:
+            os.rename(staging, path)
+        except OSError:
+            os.rename(retired, path)  # roll back: republish the old data
+            raise
+        shutil.rmtree(retired, ignore_errors=True)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return n_files

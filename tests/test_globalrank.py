@@ -81,3 +81,75 @@ def test_row_number_property_duplicate_heavy(spark, vals):
     }
     for r in got.collect():
         assert r["rn"] == expected[r["id"]]
+
+
+def test_value_ranks_match_global_window(spark):
+    """with_global_value_ranks == Spark's own global window functions
+    (row_number/rank/dense_rank) on data crafted to exercise the
+    partition-boundary stitching: heavy duplicate runs that straddle
+    range partitions, including a partition made entirely of one run."""
+    from pyspark.sql import Window as W
+
+    from engine.operators.globalrank import with_global_value_ranks
+
+    rows = [(i, v) for i, v in enumerate(
+        [5.0] * 7 + [4.0] * 1 + [3.0] * 13 + [2.0] * 2 + [1.0] * 9
+    )]
+    df = spark.createDataFrame(rows, "id long, v double")
+
+    got, total = with_global_value_ranks(
+        df, [F.col("v").desc(), F.col("id")], value_col="v", num_partitions=5
+    )
+    assert total == len(rows)
+
+    w = W.orderBy(F.col("v").desc(), F.col("id"))
+    wv = W.orderBy(F.col("v").desc())
+    expected = df.select(
+        "id",
+        F.row_number().over(w).alias("e_rn"),
+        F.rank().over(wv).alias("e_rank"),
+        F.dense_rank().over(wv).alias("e_dense"),
+    )
+    joined = got.join(expected, "id").collect()
+    assert len(joined) == len(rows)
+    for r in joined:
+        assert r["rn"] == r["e_rn"], r
+        assert r["rank"] == r["e_rank"], r
+        assert r["dense"] == r["e_dense"], r
+
+
+def test_value_ranks_property(spark):
+    """Randomized-but-deterministic duplicate patterns across several
+    partition counts."""
+    import hashlib
+
+    from pyspark.sql import Window as W
+
+    from engine.operators.globalrank import with_global_value_ranks
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+
+    rows = [(i, float(h(i) % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    w = W.orderBy("v", "id")
+    wv = W.orderBy("v")
+    expected = {
+        r["id"]: (r["e_rn"], r["e_rank"], r["e_dense"])
+        for r in df.select(
+            "id",
+            F.row_number().over(w).alias("e_rn"),
+            F.rank().over(wv).alias("e_rank"),
+            F.dense_rank().over(wv).alias("e_dense"),
+        ).collect()
+    }
+    for n_parts in (1, 3, 8, 50):
+        got, total = with_global_value_ranks(
+            df, ["v", "id"], value_col="v", num_partitions=n_parts
+        )
+        assert total == 200
+        for r in got.collect():
+            assert (r["rn"], r["rank"], r["dense"]) == expected[r["id"]], (
+                n_parts,
+                r,
+            )

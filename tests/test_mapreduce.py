@@ -160,3 +160,74 @@ def test_cli_list_and_query(capsys):
     out = capsys.readouterr().out
     assert "q1_pricing_summary" in out and "(oracled)" in out
     assert main(["query", "nope"]) == 2
+
+
+def test_chained_two_round_jobs(spark, tmp_path):
+    """Multi-round MapReduce by resubmission (SURVEY §2.3): round 1
+    greps the corpus, round 2 wordcounts the grep output by feeding
+    round 1's output directory as round 2's input directory — the
+    reference supports the same chaining through its job queue
+    (output dirs are valid input dirs). Expected counts computed
+    directly from the round-1 output lines."""
+    from collections import Counter
+
+    out1 = str(tmp_path / "round1")
+    parts1 = run_job(
+        spark, INPUT, out1,
+        mapper=f"{EXEC}/grep_map.py", reducer=f"{EXEC}/grep_reduce.py",
+        num_mappers=2, num_reducers=2,
+    )
+    assert parts1
+
+    out2 = str(tmp_path / "round2")
+    parts2 = run_job(
+        spark, out1, out2,
+        mapper=f"{EXEC}/wc_map.sh", reducer=f"{EXEC}/wc_reduce.sh",
+        num_mappers=2, num_reducers=2,
+    )
+
+    # Expected: wc_map.sh semantics (lowercase, split on [ \t], keep
+    # empty tokens) over every line of round 1's output.
+    expected = Counter()
+    for p in parts1:
+        with open(p, encoding="utf-8") as f:
+            for line in f:
+                import re as _re
+
+                for tok in _re.split(r"[ \t]", line.rstrip("\n").lower()):
+                    expected[tok] += 1
+    got = Counter()
+    for p in parts2:
+        with open(p, encoding="utf-8") as f:
+            for line in f:
+                tok, _, cnt = line.rstrip("\n").rpartition("\t")
+                got[tok] += int(cnt)
+    assert got == expected
+
+
+def test_exec_command_quotes_spaces(tmp_path):
+    """Executable paths containing spaces must survive RDD.pipe's
+    shlex.split tokenization (round-1 advice)."""
+    import shlex
+
+    from engine.mapreduce.runner import _exec_command
+
+    script = tmp_path / "my mapper.sh"
+    script.write_text("#!/bin/sh\ncat\n")
+    cmd = _exec_command([str(script), "arg with space"])
+    assert shlex.split(cmd)[-2:] == [str(script), "arg with space"]
+
+
+def test_run_job_rejects_comma_paths(spark, tmp_path):
+    """Comma-bearing input filenames would silently split sc.textFile's
+    comma-joined path list; run_job refuses them loudly."""
+    import pytest
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a,b.txt").write_text("hello\n")
+    with pytest.raises(ValueError, match="comma"):
+        run_job(
+            spark, str(d), str(tmp_path / "out"),
+            mapper=f"{EXEC}/wc_map.sh", reducer=f"{EXEC}/wc_reduce.sh",
+        )

@@ -9,10 +9,10 @@ from engine.plans import (
     n_exchanges,
     pushed_filters,
 )
-from engine.registry import all_queries
+from engine.registry import all_queries_including_library
 from tests.conftest import SF_SMOKE
 
-SPECS = all_queries()
+SPECS = all_queries_including_library()
 
 
 def _df(spark, name):
@@ -48,7 +48,9 @@ def test_minhash_no_cartesian(spark):
 
 
 def test_simhash_pairs_no_cartesian(spark):
-    assert not has_cartesian_product(_df(spark, "simhash_near_pairs"))
+    from engine.operators.dedup import simhash_near_pairs
+
+    assert not has_cartesian_product(simhash_near_pairs(spark, SF_SMOKE))
 
 
 def test_sign_lsh_no_cartesian(spark):

@@ -33,6 +33,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_AUDIT_SF", "/root/testdata/sf0.001")
 # inequality or free condition. Each is bounded by |small side| and
 # stays bounded at scale.
 NESTED_LOOP_OK = {
+    # library forms (audited via tests/check_oracle's library surface)
     "ann_cosine_topk",  # 10 broadcast query vectors × corpus
     "embedding_near_dups_brute",  # documented all-pairs oracle baseline
     "ann_ivf_topk",  # K=16 broadcast centroids × corpus (build pass)
@@ -45,6 +46,17 @@ NESTED_LOOP_OK = {
     "histogram_order_totalprice",  # 1-row min/max bounds broadcast
     "tfidf_top_terms",  # 1-row corpus-size broadcast
     "pipeline_source_mix",  # 1-row sampled-total broadcast
+    # federated registry queries inheriting a whitelisted component's
+    # bounded broadcast (each BNLJ side is O(1) rows or the documented
+    # broadcast query/centroid set — bounded at any corpus size)
+    "ann_topk",  # brute query set + IVF centroid broadcasts
+    "q6_q14_q17_q19_revenue",  # q17 per-part avg broadcast
+    "q11_q16_part_stats",  # q11 scalar threshold broadcast
+    "q15_q20_q21_supplier_audit",  # q15 scalar max broadcast
+    "scalar_predicate_facets",  # minmax_by 1-row argmax broadcast
+    "distribution_stats",  # stats + histogram 1-row broadcasts
+    "term_rankings",  # corpus-size broadcast + 20-row topk rank join
+    "pipeline_mix_funnel",  # source_mix 1-row total broadcast
 }
 
 # Queries allowed a global (unpartitioned) window. EMPTY by design:
