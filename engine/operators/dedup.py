@@ -120,13 +120,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     at threshold 0.2 on this corpus vs 125k all-pairs)."""
     docs = load_table(spark, sf_dir, "documents")
     # Hash BEFORE the distinct: the dedup shuffle then moves 8-byte
-    # ints, not ~30-byte shingle strings (the oracle dedups strings
-    # first, but hashing is injective in practice and both engines
-    # collapse any 2^-60 collision identically after their distinct).
+    # ints, not ~30-byte shingle strings. xxhash64 (JVM-native, ~25%
+    # cheaper than the md5-derived H60) is safe here because the hash
+    # never reaches the output — only (doc_a, doc_b, jaccard) does —
+    # so cross-engine agreement needs only injectivity in practice
+    # (the oracle dedups the raw strings; a 2^-64 collision would be
+    # the only divergence).
+    # repartition("sh_h") BEFORE the distinct: hashpartitioning(sh_h)
+    # satisfies the distinct's clustering requirement (subset of its
+    # grouping keys) AND both self-join sides' distribution, so the
+    # cached table is shuffled ONCE and the join adds no exchange.
     # Persisted: three consumers (two join sides + sizes) would each
-    # re-run the tokenize/explode/md5 pipeline — the dominant CPU cost.
-    # MEMORY_AND_DISK so the (hash, doc_id) table — far smaller than the
-    # raw text — spills rather than OOMs at corpus scale.
+    # re-run the tokenize/explode/hash pipeline — the dominant CPU
+    # cost. MEMORY_AND_DISK so the (hash, doc_id) table — far smaller
+    # than the raw text — spills rather than OOMs at corpus scale.
     sh = (
         docs.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
         .select(
@@ -139,7 +146,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("shingle"),
         )
-        .select("doc_id", F.expr(SPARK_H60.format(x="shingle")).alias("sh_h"))
+        .select("doc_id", F.xxhash64("shingle").alias("sh_h"))
+        .repartition("sh_h")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
