@@ -438,3 +438,142 @@ def term_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return tfidf.unionAll(topk)
+
+
+_REPETITION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+g AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM toks
+),
+tg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS tg
+  FROM toks
+),
+ts AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS nd FROM g GROUP BY 1
+),
+tgs AS (
+  SELECT doc_id, count(*) AS n_tg, count(DISTINCT tg) AS nd_tg FROM tg GROUP BY 1
+),
+bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+bgs AS (
+  SELECT doc_id, max(c) AS top_bg, CAST(sum(c) AS BIGINT) AS n_bg FROM bgc GROUP BY 1
+)
+SELECT ts.doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       {{r6_distinct}} AS distinct_token_ratio,
+       {{r6_topbg}} AS top_bigram_frac,
+       {{r6_duptg}} AS dup_trigram_frac,
+       CAST(CASE WHEN CAST(nd AS DOUBLE) / n_tokens >= {{thr_distinct}}
+                  AND CAST(top_bg AS DOUBLE) / n_bg <= {{thr_topbg}}
+                  AND 1.0 - CAST(nd_tg AS DOUBLE) / n_tg <= {{thr_duptg}}
+            THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM ts JOIN tgs ON ts.doc_id = tgs.doc_id JOIN bgs ON ts.doc_id = bgs.doc_id
+"""
+
+# Gopher-style repetition thresholds, adapted to this corpus's
+# distribution (distinct-token ratio avg .50, top-bigram frac avg .04,
+# dup-trigram frac avg .001 at sf0.01) so both keep branches are
+# populated: ~28% of documents survive.
+REP_THR_DISTINCT = 0.55
+REP_THR_TOP_BIGRAM = 0.08
+REP_THR_DUP_TRIGRAM = 0.05
+
+from engine.functions.rounding import duck_round_he  # noqa: E402
+
+
+@query(
+    "text_repetition",
+    oracle=_REPETITION_ORACLE.format(
+        r6_distinct=duck_round_he("CAST(nd AS DOUBLE) / n_tokens", 6),
+        r6_topbg=duck_round_he("CAST(top_bg AS DOUBLE) / n_bg", 6),
+        r6_duptg=duck_round_he("1.0 - CAST(nd_tg AS DOUBLE) / n_tg", 6),
+        thr_distinct=REP_THR_DISTINCT,
+        thr_topbg=REP_THR_TOP_BIGRAM,
+        thr_duptg=REP_THR_DUP_TRIGRAM,
+    ),
+    tags=("textstats", "quality", "repetition"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models", app. A1.1 repetition filters), adapted to
+    newline-free token streams: per-document distinct-token ratio,
+    fraction of bigram occurrences held by the single most common
+    bigram, duplicate-trigram fraction, and the resulting keep flag.
+
+    Scale design: one explode pass emits (tok, bigram, trigram) structs
+    per position; the stream is repartitioned by doc_id ONCE and
+    persisted, so the three per-document aggregations and the final
+    joins all reuse that single shuffle (hashpartitioning(doc_id)
+    satisfies every downstream clustering requirement). All ratios are
+    BIGINT-count divisions — bit-identical across engines — rounded
+    with the shared half-even-free ``round_he`` IEEE sequence.
+    """
+    from pyspark import StorageLevel
+
+    from engine.functions.rounding import round_he
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t)), i -> struct("
+                    " element_at(t, i) AS tok,"
+                    " CASE WHEN i <= size(t) - 1 THEN concat_ws(' ',"
+                    "   element_at(t, i), element_at(t, i + 1)) END AS bg,"
+                    " CASE WHEN i <= size(t) - 2 THEN concat_ws(' ',"
+                    "   element_at(t, i), element_at(t, i + 1),"
+                    "   element_at(t, i + 2)) END AS tg))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.tok", "g.bg", "g.tg")
+        .repartition("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tok = g.groupBy("doc_id").agg(
+        F.count("tok").alias("n_tokens"),
+        F.countDistinct("tok").alias("nd"),
+        F.count("tg").alias("n_tg"),
+        F.countDistinct("tg").alias("nd_tg"),
+    )
+    bgs = (
+        g.filter(F.col("bg").isNotNull())
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bg"), F.sum("c").alias("n_bg"))
+    )
+    distinct_ratio = F.col("nd").cast("double") / F.col("n_tokens")
+    top_bg_frac = F.col("top_bg").cast("double") / F.col("n_bg")
+    dup_tg_frac = F.lit(1.0) - F.col("nd_tg").cast("double") / F.col("n_tg")
+    return (
+        tok.join(bgs, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            round_he(distinct_ratio, 6).alias("distinct_token_ratio"),
+            round_he(top_bg_frac, 6).alias("top_bigram_frac"),
+            round_he(dup_tg_frac, 6).alias("dup_trigram_frac"),
+            F.when(
+                (distinct_ratio >= REP_THR_DISTINCT)
+                & (top_bg_frac <= REP_THR_TOP_BIGRAM)
+                & (dup_tg_frac <= REP_THR_DUP_TRIGRAM),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("keep"),
+        )
+    )
