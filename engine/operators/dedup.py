@@ -26,6 +26,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from engine.functions.rounding import duck_round_he, round_he
 from engine.io import load_table
 from engine.registry import query
 from engine.operators.textstats import DUCK_H60, SPARK_H60
@@ -559,3 +560,116 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("simhash"),
     )
     return fp.unionAll(pairs)
+
+
+# Word-n-gram size for cross-document duplicated-span coverage. 4 for
+# the same reason as pipeline.DECON_NGRAM: this synthetic corpus has
+# almost no natural 5+-gram overlap, so 4 keeps the op exercising a
+# real multi-row duplicated-gram set.
+COV_NGRAM = 4
+COV_HEAVY_THRESHOLD = 0.5  # planted near-dups sit at coverage ≥ 0.5
+
+
+@query(
+    "dedup_crossdoc_ngram_coverage",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i, array_to_string(t[i : i + {COV_NGRAM - 1}], ' ') AS gram
+  FROM toks
+  CROSS JOIN unnest(range(1, greatest(len(t) - {COV_NGRAM - 1}, 1) + 1)) AS r(i)
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+occ AS (SELECT g.doc_id, g.i FROM grams g JOIN dup USING (gram)),
+pos AS (
+  SELECT DISTINCT doc_id, p
+  FROM occ, unnest(range(occ.i, occ.i + {COV_NGRAM})) AS rr(p)
+),
+st AS (SELECT doc_id, count(*) AS n_occ FROM occ GROUP BY 1),
+cv AS (SELECT doc_id, count(*) AS covered FROM pos GROUP BY 1),
+sz AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+SELECT sz.doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n_occ, 0) AS BIGINT) AS dup_gram_occurrences,
+       CAST(COALESCE(covered, 0) AS BIGINT) AS covered_tokens,
+       {duck_round_he("CAST(COALESCE(covered, 0) AS DOUBLE) / n_tokens", 6)}
+         AS coverage_frac,
+       CAST(CASE WHEN CAST(COALESCE(covered, 0) AS DOUBLE) / n_tokens
+                      >= {COV_HEAVY_THRESHOLD}
+            THEN 1 ELSE 0 END AS INTEGER) AS dup_heavy
+FROM sz
+LEFT JOIN st ON sz.doc_id = st.doc_id
+LEFT JOIN cv ON sz.doc_id = cv.doc_id
+""",
+    tags=("dedup", "coverage"),
+    exported=False,
+)
+def dedup_crossdoc_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span coverage — the scalable
+    approximation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    each document, the fraction of token positions covered by at least
+    one word-{COV_NGRAM}-gram that also occurs in ANOTHER document.
+    Documents above COV_HEAVY_THRESHOLD are near-verbatim duplicates
+    that exact-hash dedup misses (they differ somewhere) and pairwise
+    Jaccard prices quadratically.
+
+    Scale shape: grams are hashed to 8-byte ints (xxhash64 — the hash
+    never reaches the output, so injectivity-in-practice suffices; the
+    oracle groups the raw strings), repartitioned by gram hash ONCE and
+    persisted, so the duplicated-gram aggregation and the
+    occurrence-enrichment self-join both reuse that single shuffle.
+    Position coverage then aggregates per doc_id — comparisons scale
+    with duplicated-gram occurrences, never corpus².
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(t) - {COV_NGRAM - 1}, 1)),"
+                    f" i -> struct(i AS i,"
+                    f" concat_ws(' ', slice(t, i, {COV_NGRAM})) AS gram))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.i", F.xxhash64("g.gram").alias("gh"))
+        .repartition("gh")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("gh")
+    )
+    occ = grams.join(dup, "gh").select("doc_id", "i")
+    stats = (
+        occ.select(
+            "doc_id",
+            "i",
+            F.explode(F.sequence(F.col("i"), F.col("i") + (COV_NGRAM - 1))).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("i").alias("dup_gram_occurrences"),
+            F.countDistinct("p").alias("covered_tokens"),
+        )
+    )
+    sz = toks.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+    covered = F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("bigint")
+    frac = covered.cast("double") / F.col("n_tokens")
+    return sz.join(stats, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("dup_gram_occurrences"), F.lit(0))
+        .cast("bigint")
+        .alias("dup_gram_occurrences"),
+        covered.alias("covered_tokens"),
+        round_he(frac, 6).alias("coverage_frac"),
+        F.when(frac >= COV_HEAVY_THRESHOLD, 1).otherwise(0).cast("int").alias("dup_heavy"),
+    )

@@ -650,3 +650,76 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention — the per-user longitudinal analog of the daily
+# rollup (reference has no longitudinal ops at all; SURVEY §2.3).
+# --------------------------------------------------------------------------
+@query(
+    "events_retention_cohorts",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events
+),
+firsts AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1),
+ret AS (
+  SELECT f.cohort_day,
+         date_diff('day', f.cohort_day, d.day) AS offset_days,
+         count(DISTINCT d.user_id) AS n_users
+  FROM days d JOIN firsts f ON d.user_id = f.user_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT cohort_day, count(*) AS cohort_size FROM firsts GROUP BY 1)
+SELECT r.cohort_day,
+       CAST(offset_days AS INTEGER) AS offset_days,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(cohort_size AS BIGINT) AS cohort_size,
+       floor((CAST(n_users AS DOUBLE) / cohort_size) * CAST(1000000.0 AS DOUBLE)
+             + 0.5) / CAST(1000000.0 AS DOUBLE) AS retention_rate
+FROM ret r JOIN sizes s ON r.cohort_day = s.cohort_day
+""",
+    tags=("relational", "events", "retention"),
+    exported=False,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-day retention matrix: users bucketed by first-activity day
+    (cohort), retained-user counts and rates per day offset.
+
+    Scale shape: the (user_id, day) activity set is repartitioned by
+    user_id ONCE and persisted — the distinct, the first-day
+    aggregation, and the cohort join all reuse that single shuffle
+    (hashpartitioning(user_id) satisfies each clustering requirement).
+    The cohort-size enrichment is a broadcast: one row per calendar
+    day, bounded regardless of corpus size. Retention rates are
+    BIGINT-count divisions (bit-identical across engines) rounded with
+    the shared IEEE sequence.
+    """
+    from pyspark import StorageLevel
+
+    from engine.functions.rounding import round_he
+
+    ev = _t(spark, sf_dir, "events")
+    days = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .repartition("user_id")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    firsts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    ret = (
+        days.join(firsts, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("offset_days"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    sizes = firsts.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return ret.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        F.col("offset_days").cast("int").alias("offset_days"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("cohort_size").cast("bigint").alias("cohort_size"),
+        round_he(F.col("n_users").cast("double") / F.col("cohort_size"), 6).alias(
+            "retention_rate"
+        ),
+    )
