@@ -132,3 +132,87 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+CM_DEPTH = 4  # independent hash rows
+CM_WIDTH = 1024  # buckets per row; error bound e/width * N
+CM_TOPK = 20
+
+
+@query(
+    "approx_heavy_hitters",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+tc AS (SELECT token, count(*) AS c FROM toks GROUP BY 1)
+SELECT token, CAST(c AS BIGINT) AS exact_cnt,
+       TRUE AS cm_no_underestimate, TRUE AS cm_within_eps
+FROM tc ORDER BY c DESC, token LIMIT {CM_TOPK}
+""",
+    tags=("approx", "sketch", "text"),
+    exported=False,
+)
+def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the token stream,
+    self-validated like `approx_sketches`: the sketch is built as
+    CM_DEPTH grouped counts over hashed buckets (pure DataFrame ops —
+    the 100 TB shape is one shuffle of (row, bucket) pairs, sketch size
+    CM_DEPTH x CM_WIDTH regardless of corpus size), then probed for the
+    exact top-{CM_TOPK} tokens. Flags assert the two count-min
+    guarantees: estimates never underestimate, and overestimate by at
+    most (e/width)*N. The oracle recomputes the exact counts and
+    literal-TRUE flags — a broken sketch turns the driver row red."""
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    tc = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Sketch build: one explode to (hash_row, bucket) then one grouped
+    # count — at scale this is the only full pass, and its output is
+    # CM_DEPTH x CM_WIDTH rows. Built from the token *counts* (sum of
+    # colliding tokens' counts == count of colliding occurrences).
+    buckets = F.expr(
+        f"transform(sequence(0, {CM_DEPTH - 1}), i -> struct(i AS i,"
+        f" pmod(xxhash64(concat(cast(i AS string), '|', token)),"
+        f" {CM_WIDTH}) AS b))"
+    )
+    cm = (
+        tc.select(F.col("exact_cnt").alias("c"), F.explode(buckets).alias("g"))
+        .groupBy(F.col("g.i").alias("i"), F.col("g.b").alias("b"))
+        .agg(F.sum("c").alias("bucket_cnt"))
+    )
+    n_total = tc.agg(F.sum("exact_cnt").alias("n")).select(
+        "n", F.lit(1).alias("k")
+    )
+    top = (
+        tc.orderBy(F.col("exact_cnt").desc(), "token")
+        .limit(CM_TOPK)
+        .select("token", "exact_cnt", F.explode(buckets).alias("g"))
+    )
+    est = (
+        top.join(
+            F.broadcast(cm),
+            (F.col("g.i") == F.col("i")) & (F.col("g.b") == F.col("b")),
+        )
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("bucket_cnt").alias("cm_est"))
+    )
+    eps = 2.718281828 / CM_WIDTH
+    return (
+        est.join(F.broadcast(n_total.select("n")))
+        .select(
+            "token",
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            (F.col("cm_est") >= F.col("exact_cnt")).alias("cm_no_underestimate"),
+            (F.col("cm_est") - F.col("exact_cnt") <= F.lit(eps) * F.col("n")).alias(
+                "cm_within_eps"
+            ),
+        )
+    )
