@@ -487,7 +487,7 @@ REP_THR_DISTINCT = 0.55
 REP_THR_TOP_BIGRAM = 0.08
 REP_THR_DUP_TRIGRAM = 0.05
 
-from engine.functions.rounding import duck_round_he  # noqa: E402
+from engine.functions.rounding import duck_round_he, round_he  # noqa: E402
 
 
 @query(
@@ -575,5 +575,81 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .cast("int")
             .alias("keep"),
+        )
+    )
+
+
+QQ_THRESHOLD = 0.75  # keep the top quartile per source
+
+_QQ_QUALITY_DUCK = f"""round(1.0 / (1.0 + exp(-(
+    0.3 * ln(1 + len(regexp_extract_all(text, '\\S+')))
+    + 2.0 * ({_lang_scores_sql('duck')['en']} * 1.0
+             / nullif(len(regexp_extract_all(text, '\\S+')), 0))
+    - 5.0 * (length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+             / nullif(length(text), 0))))), 6)"""
+
+
+@query(
+    "quality_quantile_filter",
+    oracle=f"""
+WITH q AS (
+  SELECT source, doc_id, {_QQ_QUALITY_DUCK} AS quality FROM documents
+),
+r AS (
+  SELECT source, doc_id, quality,
+         percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id) AS pr
+  FROM q
+)
+SELECT source, doc_id, quality, {duck_round_he('pr', 6)} AS pct_rank
+FROM r WHERE pr >= {QQ_THRESHOLD}
+""",
+    tags=("textstats", "quality", "window"),
+    exported=False,
+)
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-quantile filtering — keep the top quartile of
+    each source by heuristic quality score (the percentile-threshold
+    complement of `pipeline_reservoir_per_source`'s fixed-k sampling).
+
+    percent_rank is (rank-1)/(n-1) — an integer ratio, bit-identical
+    across engines; ties on the rounded score are broken by doc_id so
+    the rank is fully deterministic. Scale note: the window partitions
+    by source (bounded key set), so a single giant source serializes
+    into one sort — at 100 TB swap the window for the two-pass
+    range-partitioned ranking in `engine.operators.globalrank` applied
+    per source; semantics are identical.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
+    stop_ratio = F.expr(_lang_scores_sql("spark")["en"]) * 1.0 / F.nullif(
+        n_tokens, F.lit(0)
+    )
+    digit_ratio = F.length(F.regexp_replace("text", "[^0-9]", "")) * 1.0 / F.nullif(
+        F.length("text"), F.lit(0)
+    )
+    quality = F.round(
+        1.0
+        / (
+            1.0
+            + F.exp(
+                -(0.3 * F.log(1 + n_tokens) + 2.0 * stop_ratio - 5.0 * digit_ratio)
+            )
+        ),
+        6,
+    )
+    q = docs.select("source", "doc_id", quality.alias("quality"))
+    pr = F.percent_rank().over(
+        W.partitionBy("source").orderBy("quality", "doc_id")
+    )
+    return (
+        q.withColumn("_pr", pr)
+        .filter(F.col("_pr") >= QQ_THRESHOLD)
+        .select(
+            "source",
+            "doc_id",
+            "quality",
+            round_he(F.col("_pr"), 6).alias("pct_rank"),
         )
     )
