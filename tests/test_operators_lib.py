@@ -154,3 +154,28 @@ def test_lsh_dedup_recall_floors(spark):
 
     sh = {(r.doc_a, r.doc_b) for r in simhash_near_pairs(spark, sf).collect()}
     assert len(exact & sh) / len(exact) >= 0.7
+
+
+def test_crossdoc_coverage_exact_dups_are_fully_covered(spark, tmp_path):
+    """Invariant: a document with a verbatim copy elsewhere shares every
+    gram cross-doc, so its duplicated-span coverage is exactly 1.0 and
+    dup_heavy; a document sharing nothing has coverage 0."""
+    from engine.operators.dedup import dedup_crossdoc_ngram_coverage
+
+    twin = "a b c d e f g h i j k l"
+    rows = [
+        (0, twin, "en", "web", len(twin)),
+        (1, twin, "en", "web", len(twin)),
+        (2, "one two three four five six seven eight", "en", "web", 39),
+    ]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    cov = {
+        r["doc_id"]: r
+        for r in dedup_crossdoc_ngram_coverage(spark, str(tmp_path)).collect()
+    }
+    assert cov[0]["coverage_frac"] == 1.0 and cov[0]["dup_heavy"] == 1
+    assert cov[1]["coverage_frac"] == 1.0 and cov[1]["dup_heavy"] == 1
+    assert cov[2]["coverage_frac"] == 0.0 and cov[2]["dup_heavy"] == 0
+    assert cov[2]["dup_gram_occurrences"] == 0
