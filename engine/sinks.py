@@ -99,3 +99,74 @@ def compact_parquet(
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return n_files
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_cols: list[str],
+    version_col: str,
+) -> int:
+    """Keyed upsert (CDC merge) into a plain parquet directory; returns
+    the row count of the published snapshot.
+
+    Semantics of ``MERGE INTO``'s upsert core without a table format:
+    for each key, the surviving row is the one with the highest
+    ``version_col`` (updates win ties, so a same-version republish is
+    idempotent). New keys insert, existing keys update.
+
+    Scale shape: one shuffle of base ∪ updates keyed by ``key_cols``
+    with a max_by per key — cost scales with snapshot size, the same
+    asymptotics as a table-format MERGE's full-partition rewrite path.
+    At 100 TB you'd partition the directory (e.g. by date) and merge
+    only partitions the updates touch; a transactional table format
+    (Iceberg/Delta) replaces the rename publish with a metadata commit.
+    Publication reuses the compact_parquet rename protocol: readers see
+    the old snapshot or the new one, never a partial directory.
+    """
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    tagged_updates = updates.withColumn("__src", F.lit(1))
+    if os.path.isdir(path):
+        base = spark.read.parquet(path).withColumn("__src", F.lit(0))
+        merged = base.unionByName(tagged_updates)
+    else:
+        merged = tagged_updates
+    others = [
+        c for c in merged.columns if c not in (*key_cols, version_col, "__src")
+    ]
+    # max_by over a (version, src) struct: highest version wins, updates
+    # beat base on equal versions — deterministic, order-independent.
+    pick = F.max_by(
+        F.struct(version_col, *others), F.struct(version_col, "__src")
+    ).alias("__row")
+    snapshot = (
+        merged.groupBy(*key_cols)
+        .agg(pick)
+        .select(*key_cols, "__row.*")
+    )
+    parent = str(Path(path).parent)
+    os.makedirs(parent, exist_ok=True)
+    staging = tempfile.mkdtemp(prefix="upsert-", dir=parent)
+    retired = tempfile.mktemp(prefix="upsert-old-", dir=parent)
+    try:
+        snapshot.write.mode("overwrite").parquet(staging)
+        n_rows = spark.read.parquet(staging).count()
+        if os.path.isdir(path):
+            os.rename(path, retired)
+        try:
+            os.rename(staging, path)
+        except OSError:
+            if os.path.isdir(retired):
+                os.rename(retired, path)
+            raise
+        shutil.rmtree(retired, ignore_errors=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return n_rows
