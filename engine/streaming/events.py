@@ -259,3 +259,40 @@ def streaming_enriched_purchases(
         .join(F.broadcast(dims), "user_id", "left")
         .select("event_id", "user_id", "n_name", "value")
     )
+
+
+def write_stream_upsert(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    version_col: str,
+    name: str = "upsert-sink",
+):
+    """Streaming CDC materialization: each micro-batch is merged into
+    the parquet snapshot at ``path`` via :func:`engine.sinks.
+    upsert_parquet` (highest version wins per key) inside
+    ``foreachBatch``.
+
+    End-to-end effectively-once: the checkpoint makes batch REPLAY the
+    failure mode (a crashed batch reruns), and the upsert is idempotent
+    under replay — re-merging the same rows picks the same winners — so
+    restart neither drops nor duplicates state. This is the standard
+    pairing for sinks without transactional two-phase commit: exactly-
+    once state from at-least-once delivery + idempotent merge. Returns
+    the query (caller awaits termination)."""
+    from engine.sinks import upsert_parquet
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_parquet(
+            batch_df.sparkSession, batch_df, path, key_cols, version_col
+        )
+
+    return (
+        df.writeStream.queryName(name)
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
