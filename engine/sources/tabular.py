@@ -41,3 +41,17 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
+
+
+def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet written under an EVOLVING schema (columns added over
+    time): ``mergeSchema`` unions the file footers' schemas, and files
+    missing a column surface NULLs for it.
+
+    Scale note: schema merging reads every file's footer at planning
+    time — fine for a handful of snapshot generations, wrong for a
+    10M-file lake (there, keep the merged schema in a catalog and pass
+    it explicitly). Additive widening only: a column whose TYPE changed
+    between generations fails the merge rather than silently coercing.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

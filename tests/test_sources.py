@@ -46,3 +46,21 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     got = filtered.count()
     want = li.filter(F.col("l_quantity") > 30.0).count()
     assert got == want
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Old files without the late-added column read as NULL; new files
+    carry it; the merged frame exposes the union schema."""
+    from engine.sources.tabular import read_parquet_evolving
+
+    gen1, gen2 = str(tmp_path / "gen1"), str(tmp_path / "gen2")
+    spark.createDataFrame([(1, "a")], ["id", "val"]).write.parquet(gen1)
+    spark.createDataFrame(
+        [(2, "b", 0.9)], ["id", "val", "quality"]
+    ).write.parquet(gen2)
+
+    df = read_parquet_evolving(spark, gen1, gen2)
+    assert set(df.columns) == {"id", "val", "quality"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["quality"] is None
+    assert rows[2]["quality"] == 0.9
