@@ -49,16 +49,28 @@ def main() -> None:
                 pass
     load_table(spark, SF_DIR, "lineitem").count()
 
+    # Median of 3 runs per query: single-sample walltimes swing ±20%
+    # with machine load, which reads as phantom regressions across
+    # rounds. Each run rebuilds the DataFrame (no cross-run cache; any
+    # .persist() inside a query is scoped to that build) and fully
+    # materializes via the noop sink — a bare .count() would let
+    # Catalyst prune projections and under-measure map-heavy queries.
+    N_RUNS = 3
     per_query: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        df = specs[name].fn(spark, SF_DIR)
-        # noop sink: full execution of EVERY output column (a bare
-        # .count() lets Catalyst prune projections, under-measuring
-        # map-heavy queries) with no driver-side materialization.
-        df.write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {per_query[name]}s", file=sys.stderr)
+        times = []
+        for _ in range(N_RUNS):
+            t0 = time.time()
+            df = specs[name].fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            times.append(time.time() - t0)
+            spark.catalog.clearCache()
+        per_query[name] = round(sorted(times)[N_RUNS // 2], 3)
+        print(
+            f"# {name}: median {per_query[name]}s of "
+            + "/".join(f"{t:.3f}" for t in times),
+            file=sys.stderr,
+        )
 
     total = round(sum(per_query.values()), 3)
     print(
@@ -68,6 +80,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "runs_per_query": N_RUNS,
+                "agg": "median",
                 "sf": _sf_from_dir(SF_DIR),
             }
         )
