@@ -553,3 +553,87 @@ def histogram_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
         )
     )
+
+
+@query(
+    "data_quality_audit",
+    oracle="""
+SELECT 'lineitem_rows' AS check, CAST(count(*) AS BIGINT) AS value FROM lineitem
+UNION ALL
+SELECT 'lineitem_null_quantity', CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_quantity IS NULL
+UNION ALL
+SELECT 'lineitem_nonpositive_price', CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_extendedprice <= 0
+UNION ALL
+SELECT 'orders_dup_pk', CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem_orphan_orders', CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS
+  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders_orphan_customers', CAST(count(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS
+  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+""",
+    tags=("relational", "audit"),
+    exported=False,
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the Deequ/great-expectations
+    shape): completeness, validity, primary-key uniqueness, and
+    referential integrity, emitted as one (check, value) metric table
+    where 0 means clean for every check but row count.
+
+    Scale shape: each check is an independent scalar aggregate over a
+    pruned scan (count/null-count push down to the parquet footer
+    statistics in the row-count cases); the two referential checks are
+    left-anti joins that broadcast nothing and shuffle only the key
+    columns. Checks union AFTER aggregation — the combined plan stays a
+    union of O(1)-row results, so adding checks scales the audit
+    linearly in scans, never in shuffle width.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def scalar(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check"),
+            F.count(F.lit(1)).cast("bigint").alias("value"),
+        )
+
+    checks = [
+        scalar("lineitem_rows", li),
+        scalar("lineitem_null_quantity", li.filter(F.col("l_quantity").isNull())),
+        scalar(
+            "lineitem_nonpositive_price",
+            li.filter(F.col("l_extendedprice") <= 0),
+        ),
+        orders.agg(
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+            .cast("bigint")
+            .alias("value")
+        ).select(F.lit("orders_dup_pk").alias("check"), "value"),
+        scalar(
+            "lineitem_orphan_orders",
+            li.select("l_orderkey").join(
+                orders.select("o_orderkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+                "left_anti",
+            ),
+        ),
+        scalar(
+            "orders_orphan_customers",
+            orders.select("o_custkey").join(
+                customer.select("c_custkey"),
+                F.col("o_custkey") == F.col("c_custkey"),
+                "left_anti",
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
