@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from engine.functions.hashing import DUCK_H60, SPARK_H60
+from engine.functions.rounding import duck_round_he, round_he
 from engine.io import load_table
 from engine.registry import query
 
@@ -720,3 +721,128 @@ def pipeline_decontam_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cum_before % PACK_CTX).cast("bigint").alias("seq_offset"),
     )
     return decon_facet.unionAll(pack_facet)
+
+
+LM_SURPRISE_THRESHOLD = 0.0333  # ~bottom decile of avg bigram likelihood
+
+
+@query(
+    "pipeline_lm_likelihood",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+bi AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks CROSS JOIN unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS r(i)
+),
+c12 AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c FROM bi GROUP BY 1),
+v AS (
+  SELECT count(DISTINCT w1) AS v
+  FROM (SELECT w1 FROM bi UNION ALL SELECT w2 FROM bi) u(w1)
+),
+scored AS (
+  SELECT b.doc_id,
+         CAST(floor(CAST(c12.c + 1 AS DOUBLE) / (c1.c + v.v)
+                    * CAST(1000000000.0 AS DOUBLE)) AS BIGINT) AS q9
+  FROM bi b
+  JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+  JOIN c1 ON b.w1 = c1.w1
+  CROSS JOIN v
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(q9) AS BIGINT) AS sum_p_q9
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, n_bigrams, sum_p_q9,
+       {duck_round_he(
+           "CAST(sum_p_q9 AS DOUBLE) / n_bigrams"
+           " / CAST(1000000000.0 AS DOUBLE)", 6)} AS avg_bigram_p,
+       CAST(CASE WHEN CAST(sum_p_q9 AS DOUBLE) / n_bigrams
+                      / CAST(1000000000.0 AS DOUBLE)
+                      < {LM_SURPRISE_THRESHOLD}
+            THEN 1 ELSE 0 END AS INTEGER) AS surprising
+FROM agg
+""",
+    tags=("pipeline", "lm", "quality"),
+    exported=False,
+)
+def pipeline_lm_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal without the external model: score
+    each document by its average add-one-smoothed bigram probability
+    under the corpus's own bigram LM, and flag the least-likely
+    (most "surprising") decile — the linear-domain stand-in for KenLM
+    perplexity filtering (Wenzek et al. 2020).
+
+    Cross-engine exactness by construction: every per-bigram
+    probability is an integer-count ratio (bit-identical doubles on
+    both engines), quantized to integer billionths and SUMMED AS
+    BIGINT — order-independent, so Spark's partition-parallel sum
+    cannot diverge from DuckDB's sequential one (the ln-domain
+    formulation would accumulate libm ulps and turn the driver hash
+    into a lottery). Scale shape: the tokenized bigram stream persists
+    once and feeds the LM counts and the scoring join; the scoring
+    join shuffles on (w1, w2) against the count table, the unigram
+    table broadcasts, and V is a 1-row scalar.
+    """
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    bi = (
+        docs.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(t) - 1, 1)),"
+                    " i -> struct(element_at(t, i) AS w1,"
+                    " element_at(t, i + 1) AS w2))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.w1", "g.w2")
+        .filter(F.col("w2").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = (
+        bi.select("w1")
+        .unionAll(bi.select(F.col("w2").alias("w1")))
+        .agg(F.countDistinct("w1").alias("v"))
+    )
+    q9 = F.floor(
+        (F.col("c12") + 1).cast("double")
+        / (F.col("c1") + F.col("v"))
+        * F.lit(1000000000.0)
+    ).cast("bigint")
+    scored = (
+        bi.join(c12, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(v))
+        .select("doc_id", q9.alias("q9"))
+    )
+    avg_p = (
+        F.col("sum_p_q9").cast("double")
+        / F.col("n_bigrams")
+        / F.lit(1000000000.0)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("q9").cast("bigint").alias("sum_p_q9"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_p_q9",
+            round_he(avg_p, 6).alias("avg_bigram_p"),
+            F.when(avg_p < LM_SURPRISE_THRESHOLD, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("surprising"),
+        )
+    )

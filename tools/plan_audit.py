@@ -47,6 +47,7 @@ NESTED_LOOP_OK = {
     "tfidf_top_terms",  # 1-row corpus-size broadcast
     "pipeline_source_mix",  # 1-row sampled-total broadcast
     "approx_heavy_hitters",  # 1-row total-N broadcast vs 20 hitters
+    "pipeline_lm_likelihood",  # 1-row vocab-size V broadcast
     # federated registry queries inheriting a whitelisted component's
     # bounded broadcast (each BNLJ side is O(1) rows or the documented
     # broadcast query/centroid set — bounded at any corpus size)
