@@ -141,10 +141,14 @@ def upsert_parquet(
     others = [
         c for c in merged.columns if c not in (*key_cols, version_col, "__src")
     ]
-    # max_by over a (version, src) struct: highest version wins, updates
-    # beat base on equal versions — deterministic, order-independent.
+    # max_by over a (version, src, payload) struct: highest version
+    # wins, updates beat base on equal versions, and equal-version
+    # duplicates WITHIN a batch resolve by payload ordering — fully
+    # deterministic and order-independent (an ordering key of
+    # (version, src) alone would leave within-batch ties to Spark's
+    # arbitrary max_by pick).
     pick = F.max_by(
-        F.struct(version_col, *others), F.struct(version_col, "__src")
+        F.struct(version_col, *others), F.struct(version_col, "__src", *others)
     ).alias("__row")
     snapshot = (
         merged.groupBy(*key_cols)
