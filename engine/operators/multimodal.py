@@ -314,3 +314,99 @@ def multimodal_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_i.alias("d3"),
     )
     return m.unionAll(fr).unionAll(rz)
+
+
+# Fake audio metadata, derived deterministically from the payload
+# checksum like the image metadata above: sample rate from a standard
+# rate table, duration 1-56 s of samples.
+AUDIO_RATES = (8000, 16000, 44100)
+AUDIO_MAX_EXTRA = 441000
+AUDIO_MIN_SAMPLES = 8000
+AUDIO_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("start_sample", T.LongType()),
+        T.StructField("end_sample", T.LongType()),
+    ]
+)
+
+
+def chunk_audio(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """1-second audio chunking over a binary payload column: the 1→N
+    ``mapInPandas`` expansion real audio segmentation uses (soundfile /
+    ffmpeg decode drops into the metadata step unchanged — here the
+    sample count and rate derive from the payload checksum because the
+    container has no audio codecs; see module docstring)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib as _hl
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[blob_col]):
+                checksum = _hl.md5(bytes(payload)).hexdigest()
+                h = _h60(checksum)
+                sr = AUDIO_RATES[h % 3]
+                n_samples = h % AUDIO_MAX_EXTRA + AUDIO_MIN_SAMPLES
+                i = 0
+                while i * sr < n_samples:
+                    rows.append(
+                        (
+                            int(doc_id),
+                            i,
+                            sr,
+                            i * sr,
+                            min((i + 1) * sr, n_samples),
+                        )
+                    )
+                    i += 1
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "chunk_idx",
+                    "sample_rate",
+                    "start_sample",
+                    "end_sample",
+                ],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        batches, schema=AUDIO_CHUNK_SCHEMA
+    )
+
+
+@query(
+    "multimodal_audio_chunks",
+    oracle=f"""
+WITH meta AS (
+  SELECT doc_id,
+         CAST(CASE {_H_CK} % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+              ELSE 44100 END AS INT) AS sr,
+         CAST({_H_CK} % {AUDIO_MAX_EXTRA} + {AUDIO_MIN_SAMPLES} AS BIGINT)
+           AS n_samples
+  FROM documents
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx, sr AS sample_rate,
+       CAST(i * sr AS BIGINT) AS start_sample,
+       CAST(least((i + 1) * sr, n_samples) AS BIGINT) AS end_sample
+FROM meta CROSS JOIN (SELECT unnest(range(0, 60)) AS i) c
+WHERE i * sr < n_samples
+""",
+    tags=("multimodal", "pandas_udf", "audio"),
+    exported=False,
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-duration (1 s) audio segmentation over binary payloads —
+    the audio sibling of the video frame sampler: one row per chunk
+    with sample offsets, ready for a feature-extraction UDF to consume
+    per segment. The oracle recomputes every boundary from the same
+    checksum-derived metadata, pinning the binary→decode-meta→segment
+    round trip exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_blob = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return chunk_audio(with_blob, "doc_id", "payload")
