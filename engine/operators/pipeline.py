@@ -30,6 +30,7 @@ from engine.functions.hashing import DUCK_H60, SPARK_H60
 from engine.functions.rounding import duck_round_he, round_he
 from engine.io import load_table
 from engine.registry import query
+from engine.operators.textstats import _QQ_QUALITY_DUCK
 
 TEST_PCT = 5  # h60 buckets 0-4 of 100 → test
 VAL_PCT = 5  # buckets 5-9 → val
@@ -845,4 +846,68 @@ def pipeline_lm_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("surprising"),
         )
+    )
+
+
+TOKEN_BUDGET_PER_SOURCE = 5000  # whitespace tokens admitted per source
+
+
+@query(
+    "pipeline_token_budget",
+    oracle="""
+WITH scored AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+         {quality} AS quality
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, n_tokens, quality,
+         CAST(sum(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY quality DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+  FROM scored
+)
+SELECT source, doc_id, n_tokens, quality, cum_tokens
+FROM ranked WHERE cum_tokens <= {budget}
+""".format(quality=_QQ_QUALITY_DUCK, budget=TOKEN_BUDGET_PER_SOURCE),
+    tags=("pipeline", "budget", "quality"),
+    exported=False,
+)
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-greedy token-budget allocation: admit each source's
+    best documents (by the shared logistic quality score) until the
+    source's token budget is exhausted — the data-mixing primitive for
+    assembling a fixed-size training corpus from heterogeneous
+    sources.
+
+    Determinism: the cumulative sum is BIGINT token counts over a
+    fully-ordered window (quality DESC, doc_id) — order-independent
+    arithmetic, deterministic order — so the admitted set is
+    bit-identical across engines. Scale note: per-source window sort
+    has the same giant-source caveat as `quality_quantile_filter`;
+    globalrank's range-partitioned two-pass is the drop-in at that
+    point.
+    """
+    from engine.operators.textstats import spark_quality_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
+        .cast("bigint")
+        .alias("n_tokens"),
+        spark_quality_expr().alias("quality"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
+        .select("source", "doc_id", "n_tokens", "quality", "cum_tokens")
     )

@@ -723,3 +723,54 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention_rate"
         ),
     )
+
+
+@query(
+    "events_rolling_active_users",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events
+),
+contrib AS (
+  SELECT user_id, day + to_days(CAST(o AS INT)) AS target_day
+  FROM days CROSS JOIN (SELECT unnest(range(0, 7)) AS o) r
+),
+present AS (SELECT DISTINCT day FROM days)
+SELECT c.target_day AS day,
+       CAST(count(DISTINCT c.user_id) AS BIGINT) AS active_users_7d
+FROM contrib c JOIN present p ON c.target_day = p.day
+GROUP BY 1
+""",
+    tags=("relational", "events", "rolling"),
+    exported=False,
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU curve, reported only for days
+    present in the data): COUNT(DISTINCT user) OVER a 7-day trailing
+    window — which windowed aggregation cannot express distinctly — via
+    the contribution expansion: each (user, day) activity contributes
+    to the 7 target days it is visible from, then one distinct count
+    per target day.
+
+    Scale shape: the expansion is a fixed ×7 map-side explode of the
+    deduplicated (user, day) set — no self-join, no window sort; the
+    single shuffle keys by target day for the distinct count. The
+    present-days semi join keeps the output aligned with observed days
+    (broadcast: one row per calendar day)."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    contrib = days.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, day + interval 6 days, interval 1 day)")
+        ).alias("target_day"),
+    )
+    present = days.select(F.col("day").alias("target_day")).distinct()
+    return (
+        contrib.join(F.broadcast(present), "target_day")
+        .groupBy(F.col("target_day").alias("day"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users_7d"))
+    )

@@ -653,3 +653,26 @@ def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_he(F.col("_pr"), 6).alias("pct_rank"),
         )
     )
+
+
+def spark_quality_expr() -> "F.Column":
+    """The logistic quality score as a reusable Column (the exact
+    expression `quality_score` / `quality_quantile_filter` use; DuckDB
+    twin: `_QQ_QUALITY_DUCK`)."""
+    n_tokens = F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
+    stop_ratio = F.expr(_lang_scores_sql("spark")["en"]) * 1.0 / F.nullif(
+        n_tokens, F.lit(0)
+    )
+    digit_ratio = F.length(F.regexp_replace("text", "[^0-9]", "")) * 1.0 / F.nullif(
+        F.length("text"), F.lit(0)
+    )
+    return F.round(
+        1.0
+        / (
+            1.0
+            + F.exp(
+                -(0.3 * F.log(1 + n_tokens) + 2.0 * stop_ratio - 5.0 * digit_ratio)
+            )
+        ),
+        6,
+    )
