@@ -676,3 +676,57 @@ def spark_quality_expr() -> "F.Column":
         ),
         6,
     )
+
+
+MIN_SHARED_FP = 5  # winnowing pair-candidate threshold
+
+
+# Resolved at import time: doc_fingerprints is registered above.
+from engine.registry import _REGISTRY as _TREG  # noqa: E402
+
+_FP_ORACLE = _TREG["doc_fingerprints"].oracle
+
+
+@query(
+    "fingerprint_near_pairs",
+    oracle=f"""
+WITH fp AS ({_FP_ORACLE})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {MIN_SHARED_FP}
+""",
+    tags=("textstats", "fingerprint", "dedup"),
+    exported=False,
+)
+def fingerprint_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style candidate pairing from winnowing fingerprints
+    (Schleimer et al., SIGMOD'03 §4): documents sharing >= {MIN_SHARED_FP}
+    fingerprints are plagiarism/near-dup candidates. Completes the
+    winnowing story — `doc_fingerprints` selects the fingerprints,
+    this query uses them as the blocking key.
+
+    Scale shape: same single-shuffle self-join as the jaccard dedup —
+    the fingerprint set is repartitioned by fp ONCE and persisted, so
+    both join sides and the bucket join itself reuse one exchange;
+    comparisons scale with fingerprint collisions, never corpus².
+    """
+    from pyspark import StorageLevel
+
+    fps = (
+        doc_fingerprints(spark, sf_dir)
+        .repartition("fp")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= MIN_SHARED_FP)
+    )
