@@ -178,6 +178,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_tables(docs):
+    """(mh, bands) for MinHash/LSH consumers. mh is persisted — the
+    banding pass plus both verification join sides reuse it; K rows per
+    document, tiny next to the shingle stream it derives from."""
+    sh = _spark_shingles(docs)
+    mh = (
+        sh.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("hi"),
+            "shingle",
+        )
+        .select(
+            "doc_id",
+            "hi",
+            F.expr(
+                SPARK_H60.format(x="concat(cast(hi as string), '|', shingle)")
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "hi")
+        .agg(F.min("h").alias("mh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bands = mh.groupBy("doc_id", (F.col("hi") % 8).alias("band")).agg(
+        F.expr(
+            "md5(concat_ws(',', transform(array_sort(collect_list(struct(hi, mh))),"
+            " s -> cast(s.mh as string))))"
+        ).alias("sig")
+    )
+    return mh, bands
+
+
 _DUCK_MINHASH = f"""
 {_DUCK_SHINGLES},
 mh AS (
@@ -223,32 +254,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic md5-derived hash functions make this reproducible
     across engines (and runs)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _spark_shingles(docs)
-    mh = (
-        sh.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("hi"),
-            "shingle",
-        )
-        .select(
-            "doc_id",
-            "hi",
-            F.expr(
-                SPARK_H60.format(x="concat(cast(hi as string), '|', shingle)")
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "hi")
-        .agg(F.min("h").alias("mh"))
-        # Three consumers (banding + both verification sides); K rows per
-        # document, tiny next to the shingle stream it derives from.
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    bands = mh.groupBy("doc_id", (F.col("hi") % 8).alias("band")).agg(
-        F.expr(
-            "md5(concat_ws(',', transform(array_sort(collect_list(struct(hi, mh))),"
-            " s -> cast(s.mh as string))))"
-        ).alias("sig")
-    )
+    mh, bands = _minhash_tables(docs)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -673,3 +679,91 @@ def dedup_crossdoc_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
         round_he(frac, 6).alias("coverage_frac"),
         F.when(frac >= COV_HEAVY_THRESHOLD, 1).otherwise(0).cast("int").alias("dup_heavy"),
     )
+
+
+INC_MOD = 5  # h60 bucket 0 of 5 → ~20% of docs form the "new" batch
+
+_DUCK_IS_NEW = (
+    DUCK_H60.format(x="'inc:' || CAST(doc_id AS VARCHAR)") + f" % {INC_MOD} = 0"
+)
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+WITH {_DUCK_MINHASH},
+base AS (SELECT doc_id, text, {_DUCK_IS_NEW} AS is_new FROM documents),
+ex AS (
+  SELECT b.doc_id, CAST(min(c.doc_id) AS BIGINT) AS duplicate_of
+  FROM base b JOIN base c
+    ON sha256(b.text) = sha256(c.text) AND b.is_new AND NOT c.is_new
+  GROUP BY 1
+),
+nb AS (
+  SELECT a.doc_id, CAST(min(b.doc_id) AS BIGINT) AS duplicate_of
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id <> b.doc_id
+  JOIN base na ON na.doc_id = a.doc_id
+  JOIN base nc ON nc.doc_id = b.doc_id
+  WHERE na.is_new AND NOT nc.is_new
+  GROUP BY 1
+)
+SELECT doc_id, 'exact' AS kind, duplicate_of FROM ex
+UNION ALL
+SELECT doc_id, 'near_band', duplicate_of FROM nb
+""",
+    tags=("dedup", "incremental"),
+    exported=False,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the shape production pipelines actually run:
+    a NEW document batch (deterministic ~20% hash slice standing in for
+    today's crawl) checked against the EXISTING corpus only, never
+    batch x batch or corpus x corpus. Two tiers per new document:
+    `exact` (sha256 content match) and `near_band` (shares a MinHash
+    LSH band signature with a corpus document), each reporting the
+    lowest matching corpus doc_id.
+
+    Scale shape: cost scales with |batch| x collision rate, not
+    |corpus|²; the content-hash join shuffles 32-byte digests and the
+    band join shuffles band signatures — both O(corpus count) keys.
+    The MinHash/band tables are built once over corpus ∪ batch (the
+    same `_minhash_tables` the full LSH dedup uses) and split by the
+    membership flag afterward.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = (
+        F.expr(SPARK_H60.format(x="concat('inc:', cast(doc_id as string))"))
+        % INC_MOD
+        == 0
+    )
+    base = docs.select("doc_id", "text", is_new.alias("is_new"))
+    hashes = base.select(
+        "doc_id", "is_new", F.sha2("text", 256).alias("content_hash")
+    )
+    newh = hashes.filter("is_new").select(
+        F.col("doc_id"), F.col("content_hash")
+    )
+    oldh = hashes.filter(~F.col("is_new")).select(
+        F.col("doc_id").alias("old_id"), F.col("content_hash")
+    )
+    exact = (
+        newh.join(oldh, "content_hash")
+        .groupBy("doc_id")
+        .agg(F.min("old_id").cast("bigint").alias("duplicate_of"))
+        .select("doc_id", F.lit("exact").alias("kind"), "duplicate_of")
+    )
+    _, bands = _minhash_tables(docs)
+    flags = base.select("doc_id", "is_new")
+    nb_new = bands.join(flags, "doc_id").filter("is_new")
+    nb_old = bands.join(flags, "doc_id").filter(~F.col("is_new")).select(
+        F.col("doc_id").alias("old_id"), "band", "sig"
+    )
+    near = (
+        nb_new.join(nb_old, ["band", "sig"])
+        .filter(F.col("doc_id") != F.col("old_id"))
+        .groupBy("doc_id")
+        .agg(F.min("old_id").cast("bigint").alias("duplicate_of"))
+        .select("doc_id", F.lit("near_band").alias("kind"), "duplicate_of")
+    )
+    return exact.unionAll(near)
