@@ -28,6 +28,44 @@ def round_he(col: Column | str, ndigits: int) -> Column:
     return F.floor(c * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
 
 
+VALUE_Q = 10000.0  # 1e-4 integer grid for money-ish double aggregation
+
+
+def qsum(col: Column | str, q: float = VALUE_Q) -> Column:
+    """Order-independent sum of a double column: quantize each row to
+    an integer grid (round-half-up), sum as BIGINT. Double sums combine
+    in task-completion order, so ``sum(double)`` can differ by an ulp
+    between runs — and a rounded output at a decimal boundary then
+    flips between runs and between engines (the hypertable_rollup
+    flake). Integer sums are exact in any order. Headroom: ~1e14
+    rows/group at |value|≤1e4 before BIGINT overflow (use DECIMAL(38,0)
+    past that)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.floor(c * F.lit(q) + F.lit(0.5)).cast("bigint")).cast("bigint")
+
+
+def qsum_rounded(col: Column | str, ndigits: int, q: float = VALUE_Q) -> Column:
+    """``round_he(qsum(col)/q, ndigits)`` — the drop-in replacement for
+    ``round(sum(col), ndigits)`` output columns."""
+    return round_he(qsum(col, q).cast("double") / F.lit(q), ndigits)
+
+
+def duck_qsum(expr: str, q: float = VALUE_Q) -> str:
+    """DuckDB text twin of :func:`qsum` (CAST: duck sum(BIGINT) is
+    HUGEINT)."""
+    return (
+        f"CAST(sum(CAST(floor(({expr}) * CAST({q!r} AS DOUBLE) + 0.5)"
+        f" AS BIGINT)) AS BIGINT)"
+    )
+
+
+def duck_qsum_rounded(expr: str, ndigits: int, q: float = VALUE_Q) -> str:
+    """DuckDB text twin of :func:`qsum_rounded`."""
+    return duck_round_he(
+        f"CAST({duck_qsum(expr, q)} AS DOUBLE) / CAST({q!r} AS DOUBLE)", ndigits
+    )
+
+
 def duck_round_he(expr: str, ndigits: int) -> str:
     """The same rounding as :func:`round_he`, as DuckDB SQL text.
 

@@ -28,7 +28,13 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from engine.functions.rounding import duck_round_he, round_he
+from engine.functions.rounding import (
+    VALUE_Q,
+    duck_qsum_rounded,
+    duck_round_he,
+    qsum_rounded,
+    round_he,
+)
 from engine.io import load_table
 from engine.registry import query
 
@@ -88,7 +94,14 @@ LEFT JOIN events
   ON ts >= o_orderdate AND ts < o_orderdate + INTERVAL 1 DAY
 WHERE o_orderstatus = 'O'
 GROUP BY o_orderkey
-""".format(sum2=duck_round_he("coalesce(sum(value), 0)", 2)),
+""".format(
+        sum2=duck_round_he(
+            "CAST(coalesce(CAST(sum(CAST(floor(value * CAST(10000.0 AS DOUBLE)"
+            " + 0.5) AS BIGINT)) AS BIGINT), 0) AS DOUBLE)"
+            " / CAST(10000.0 AS DOUBLE)",
+            2,
+        )
+    ),
     tags=("rangejoin", "events", "join"),
     exported=False,
 )
@@ -113,7 +126,8 @@ def range_join_order_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LEFT semantics: orders with no event in window keep a zero row.
     counts = matched.groupBy("o_orderkey").agg(
         F.count("event_id").alias("n_events"),
-        round_he(F.sum("value"), 2).alias("sum_value"),
+        # Exact integer-grid sum: order-free across tasks and engines.
+        qsum_rounded("value", 2).alias("sum_value"),
     )
     return (
         orders.select("o_orderkey")
@@ -132,17 +146,20 @@ def range_join_order_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS bucket_start,
          count(*) AS n_events,
-         sum(value) AS sum_value
+         CAST(sum(CAST(floor(value * CAST({q!r} AS DOUBLE) + 0.5) AS BIGINT))
+              AS BIGINT) AS q_value
   FROM events GROUP BY 1
 ),
 daily AS (
   SELECT date_trunc('day', bucket_start) AS bucket_start,
-         sum(n_events) AS n_events, sum(sum_value) AS sum_value
+         CAST(sum(n_events) AS BIGINT) AS n_events,
+         CAST(sum(q_value) AS BIGINT) AS q_value
   FROM hourly GROUP BY 1
 ),
 monthly AS (
   SELECT date_trunc('month', bucket_start) AS bucket_start,
-         sum(n_events) AS n_events, sum(sum_value) AS sum_value
+         CAST(sum(n_events) AS BIGINT) AS n_events,
+         CAST(sum(q_value) AS BIGINT) AS q_value
   FROM daily GROUP BY 1
 )
 SELECT 'hour' AS grain, bucket_start, n_events,
@@ -156,8 +173,13 @@ UNION ALL
 SELECT 'month', bucket_start, n_events, {sum2}, {avg4}
 FROM monthly
 """.format(
-        sum2=duck_round_he("sum_value", 2),
-        avg4=duck_round_he("sum_value / n_events", 4),
+        q=VALUE_Q,
+        sum2=duck_round_he(
+            f"CAST(q_value AS DOUBLE) / CAST({VALUE_Q!r} AS DOUBLE)", 2
+        ),
+        avg4=duck_round_he(
+            f"CAST(q_value AS DOUBLE) / CAST({VALUE_Q!r} AS DOUBLE) / n_events", 4
+        ),
     ),
     tags=("rollup", "events", "timeseries", "headline"),
 )
@@ -166,37 +188,49 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw events are scanned and aggregated once at hour grain; each
     coarser grain folds the next finer rollup (~1/24, ~1/30 of the
     rows), never the raw table. Averages derive from carried
-    (sum, count) — avg-of-avg would be wrong under uneven buckets."""
+    (sum, count) — avg-of-avg would be wrong under uneven buckets.
+
+    value is aggregated on a 1e-4 integer grid (BIGINT): double sums
+    combine in task-completion order, so the same query can differ by
+    an ulp between runs — and round-half-even at a cent boundary then
+    flips (ADVICE r1: 42.55825). Integer sums are exact and
+    order-free, so Spark and DuckDB agree bit-for-bit; headroom is
+    ~1e14 rows/bucket before BIGINT overflow (use DECIMAL(38,0)
+    aggregation past that)."""
     ev = load_table(spark, sf_dir, "events")
     # Each rollup feeds two consumers (its own output + the next
     # grain); persisted so the raw table is scanned ONCE and each grain
     # folds the cached finer one — without this, every union branch
     # re-aggregates from raw and the "continuous aggregate" claim is a
     # lie in the physical plan. Rollups are bounded (|hours|, |days|).
+    qv = F.floor(F.col("value") * F.lit(VALUE_Q) + F.lit(0.5)).cast("bigint")
     hourly = ev.groupBy(
         F.date_trunc("hour", "ts").alias("bucket_start")
     ).agg(
-        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(qv).cast("bigint").alias("q_value"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     daily = hourly.groupBy(
         F.date_trunc("day", "bucket_start").alias("bucket_start")
     ).agg(
-        F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value")
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("q_value").cast("bigint").alias("q_value"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     monthly = daily.groupBy(
         F.date_trunc("month", "bucket_start").alias("bucket_start")
-    ).agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value"))
+    ).agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("q_value").cast("bigint").alias("q_value"),
+    )
 
     def fmt(df: DataFrame, grain: str) -> DataFrame:
+        dollars = F.col("q_value").cast("double") / F.lit(VALUE_Q)
         return df.select(
             F.lit(grain).alias("grain"),
             "bucket_start",
             "n_events",
-            # Half-up via identical IEEE ops on both engines — plain
-            # round() lands on decimal half-way boundaries here
-            # (ADVICE r1: 1702.33/40 = 42.55825).
-            round_he("sum_value", 2).alias("sum_value"),
-            round_he(F.col("sum_value") / F.col("n_events"), 4).alias("avg_value"),
+            round_he(dollars, 2).alias("sum_value"),
+            round_he(dollars / F.col("n_events"), 4).alias("avg_value"),
         )
 
     return fmt(hourly, "hour").unionAll(fmt(daily, "day")).unionAll(

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from engine.functions.rounding import duck_qsum_rounded, qsum_rounded
 from engine.io import load_table
 from engine.registry import query
 
@@ -634,10 +635,10 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS total_value
+       {sum2} AS total_value
 FROM events
 GROUP BY 1, 2
-""",
+""".format(sum2=duck_qsum_rounded("value", 2)),
     tags=("relational", "datetime", "events", "headline"),
     exported=False,
 )
@@ -647,7 +648,9 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # Integer-grid sum: double sums combine in task-completion
+            # order and can flip a 2-dp boundary between runs/engines.
+            qsum_rounded("value", 2).alias("total_value"),
         )
     )
 

@@ -26,6 +26,7 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from engine.functions.rounding import duck_qsum_rounded
 from engine.io import load_table
 from engine.registry import query
 from engine.streaming.events import (
@@ -51,9 +52,9 @@ def _sink(name: str) -> str:
 SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS total_value
+       {sum2} AS total_value
 FROM events GROUP BY 1, 2
-""",
+""".format(sum2=duck_qsum_rounded("value", 2)),
     tags=("streaming", "window", "events"),
     exported=False,
 )
@@ -160,13 +161,13 @@ SELECT 'tumbling' AS facet,
        CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
        event_type,
        count(*) AS n,
-       round(sum(value), 2) AS x
+       {sum2} AS x
 FROM events GROUP BY 2, 3
 UNION ALL
 SELECT 'dedup', CAST(NULL AS TIMESTAMP), event_type,
        count(DISTINCT event_id), CAST(NULL AS DOUBLE)
 FROM events GROUP BY event_type
-""",
+""".format(sum2=duck_qsum_rounded("value", 2)),
     tags=("streaming", "window", "dedup", "events"),
 )
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from engine.functions.rounding import qsum_rounded
+
 # Parquet stores ts as TIMESTAMP(NANOS); with nanosAsLong (set by
 # engine.io.load_table / engine.session) it surfaces as bigint.
 EVENTS_SCHEMA = T.StructType(
@@ -53,7 +55,9 @@ def streaming_tumbling_counts(
         .groupBy(F.window("ts", window).alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # Integer-grid sum (see engine.functions.rounding.qsum):
+            # streaming partial aggregates combine in arrival order.
+            qsum_rounded("value", 2).alias("total_value"),
         )
         .select(
             F.col("win.start").alias("day"), "event_type", "n_events", "total_value"
