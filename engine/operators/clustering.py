@@ -1,0 +1,258 @@
+"""Embedding clustering (Lloyd k-means) and SemDeDup semantic dedup.
+
+The reference has no vector operators at all (SURVEY.md §2.3 — its
+surface is map/reduce over text lines, ``worker/__main__.py:55-58``);
+this is Layer-B capability for the LLM-data-pipeline mandate: cluster
+the corpus embedding space, then deduplicate semantically *within*
+clusters (Abbas et al., "SemDeDup", arXiv:2303.09540 — k-means makes
+the pairwise stage tractable by turning corpus² comparisons into
+sum-over-clusters |cluster|²).
+
+Cross-engine determinism (the oracle hash-checks every row):
+- init centroids are the first KM_K vectors by vec_id (no RNG);
+- distances are the same in-order IEEE fold on both engines
+  (``aggregate(zip_with(...))`` ⇔ ``list_dot_product`` of the diff);
+- argmin ties break on centroid id;
+- each Lloyd update aggregates dimension values on a 1e-6 integer
+  grid as BIGINT (order-free, exact) and ROUNDS the new centroid to 6
+  dp with the shared identical-IEEE rounding, so both engines feed
+  bit-identical centroids into the next iteration.
+
+100 TB shape: per iteration, one broadcast of K centroids against the
+corpus (narrow, no shuffle) + one (cluster, dim) shuffle bounded by
+K × dim groups. The SemDeDup pair stage self-joins on cluster — skew
+is governed by cluster granularity, so at scale K grows with the
+corpus (the paper uses K ≈ 10k for 5B docs) keeping |cluster| bounded;
+here K is small because the fixture is.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from engine.functions.rounding import duck_round_he, round_he
+from engine.registry import query
+from engine.operators.similarity import _DUCK_EMB, _SPARK_DOT, _spark_emb
+
+KM_K = 8  # clusters (fixture-sized; grows with corpus at scale)
+KM_UPDATES = 2  # Lloyd centroid updates (assign → update, twice)
+KM_Q = 1000000.0  # 1e-6 integer grid for centroid-mean aggregation
+SEM_COS = 0.4  # within-cluster cosine threshold for semantic dups
+
+# -- DuckDB oracle chain ---------------------------------------------------
+
+_DUCK_D2 = (
+    "list_dot_product("
+    "list_transform(range(1, len(e.emb) + 1), i -> e.emb[i] - c.cvec[i]),"
+    "list_transform(range(1, len(e.emb) + 1), i -> e.emb[i] - c.cvec[i]))"
+)
+
+_MEAN6 = duck_round_he(
+    f"CAST(sq AS DOUBLE) / n / CAST({KM_Q!r} AS DOUBLE)", 6
+)
+
+
+def _duck_assign(cents: str, aname: str) -> str:
+    return f"""{aname} AS (
+  SELECT vec_id, emb, nrm, cid AS cluster, d2 FROM (
+    SELECT vec_id, emb, nrm, cid, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid) AS rn
+    FROM (
+      SELECT e.vec_id, e.emb, e.nrm, c.cid, {_DUCK_D2} AS d2
+      FROM e CROSS JOIN {cents} c
+    ) s
+  ) t WHERE rn = 1
+)"""
+
+
+def _duck_dims(a: str, dname: str) -> str:
+    return f"""{dname} AS (
+  SELECT cluster, CAST(i - 1 AS BIGINT) AS dim_i,
+         CAST(sum(CAST(floor(emb[i] * CAST({KM_Q!r} AS DOUBLE)) AS BIGINT))
+              AS BIGINT) AS sq,
+         count(*) AS n
+  FROM {a} CROSS JOIN unnest(range(1, len(emb) + 1)) AS r(i)
+  GROUP BY 1, 2
+)"""
+
+
+def _duck_cents(dname: str, cname: str) -> str:
+    return f"""{cname} AS (
+  SELECT cluster AS cid, list({_MEAN6} ORDER BY dim_i) AS cvec
+  FROM {dname} GROUP BY cluster
+)"""
+
+
+def _duck_chain() -> str:
+    """WITH-chain producing a{{0..KM_UPDATES}} and the final dim stats
+    ``cf_dims`` (one update past the last assignment)."""
+    parts = [
+        _DUCK_EMB,
+        f"c0 AS (SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id < {KM_K})",
+    ]
+    for t in range(KM_UPDATES):
+        parts.append(_duck_assign(f"c{t}", f"a{t}"))
+        parts.append(_duck_dims(f"a{t}", f"d{t + 1}"))
+        parts.append(_duck_cents(f"d{t + 1}", f"c{t + 1}"))
+    parts.append(_duck_assign(f"c{KM_UPDATES}", f"a{KM_UPDATES}"))
+    parts.append(_duck_dims(f"a{KM_UPDATES}", "cf_dims"))
+    return "WITH " + ",\n".join(parts)
+
+
+_AF = f"a{KM_UPDATES}"  # final assignment CTE name
+
+# -- Spark side ------------------------------------------------------------
+
+_SPARK_D2 = (
+    "aggregate(zip_with(emb, cvec, (x, c) -> (x - c) * (x - c)),"
+    " cast(0.0 as double), (acc, v) -> acc + v)"
+)
+
+
+def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    w = W.partitionBy("vec_id").orderBy(F.col("_d2").asc(), F.col("cid"))
+    return (
+        e.join(F.broadcast(cents))  # K rows broadcast — bounded BNLJ
+        .withColumn("_d2", F.expr(_SPARK_D2))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "vec_id",
+            "emb",
+            "nrm",
+            F.col("cid").alias("cluster"),
+            F.col("_d2").alias("d2"),
+        )
+    )
+
+
+def _update_dims(assign: DataFrame) -> DataFrame:
+    return (
+        assign.select("cluster", F.posexplode("emb").alias("dim_i", "val"))
+        .select(
+            "cluster",
+            F.col("dim_i").cast("bigint").alias("dim_i"),
+            F.floor(F.col("val") * F.lit(KM_Q)).cast("bigint").alias("q"),
+        )
+        .groupBy("cluster", "dim_i")
+        .agg(
+            F.sum("q").cast("bigint").alias("sq"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+
+
+def _cents_from_dims(dims: DataFrame) -> DataFrame:
+    mean6 = round_he(F.col("sq").cast("double") / F.col("n") / F.lit(KM_Q), 6)
+    return (
+        dims.select(F.col("cluster").alias("cid"), "dim_i", mean6.alias("cval"))
+        .groupBy("cid")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim_i, cval))),"
+                " s -> s.cval)"
+            ).alias("cvec")
+        )
+    )
+
+
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final Lloyd assignment: (vec_id, emb, nrm, cluster, d2)."""
+    e = _spark_emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    cents = e.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cvec")
+    )
+    a = _assign(e, cents)
+    for _ in range(KM_UPDATES):
+        a = _assign(e, _cents_from_dims(_update_dims(a)))
+    return a
+
+
+@query(
+    "embedding_kmeans",
+    oracle=f"""{_duck_chain()}
+SELECT cluster, dim_i, CAST(n AS BIGINT) AS n_vecs, {_MEAN6} AS centroid
+FROM cf_dims
+""",
+    tags=("clustering", "embedding", "kmeans"),
+    exported=False,
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means over the embeddings table: KM_UPDATES deterministic
+    iterations, output = final per-cluster per-dimension centroid stats
+    (K × dim rows — bounded at any corpus size)."""
+    dims = _update_dims(kmeans_assignments(spark, sf_dir))
+    mean6 = round_he(F.col("sq").cast("double") / F.col("n") / F.lit(KM_Q), 6)
+    return dims.select(
+        "cluster",
+        "dim_i",
+        F.col("n").cast("bigint").alias("n_vecs"),
+        mean6.alias("centroid"),
+    )
+
+
+@query(
+    "semantic_dedup",
+    oracle=f"""{_duck_chain()},
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM {_AF} a JOIN {_AF} b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= {SEM_COS!r}
+)
+SELECT a.vec_id, a.cluster, {duck_round_he('a.d2', 6)} AS dist2,
+       CAST(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS is_dup
+FROM {_AF} a LEFT JOIN dup d ON a.vec_id = d.vec_id
+""",
+    tags=("clustering", "dedup", "embedding", "semdedup"),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means-cluster the embedding space, then flag as
+    duplicate any vector with a same-cluster neighbor of smaller
+    vec_id at cosine ≥ SEM_COS (the kept copy is the smallest id of
+    each semantic group, matching the paper's keep-one policy).
+    Output: (vec_id, cluster, dist2-to-centroid, is_dup).
+
+    The pair stage is an equi-join on cluster — work is
+    sum-over-clusters |cluster|², the whole point of clustering first;
+    at scale K grows so clusters stay bounded. The assignment result
+    feeds three consumers (both join sides + the output anchor), so it
+    is persisted — without it Spark re-runs all Lloyd iterations per
+    consumer."""
+    a = kmeans_assignments(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    pa = a.select(
+        F.col("vec_id").alias("va"),
+        F.col("cluster").alias("ca"),
+        F.col("emb").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    pb = a.select(
+        F.col("vec_id").alias("vb"),
+        F.col("cluster").alias("cb"),
+        F.col("emb").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.expr(_SPARK_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
+    dups = (
+        pa.join(pb, (F.col("ca") == F.col("cb")) & (F.col("va") < F.col("vb")))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= SEM_COS)
+        .select(F.col("vb").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        a.join(dups, a.vec_id == dups.dup_id, "left")
+        .select(
+            "vec_id",
+            "cluster",
+            round_he(F.col("d2"), 6).alias("dist2"),
+            F.when(F.col("dup_id").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_dup"),
+        )
+    )

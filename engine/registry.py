@@ -32,6 +32,7 @@ _OPERATOR_MODULES = (
     "engine.operators.similarity",
     "engine.operators.multimodal",
     "engine.operators.mapreduce_queries",
+    "engine.operators.clustering",
     "engine.operators.tpch_merged",
     "engine.operators.facets",
     "engine.operators.skew",

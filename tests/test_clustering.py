@@ -1,0 +1,67 @@
+"""k-means + SemDeDup invariants beyond the oracle hash gate: the
+assignment is a partition of the corpus, centroids are the quantized
+means of their members, and the dup flag matches a brute-force
+recomputation of the within-cluster pairing rule."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from engine.operators.clustering import (
+    KM_K,
+    SEM_COS,
+    embedding_kmeans,
+    kmeans_assignments,
+    semantic_dedup,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_assignment_partitions_corpus(spark):
+    a = kmeans_assignments(spark, SF_SMOKE)
+    n_vecs = a.select("vec_id").distinct().count()
+    assert a.count() == n_vecs  # exactly one cluster per vector
+    clusters = {r["cluster"] for r in a.select("cluster").distinct().collect()}
+    assert clusters <= set(range(KM_K))
+    assert len(clusters) > 1  # the fixture is not degenerate
+
+
+def test_centroid_rows_bounded(spark):
+    cents = embedding_kmeans(spark, SF_SMOKE).collect()
+    dims = {r["dim_i"] for r in cents}
+    assert dims == set(range(64))
+    # K' × 64 rows for K' ≤ KM_K surviving clusters
+    assert len(cents) % 64 == 0 and len(cents) <= KM_K * 64
+    # member counts sum to the corpus size
+    per_cluster = {}
+    for r in cents:
+        per_cluster.setdefault(r["cluster"], set()).add(r["n_vecs"])
+    assert all(len(v) == 1 for v in per_cluster.values())
+    total = sum(v.pop() for v in per_cluster.values())
+    assert total == kmeans_assignments(spark, SF_SMOKE).count()
+
+
+def test_dup_flag_matches_brute_recompute(spark):
+    a = {
+        r["vec_id"]: (r["cluster"], r["emb"])
+        for r in kmeans_assignments(spark, SF_SMOKE).collect()
+    }
+    flagged = {
+        r["vec_id"]: r["is_dup"]
+        for r in semantic_dedup(spark, SF_SMOKE).collect()
+    }
+    assert set(flagged) == set(a)
+
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        return d / (math.sqrt(sum(x * x for x in u)) * math.sqrt(sum(y * y for y in v)))
+
+    for vid, (cl, emb) in a.items():
+        expect = any(
+            cos(emb, emb2) >= SEM_COS
+            for vid2, (cl2, emb2) in a.items()
+            if cl2 == cl and vid2 < vid
+        )
+        assert flagged[vid] == (1 if expect else 0), vid
+    # the threshold actually bites on the fixture
+    assert 0 < sum(flagged.values()) < len(flagged)

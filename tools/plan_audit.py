@@ -47,6 +47,8 @@ NESTED_LOOP_OK = {
     "tfidf_top_terms",  # 1-row corpus-size broadcast
     "pipeline_source_mix",  # 1-row sampled-total broadcast
     "approx_heavy_hitters",  # 1-row total-N broadcast vs 20 hitters
+    "embedding_kmeans",  # K=8 broadcast centroids × corpus (Lloyd pass)
+    "semantic_dedup",  # same bounded centroid broadcast per iteration
     "pipeline_lm_likelihood",  # 1-row vocab-size V broadcast
     # federated registry queries inheriting a whitelisted component's
     # bounded broadcast (each BNLJ side is O(1) rows or the documented
