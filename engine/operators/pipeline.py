@@ -911,3 +911,44 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
         .select("source", "doc_id", "n_tokens", "quality", "cum_tokens")
     )
+
+
+@query(
+    "pipeline_interleave_sources",
+    oracle="""
+WITH seq AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id)
+           AS src_seq
+  FROM documents
+)
+SELECT doc_id, source, CAST(src_seq AS BIGINT) AS src_seq,
+       CAST(row_number() OVER (ORDER BY src_seq, source, doc_id)
+            AS BIGINT) AS train_pos
+FROM seq
+""",
+    tags=("pipeline", "ordering", "interleave"),
+    exported=False,
+)
+def pipeline_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin source interleaving — the training-
+    order primitive that keeps every data source uniformly present
+    throughout a run (epoch position must not correlate with source,
+    or late training skews to whichever source sorts last).
+
+    Each document gets a per-source sequence number (partitioned
+    window — parallel), then a GLOBAL training position in
+    (src_seq, source, doc_id) order: position 1..S are every source's
+    first doc, then every source's second, and so on. The global
+    numbering uses the range-partition + broadcast-offset machinery
+    (engine.operators.globalrank) — no single-partition window at any
+    corpus size."""
+    from engine.operators.globalrank import with_global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = W.partitionBy("source").orderBy("doc_id")
+    seq = docs.withColumn("src_seq", F.row_number().over(w).cast("bigint"))
+    out, _total = with_global_row_number(
+        seq, ["src_seq", "source", "doc_id"], out_col="train_pos"
+    )
+    return out.select("doc_id", "source", "src_seq", "train_pos")

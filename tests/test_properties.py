@@ -208,3 +208,36 @@ def test_upsert_parquet_equals_dict_model(spark, tmp_path_factory, batches):
         for r in spark.read.parquet(path).collect()
     }
     assert got == model
+
+
+# -- qsum: order-independent double aggregation ----------------------------
+
+_vals = st.lists(
+    st.floats(
+        min_value=-1e4, max_value=1e4, allow_nan=False, allow_infinity=False
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(vals=_vals, seed=st.integers(min_value=0, max_value=7))
+@_prop_settings
+def test_qsum_is_permutation_invariant_and_exact(spark, vals, seed):
+    """qsum must equal the exact integer-grid sum regardless of row
+    order / partitioning — the invariant plain sum(double) lacks."""
+    import math
+    import random
+
+    from engine.functions.rounding import VALUE_Q, qsum
+
+    perm = vals[:]
+    random.Random(seed).shuffle(perm)
+    expect = sum(math.floor(v * VALUE_Q + 0.5) for v in vals)
+
+    for arrangement, n_parts in ((vals, 1), (perm, 4)):
+        df = spark.createDataFrame(
+            [(v,) for v in arrangement], "v double"
+        ).repartition(n_parts)
+        got = df.agg(qsum("v").alias("s")).collect()[0]["s"]
+        assert got == expect
