@@ -22,10 +22,32 @@ def write_parquet(
     path: str,
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
+    bloom_filter_cols: list[str] | None = None,
+    bloom_filter_ndv: int | None = None,
 ) -> None:
+    """Parquet sink with optional per-column bloom filters.
+
+    Bloom filters are the point-lookup half of data skipping: min/max
+    row-group stats prune RANGE predicates, but on a high-cardinality
+    key with no sort order (doc_id, user_id, content hash) every row
+    group's [min,max] spans the whole domain and stats prune nothing.
+    A per-column bloom filter lets the scanner skip row groups for
+    ``key = literal`` probes at ~1% false-positive cost — the right
+    layout for a 100 TB corpus that serves "fetch this doc_id" reads
+    without maintaining a global sort. Size the filter with
+    ``bloom_filter_ndv`` ≈ distinct keys per row group; the default
+    (parquet-mr's 1M) wastes ~1.2 MB per column per row group when the
+    real NDV is small.
+    """
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
+    for c in bloom_filter_cols or []:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        if bloom_filter_ndv:
+            w = w.option(
+                f"parquet.bloom.filter.expected.ndv#{c}", str(bloom_filter_ndv)
+            )
     w.parquet(path)
 
 

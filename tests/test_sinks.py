@@ -103,3 +103,23 @@ def test_upsert_parquet_merge_semantics(spark, tmp_path):
     assert upsert_parquet(spark, v2b, path, ["id"], "ver") == 3
     got = {r["id"]: r["val"] for r in spark.read.parquet(path).collect()}
     assert got[2] == "b2-rerun"
+
+
+def test_parquet_bloom_filter_write(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents").coalesce(1)
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    write_parquet(docs, plain)
+    write_parquet(docs, bloomed, bloom_filter_cols=["doc_id"], bloom_filter_ndv=1000)
+
+    # The bloom filter occupies real bytes in the file (pyarrow/duckdb
+    # here don't surface bloom_filter_offset, so presence is asserted
+    # via the size delta — a filter sized for 1000 NDV adds ~1 KB+).
+    size = lambda p: sum(
+        f.stat().st_size for f in __import__("pathlib").Path(p).rglob("*.parquet")
+    )
+    assert size(bloomed) > size(plain)
+
+    # Point-lookup reads stay exact through the bloom-filtered file.
+    some_id = docs.select("doc_id").head()[0]
+    got = spark.read.parquet(bloomed).filter(F.col("doc_id") == some_id)
+    assert got.count() == docs.filter(F.col("doc_id") == some_id).count() == 1
