@@ -43,16 +43,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     # The caller may hand us a session built without engine.session's
-    # configs (the driver does); these two are load-bearing for
-    # correctness and are runtime-settable, so pin them here.
+    # configs (the driver does); these are load-bearing for correctness
+    # and are runtime-settable, so pin them here.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Fixture timestamps are naive (isAdjustedToUTC=false); read them as
+    # session-tz TIMESTAMP (= UTC wall clock, matching the DuckDB
+    # oracle's naive semantics) rather than TIMESTAMP_NTZ, which
+    # chrono functions like unix_micros reject.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long (see engine.session); convert to
         # microsecond timestamp with integer division — `ts/1000` in
         # doubles would lose precision at ~1.7e18 ns epochs.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Belt-and-braces for sessions where the NTZ-inference conf is
+    # ignored: same wall-clock values under the UTC session timezone.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

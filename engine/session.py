@@ -38,6 +38,11 @@ def get_spark(app_name: str = "engine", shuffle_partitions: int | None = None) -
         # events.parquet stores TIMESTAMP(NANOS); Spark has no ns type —
         # read as long and convert in engine.io.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Naive (isAdjustedToUTC=false) parquet timestamps read as
+        # session-tz TIMESTAMP, not TIMESTAMP_NTZ: chrono functions
+        # (unix_micros & co) take LTZ, and UTC session tz makes the
+        # wall-clock values identical to the oracle's naive reading.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -18,31 +18,34 @@ from pyspark.sql import types as T
 
 from engine.functions.rounding import qsum_rounded
 
-# Parquet stores ts as TIMESTAMP(NANOS); with nanosAsLong (set by
-# engine.io.load_table / engine.session) it surfaces as bigint.
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file-source stream (one-file directory —
-    real deployments point this at a landing zone or Kafka)."""
+    real deployments point this at a landing zone or Kafka).
+
+    The stream schema is derived from the file footer (via a batch
+    read) so the reader tolerates every fixture vintage: nanos-as-long
+    (round 1), naive microsecond timestamps (round 2 regen), or
+    UTC-adjusted timestamps. ``ts`` is normalized to a session-tz
+    TIMESTAMP exactly as ``engine.io.load_table`` does for batch.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    from engine.io import table_path
+
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = raw_schema["ts"].dataType.typeName()
+    if ts_type == "long":
+        # TIMESTAMP(NANOS) surfaced as long; integer div keeps µs exact.
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type != "timestamp":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def streaming_tumbling_counts(
