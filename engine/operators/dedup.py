@@ -58,26 +58,25 @@ shh AS (SELECT DISTINCT doc_id, {DUCK_H60.format(x='shingle')} AS sh_h FROM sh)
 """
 
 
-def _spark_shingles(docs: DataFrame) -> DataFrame:
-    """doc_id → distinct word-3-shingles, as exploded rows.
+def _spark_shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
+    """doc_id → word-3-shingles as exploded rows (distinct by default).
 
     Tokenizes once into a column before the shingle transform —
     Catalyst does not CSE the split() inside a lambda, and evaluating
-    it 3× per shingle triples the scan-side CPU at corpus scale."""
-    return (
-        docs.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, greatest(size(t) - 2, 0)),"
-                    " i -> concat_ws(' ', element_at(t, i),"
-                    " element_at(t, i + 1), element_at(t, i + 2)))"
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
+    it 3× per shingle triples the scan-side CPU at corpus scale.
+    Consumers whose aggregate is duplicate-insensitive (min() for
+    MinHash) pass ``distinct=False`` and skip the dedup shuffle."""
+    sh = docs.select("doc_id", F.split(F.lower("text"), " ").alias("t")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(t) - 2, 0)),"
+                " i -> concat_ws(' ', element_at(t, i),"
+                " element_at(t, i + 1), element_at(t, i + 2)))"
+            )
+        ).alias("shingle"),
     )
+    return sh.distinct() if distinct else sh
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,34 +178,54 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_tables(docs):
-    """(mh, bands) for MinHash/LSH consumers. mh is persisted — the
-    banding pass plus both verification join sides reuse it; K rows per
-    document, tiny next to the shingle stream it derives from."""
-    sh = _spark_shingles(docs)
-    mh = (
-        sh.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("hi"),
-            "shingle",
-        )
+    """(sig, bands) for MinHash/LSH consumers.
+
+    ``sig`` carries the whole K-minhash signature as an array column,
+    one row per document, computed in a SINGLE doc_id shuffle: the K
+    hash families are K min-aggregates over the raw shingle stream, so
+    map-side partial aggregation reduces each input partition to K
+    values per document before anything moves. (The previous shape
+    exploded the stream K×, shuffled it on (doc_id, hash_index), then
+    re-joined the signature twice — three heavyweight exchanges this
+    replaces.) No shingle distinct is needed: min() is
+    duplicate-insensitive, so values are unchanged vs the oracle.
+
+    ``bands`` derives the 8 band signatures (pairs of minhash slots,
+    ordered by slot as before) from the array with a shuffle-free
+    explode; the signature array rides along for inline verification.
+    """
+    sh = _spark_shingles(docs, distinct=False)
+    mins = [
+        F.min(
+            F.expr(SPARK_H60.format(x=f"concat('{i}', '|', shingle)"))
+        ).alias(f"m{i}")
+        for i in range(MINHASH_K)
+    ]
+    sig = (
+        sh.groupBy("doc_id")
+        .agg(*mins)
         .select(
             "doc_id",
-            "hi",
-            F.expr(
-                SPARK_H60.format(x="concat(cast(hi as string), '|', shingle)")
-            ).alias("h"),
+            F.array(*[f"m{i}" for i in range(MINHASH_K)]).alias("sig_arr"),
         )
-        .groupBy("doc_id", "hi")
-        .agg(F.min("h").alias("mh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    bands = mh.groupBy("doc_id", (F.col("hi") % 8).alias("band")).agg(
-        F.expr(
-            "md5(concat_ws(',', transform(array_sort(collect_list(struct(hi, mh))),"
-            " s -> cast(s.mh as string))))"
-        ).alias("sig")
+    n_bands = MINHASH_K // 2
+    bands = sig.select(
+        "doc_id",
+        "sig_arr",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "sig",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.expr("cast(sig_arr[band] as string)"),
+                F.expr(f"cast(sig_arr[band + {n_bands}] as string)"),
+            )
+        ),
     )
-    return mh, bands
+    return sig, bands
 
 
 _DUCK_MINHASH = f"""
@@ -254,29 +273,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic md5-derived hash functions make this reproducible
     across engines (and runs)."""
     docs = load_table(spark, sf_dir, "documents")
-    mh, bands = _minhash_tables(docs)
+    _, bands = _minhash_tables(docs)
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    # Estimated Jaccard straight from the two signature arrays riding
+    # on the band rows — no signature re-join, no pair aggregation.
+    # Candidate pairs found via >1 band collapse in the distinct (the
+    # estimate is a pure function of the pair, so it dedups with them).
+    est = F.expr(
+        "aggregate(zip_with(a.sig_arr, b.sig_arr,"
+        " (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
+        " 0, (acc, v) -> acc + v)"
+    ) / float(MINHASH_K)
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            est.alias("_est"),
+        )
         .distinct()
-    )
-    x = mh.alias("x")
-    y = mh.alias("y")
-    est = F.sum(F.when(F.col("x.mh") == F.col("y.mh"), 1).otherwise(0)) / float(
-        MINHASH_K
-    )
-    return (
-        cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
-        .join(y, (F.col("doc_b") == F.col("y.doc_id")) & (F.col("x.hi") == F.col("y.hi")))
-        .groupBy("doc_a", "doc_b")
-        .agg(est.alias("_est"))
         .filter(F.col("_est") >= MINHASH_EST_THRESHOLD)
         .select("doc_a", "doc_b", F.round("_est", 4).alias("est_jaccard"))
     )
