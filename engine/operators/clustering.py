@@ -55,14 +55,14 @@ _MEAN6 = duck_round_he(
 )
 
 
-def _duck_assign(cents: str, aname: str) -> str:
+def _duck_assign(cents: str, aname: str, base: str = "e") -> str:
     return f"""{aname} AS (
   SELECT vec_id, emb, nrm, cid AS cluster, d2 FROM (
     SELECT vec_id, emb, nrm, cid, d2,
            row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid) AS rn
     FROM (
       SELECT e.vec_id, e.emb, e.nrm, c.cid, {_DUCK_D2} AS d2
-      FROM e CROSS JOIN {cents} c
+      FROM {base} e CROSS JOIN {cents} c
     ) s
   ) t WHERE rn = 1
 )"""
@@ -114,15 +114,14 @@ _SPARK_D2 = (
 
 def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     w = W.partitionBy("vec_id").orderBy(F.col("_d2").asc(), F.col("cid"))
+    keep = list(e.columns)  # pass input columns through unchanged
     return (
         e.join(F.broadcast(cents))  # K rows broadcast — bounded BNLJ
         .withColumn("_d2", F.expr(_SPARK_D2))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(
-            "vec_id",
-            "emb",
-            "nrm",
+            *keep,
             F.col("cid").alias("cluster"),
             F.col("_d2").alias("d2"),
         )
@@ -159,16 +158,23 @@ def _cents_from_dims(dims: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Final Lloyd assignment: (vec_id, emb, nrm, cluster, d2)."""
-    e = _spark_emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    cents = e.filter(F.col("vec_id") < KM_K).select(
+def _lloyd(e: DataFrame, k: int, updates: int) -> DataFrame:
+    """Deterministic Lloyd chain over any (vec_id, emb[, ...]) frame:
+    init = first k vectors by id, then ``updates`` assign→update
+    rounds, returning the final assignment (input cols + cluster, d2)."""
+    cents = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cvec")
     )
     a = _assign(e, cents)
-    for _ in range(KM_UPDATES):
+    for _ in range(updates):
         a = _assign(e, _cents_from_dims(_update_dims(a)))
     return a
+
+
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final Lloyd assignment: (vec_id, emb, nrm, cluster, d2)."""
+    e = _spark_emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    return _lloyd(e, KM_K, KM_UPDATES)
 
 
 @query(
@@ -256,3 +262,89 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_dup"),
         )
     )
+
+
+# -- Product quantization ---------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_SUBDIM = 16  # EMB_DIM // PQ_M dims per subspace
+PQ_K = 8  # codebook size per subspace (3-bit codes here; 256 at scale)
+PQ_UPDATES = 2  # Lloyd updates per subspace codebook
+
+
+def _duck_pq_chain() -> str:
+    """Per-subspace replay of the Lloyd chain over sliced embeddings,
+    UNION ALL of the four final assignments as (vec_id, sub_i, code,
+    err6)."""
+    parts = [_DUCK_EMB]
+    selects = []
+    for s in range(PQ_M):
+        lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
+        parts.append(
+            f"e{s} AS (SELECT vec_id, emb[{lo}:{hi}] AS emb,"
+            f" 0.0 AS nrm FROM e)"
+        )
+        parts.append(
+            f"pc{s}0 AS (SELECT vec_id AS cid, emb AS cvec"
+            f" FROM e{s} WHERE vec_id < {PQ_K})"
+        )
+        for t in range(PQ_UPDATES):
+            parts.append(_duck_assign(f"pc{s}{t}", f"pa{s}{t}", base=f"e{s}"))
+            parts.append(_duck_dims(f"pa{s}{t}", f"pd{s}{t + 1}"))
+            parts.append(_duck_cents(f"pd{s}{t + 1}", f"pc{s}{t + 1}"))
+        parts.append(
+            _duck_assign(f"pc{s}{PQ_UPDATES}", f"pa{s}F", base=f"e{s}")
+        )
+        selects.append(
+            f"SELECT vec_id, CAST({s} AS BIGINT) AS sub_i,"
+            f" CAST(cluster AS BIGINT) AS code,"
+            f" {duck_round_he('d2', 6)} AS err6 FROM pa{s}F"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query(
+    "embedding_pq",
+    oracle=_duck_pq_chain(),
+    tags=("embedding", "pq", "ann", "compression"),
+    exported=False,
+)
+def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al., TPAMI 2011): split each
+    embedding into PQ_M contiguous subvectors and learn an independent
+    deterministic-Lloyd codebook per subspace; each vector compresses
+    to PQ_M small codes (here 4×3 bits vs 64×8 bytes — the memory step
+    that makes billion-vector ANN feasible; IVF-PQ = `ann_ivf_topk`'s
+    coarse cells + these codes for in-cell approximate distances).
+
+    Output: (vec_id, sub_i, code, err6) — one row per vector per
+    subspace; err6 = rounded squared distance to the chosen codeword
+    (the per-subspace quantization error).
+
+    100 TB shape: per subspace and iteration, one PQ_K-row centroid
+    broadcast against the corpus (no shuffle) plus one (cluster,
+    dim) shuffle bounded by PQ_K × PQ_SUBDIM groups; subspaces are
+    independent pipelines over the same persisted scan. Determinism
+    follows the `embedding_kmeans` contract (id-ordered init,
+    in-order IEEE distance folds, integer-grid centroid updates,
+    argmin ties on code id) so the DuckDB replay hash-matches.
+    """
+    e = _spark_emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    outs = []
+    for s in range(PQ_M):
+        es = e.select(
+            "vec_id", F.slice("emb", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("emb")
+        )
+        a = _lloyd(es, PQ_K, PQ_UPDATES)
+        outs.append(
+            a.select(
+                "vec_id",
+                F.lit(s).cast("bigint").alias("sub_i"),
+                F.col("cluster").cast("bigint").alias("code"),
+                round_he(F.col("d2"), 6).alias("err6"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

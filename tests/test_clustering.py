@@ -65,3 +65,42 @@ def test_dup_flag_matches_brute_recompute(spark):
         assert flagged[vid] == (1 if expect else 0), vid
     # the threshold actually bites on the fixture
     assert 0 < sum(flagged.values()) < len(flagged)
+
+
+def test_pq_codes_partition_and_compress(spark):
+    """PQ invariants: one code per (vector, subspace), codes within the
+    codebook, and the learned codebooks reconstruct strictly better
+    than the degenerate 1-word codebook (the subspace mean) — i.e. the
+    quantizer actually earns its bits."""
+    from engine.operators.clustering import (
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        embedding_pq,
+    )
+    from engine.operators.similarity import _spark_emb
+
+    pq = embedding_pq(spark, SF_SMOKE).persist()
+    n_vecs = _spark_emb(spark, SF_SMOKE).count()
+    assert pq.count() == n_vecs * PQ_M
+    assert pq.groupBy("vec_id", "sub_i").count().filter("count > 1").count() == 0
+    codes = {r["code"] for r in pq.select("code").distinct().collect()}
+    assert codes <= set(range(PQ_K)) and len(codes) > 1
+
+    pq_err = pq.agg(F.sum("err6")).collect()[0][0]
+    # 1-word baseline: squared distance to the per-subspace mean vector.
+    e = _spark_emb(spark, SF_SMOKE)
+    base_err = 0.0
+    for s in range(PQ_M):
+        sub = e.select(
+            "vec_id", F.slice("emb", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv")
+        )
+        dims = sub.select(F.posexplode("sv").alias("i", "v"))
+        means = dims.groupBy("i").agg(F.avg("v").alias("m"))
+        base_err += (
+            dims.join(means, "i")
+            .agg(F.sum((F.col("v") - F.col("m")) ** 2))
+            .collect()[0][0]
+        )
+    assert pq_err < base_err * 0.9
+    pq.unpersist()

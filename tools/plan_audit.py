@@ -49,6 +49,7 @@ NESTED_LOOP_OK = {
     "approx_heavy_hitters",  # 1-row total-N broadcast vs 20 hitters
     "embedding_kmeans",  # K=8 broadcast centroids × corpus (Lloyd pass)
     "semantic_dedup",  # same bounded centroid broadcast per iteration
+    "embedding_pq",  # PQ_K=8 broadcast codebook × corpus per subspace
     "pipeline_lm_likelihood",  # 1-row vocab-size V broadcast
     # federated registry queries inheriting a whitelisted component's
     # bounded broadcast (each BNLJ side is O(1) rows or the documented
