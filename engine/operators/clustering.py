@@ -158,17 +158,23 @@ def _cents_from_dims(dims: DataFrame) -> DataFrame:
     )
 
 
-def _lloyd(e: DataFrame, k: int, updates: int) -> DataFrame:
+def _lloyd_full(e: DataFrame, k: int, updates: int) -> tuple[DataFrame, DataFrame]:
     """Deterministic Lloyd chain over any (vec_id, emb[, ...]) frame:
     init = first k vectors by id, then ``updates`` assign→update
-    rounds, returning the final assignment (input cols + cluster, d2)."""
+    rounds. Returns (final assignment, final centroids) — the final
+    assignment is computed against the final centroids."""
     cents = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cvec")
     )
     a = _assign(e, cents)
     for _ in range(updates):
-        a = _assign(e, _cents_from_dims(_update_dims(a)))
-    return a
+        cents = _cents_from_dims(_update_dims(a))
+        a = _assign(e, cents)
+    return a, cents
+
+
+def _lloyd(e: DataFrame, k: int, updates: int) -> DataFrame:
+    return _lloyd_full(e, k, updates)[0]
 
 
 def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,12 +278,11 @@ PQ_K = 8  # codebook size per subspace (3-bit codes here; 256 at scale)
 PQ_UPDATES = 2  # Lloyd updates per subspace codebook
 
 
-def _duck_pq_chain() -> str:
-    """Per-subspace replay of the Lloyd chain over sliced embeddings,
-    UNION ALL of the four final assignments as (vec_id, sub_i, code,
-    err6)."""
+def _duck_pq_parts() -> list[str]:
+    """CTE parts producing, per subspace s: sliced base ``e{s}``, the
+    codebook chain ``pc{s}{0..PQ_UPDATES}``, and the final assignment
+    ``pa{s}F`` (computed against the final codebook)."""
     parts = [_DUCK_EMB]
-    selects = []
     for s in range(PQ_M):
         lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
         parts.append(
@@ -295,12 +300,23 @@ def _duck_pq_chain() -> str:
         parts.append(
             _duck_assign(f"pc{s}{PQ_UPDATES}", f"pa{s}F", base=f"e{s}")
         )
-        selects.append(
-            f"SELECT vec_id, CAST({s} AS BIGINT) AS sub_i,"
-            f" CAST(cluster AS BIGINT) AS code,"
-            f" {duck_round_he('d2', 6)} AS err6 FROM pa{s}F"
-        )
-    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+    return parts
+
+
+def _duck_pq_chain() -> str:
+    """Per-subspace replay of the Lloyd chain over sliced embeddings,
+    UNION ALL of the four final assignments as (vec_id, sub_i, code,
+    err6)."""
+    selects = [
+        f"SELECT vec_id, CAST({s} AS BIGINT) AS sub_i,"
+        f" CAST(cluster AS BIGINT) AS code,"
+        f" {duck_round_he('d2', 6)} AS err6 FROM pa{s}F"
+        for s in range(PQ_M)
+    ]
+    return (
+        "WITH " + ",\n".join(_duck_pq_parts()) + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
 
 
 @query(
@@ -348,3 +364,111 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+def _duck_adc_sql() -> str:
+    from engine.operators.similarity import N_QUERIES, TOPK
+
+    parts = _duck_pq_parts()
+    for s in range(PQ_M):
+        lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
+        parts.append(
+            f"q{s} AS (SELECT vec_id AS qid, emb[{lo}:{hi}] AS qe"
+            f" FROM e WHERE vec_id < {N_QUERIES})"
+        )
+        parts.append(
+            f"""adc{s} AS (
+  SELECT q.qid, c.cid AS code,
+         list_dot_product(
+           list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] - c.cvec[i]),
+           list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] - c.cvec[i]))
+           AS pd2
+  FROM q{s} q CROSS JOIN pc{s}{PQ_UPDATES} c
+)"""
+        )
+        parts.append(
+            f"codes{s} AS (SELECT vec_id, cluster AS code FROM pa{s}F)"
+        )
+    joins = "\n".join(
+        f"  JOIN codes{s} v{s} ON v{s}.vec_id = v0.vec_id\n"
+        f"  JOIN adc{s} a{s} ON a{s}.code = v{s}.code AND a{s}.qid = a0.qid"
+        for s in range(1, PQ_M)
+    )
+    total = "(((a0.pd2 + a1.pd2) + a2.pd2) + a3.pd2)"
+    parts.append(
+        f"""scored AS (
+  SELECT a0.qid AS query_id, v0.vec_id AS neighbor_id, {total} AS adc_d2
+  FROM codes0 v0
+  JOIN adc0 a0 ON a0.code = v0.code
+{joins}
+  WHERE v0.vec_id <> a0.qid
+)"""
+    )
+    with_parts = ",\n".join(parts)
+    return f"""WITH {with_parts}
+SELECT query_id, neighbor_id, {duck_round_he("adc_d2", 6)} AS adc_d2, rn
+FROM (
+  SELECT query_id, neighbor_id, adc_d2,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_d2 ASC, neighbor_id) AS BIGINT) AS rn
+  FROM scored
+) t WHERE rn <= {TOPK}
+"""
+
+
+@query(
+    "ann_pq_adc_topk",
+    oracle=_duck_adc_sql(),
+    tags=("embedding", "pq", "ann"),
+    exported=False,
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (the search half of IVF-PQ): each
+    query precomputes a PQ_M × PQ_K table of exact subvector→codeword
+    distances, and every corpus vector is scored by summing the four
+    looked-up entries for its codes — the corpus embeddings are never
+    touched at query time, only the 4-code compressed form.
+
+    100 TB shape: the ADC tables are |queries| × M × K rows (broadcast
+    to every executor); scoring is M broadcast hash joins on code ids
+    over the compressed corpus, then a per-query bounded top-k window.
+    Partial distances sum in fixed left-to-right subspace order on
+    both engines, so the oracle hash-matches."""
+    from engine.operators.similarity import N_QUERIES, TOPK
+
+    e = _spark_emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    scored = None
+    for s in range(PQ_M):
+        es = e.select(
+            "vec_id", F.slice("emb", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("emb")
+        )
+        a, cents = _lloyd_full(es, PQ_K, PQ_UPDATES)
+        qs = es.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("emb")
+        )
+        adc = (
+            qs.join(F.broadcast(cents))  # Q × K rows — tiny, bounded
+            .withColumn("_pd2", F.expr(_SPARK_D2))
+            .select("qid", F.col("cid").alias(f"code{s}"), F.col("_pd2").alias(f"pd{s}"))
+        )
+        codes = a.select("vec_id", F.col("cluster").alias(f"code{s}"))
+        part = codes.join(F.broadcast(adc), f"code{s}").select(
+            "vec_id", "qid", f"pd{s}"
+        )
+        scored = part if scored is None else scored.join(part, ["vec_id", "qid"])
+    total = (
+        (F.col("pd0") + F.col("pd1")) + F.col("pd2")
+    ) + F.col("pd3")
+    w = W.partitionBy("qid").orderBy(F.col("_adc").asc(), F.col("vec_id"))
+    return (
+        scored.filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("_adc", total)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= TOPK)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            round_he(F.col("_adc"), 6).alias("adc_d2"),
+            "rn",
+        )
+    )

@@ -104,3 +104,47 @@ def test_pq_codes_partition_and_compress(spark):
         )
     assert pq_err < base_err * 0.9
     pq.unpersist()
+
+
+def test_pq_adc_topk_recall_floor(spark):
+    """ADC search with 4×3-bit codes keeps a (coarse) floor of the
+    exact-L2 top-5: the point at fixture scale is that the machinery
+    ranks by code-table lookups only; production recall comes from
+    K=256 codebooks + IVF residuals, not from 12-bit codes."""
+    from engine.operators.clustering import ann_pq_adc_topk
+    from engine.operators.similarity import _spark_emb, N_QUERIES, TOPK
+
+    adc = ann_pq_adc_topk(spark, SF_SMOKE)
+    rows = adc.collect()
+    assert len(rows) == N_QUERIES * TOPK
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append((r["rn"], r["adc_d2"]))
+    for q, rr in per_q.items():
+        rr.sort()
+        assert [x[0] for x in rr] == list(range(1, TOPK + 1))
+        assert all(rr[i][1] <= rr[i + 1][1] for i in range(len(rr) - 1))
+
+    e = _spark_emb(spark, SF_SMOKE)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qe")
+    )
+    d2 = (
+        "aggregate(zip_with(qe, emb, (x, y) -> (x - y) * (x - y)),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy(F.col("_d2").asc(), F.col("vec_id"))
+    brute = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .withColumn("_d2", F.expr(d2))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("qid", "vec_id")
+    )
+    hits = adc.join(
+        brute,
+        (adc.query_id == brute.qid) & (adc.neighbor_id == brute.vec_id),
+    ).count()
+    assert hits / (N_QUERIES * TOPK) >= 0.1  # observed 0.22 at sf0.001

@@ -50,6 +50,7 @@ NESTED_LOOP_OK = {
     "embedding_kmeans",  # K=8 broadcast centroids × corpus (Lloyd pass)
     "semantic_dedup",  # same bounded centroid broadcast per iteration
     "embedding_pq",  # PQ_K=8 broadcast codebook × corpus per subspace
+    "ann_pq_adc_topk",  # same codebook broadcasts + Q×M×K ADC table
     "pipeline_lm_likelihood",  # 1-row vocab-size V broadcast
     # federated registry queries inheriting a whitelisted component's
     # bounded broadcast (each BNLJ side is O(1) rows or the documented
