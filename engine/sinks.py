@@ -196,3 +196,47 @@ def upsert_parquet(
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return n_rows
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Overwrite ONLY the Hive partitions present in ``df``, leaving
+    every other partition untouched — the idempotent daily-reload
+    primitive (re-running yesterday's load replaces yesterday's
+    partitions, never truncates the table). Static overwrite (the
+    default) would drop ALL partitions first; at 100 TB that is the
+    difference between rewriting one day and rewriting three years.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-cluster the data across ``n_files`` parquet files and
+    sort within each, so every file (and row group) carries a TIGHT,
+    pairwise-disjoint [min, max] on the cluster columns. Scans with a
+    predicate on those columns then skip whole files via footer stats
+    — the sort-based half of data skipping (blooms cover point
+    lookups on unsorted keys; this covers ranges). At 100 TB this is
+    the Z-order-lite layout for one dominant filter dimension:
+    repartitionByRange is a single shuffle, and AQE keeps the output
+    files balanced even with skewed cluster keys."""
+    cols = [df[c] for c in cluster_cols]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -123,3 +123,68 @@ def test_parquet_bloom_filter_write(spark, tmp_path):
     some_id = docs.select("doc_id").head()[0]
     got = spark.read.parquet(bloomed).filter(F.col("doc_id") == some_id)
     assert got.count() == docs.filter(F.col("doc_id") == some_id).count() == 1
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """Dynamic overwrite replaces only the partitions present in the
+    incoming frame; static overwrite would truncate the rest."""
+    from engine.sinks import overwrite_partitions_dynamic
+
+    out = str(tmp_path / "events_by_type")
+    ev = load_table(spark, SF_SMOKE, "events")
+    overwrite_partitions_dynamic(ev, out, ["event_type"])
+    before = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(out).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert len(before) > 1
+
+    # Reload ONE partition's worth of rows, halved — only it may change.
+    some_type = sorted(before)[0]
+    half = ev.filter(F.col("event_type") == some_type).limit(
+        before[some_type] // 2
+    )
+    overwrite_partitions_dynamic(half, out, ["event_type"])
+    after = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(out).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert after[some_type] == before[some_type] // 2
+    for t, n in before.items():
+        if t != some_type:
+            assert after[t] == n
+
+
+def test_range_clustered_layout_stats_disjoint(spark, tmp_path):
+    """Files written by write_range_clustered carry pairwise-disjoint
+    user_id ranges in their footers (the property scan-time skipping
+    relies on), and the data round-trips completely."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from engine.sinks import write_range_clustered
+
+    out = str(tmp_path / "events_clustered")
+    ev = load_table(spark, SF_SMOKE, "events")
+    write_range_clustered(ev, out, ["user_id"], n_files=4)
+    assert spark.read.parquet(out).count() == ev.count()
+
+    spans = []
+    for f in glob.glob(out + "/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx["user_id"]).statistics
+            los.append(st.min)
+            his.append(st.max)
+        spans.append((min(los), max(his)))
+    assert len(spans) >= 2
+    spans.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint up to the range boundary
