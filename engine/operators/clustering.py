@@ -220,7 +220,7 @@ SELECT a.vec_id, a.cluster, {duck_round_he('a.d2', 6)} AS dist2,
          AS is_dup
 FROM {_AF} a LEFT JOIN dup d ON a.vec_id = d.vec_id
 """,
-    tags=("clustering", "dedup", "embedding", "semdedup"),
+    tags=("clustering", "dedup", "embedding", "semdedup", "headline"),
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means-cluster the embedding space, then flag as
@@ -443,6 +443,10 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.slice("emb", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("emb")
         )
         a, cents = _lloyd_full(es, PQ_K, PQ_UPDATES)
+        # Both the final assignment and the ADC table consume the
+        # codebook; cache its K rows so the Lloyd chain runs once per
+        # subspace instead of twice.
+        cents = cents.persist(StorageLevel.MEMORY_AND_DISK)
         qs = es.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("qid"), F.col("emb")
         )

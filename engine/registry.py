@@ -39,6 +39,7 @@ _OPERATOR_MODULES = (
     "engine.operators.pandas_udfs",
     "engine.operators.asof",
     "engine.operators.streaming_queries",
+    "engine.operators.bpe",
 )
 
 
