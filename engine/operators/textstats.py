@@ -730,3 +730,88 @@ def fingerprint_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
         .filter(F.col("shared_fps") >= MIN_SHARED_FP)
     )
+
+
+# -- Collocation mining ----------------------------------------------------
+
+COLLOC_MIN_PAIR = 3
+COLLOC_MIN_LIFT = 1.2
+
+
+@query(
+    "collocations_lift",
+    oracle=f"""
+WITH t AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS w FROM t) WHERE w <> '' GROUP BY w
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+bi AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2, CAST(count(*) AS BIGINT) AS n_pair
+  FROM t CROSS JOIN unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS r(i)
+  WHERE t[i] <> '' AND t[i + 1] <> ''
+  GROUP BY 1, 2
+)
+SELECT w1, w2, n_pair,
+       {duck_round_he("((CAST(n_pair AS DOUBLE) / a.c) * t.n) / b.c", 6)}
+         AS lift6
+FROM bi JOIN uni a ON a.w = w1 JOIN uni b ON b.w = w2 CROSS JOIN tot t
+WHERE n_pair >= {COLLOC_MIN_PAIR}
+  AND {duck_round_he("((CAST(n_pair AS DOUBLE) / a.c) * t.n) / b.c", 6)}
+      >= {COLLOC_MIN_LIFT!r}
+""",
+    tags=("text", "collocations"),
+    exported=False,
+)
+def collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by lift: bigrams occurring far more often
+    than their unigram frequencies predict (lift = p(w1 w2) / (p(w1)
+    p(w2)) — PMI's argument, kept as a ratio because log() is not
+    bit-portable across engines while fixed-order double arithmetic
+    is). The corpus statistic behind phrase vocabularies ("new york")
+    and tokenizer pre-merges.
+
+    100 TB shape: one token shuffle for unigrams, one for bigrams, a
+    1-row total broadcast, and vocabulary-sized joins AQE broadcasts
+    when small — never a corpus-sized join."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(F.split(F.lower("text"), " ").alias("t"))
+    uni = (
+        t.select(F.explode("t").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    bi = (
+        t.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                    " (x, y) -> struct(x AS w1, y AS w2))"
+                )
+            ).alias("p")
+        )
+        .filter((F.col("p.w1") != "") & (F.col("p.w2") != "") & F.col("p.w2").isNotNull())
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+    )
+    a = uni.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
+    b = uni.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
+    lift6 = round_he(
+        ((F.col("n_pair").cast("double") / F.col("ca")) * F.col("n"))
+        / F.col("cb"),
+        6,
+    )
+    return (
+        bi.join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(tot))  # 1-row corpus total
+        .withColumn("lift6", lift6)
+        .filter(
+            (F.col("n_pair") >= COLLOC_MIN_PAIR)
+            & (F.col("lift6") >= COLLOC_MIN_LIFT)
+        )
+        .select("w1", "w2", "n_pair", "lift6")
+    )

@@ -40,6 +40,7 @@ _OPERATOR_MODULES = (
     "engine.operators.asof",
     "engine.operators.streaming_queries",
     "engine.operators.bpe",
+    "engine.operators.rerank",
 )
 
 

@@ -51,6 +51,9 @@ NESTED_LOOP_OK = {
     "semantic_dedup",  # same bounded centroid broadcast per iteration
     "embedding_pq",  # PQ_K=8 broadcast codebook × corpus per subspace
     "ann_pq_adc_topk",  # same codebook broadcasts + Q×M×K ADC table
+    "rerank_cross_encoder",  # inherits ann_cosine_topk's bounded query broadcast
+    "collocations_lift",  # 1-row corpus-total broadcast
+    "bpe_merges",  # 1-row argmax merge-pair broadcast per round
     "pipeline_lm_likelihood",  # 1-row vocab-size V broadcast
     # federated registry queries inheriting a whitelisted component's
     # bounded broadcast (each BNLJ side is O(1) rows or the documented
