@@ -303,3 +303,73 @@ def write_stream_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def write_stream_incremental_rollup(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    name: str = "rollup-sink",
+):
+    """Incremental materialized-view maintenance for the daily rollup:
+    each micro-batch aggregates only its DELTA (day, event_type,
+    n_events, quantized value sum) and publishes it to a
+    ``batch_id``-keyed partition with DYNAMIC partition overwrite.
+
+    Exactly-once additive state from at-least-once delivery: additive
+    merges are NOT idempotent under batch replay (re-adding a replayed
+    delta double-counts), but a replayed batch rewrites its OWN
+    batch_id partition here, so replay is a no-op. Readers fold the
+    pre-aggregated deltas with :func:`read_incremental_rollup`; value
+    sums ride the BIGINT integer grid (engine.functions.rounding), so
+    folding deltas is EXACT and bit-equal to the one-shot batch
+    aggregate in any merge order. At 100 TB only the per-trigger delta
+    is ever aggregated — the view never re-reads history.
+    """
+    from engine.functions.rounding import qsum
+    from engine.sinks import overwrite_partitions_dynamic
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch_df.groupBy(
+                F.date_trunc("day", "ts").alias("day"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                qsum("value").alias("value_q"),
+            )
+            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+        )
+        overwrite_partitions_dynamic(delta, path, ["batch_id"])
+
+    return (
+        events.writeStream.queryName(name)
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_incremental_rollup(spark: SparkSession, path: str) -> DataFrame:
+    """Fold the delta partitions into the rollup view — bit-identical
+    to the batch `events_daily_rollup` (same integer-grid math)."""
+    from engine.functions.rounding import VALUE_Q, round_he
+
+    return (
+        spark.read.parquet(path)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("value_q").cast("bigint").alias("value_q"),
+        )
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            round_he(
+                F.col("value_q").cast("double") / F.lit(VALUE_Q), 2
+            ).alias("total_value"),
+        )
+    )

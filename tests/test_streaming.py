@@ -185,3 +185,75 @@ def test_stream_upsert_cdc_snapshot_and_replay(spark, tmp_path):
         )
         q.awaitTermination()
         assert spark.read.parquet(out).count() == expected
+
+
+def test_incremental_rollup_matches_batch_and_survives_replay(spark, tmp_path):
+    """foreachBatch delta materialization: the folded view equals the
+    one-shot batch rollup bit-for-bit (integer-grid sums merge exactly),
+    a same-checkpoint rerun is a no-op, and a REPLAY (fresh checkpoint,
+    same sink) is idempotent because each batch owns its batch_id
+    partition under dynamic overwrite."""
+    from engine.operators.relational import events_daily_rollup
+    from engine.streaming.events import (
+        read_event_stream,
+        read_incremental_rollup,
+        write_stream_incremental_rollup,
+    )
+
+    # Multi-file copy of events so availableNow produces several batches.
+    src = str(tmp_path / "src")
+    load_table(spark, SF_SMOKE, "events").repartition(4).write.parquet(
+        str(tmp_path / "src" / "staging")
+    )
+    import glob
+    import os
+    import shutil
+
+    for i, f in enumerate(
+        sorted(glob.glob(str(tmp_path / "src" / "staging" / "part-*.parquet")))
+    ):
+        shutil.move(f, os.path.join(src, f"events_{i}.parquet"))
+    shutil.rmtree(str(tmp_path / "src" / "staging"))
+
+    def stream():
+        raw = (
+            spark.readStream.schema(
+                spark.read.parquet(src + "/events_0.parquet").schema
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return raw
+
+    out = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    q = write_stream_incremental_rollup(stream(), out, ckpt, name="t_roll1")
+    q.awaitTermination()
+    import pyspark.sql.functions as SF
+
+    n_batches = (
+        spark.read.parquet(out).select("batch_id").distinct().count()
+    )
+    assert n_batches >= 2  # deltas actually arrived incrementally
+
+    def canon(df):
+        return sorted(
+            (str(r["day"]), r["event_type"], r["n_events"], r["total_value"])
+            for r in df.collect()
+        )
+
+    want = canon(events_daily_rollup(spark, SF_SMOKE))
+    assert canon(read_incremental_rollup(spark, out)) == want
+
+    # Same checkpoint: nothing new to process.
+    q = write_stream_incremental_rollup(stream(), out, ckpt, name="t_roll2")
+    q.awaitTermination()
+    assert canon(read_incremental_rollup(spark, out)) == want
+
+    # Replay from scratch (fresh checkpoint, same sink): batches rewrite
+    # their own partitions — still no double counting.
+    q = write_stream_incremental_rollup(
+        stream(), out, str(tmp_path / "ckpt2"), name="t_roll3"
+    )
+    q.awaitTermination()
+    assert canon(read_incremental_rollup(spark, out)) == want
