@@ -1,0 +1,112 @@
+"""Item co-occurrence similarity — the classic "people also bought"
+MapReduce workload, DataFrame-native.
+
+The reference computes nothing like this (SURVEY.md §2.3: no joins at
+all); it is the canonical workload its MapReduce style was invented
+for, so the engine carries it as first-class Layer-B capability:
+per-user purchase baskets → within-basket item pairs → co-occurrence
+counts → cosine similarity over the co-occurrence vectors.
+
+100 TB shape: pair generation is a self-join on user_id, so work is
+sum-over-users |basket|² — the analog of SemDeDup's per-cluster
+bound. Power users make that quadratic: baskets are therefore CAPPED
+at BASKET_CAP items (deterministic keep: lowest item ids), the
+standard mitigation (alongside salting, engine.operators.skew) for
+basket skew. Item marginals are vocabulary-sized; cosine uses only
+exact integer counts and IEEE sqrt/div (both correctly rounded), so
+the oracle hash-matches without quantization tricks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from engine.functions.rounding import duck_round_he, round_he
+from engine.io import load_table
+from engine.registry import query
+
+BASKET_CAP = 64
+MIN_COOC = 2
+
+
+@query(
+    "item_cooccurrence",
+    oracle=f"""
+WITH ui AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE event_type = 'purchase'
+),
+capped AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+           row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn
+    FROM ui) t
+  WHERE rn <= {BASKET_CAP}
+),
+c AS (SELECT item, CAST(count(*) AS BIGINT) AS n_users FROM capped GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM capped a JOIN capped b
+    ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, n_ab,
+       {duck_round_he(
+           "CAST(n_ab AS DOUBLE) / sqrt(CAST(ca.n_users * cb.n_users AS DOUBLE))",
+           6,
+       )} AS cosine6
+FROM pairs JOIN c ca ON ca.item = item_a JOIN c cb ON cb.item = item_b
+WHERE n_ab >= {MIN_COOC}
+""",
+    tags=("recsys", "cooccurrence"),
+    exported=False,
+)
+def item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence cosine over purchase baskets (see
+    module docstring for the scale contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    ui = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        )
+        .distinct()
+    )
+    capped = (
+        ui.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy("item")
+            ),
+        )
+        .filter(F.col("rn") <= BASKET_CAP)
+        .select("user_id", "item")
+    )
+    c = capped.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    a = capped.select("user_id", F.col("item").alias("item_a"))
+    b = capped.select("user_id", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    ca = c.select(F.col("item").alias("item_a"), F.col("n_users").alias("na"))
+    cb = c.select(F.col("item").alias("item_b"), F.col("n_users").alias("nb"))
+    cosine6 = round_he(
+        F.col("n_ab").cast("double")
+        / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
+        6,
+    )
+    return (
+        pairs.join(ca, "item_a")
+        .join(cb, "item_b")
+        .filter(F.col("n_ab") >= MIN_COOC)
+        .select("item_a", "item_b", "n_ab", cosine6.alias("cosine6"))
+    )

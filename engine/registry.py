@@ -41,6 +41,7 @@ _OPERATOR_MODULES = (
     "engine.operators.streaming_queries",
     "engine.operators.bpe",
     "engine.operators.rerank",
+    "engine.operators.recsys",
 )
 
 
