@@ -110,3 +110,58 @@ def item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_ab") >= MIN_COOC)
         .select("item_a", "item_b", "n_ab", cosine6.alias("cosine6"))
     )
+
+
+# -- Sequence / path analytics ---------------------------------------------
+
+PATH_PATTERNS = (
+    ".*signup.*purchase.*",  # activation: signup eventually converts
+    ".*view>view>view.*",  # burst browsing: 3 consecutive views
+    ".*error.*error.*",  # repeat-error users
+)
+
+
+@query(
+    "user_path_patterns",
+    oracle=f"""
+WITH paths AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM events GROUP BY user_id
+),
+pats AS (SELECT unnest(ARRAY{list(PATH_PATTERNS)!r}) AS pattern)
+SELECT pattern, CAST(count(*) AS BIGINT) AS n_users
+FROM paths CROSS JOIN pats
+WHERE regexp_matches(path, pattern)
+GROUP BY pattern
+""",
+    tags=("events", "sequence"),
+    exported=False,
+)
+def user_path_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequence analytics: each user's ordered
+    event-type path (by ts, event_id — the deterministic tie-break) as
+    a '>'-joined string, matched against regex patterns (activation
+    funnels, browsing bursts, repeat errors). One user_id shuffle
+    builds every path; the pattern set is a broadcast constant, so
+    adding patterns costs no extra pass. Patterns use only portable
+    regex constructs (literals, '.*'), identical across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    paths = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id,"
+                " event_type))), s -> s.event_type)"
+            ),
+            ">",
+        ).alias("path")
+    )
+    pats = spark.createDataFrame(
+        [(p,) for p in PATH_PATTERNS], "pattern string"
+    )
+    return (
+        paths.crossJoin(F.broadcast(pats))
+        .filter(F.expr("path rlike pattern"))
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )

@@ -240,3 +240,17 @@ def write_range_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def materialize_checkpoint(
+    df: DataFrame, path: str, format: str = "parquet"
+) -> DataFrame:
+    """Durable lineage barrier: write the frame, read it back. Long
+    multi-stage pipelines (dedup → filter → split → pack) otherwise
+    carry their entire lineage — a lost executor late in stage 9
+    recomputes from the scan, and iterative plans grow without bound.
+    A parquet barrier caps recomputation at the barrier, survives
+    driver restarts (unlike .localCheckpoint()), and the barrier file
+    doubles as the restart point for the next pipeline run."""
+    df.write.mode("overwrite").format(format).save(path)
+    return df.sparkSession.read.format(format).load(path)

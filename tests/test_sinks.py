@@ -188,3 +188,21 @@ def test_range_clustered_layout_stats_disjoint(spark, tmp_path):
     spans.sort()
     for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2  # disjoint up to the range boundary
+
+
+def test_materialize_checkpoint_truncates_lineage(spark, tmp_path):
+    from engine.sinks import materialize_checkpoint
+
+    out = str(tmp_path / "barrier")
+    ev = load_table(spark, SF_SMOKE, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    back = materialize_checkpoint(ev, out)
+    assert sorted(r["event_id"] for r in back.collect()) == sorted(
+        r["event_id"] for r in ev.collect()
+    )
+    # The barrier's plan scans the checkpoint path, not the fixture —
+    # lineage upstream of the barrier is gone.
+    files = back.inputFiles()
+    assert files and all("barrier" in f for f in files)
+    assert not any("testdata" in f for f in files)
