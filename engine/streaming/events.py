@@ -373,3 +373,85 @@ def read_incremental_rollup(spark: SparkSession, path: str) -> DataFrame:
             ).alias("total_value"),
         )
     )
+
+
+def write_stream_incremental_dedup(
+    docs: DataFrame,
+    index_path: str,
+    dups_path: str,
+    checkpoint: str,
+    name: str = "dedup-sink",
+):
+    """Streaming exact dedup against an ACCUMULATING corpus: each
+    micro-batch of documents is checked against the content-hash index
+    built by all earlier batches, duplicate verdicts land in
+    ``dups_path``, and the batch's novel hashes are appended to the
+    index — the shape a continuous crawl-ingest pipeline runs (today's
+    batch vs the whole corpus, never corpus × corpus).
+
+    Keep-first semantics: earlier batch wins; within a batch the
+    lowest doc_id wins. Replay safety without a transactional sink:
+    both outputs are batch_id-owned partitions under dynamic
+    overwrite, and the index join reads only rows with a SMALLER
+    batch_id — a replayed batch therefore recomputes exactly its
+    original verdicts (its own and later partitions are invisible to
+    it) and rewrites its own partitions in place.
+
+    Scale shape: the index stores one 64-hex digest + id per unique
+    document (O(corpus count), no text); the per-batch join shuffles
+    digests only.
+    """
+    from engine.sinks import overwrite_partitions_dynamic
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hashed = batch_df.select(
+            "doc_id", F.sha2("text", 256).alias("content_hash")
+        )
+        firsts = hashed.groupBy("content_hash").agg(
+            F.min("doc_id").alias("first_id")
+        )
+        try:
+            idx = spark.read.parquet(index_path).filter(
+                F.col("batch_id") < batch_id
+            )
+        except Exception:
+            idx = spark.createDataFrame(
+                [], "content_hash string, first_id bigint, batch_id bigint"
+            )
+        corpus = idx.select(
+            "content_hash", F.col("first_id").alias("corpus_id")
+        )
+        joined = hashed.join(corpus, "content_hash", "left").join(
+            firsts, "content_hash"
+        )
+        dups = joined.filter(
+            F.col("corpus_id").isNotNull() | (F.col("doc_id") != F.col("first_id"))
+        ).select(
+            "doc_id",
+            F.coalesce("corpus_id", "first_id").alias("duplicate_of"),
+            F.lit(batch_id).cast("bigint").alias("batch_id"),
+        )
+        novel = (
+            firsts.join(corpus, "content_hash", "left_anti")
+            .select(
+                "content_hash",
+                "first_id",
+                F.lit(batch_id).cast("bigint").alias("batch_id"),
+            )
+        )
+        # Empty dynamic overwrites write no files (an empty dir is
+        # unreadable parquet); a batch with no dups owns no partition.
+        if dups.limit(1).count() > 0:
+            overwrite_partitions_dynamic(dups, dups_path, ["batch_id"])
+        if novel.limit(1).count() > 0:
+            overwrite_partitions_dynamic(novel, index_path, ["batch_id"])
+
+    return (
+        docs.writeStream.queryName(name)
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

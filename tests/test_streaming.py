@@ -257,3 +257,87 @@ def test_incremental_rollup_matches_batch_and_survives_replay(spark, tmp_path):
     )
     q.awaitTermination()
     assert canon(read_incremental_rollup(spark, out)) == want
+
+
+def test_incremental_dedup_stream_consistency_and_replay(spark, tmp_path):
+    """Streaming corpus dedup: verdicts are internally consistent with
+    the accumulated hash index (winner = min (batch_id, doc_id) per
+    content hash, every doc is exactly one of first/dup), and a replay
+    with a fresh checkpoint reproduces the same state."""
+    import glob
+    import os
+    import shutil
+
+    from engine.streaming.events import write_stream_incremental_dedup
+
+    src = str(tmp_path / "docs")
+    base = load_table(spark, SF_SMOKE, "documents")
+    # The fixture has no EXACT duplicates (only near-dups), so restamp
+    # a deterministic slice as higher-id copies to create them.
+    copies = base.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    base.unionByName(copies).repartition(4).write.parquet(
+        str(tmp_path / "docs" / "staging")
+    )
+    for i, f in enumerate(
+        sorted(glob.glob(str(tmp_path / "docs" / "staging" / "part-*.parquet")))
+    ):
+        shutil.move(f, os.path.join(src, f"docs_{i}.parquet"))
+    shutil.rmtree(str(tmp_path / "docs" / "staging"))
+
+    def stream():
+        return (
+            spark.readStream.schema(
+                spark.read.parquet(src + "/docs_0.parquet").schema
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    index, dups, ckpt = (
+        str(tmp_path / "index"),
+        str(tmp_path / "dups"),
+        str(tmp_path / "ckpt"),
+    )
+    q = write_stream_incremental_dedup(stream(), index, dups, ckpt, "t_dd1")
+    q.awaitTermination()
+
+    docs = spark.read.parquet(src)
+    n_docs = docs.count()
+    idx_rows = spark.read.parquet(index).collect()
+    dup_rows = spark.read.parquet(dups).collect()
+    assert len(idx_rows) + len(dup_rows) == n_docs
+    assert len(dup_rows) > 0  # the fixture contains exact duplicates
+    assert spark.read.parquet(index).select("batch_id").distinct().count() >= 2
+
+    # Winner per hash = min (batch_id, doc_id); every dup's target is
+    # its hash's winner and the target hash matches the doc's hash.
+    sha = {
+        r["doc_id"]: r["h"]
+        for r in docs.select(
+            "doc_id", F.sha2("text", 256).alias("h")
+        ).collect()
+    }
+    batch_of = {r["first_id"]: r["batch_id"] for r in idx_rows}
+    dup_batch = {r["doc_id"]: r["batch_id"] for r in dup_rows}
+    winner = {r["content_hash"]: r["first_id"] for r in idx_rows}
+    assert len(winner) == len(idx_rows)  # one first per hash
+    for r in dup_rows:
+        assert r["duplicate_of"] == winner[sha[r["doc_id"]]]
+        assert sha[r["duplicate_of"]] == sha[r["doc_id"]]
+        # the winner arrived no later than the dup
+        w_b = batch_of[r["duplicate_of"]]
+        assert (w_b, r["duplicate_of"]) < (r["batch_id"], r["doc_id"])
+
+    # Replay (fresh checkpoint, same sinks): identical final state.
+    before = (sorted(map(tuple, idx_rows)), sorted(map(tuple, dup_rows)))
+    q = write_stream_incremental_dedup(
+        stream(), index, dups, str(tmp_path / "ckpt2"), "t_dd2"
+    )
+    q.awaitTermination()
+    after = (
+        sorted(map(tuple, spark.read.parquet(index).collect())),
+        sorted(map(tuple, spark.read.parquet(dups).collect())),
+    )
+    assert after == before
