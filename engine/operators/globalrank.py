@@ -208,3 +208,49 @@ def with_global_value_ranks(
               "_row_off", "_run_off", "_spur", "_carry")
     )
     return out, total
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: Sequence[Column | str],
+    order_cols: Sequence[Column | str],
+    k: int,
+    out_col: str = "rank",
+) -> DataFrame:
+    """Per-group top-k without sorting whole groups in one task.
+
+    A bare ``row_number() OVER (PARTITION BY group)`` ships every row
+    of a group to a single task — fatal for a billion-row group (the
+    per-group analog of the global-window problem above). Two phases:
+
+      1. local top-k per (group, input partition): the window key
+         includes ``spark_partition_id()``, so a huge group is sorted
+         as many independent bounded slices in parallel;
+      2. final top-k per group over the survivors — at most
+         ``k * num_input_partitions`` rows per group ever meet in one
+         task, regardless of group size.
+
+    Invariant: the global top-k of a group is a subset of the union of
+    its local top-ks (each local set keeps k), so the result is
+    independent of the physical input partitioning. ``order_cols``
+    must be a total ordering (unique tie-break) for determinism.
+    ``out_col`` receives the 1-based in-group rank.
+    """
+    gcols = [F.col(c) if isinstance(c, str) else c for c in group_cols]
+    ocols = _as_cols(order_cols)
+    local = (
+        df.withColumn(_PID, F.spark_partition_id())
+        .withColumn(
+            "_tk_rn",
+            F.row_number().over(W.partitionBy(*gcols, _PID).orderBy(*ocols)),
+        )
+        .filter(F.col("_tk_rn") <= k)
+        .drop(_PID, "_tk_rn")
+    )
+    return (
+        local.withColumn(
+            out_col,
+            F.row_number().over(W.partitionBy(*gcols).orderBy(*ocols)).cast("bigint"),
+        )
+        .filter(F.col(out_col) <= k)
+    )

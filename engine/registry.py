@@ -42,6 +42,7 @@ _OPERATOR_MODULES = (
     "engine.operators.bpe",
     "engine.operators.rerank",
     "engine.operators.recsys",
+    "engine.operators.analytics",
 )
 
 

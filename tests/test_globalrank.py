@@ -153,3 +153,42 @@ def test_value_ranks_property(spark):
                 n_parts,
                 r,
             )
+
+
+def test_topk_per_group_matches_plain_window(spark):
+    """Two-phase per-group top-k == the single-task window definition,
+    and is invariant to how the input happens to be partitioned."""
+    from engine.operators.globalrank import topk_per_group
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    order = [F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"]
+    expected = (
+        li.withColumn(
+            "rank",
+            F.row_number()
+            .over(W.partitionBy("l_suppkey").orderBy(*order))
+            .cast("bigint"),
+        )
+        .filter(F.col("rank") <= 5)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "rank")
+    )
+    for reshaped in (li, li.repartition(3), li.repartition(64, "l_orderkey")):
+        got = topk_per_group(reshaped, ["l_suppkey"], order, 5).select(
+            "l_suppkey", "l_orderkey", "l_linenumber", "rank"
+        )
+        assert got.exceptAll(expected).isEmpty()
+        assert expected.exceptAll(got).isEmpty()
+
+
+def test_topk_per_group_small_groups(spark):
+    """Groups smaller than k come through whole, ranked densely."""
+    from engine.operators.globalrank import topk_per_group
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 7)], "g string, v int"
+    )
+    got = topk_per_group(df, ["g"], [F.col("v").desc()], 10).collect()
+    by_g = {(r.g, r.v): r["rank"] for r in got}
+    assert by_g == {("a", 2): 1, ("a", 1): 2, ("b", 7): 1}
