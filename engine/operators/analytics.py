@@ -201,3 +201,159 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("postings")
     )
     return stats.join(postings, "term").select("term", "df", "tf", "postings")
+
+
+# -- PageRank over the co-purchase item graph ------------------------------
+#
+# Iterative algorithms are an absent class in the reference (SURVEY
+# §2.3 — single-round map/reduce only; multi-round = manual
+# resubmission). PageRank here is the join-based formulation: T rounds
+# of edges ⋈ ranks → grouped contribution sums. Cross-engine exactness
+# uses the house trick from semantic_dedup/bpe_merges: every round's
+# rank is quantized to a 1e-9 grid with identical-IEEE ops, and the
+# in-neighbor contribution sum is a BIGINT sum of grid units —
+# order-independent, so Spark task order and DuckDB's single-threaded
+# replay produce bit-identical doubles. The DuckDB oracle replays all
+# T rounds as a generated CTE chain.
+#
+# 100 TB shape: per round, one src-keyed join shuffle + one dst-keyed
+# aggregate; lineage is cut with localCheckpoint per round (the
+# dedup_canonical_components precedent) so plans stay bounded. Baskets
+# are capped (BASKET_CAP, the recsys skew bound), degrees are
+# precomputed once and persisted. No dangling nodes: the co-purchase
+# graph is symmetric, so every node has out-degree >= 1.
+
+PR_ITERS = 5
+PR_DAMP = 0.85
+PR_TELEPORT = 0.15  # NOT computed as 1 - PR_DAMP (that double differs)
+PR_BASKET_CAP = 64  # mirrors engine.operators.recsys.BASKET_CAP
+_Q9 = "CAST(1000000000.0 AS DOUBLE)"
+
+
+def _duck_pagerank() -> str:
+    from engine.functions.rounding import duck_round_he
+
+    parts = [
+        f"""ui AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE event_type = 'purchase'
+),
+capped AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+           row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn
+    FROM ui) t
+  WHERE rn <= {PR_BASKET_CAP}
+),
+edges AS (
+  SELECT DISTINCT a.item AS src, b.item AS dst
+  FROM capped a JOIN capped b
+    ON a.user_id = b.user_id AND a.item <> b.item
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+r0 AS (
+  SELECT src AS item, d, {duck_round_he("1.0 / CAST(n AS DOUBLE)", 9)} AS pr
+  FROM deg CROSS JOIN nn
+)"""
+    ]
+    for t in range(PR_ITERS):
+        inner = (
+            "SELECT e.dst, CAST(sum(CAST(floor("
+            f"r.pr / CAST(r.d AS DOUBLE) * {_Q9} + 0.5) AS BIGINT)) AS BIGINT) AS s"
+            f" FROM edges e JOIN r{t} r ON e.src = r.item GROUP BY e.dst"
+        )
+        newpr = duck_round_he(
+            f"CAST({PR_TELEPORT!r} AS DOUBLE) / CAST(n AS DOUBLE)"
+            f" + CAST({PR_DAMP!r} AS DOUBLE)"
+            f" * (CAST(coalesce(s.s, 0) AS DOUBLE) / {_Q9})",
+            9,
+        )
+        parts.append(
+            f"r{t + 1} AS (SELECT d.src AS item, d.d, {newpr} AS pr"
+            f" FROM deg d CROSS JOIN nn LEFT JOIN ({inner}) s ON s.dst = d.src)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT item, d AS out_deg, pr AS pr9 FROM r{PR_ITERS}"
+    )
+
+
+@query(
+    "pagerank_items",
+    oracle=_duck_pagerank(),
+    tags=("analytics", "graph", "iterative", "events"),
+    exported=False,
+)
+def pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase item graph (see section comment
+    for the exactness and scale contract). Returns every node with its
+    out-degree and its rank after PR_ITERS damped rounds."""
+    import math
+
+    from pyspark import StorageLevel
+
+    from engine.functions.rounding import round_he
+
+    ev = load_table(spark, sf_dir, "events")
+    ui = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        )
+        .distinct()
+    )
+    capped = (
+        ui.withColumn(
+            "rn", F.row_number().over(W.partitionBy("user_id").orderBy("item"))
+        )
+        .filter(F.col("rn") <= PR_BASKET_CAP)
+        .select("user_id", "item")
+    )
+    a = capped.select("user_id", F.col("item").alias("src"))
+    b = capped.select("user_id", F.col("item").alias("dst"))
+    edges = (
+        a.join(b, "user_id")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = deg.count()  # driver scalar, O(1) — the graph's node count
+    pr0 = math.floor(1.0 / n * 1e9 + 0.5) / 1e9  # same IEEE ops as oracle
+    pr = deg.select(F.col("src").alias("item"), "d", F.lit(pr0).alias("pr"))
+    for _ in range(PR_ITERS):
+        contrib = edges.join(
+            pr.select(F.col("item").alias("src"), "d", "pr"), "src"
+        ).select(
+            "dst",
+            F.floor(
+                F.col("pr") / F.col("d").cast("double") * F.lit(1e9) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("c"),
+        )
+        s = contrib.groupBy("dst").agg(F.sum("c").cast("bigint").alias("s"))
+        pr = (
+            deg.join(s, deg.src == s.dst, "left")
+            .select(
+                F.col("src").alias("item"),
+                "d",
+                round_he(
+                    F.lit(PR_TELEPORT) / F.lit(float(n))
+                    + F.lit(PR_DAMP)
+                    * (F.coalesce(F.col("s"), F.lit(0)).cast("double") / F.lit(1e9)),
+                    9,
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return pr.select("item", F.col("d").alias("out_deg"), F.col("pr").alias("pr9"))
