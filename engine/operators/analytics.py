@@ -357,3 +357,99 @@ def pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return pr.select("item", F.col("d").alias("out_deg"), F.col("pr").alias("pr9"))
+
+
+# -- Fuzzy string matching (SymSpell-style deletion blocking) ---------------
+
+FUZZY_MIN_LEN = 4  # typo-meaningful tokens only; also kills '' keys
+
+
+@query(
+    "fuzzy_token_pairs",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok
+  WHERE token <> '' AND length(token) >= {FUZZY_MIN_LEN} GROUP BY token
+),
+keys AS (
+  SELECT token,
+         unnest(list_transform(range(0, length(token) + 1),
+           i -> CASE WHEN i = 0 THEN token
+                     ELSE substr(token, 1, i - 1) || substr(token, i + 1)
+                END)) AS k
+  FROM vocab
+),
+cand AS (
+  SELECT DISTINCT a.token AS tok_a, b.token AS tok_b
+  FROM keys a JOIN keys b ON a.k = b.k AND a.token < b.token
+)
+SELECT c.tok_a, c.tok_b, fa.freq AS freq_a, fb.freq AS freq_b
+FROM cand c
+JOIN vocab fa ON fa.token = c.tok_a
+JOIN vocab fb ON fb.token = c.tok_b
+WHERE levenshtein(c.tok_a, c.tok_b) <= 1
+""",
+    tags=("analytics", "fuzzy", "text", "documents"),
+    exported=False,
+)
+def fuzzy_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-≤1 vocabulary pairs via SymSpell-style deletion
+    blocking: each token's key set is itself plus its single-character
+    deletions; any pair within edit distance 1 must share a key
+    (equality → the token itself; substitution → a common deletion;
+    insert/delete → one is the other's deletion), so candidates come
+    from a plain equi-join on key — never an all-pairs comparison.
+    Exact ``levenshtein`` verifies candidates (both engines implement
+    the same Wagner–Fischer distance).
+
+    100 TB shape: runs on the VOCABULARY (one corpus-sized count
+    shuffle, then token-cardinality data), expansion is O(token
+    length) keys per token, and the candidate join is hash-bucketed on
+    the key. FUZZY_MIN_LEN keeps degenerate short-token buckets (and
+    the '' key) out of the join — the documented skew guard.
+
+    The fixture corpus is machine-generated with NO near-typos, so
+    this query legitimately returns 0 rows at every SF; the blocking's
+    completeness (all ed≤1 pairs found) is therefore pinned separately
+    against brute-force all-pairs on a typo-seeded vocabulary in
+    tests/test_analytics.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter((F.col("token") != "") & (F.length("token") >= FUZZY_MIN_LEN))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    return fuzzy_pairs_from_vocab(vocab)
+
+
+def fuzzy_pairs_from_vocab(vocab: DataFrame) -> DataFrame:
+    """Core deletion-neighborhood matcher over a ``(token, freq)``
+    vocabulary — see :func:`fuzzy_token_pairs` for the contract."""
+    keys = vocab.select(
+        "token",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(token)), i -> CASE WHEN i = 0"
+                " THEN token ELSE concat(substring(token, 1, i - 1),"
+                " substring(token, i + 1)) END)"
+            )
+        ).alias("k"),
+    )
+    ka = keys.select(F.col("token").alias("tok_a"), "k")
+    kb = keys.select(F.col("token").alias("tok_b"), "k")
+    cand = (
+        ka.join(kb, "k")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .select("tok_a", "tok_b")
+        .distinct()
+        .filter(F.levenshtein("tok_a", "tok_b") <= 1)
+    )
+    fa = vocab.select(F.col("token").alias("tok_a"), F.col("freq").alias("freq_a"))
+    fb = vocab.select(F.col("token").alias("tok_b"), F.col("freq").alias("freq_b"))
+    return cand.join(fa, "tok_a").join(fb, "tok_b").select(
+        "tok_a", "tok_b", "freq_a", "freq_b"
+    )

@@ -57,3 +57,52 @@ def test_attribution_purchase_total(spark):
     )
     got = purchase_attribution(spark, SF_DIR)
     assert got.agg(F.sum("n_purchases")).first()[0] == total
+
+
+def test_fuzzy_blocking_complete_vs_bruteforce(spark):
+    """Deletion blocking finds EXACTLY the ed<=1 pairs that all-pairs
+    levenshtein finds on a typo-seeded vocabulary (the fixture corpus
+    has no typos, so the registered query's 0 rows are vacuous — this
+    pins the matcher itself)."""
+    import itertools
+
+    from engine.operators.analytics import fuzzy_pairs_from_vocab
+
+    toks = [
+        "hello", "helo", "hella", "jello",       # deletions + substitutions
+        "spark", "spork", "sparks",              # substitution + insertion
+        "window", "windows", "winnow",
+        "query", "queue", "banana", "bandana",   # ed 2+ distractors
+    ]
+    vocab = spark.createDataFrame([(t, 1) for t in toks], "token string, freq long")
+    got = {
+        (r.tok_a, r.tok_b)
+        for r in fuzzy_pairs_from_vocab(vocab).collect()
+    }
+
+    def ed1(a: str, b: str) -> bool:
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = j = diff = 0
+        while i < la and j < lb:
+            if a[i] != b[j]:
+                diff += 1
+                if diff > 1:
+                    return False
+                j += 1
+            else:
+                i += 1
+                j += 1
+        return True
+
+    expected = {
+        tuple(sorted(p)) for p in itertools.combinations(toks, 2) if ed1(*p)
+    }
+    assert got == expected and len(expected) >= 5
