@@ -453,3 +453,156 @@ def fuzzy_pairs_from_vocab(vocab: DataFrame) -> DataFrame:
     return cand.join(fa, "tok_a").join(fb, "tok_b").select(
         "tok_a", "tok_b", "freq_a", "freq_b"
     )
+
+
+# -- Triangle counting (degree-oriented enumeration) ------------------------
+
+
+@query(
+    "triangle_counts",
+    oracle=f"""
+WITH ui AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE event_type = 'purchase'
+),
+capped AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+           row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn
+    FROM ui) t
+  WHERE rn <= {PR_BASKET_CAP}
+),
+pairs AS (
+  SELECT DISTINCT a.item AS lo, b.item AS hi
+  FROM capped a JOIN capped b
+    ON a.user_id = b.user_id AND a.item < b.item
+),
+deg AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT lo AS item FROM pairs UNION ALL SELECT hi FROM pairs
+  ) GROUP BY item
+),
+o AS (
+  SELECT CASE WHEN (dl.d, p.lo) < (dh.d, p.hi) THEN p.lo ELSE p.hi END AS src,
+         CASE WHEN (dl.d, p.lo) < (dh.d, p.hi) THEN p.hi ELSE p.lo END AS dst,
+         CASE WHEN (dl.d, p.lo) < (dh.d, p.hi) THEN dh.d ELSE dl.d END AS dd
+  FROM pairs p
+  JOIN deg dl ON dl.item = p.lo
+  JOIN deg dh ON dh.item = p.hi
+),
+tri AS (
+  SELECT w.a, w.b, w.c FROM (
+    SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+    FROM o o1 JOIN o o2 ON o1.src = o2.src
+    WHERE (o1.dd, o1.dst) < (o2.dd, o2.dst)
+  ) w JOIN o o3 ON o3.src = w.b AND o3.dst = w.c
+),
+pern AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS n_tri FROM (
+    SELECT a AS item FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY item
+)
+SELECT d.item, d.d AS degree,
+       CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.d >= 2 THEN
+         floor(2.0 * coalesce(p.n_tri, 0)
+               / (CAST(d.d AS DOUBLE) * CAST(d.d - 1 AS DOUBLE))
+               * CAST(1000000.0 AS DOUBLE) + 0.5) / CAST(1000000.0 AS DOUBLE)
+       ELSE CAST(0.0 AS DOUBLE) END AS clustering6
+FROM deg d LEFT JOIN pern p ON p.item = d.item
+""",
+    tags=("analytics", "graph", "events"),
+    exported=False,
+)
+def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over
+    the co-purchase graph, via DEGREE ORIENTATION: each undirected
+    edge is directed from its (degree, id)-smaller endpoint, so every
+    triangle is enumerated exactly once from its smallest vertex and
+    wedge fan-out is bounded by oriented out-degree ≤ O(√m) — the
+    classic O(m^1.5) bound, robust to power-law hubs (a hub's edges
+    all point INTO it, so it fans out nothing). Candidate wedges close
+    via one equi-join against the oriented edge list. All counts are
+    integers; the coefficient 2T/(d(d-1)) guards d<2 (the engines
+    diverge on 0/0) and rounds with the shared IEEE sequence."""
+    from engine.functions.rounding import round_he
+
+    ev = load_table(spark, sf_dir, "events")
+    ui = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        )
+        .distinct()
+    )
+    capped = (
+        ui.withColumn(
+            "rn", F.row_number().over(W.partitionBy("user_id").orderBy("item"))
+        )
+        .filter(F.col("rn") <= PR_BASKET_CAP)
+        .select("user_id", "item")
+    )
+    a = capped.select("user_id", F.col("item").alias("lo"))
+    b = capped.select("user_id", F.col("item").alias("hi"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("lo") < F.col("hi"))
+        .select("lo", "hi")
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("lo").alias("item"))
+        .unionAll(pairs.select(F.col("hi").alias("item")))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    e = (
+        pairs.join(deg.select(F.col("item").alias("lo"), F.col("d").alias("dl")), "lo")
+        .join(deg.select(F.col("item").alias("hi"), F.col("d").alias("dh")), "hi")
+    )
+    fwd = (F.col("dl") < F.col("dh")) | (
+        (F.col("dl") == F.col("dh")) & (F.col("lo") < F.col("hi"))
+    )
+    o = e.select(
+        F.when(fwd, F.col("lo")).otherwise(F.col("hi")).alias("src"),
+        F.when(fwd, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
+        F.when(fwd, F.col("dh")).otherwise(F.col("dl")).alias("dd"),
+    )
+    o1 = o.select("src", F.col("dst").alias("b"), F.col("dd").alias("db"))
+    o2 = o.select("src", F.col("dst").alias("c"), F.col("dd").alias("dc"))
+    wedges = o1.join(o2, "src").filter(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    o3 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(o3, ["b", "c"]).select(
+        F.col("src").alias("a"), "b", "c"
+    )
+    pern = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+    coeff = F.when(
+        F.col("degree") >= 2,
+        round_he(
+            F.lit(2.0)
+            * F.col("n_triangles").cast("double")
+            / (F.col("degree").cast("double") * (F.col("degree") - 1).cast("double")),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(pern, deg.item == pern.item, "left")
+        .select(
+            deg.item,
+            F.col("d").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_triangles"),
+        )
+        .withColumn("clustering6", coeff)
+        .select("item", "degree", "n_triangles", "clustering6")
+    )

@@ -106,3 +106,41 @@ def test_fuzzy_blocking_complete_vs_bruteforce(spark):
         tuple(sorted(p)) for p in itertools.combinations(toks, 2) if ed1(*p)
     }
     assert got == expected and len(expected) >= 5
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    """Degree-oriented enumeration == O(n^3) brute force on the
+    sf0.001 co-purchase graph (~83 nodes)."""
+    import itertools
+
+    import duckdb
+
+    from engine.operators.analytics import PR_BASKET_CAP, triangle_counts
+
+    pairs = duckdb.sql(f"""
+        WITH ui AS (
+          SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item
+          FROM read_parquet('{SF_DIR}/events.parquet') WHERE event_type = 'purchase'
+        ),
+        capped AS (
+          SELECT user_id, item FROM (
+            SELECT user_id, item,
+                   row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn
+            FROM ui) t WHERE rn <= {PR_BASKET_CAP}
+        )
+        SELECT DISTINCT a.item, b.item FROM capped a JOIN capped b
+          ON a.user_id = b.user_id AND a.item < b.item
+    """).fetchall()
+    adj: dict[int, set[int]] = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    expected = {n: 0 for n in adj}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            expected[a] += 1
+            expected[b] += 1
+            expected[c] += 1
+    got = {r.item: r.n_triangles for r in triangle_counts(spark, SF_DIR).collect()}
+    assert got == expected
+    assert sum(expected.values()) > 0  # fixture graph actually has triangles
