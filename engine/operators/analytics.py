@@ -606,3 +606,73 @@ def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("clustering6", coeff)
         .select("item", "degree", "n_triangles", "clustering6")
     )
+
+
+# -- SCD Type-2 dimension build --------------------------------------------
+
+
+_TIER = """CASE WHEN value < 25 THEN 'bronze'
+     WHEN value < 100 THEN 'silver'
+     ELSE 'gold' END"""
+
+
+@query(
+    "scd2_user_tiers",
+    oracle=f"""
+WITH p AS (
+  SELECT user_id, ts, event_id, {_TIER} AS tier
+  FROM events WHERE event_type = 'purchase'
+),
+marked AS (
+  SELECT user_id, ts, event_id, tier,
+         CASE WHEN lag(tier) OVER w IS DISTINCT FROM tier THEN 1 ELSE 0 END
+           AS is_change
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (SELECT user_id, ts, event_id, tier FROM marked WHERE is_change = 1)
+SELECT user_id, tier,
+       CAST(row_number() OVER w2 AS BIGINT) AS version,
+       CAST(ts AS TIMESTAMP) AS valid_from,
+       CAST(lead(ts) OVER w2 AS TIMESTAMP) AS valid_to,
+       CAST(CASE WHEN lead(ts) OVER w2 IS NULL THEN 1 ELSE 0 END AS BOOLEAN)
+         AS is_current
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    tags=("analytics", "scd", "warehouse", "events"),
+    exported=False,
+)
+def scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (Type 2) history build: each user's
+    purchase-derived spend tier collapses into validity intervals —
+    one row per tier RUN with [valid_from, valid_to) bounds, a version
+    number, and an is_current flag (open interval). Change detection
+    is ``tier IS DISTINCT FROM lag(tier)`` over the deterministic
+    (ts, event_id) order; the run's interval closes at the next
+    change's start. The standard warehouse dimension-versioning
+    operator the reference cannot express.
+
+    100 TB shape: both window passes share one user_id shuffle
+    (Spark plans consecutive same-key windows in a single exchange);
+    no self-join, no driver state. Output is bounded by the number of
+    tier CHANGES, not events."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.expr(_TIER).alias("tier")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        p.withColumn("_prev", F.lag("tier").over(w))
+        .filter(~F.col("tier").eqNullSafe(F.col("_prev")))
+        .drop("_prev")
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "tier",
+        F.row_number().over(w2).cast("bigint").alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )

@@ -144,3 +144,30 @@ def test_triangle_counts_match_bruteforce(spark):
     got = {r.item: r.n_triangles for r in triangle_counts(spark, SF_DIR).collect()}
     assert got == expected
     assert sum(expected.values()) > 0  # fixture graph actually has triangles
+
+
+def test_scd2_intervals_tile(spark):
+    """SCD2 contract: per user exactly one open (is_current) interval,
+    versions are 1..n contiguous, and each closed interval's valid_to
+    equals the next version's valid_from (no gaps, no overlaps)."""
+    from engine.operators.analytics import scd2_user_tiers
+
+    scd = scd2_user_tiers(spark, SF_DIR).cache()
+    assert scd.filter("is_current AND valid_to IS NOT NULL").count() == 0
+    assert scd.filter("NOT is_current AND valid_to IS NULL").count() == 0
+    per_user = scd.groupBy("user_id").agg(
+        F.sum(F.col("is_current").cast("int")).alias("n_open"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("version").alias("vmin"),
+        F.max("version").alias("vmax"),
+    )
+    assert per_user.filter(
+        (F.col("n_open") != 1) | (F.col("vmin") != 1) | (F.col("vmax") != F.col("n"))
+    ).count() == 0
+    nxt = scd.select(
+        "user_id", (F.col("version") - 1).alias("version"),
+        F.col("valid_from").alias("next_from"),
+    )
+    joined = scd.filter("NOT is_current").join(nxt, ["user_id", "version"])
+    assert joined.filter(F.col("valid_to") != F.col("next_from")).count() == 0
+    scd.unpersist()
