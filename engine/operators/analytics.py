@@ -676,3 +676,127 @@ def scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w2).alias("valid_to"),
         F.lead("ts").over(w2).isNull().alias("is_current"),
     )
+
+
+# -- Markov transition matrix over event sequences --------------------------
+
+
+@query(
+    "event_transition_matrix",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+),
+pairs AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+totals AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM pairs GROUP BY 1
+)
+SELECT p.from_type, p.to_type, p.n, t.n_from,
+       {{p6}} AS p6
+FROM pairs p JOIN totals t USING (from_type)
+""".format(
+        p6=__import__("engine.functions.rounding", fromlist=["duck_round_he"])
+        .duck_round_he("CAST(p.n AS DOUBLE) / CAST(t.n_from AS DOUBLE)", 6)
+    ),
+    tags=("analytics", "sequence", "markov", "events"),
+    exported=False,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next = to | current = from) as exact integer-count
+    ratios (BIGINT / BIGINT division is bit-identical across engines,
+    then the shared IEEE rounding). One user-keyed window shuffle for
+    the lead() pass, one |event_types|²-row aggregate; row totals join
+    back broadcast-sized."""
+    from engine.functions.rounding import round_he
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("n_from")
+    )
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        "n_from",
+        round_he(F.col("n").cast("double") / F.col("n_from").cast("double"), 6)
+        .alias("p6"),
+    )
+
+
+# -- Trending items (day-over-day movers) -----------------------------------
+
+TREND_K = 10
+
+
+@query(
+    "trending_items",
+    oracle=f"""
+WITH counts AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT day, item, n,
+         CAST(row_number() OVER (PARTITION BY day ORDER BY n DESC, item)
+              AS BIGINT) AS rank
+  FROM counts
+)
+SELECT r.day, r.rank, r.item, r.n,
+       CAST(coalesce(p.n, 0) AS BIGINT) AS n_prev
+FROM ranked r
+LEFT JOIN counts p
+  ON p.item = r.item AND p.day = r.day - INTERVAL 1 DAY
+WHERE r.rank <= {TREND_K}
+""",
+    tags=("analytics", "trending", "events"),
+    exported=False,
+)
+def trending_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day trending items: per day the top-K items by event
+    count, each with its previous-day count. Top-K per day goes
+    through the two-phase ``topk_per_group`` (a day's item catalog is
+    never sorted in one task); the prior-day lookup is an equi-join on
+    (item, day-1) — no cross-day window over the whole catalog."""
+    ev = load_table(spark, sf_dir, "events")
+    item = F.get_json_object("props", "$.k").cast("bigint")
+    counts = (
+        ev.filter(item.isNotNull())
+        .select(F.date_trunc("day", "ts").alias("day"), item.alias("item"))
+        .groupBy("day", "item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    top = topk_per_group(
+        counts, ["day"], [F.col("n").desc(), F.col("item")], TREND_K, out_col="rank"
+    )
+    prev = counts.select(
+        "item",
+        (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("day"),
+        F.col("n").alias("n_prev"),
+    )
+    return top.join(prev, ["day", "item"], "left").select(
+        "day",
+        "rank",
+        "item",
+        "n",
+        F.coalesce("n_prev", F.lit(0)).cast("bigint").alias("n_prev"),
+    )

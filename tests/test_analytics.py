@@ -171,3 +171,31 @@ def test_scd2_intervals_tile(spark):
     joined = scd.filter("NOT is_current").join(nxt, ["user_id", "version"])
     assert joined.filter(F.col("valid_to") != F.col("next_from")).count() == 0
     scd.unpersist()
+
+
+def test_transition_matrix_rows_are_distributions(spark):
+    """Each from_type's outgoing probabilities sum to ~1 and its pair
+    counts sum to n_from exactly."""
+    from engine.operators.analytics import event_transition_matrix
+
+    tm = event_transition_matrix(spark, SF_DIR)
+    rows = tm.groupBy("from_type").agg(
+        F.sum("p6").alias("psum"),
+        F.sum("n").alias("nsum"),
+        F.first("n_from").alias("n_from"),
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.nsum == r.n_from
+        assert abs(r.psum - 1.0) < 1e-4  # K*5e-7 rounding slack
+
+
+def test_trending_items_day_coverage(spark):
+    """Every fixture day emits exactly K ranked items, rank 1..K."""
+    from engine.operators.analytics import TREND_K, trending_items
+
+    got = trending_items(spark, SF_DIR)
+    per = got.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rank").alias("mx")
+    )
+    assert per.filter((F.col("n") != TREND_K) | (F.col("mx") != TREND_K)).count() == 0
