@@ -89,8 +89,13 @@ def _spark_pairs(words: DataFrame) -> DataFrame:
     )
 
 
-def _duck_bpe_sql() -> str:
-    toks = "string_split(seq[2:len(seq) - 1], '||')"
+_DUCK_TOKS = "string_split(seq[2:len(seq) - 1], '||')"
+
+
+def _duck_chain_parts() -> list[str]:
+    """CTE chain w0..w{BPE_MERGES} (+ per-round pair counts p{t} and
+    argmax b{t}) shared by the learn and encode oracles."""
+    toks = _DUCK_TOKS
     parts = [
         f"""w0 AS (
   SELECT word, CAST(count(*) AS BIGINT) AS freq,
@@ -123,12 +128,16 @@ def _duck_bpe_sql() -> str:
   FROM w{t} CROSS JOIN b{t} x
 )"""
         )
+    return parts
+
+
+def _duck_bpe_sql() -> str:
     selects = [
         f"SELECT CAST({t} AS BIGINT) AS step, a AS merge_left,"
         f" b AS merge_right, cnt AS pair_count FROM b{t}"
         for t in range(BPE_MERGES)
     ]
-    joined = ",\n".join(parts)
+    joined = ",\n".join(_duck_chain_parts())
     return "WITH " + joined + "\n" + "\nUNION ALL\n".join(selects)
 
 
@@ -166,3 +175,98 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seq"),
         )
     return out
+
+
+def _duck_encode_sql() -> str:
+    parts = _duck_chain_parts()
+    parts.append(
+        f"""enc AS (
+  SELECT word, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_syms
+  FROM w{BPE_MERGES}
+)"""
+    )
+    parts.append(
+        f"""fw AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents)
+  WHERE regexp_full_match(word, '{_WORD_RE[1:-1]}')
+)"""
+    )
+    from engine.functions.rounding import duck_round_he
+
+    ratio = duck_round_he(
+        "CAST(sum(e.n_syms) AS DOUBLE) / CAST(sum(len(f.word)) AS DOUBLE)", 6
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT f.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(f.word)) AS BIGINT) AS n_chars_alpha,
+       CAST(sum(e.n_syms) AS BIGINT) AS n_tokens,
+       {ratio} AS compression6
+FROM fw f JOIN enc e USING (word)
+GROUP BY f.doc_id"""
+    )
+
+
+@query(
+    "bpe_encode_docs",
+    oracle=_duck_encode_sql(),
+    tags=("text", "tokenizer", "bpe"),
+    exported=False,
+)
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the learned BPE merges back to the corpus: re-run the
+    K-round learn chain to its final vocabulary state (word → merged
+    symbol sequence), then join every document's words against that
+    encoded vocabulary and aggregate per-doc token statistics
+    (word/char/token counts, tokens-per-char compression ratio as an
+    exact BIGINT-ratio with the shared IEEE rounding).
+
+    This is the tokenize-the-corpus production step downstream of
+    ``bpe_merges``. Scale: encoding state lives in the VOCABULARY
+    table (|distinct words| rows, persisted once); the corpus is
+    touched twice — once to build word frequencies, once to explode
+    (doc_id, word) pairs for the vocab join (hash equi-join on word;
+    hot stopwords are the classic AQE-skew case). No per-row Python:
+    the merge replay is K chained JVM string replaces and the join is
+    a plain equi-join."""
+    words = _spark_words(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(BPE_MERGES):
+        best = (
+            _spark_pairs(words).orderBy(F.col("cnt").desc(), "a", "b").limit(1)
+        )
+        words = words.crossJoin(F.broadcast(best)).select(
+            "word",
+            "freq",
+            F.expr(
+                "replace(seq, concat('|', a, '||', b, '|'),"
+                " concat('|', a, b, '|'))"
+            ).alias("seq"),
+        )
+    enc = words.select(
+        "word", F.expr(f"size({_SPARK_TOKS})").cast("bigint").alias("n_syms")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    fw = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.col("word").rlike(_WORD_RE))
+    from engine.functions.rounding import round_he
+
+    return (
+        fw.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars_alpha"),
+            F.sum("n_syms").cast("bigint").alias("n_tokens"),
+            round_he(
+                F.sum("n_syms").cast("double")
+                / F.sum(F.length("word")).cast("double"),
+                6,
+            ).alias("compression6"),
+        )
+    )

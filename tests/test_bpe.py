@@ -60,3 +60,40 @@ def test_bpe_matches_pure_python_replay(spark):
         (t, a, b, c) for t, (a, b, c) in enumerate(_python_bpe(wf, BPE_MERGES))
     ]
     assert got == expect
+
+
+def test_bpe_encode_matches_pure_python(spark):
+    """Per-doc token counts from bpe_encode_docs == encoding every doc
+    with the pure-Python merge replay above."""
+    from engine.operators.bpe import bpe_encode_docs
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rx = re.compile(_WORD_RE)
+    wf = Counter()
+    doc_words: dict[int, list[str]] = {}
+    for row in docs.select("doc_id", "text").collect():
+        ws = [w for w in row["text"].lower().split(" ") if rx.match(w)]
+        doc_words[row["doc_id"]] = ws
+        wf.update(ws)
+
+    # replay merges, then encode the vocabulary
+    seqs = {w: tuple(w) for w in wf}
+    for a, b, _ in _python_bpe(wf, BPE_MERGES):
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = tuple(out)
+    expect = {
+        d: sum(len(seqs[w]) for w in ws) for d, ws in doc_words.items() if ws
+    }
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_encode_docs(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
