@@ -54,6 +54,7 @@ NESTED_LOOP_OK = {
     "rerank_cross_encoder",  # inherits ann_cosine_topk's bounded query broadcast
     "collocations_lift",  # 1-row corpus-total broadcast
     "bpe_merges",  # 1-row argmax merge-pair broadcast per round
+    "bpe_encode_docs",  # same 1-row argmax broadcasts (learn-chain replay)
     "user_path_patterns",  # 3-row constant pattern-set broadcast
     "pipeline_lm_likelihood",  # 1-row vocab-size V broadcast
     # federated registry queries inheriting a whitelisted component's
