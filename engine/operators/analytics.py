@@ -546,6 +546,8 @@ def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PR_BASKET_CAP)
         .select("user_id", "item")
     )
+    from pyspark import StorageLevel
+
     a = capped.select("user_id", F.col("item").alias("lo"))
     b = capped.select("user_id", F.col("item").alias("hi"))
     pairs = (
@@ -553,12 +555,16 @@ def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lo") < F.col("hi"))
         .select("lo", "hi")
         .distinct()
+        # consumers: degree count (x2 via union), orientation join —
+        # persist so basket expansion runs once
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = (
         pairs.select(F.col("lo").alias("item"))
         .unionAll(pairs.select(F.col("hi").alias("item")))
         .groupBy("item")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     e = (
         pairs.join(deg.select(F.col("item").alias("lo"), F.col("d").alias("dl")), "lo")
@@ -571,7 +577,9 @@ def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fwd, F.col("lo")).otherwise(F.col("hi")).alias("src"),
         F.when(fwd, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
         F.when(fwd, F.col("dh")).otherwise(F.col("dl")).alias("dd"),
-    )
+        # three consumers (both wedge legs + the closing join):
+        # orient once, not 3x
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     o1 = o.select("src", F.col("dst").alias("b"), F.col("dd").alias("db"))
     o2 = o.select("src", F.col("dst").alias("c"), F.col("dd").alias("dc"))
     wedges = o1.join(o2, "src").filter(

@@ -76,6 +76,8 @@ def item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    from pyspark import StorageLevel
+
     capped = (
         ui.withColumn(
             "rn",
@@ -85,6 +87,9 @@ def item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= BASKET_CAP)
         .select("user_id", "item")
+        # four consumers (pair self-join both sides, marginals twice):
+        # persist so the corpus is scanned/deduped once, not 4x
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     c = capped.groupBy("item").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
