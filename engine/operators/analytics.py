@@ -808,3 +808,74 @@ def trending_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.coalesce("n_prev", F.lit(0)).cast("bigint").alias("n_prev"),
     )
+
+
+# -- Time-series gap filling (dense calendar + LOCF) ------------------------
+
+
+@query(
+    "events_daily_gapfill",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         {duck_qsum_rounded("value", 2)} AS sum2
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+  FROM bounds
+)
+SELECT s.event_type, s.day,
+       CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+       CAST(d.n IS NULL AS BOOLEAN) AS is_gap,
+       last_value(d.sum2 IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf2
+FROM spine s LEFT JOIN daily d ON d.event_type = s.event_type AND d.day = s.day
+""",
+    tags=("analytics", "timeseries", "events"),
+    exported=False,
+)
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time-series materialization: per event type, every
+    calendar day between that type's first and last activity — missing
+    days filled with zero counts, flagged, and the daily value sum
+    carried forward (last-observation-carried-forward via
+    ``last(..., ignorenulls)``). The calendar spine comes from
+    ``sequence()`` over per-type min/max bounds, so the LOCF window
+    partition is bounded by #days — calendar-sized, never
+    corpus-sized; the corpus is touched once by the daily aggregate.
+    Value sums ride the integer-grid qsum (order-independent)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        qsum_rounded("value", 2).alias("sum2"),
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("day"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.col("n").isNull().alias("is_gap"),
+            F.last("sum2", ignorenulls=True).over(w).alias("locf2"),
+        )
+    )

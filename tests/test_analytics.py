@@ -199,3 +199,36 @@ def test_trending_items_day_coverage(spark):
         F.count(F.lit(1)).alias("n"), F.max("rank").alias("mx")
     )
     assert per.filter((F.col("n") != TREND_K) | (F.col("mx") != TREND_K)).count() == 0
+
+
+def test_gapfill_fills_and_carries_forward(spark, tmp_path):
+    """The fixture has no idle days (oracle equality there is
+    gap-free), so pin gap semantics on synthetic sparse events: missing
+    days appear with n=0/is_gap, and locf2 carries the last observed
+    daily sum forward."""
+    import datetime as dt
+
+    from engine.operators.analytics import events_daily_gapfill
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 5), 10, "click", 10.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 6), 11, "click", 2.5, "{}"),
+        (3, dt.datetime(2024, 1, 4, 9), 10, "click", 7.0, "{}"),
+        (4, dt.datetime(2024, 1, 2, 1), 10, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r.event_type, r.day.day): (r.n, r.is_gap, r.locf2)
+        for r in events_daily_gapfill(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("click", 1): (2, False, 12.5),
+        ("click", 2): (0, True, 12.5),   # gap: carried forward
+        ("click", 3): (0, True, 12.5),   # gap: still carried
+        ("click", 4): (1, False, 7.0),
+        ("view", 2): (1, False, 1.0),    # single-day type: no spine gaps
+    }
