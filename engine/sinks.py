@@ -14,6 +14,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -254,3 +256,74 @@ def materialize_checkpoint(
     doubles as the restart point for the next pipeline run."""
     df.write.mode("overwrite").format(format).save(path)
     return df.sparkSession.read.format(format).load(path)
+
+
+def delete_keys_partitioned(
+    spark: SparkSession,
+    path: str,
+    partition_by: list[str],
+    key_col: str,
+    keys_df: DataFrame,
+) -> int:
+    """Targeted row deletion from a partitioned parquet table (the
+    GDPR/right-to-be-forgotten primitive): rewrite ONLY the partitions
+    that contain a doomed key, leave every other partition's files
+    untouched.
+
+    Plan: one pruned pass finds the affected partition values (an
+    inner join against the broadcast-sized key set, aggregated to the
+    partition columns); a second pass reads JUST those partitions
+    (partition-pruned scan), anti-joins the keys away, and republishes
+    them via dynamic partition overwrite. At 100 TB deleting one
+    user's rows costs a scan of the partitions they touched — never a
+    table rewrite. Deletes are idempotent: re-running with the same
+    keys rewrites the same partitions to the same contents.
+
+    Returns the number of partitions rewritten. ``keys_df`` must have
+    exactly one column named ``key_col`` (it is broadcast — key sets
+    are assumed deletion-request-sized, not corpus-sized).
+    """
+    from pyspark.sql import functions as F
+
+    table = spark.read.parquet(path)
+    affected = (
+        table.join(F.broadcast(keys_df), key_col)
+        .select(*partition_by)
+        .distinct()
+        .collect()
+    )  # O(#affected partitions) driver rows — bounded by the key set
+    if not affected:
+        return 0
+    pred = None
+    for row in affected:
+        clause = None
+        for c in partition_by:
+            p = F.col(c) == F.lit(row[c])
+            clause = p if clause is None else (clause & p)
+        pred = clause if pred is None else (pred | clause)
+    rewritten = (
+        spark.read.parquet(path)
+        .filter(pred)  # partition-pruned: only affected partitions read
+        .join(F.broadcast(keys_df), key_col, "left_anti")
+    )
+    # Dynamic overwrite only replaces partitions PRESENT in the write,
+    # so a partition whose every row is doomed would keep its old
+    # files. Find those fully-emptied partitions first and drop their
+    # directories after the rewrite.
+    surviving = {
+        tuple(row[c] for c in partition_by)
+        for row in rewritten.select(*partition_by).distinct().collect()
+    }
+    emptied = [
+        row
+        for row in affected
+        if tuple(row[c] for c in partition_by) not in surviving
+    ]
+    overwrite_partitions_dynamic(rewritten, path, partition_by)
+    import shutil
+
+    for row in emptied:
+        seg = os.path.join(path, *[f"{c}={row[c]}" for c in partition_by])
+        if os.path.isdir(seg):
+            shutil.rmtree(seg)
+    return len(affected)

@@ -206,3 +206,55 @@ def test_materialize_checkpoint_truncates_lineage(spark, tmp_path):
     files = back.inputFiles()
     assert files and all("barrier" in f for f in files)
     assert not any("testdata" in f for f in files)
+
+
+def test_delete_keys_partitioned(spark, tmp_path):
+    """GDPR-style targeted delete: doomed keys vanish, untouched
+    partitions keep their exact files, fully-emptied partitions
+    disappear."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from engine.sinks import delete_keys_partitioned
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01", 1, "a"), ("2024-01-01", 2, "b"),
+            ("2024-01-02", 2, "c"), ("2024-01-02", 3, "d"),
+            ("2024-01-03", 2, "e"),  # partition fully owned by key 2
+            ("2024-01-04", 9, "f"),  # untouched partition
+        ],
+        "day string, user_id long, payload string",
+    )
+    df.write.partitionBy("day").parquet(path)
+
+    def files(day):
+        d = os.path.join(path, f"day={day}")
+        return sorted(os.listdir(d)) if os.path.isdir(d) else None
+
+    before_untouched = files("2024-01-04")
+    keys = spark.createDataFrame([(2,)], "user_id long")
+    n = delete_keys_partitioned(spark, path, ["day"], "user_id", keys)
+    assert n == 3  # three partitions contained key 2
+
+    def contents():
+        # partition-column type inference reads `day` back as DATE
+        return {
+            (str(r.day), r.user_id, r.payload)
+            for r in spark.read.parquet(path).collect()
+        }
+
+    got = contents()
+    assert got == {
+        ("2024-01-01", 1, "a"),
+        ("2024-01-02", 3, "d"),
+        ("2024-01-04", 9, "f"),
+    }
+    assert files("2024-01-03") is None  # fully-emptied partition dropped
+    assert files("2024-01-04") == before_untouched  # untouched files intact
+    # idempotent: re-running is a no-op on contents
+    n2 = delete_keys_partitioned(spark, path, ["day"], "user_id", keys)
+    assert n2 == 0
+    assert contents() == got
