@@ -879,3 +879,100 @@ def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("sum2", ignorenulls=True).over(w).alias("locf2"),
         )
     )
+
+
+# -- Per-group OLS trend (closed-form simple regression) --------------------
+
+
+@query(
+    "value_trend_ols",
+    oracle="""
+WITH pts AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS x,
+         value AS y
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sx2,
+         CAST(sum(CAST(floor(y * CAST(10000.0 AS DOUBLE) + 0.5) AS BIGINT))
+              AS BIGINT) AS sy4,
+         CAST(sum(CAST(floor(CAST(x AS DOUBLE) * y * CAST(10000.0 AS DOUBLE)
+                             + 0.5) AS BIGINT)) AS BIGINT) AS sxy4
+  FROM pts GROUP BY event_type
+)
+SELECT event_type, n,
+       floor((CAST(n AS DOUBLE) * (CAST(sxy4 AS DOUBLE) / CAST(10000.0 AS DOUBLE))
+              - CAST(sx AS DOUBLE) * (CAST(sy4 AS DOUBLE) / CAST(10000.0 AS DOUBLE)))
+             / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * CAST(1000000.0 AS DOUBLE) + 0.5) / CAST(1000000.0 AS DOUBLE)
+         AS slope6,
+       floor(((CAST(sy4 AS DOUBLE) / CAST(10000.0 AS DOUBLE))
+              / CAST(n AS DOUBLE)
+              - (floor((CAST(n AS DOUBLE) * (CAST(sxy4 AS DOUBLE) / CAST(10000.0 AS DOUBLE))
+                        - CAST(sx AS DOUBLE) * (CAST(sy4 AS DOUBLE) / CAST(10000.0 AS DOUBLE)))
+                       / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * CAST(1000000.0 AS DOUBLE) + 0.5) / CAST(1000000.0 AS DOUBLE))
+                * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+             * CAST(1000000.0 AS DOUBLE) + 0.5) / CAST(1000000.0 AS DOUBLE)
+         AS intercept6
+FROM s
+""",
+    tags=("analytics", "regression", "events"),
+    exported=False,
+)
+def value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form per-group simple regression (value vs days since
+    the fixture epoch): slope and intercept from the five sufficient
+    statistics, each an order-independent integer sum — x/x² are exact
+    BIGINTs, y and x·y ride the 1e-4 integer grid — so the normal
+    equations start from bit-identical numbers on both engines and the
+    remaining arithmetic is a fixed IEEE op sequence. The distributed-
+    ML primitive: one partial-aggregated shuffle to |groups| rows, no
+    iteration, no driver math. Intercept quantizes the slope FIRST
+    (mirroring its output rounding) so both outputs derive from the
+    same published slope."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("2024-01-01"))).cast(
+        "bigint"
+    )
+    pts = ev.select("event_type", x.alias("x"), F.col("value").alias("y"))
+    grid = F.lit(10000.0)
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+        F.sum(F.floor(F.col("y") * grid + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("sy4"),
+        F.sum(
+            F.floor(F.col("x").cast("double") * F.col("y") * grid + F.lit(0.5)).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("sxy4"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    sx2d = F.col("sx2").cast("double")
+    syd = F.col("sy4").cast("double") / grid
+    sxyd = F.col("sxy4").cast("double") / grid
+    slope_q = F.floor(
+        (nd * sxyd - sxd * syd) / (nd * sx2d - sxd * sxd) * F.lit(1e6) + F.lit(0.5)
+    ) / F.lit(1e6)
+    intercept_q = F.floor(
+        (syd / nd - slope_q * (sxd / nd)) * F.lit(1e6) + F.lit(0.5)
+    ) / F.lit(1e6)
+    return s.select(
+        "event_type",
+        "n",
+        slope_q.alias("slope6"),
+        intercept_q.alias("intercept6"),
+    )

@@ -232,3 +232,24 @@ def test_gapfill_fills_and_carries_forward(spark, tmp_path):
         ("click", 4): (1, False, 7.0),
         ("view", 2): (1, False, 1.0),    # single-day type: no spine gaps
     }
+
+
+def test_ols_recovers_known_line(spark, tmp_path):
+    """OLS on synthetic exact-line data recovers slope/intercept to
+    the output grid."""
+    import datetime as dt
+
+    from engine.operators.analytics import value_trend_ols
+
+    # y = 3 + 0.5 * x over days x = 0..9, one point per day
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i, 12), 1, "click", 3.0 + 0.5 * i, "{}")
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    r = value_trend_ols(spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    assert abs(r[0].slope6 - 0.5) < 1e-6 and abs(r[0].intercept6 - 3.0) < 1e-5
