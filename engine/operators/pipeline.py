@@ -952,3 +952,53 @@ def pipeline_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq, ["src_seq", "source", "doc_id"], out_col="train_pos"
     )
     return out.select("doc_id", "source", "src_seq", "train_pos")
+
+
+EPOCHS = 2
+
+
+@query(
+    "pipeline_epoch_order",
+    oracle=f"""
+WITH e AS (SELECT unnest(range(0, {EPOCHS})) AS epoch),
+keyed AS (
+  SELECT e.epoch, d.doc_id,
+         {DUCK_H60.format(x="'epoch:' || CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)")} AS hk
+  FROM documents d CROSS JOIN e
+)
+SELECT epoch, doc_id,
+       CAST(row_number() OVER (PARTITION BY epoch ORDER BY hk, doc_id)
+            AS BIGINT) AS pos
+FROM keyed
+""",
+    tags=("pipeline", "shuffle", "documents"),
+    exported=False,
+)
+def pipeline_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training order: each epoch permutes the
+    corpus by the salted h60 hash (`epoch:<e>:<doc_id>`), so every
+    epoch sees a different but REPLAY-STABLE order — re-running a
+    crashed epoch reproduces byte-identical batches, and no `rand()`
+    state needs checkpointing. Positions are assigned with the
+    range-partition global numbering (one range shuffle per epoch, no
+    single-partition window); the oracle's plain window is DuckDB's
+    single-node equivalent of the same total order."""
+    from engine.operators.globalrank import with_global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = None
+    for e in range(EPOCHS):
+        hk = SPARK_H60.format(
+            x=f"concat('epoch:{e}:', cast(doc_id as string))"
+        )
+        keyed = docs.select(
+            F.lit(e).cast("bigint").alias("epoch"),
+            "doc_id",
+            F.expr(hk).alias("hk"),
+        )
+        numbered, _ = with_global_row_number(
+            keyed, ["hk", "doc_id"], out_col="pos"
+        )
+        part = numbered.select("epoch", "doc_id", F.col("pos").cast("bigint"))
+        out = part if out is None else out.unionAll(part)
+    return out

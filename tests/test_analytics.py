@@ -253,3 +253,25 @@ def test_ols_recovers_known_line(spark, tmp_path):
     r = value_trend_ols(spark, str(tmp_path)).collect()
     assert len(r) == 1
     assert abs(r[0].slope6 - 0.5) < 1e-6 and abs(r[0].intercept6 - 3.0) < 1e-5
+
+
+def test_epoch_order_is_distinct_bijection(spark):
+    """Each epoch's positions are a 1..n bijection and the two epochs
+    are genuinely different permutations."""
+    from engine.operators.pipeline import pipeline_epoch_order
+
+    df = pipeline_epoch_order(spark, SF_DIR).cache()
+    per = df.groupBy("epoch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("pos").alias("nd"),
+        F.min("pos").alias("mn"),
+        F.max("pos").alias("mx"),
+    ).collect()
+    assert len(per) == 2
+    for r in per:
+        assert r.n == r.nd and r.mn == 1 and r.mx == r.n
+    e0 = df.filter("epoch = 0").select("doc_id", F.col("pos").alias("p0"))
+    e1 = df.filter("epoch = 1").select("doc_id", F.col("pos").alias("p1"))
+    moved = e0.join(e1, "doc_id").filter(F.col("p0") != F.col("p1")).count()
+    assert moved > 0
+    df.unpersist()
