@@ -815,3 +815,118 @@ def collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("w1", "w2", "n_pair", "lift6")
     )
+
+
+_EVAL_P6 = (
+    "CASE WHEN tp + fp = 0 THEN CAST(0.0 AS DOUBLE) ELSE"
+    " floor(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)"
+    " * CAST(1000000.0 AS DOUBLE) + 0.5) / CAST(1000000.0 AS DOUBLE) END"
+)
+_EVAL_R6 = (
+    "CASE WHEN tp + fn = 0 THEN CAST(0.0 AS DOUBLE) ELSE"
+    " floor(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)"
+    " * CAST(1000000.0 AS DOUBLE) + 0.5) / CAST(1000000.0 AS DOUBLE) END"
+)
+_EVAL_F6 = (
+    "CASE WHEN p6 + r6 = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE) ELSE"
+    " floor(CAST(2.0 AS DOUBLE) * p6 * r6 / (p6 + r6)"
+    " * CAST(1000000.0 AS DOUBLE) + 0.5) / CAST(1000000.0 AS DOUBLE) END"
+)
+
+
+@query(
+    "langid_eval",
+    oracle=f"""
+WITH pred AS (
+  SELECT lang AS actual,
+         {_langid_case(_lang_scores_sql('duck'))} AS predicted
+  FROM documents
+),
+conf AS (
+  SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+),
+classes AS (
+  SELECT actual AS cls FROM conf UNION SELECT predicted FROM conf
+),
+m AS (
+  SELECT c.cls,
+         CAST(coalesce(t.tp, 0) AS BIGINT) AS tp,
+         CAST(coalesce(f.fp, 0) AS BIGINT) AS fp,
+         CAST(coalesce(g.fn, 0) AS BIGINT) AS fn
+  FROM classes c
+  LEFT JOIN (SELECT actual AS cls, sum(n) AS tp FROM conf
+             WHERE actual = predicted GROUP BY 1) t ON t.cls = c.cls
+  LEFT JOIN (SELECT predicted AS cls, sum(n) AS fp FROM conf
+             WHERE actual <> predicted GROUP BY 1) f ON f.cls = c.cls
+  LEFT JOIN (SELECT actual AS cls, sum(n) AS fn FROM conf
+             WHERE actual <> predicted GROUP BY 1) g ON g.cls = c.cls
+)
+SELECT cls, tp, fp, fn, CAST(tp + fn AS BIGINT) AS support,
+       p6 AS precision6, r6 AS recall6, {_EVAL_F6} AS f16
+FROM (SELECT cls, tp, fp, fn, {_EVAL_P6} AS p6, {_EVAL_R6} AS r6 FROM m)
+""",
+    tags=("text", "langid", "evaluation"),
+    exported=False,
+)
+def langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation metrics for the stopword language-ID heuristic
+    against the declared gold labels: per-class tp/fp/fn, support,
+    precision, recall, F1. The corpus collapses to a |langs|² confusion
+    matrix in ONE aggregate; every metric derives from that bounded
+    table with exact integer ratios (guarded zero denominators — the
+    engines diverge on 0/0) and the shared IEEE rounding; F1 combines
+    the already-published rounded precision/recall so all three agree
+    cross-engine bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("actual"),
+        F.expr(_langid_case(_lang_scores_sql("spark"))).alias("predicted"),
+    )
+    conf = (
+        pred.groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    classes = (
+        conf.select(F.col("actual").alias("cls"))
+        .union(conf.select("predicted"))
+        .distinct()
+    )
+    tp = (
+        conf.filter(F.col("actual") == F.col("predicted"))
+        .groupBy(F.col("actual").alias("cls"))
+        .agg(F.sum("n").alias("tp"))
+    )
+    fp = (
+        conf.filter(F.col("actual") != F.col("predicted"))
+        .groupBy(F.col("predicted").alias("cls"))
+        .agg(F.sum("n").alias("fp"))
+    )
+    fn = (
+        conf.filter(F.col("actual") != F.col("predicted"))
+        .groupBy(F.col("actual").alias("cls"))
+        .agg(F.sum("n").alias("fn"))
+    )
+    m = (
+        classes.join(tp, "cls", "left")
+        .join(fp, "cls", "left")
+        .join(fn, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+            F.coalesce("fp", F.lit(0)).cast("bigint").alias("fp"),
+            F.coalesce("fn", F.lit(0)).cast("bigint").alias("fn"),
+        )
+    )
+    pr = m.select(
+        "cls", "tp", "fp", "fn",
+        F.expr(_EVAL_P6).alias("p6"),
+        F.expr(_EVAL_R6).alias("r6"),
+    )
+    return pr.select(
+        "cls", "tp", "fp", "fn",
+        (F.col("tp") + F.col("fn")).cast("bigint").alias("support"),
+        F.col("p6").alias("precision6"),
+        F.col("r6").alias("recall6"),
+        F.expr(_EVAL_F6).alias("f16"),
+    )

@@ -275,3 +275,19 @@ def test_epoch_order_is_distinct_bijection(spark):
     moved = e0.join(e1, "doc_id").filter(F.col("p0") != F.col("p1")).count()
     assert moved > 0
     df.unpersist()
+
+
+def test_langid_eval_identities(spark):
+    """Eval identities: sum(tp)+sum(fn) == corpus size (every doc has
+    exactly one actual class), sum(fp) == sum(fn) (each error is one
+    class's fp and another's fn), and metrics stay in [0, 1]."""
+    from engine.io import load_table
+    from engine.operators.textstats import langid_eval
+
+    rows = langid_eval(spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.tp + r.fn for r in rows) == n_docs
+    assert sum(r.fp for r in rows) == sum(r.fn for r in rows)
+    for r in rows:
+        for v in (r.precision6, r.recall6, r.f16):
+            assert 0.0 <= v <= 1.0
