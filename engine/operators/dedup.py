@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from engine.functions.rounding import duck_round_he, round_he
@@ -788,3 +789,135 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.lit("near_band").alias("kind"), "duplicate_of")
     )
     return exact.unionAll(near)
+
+
+# -- Prefix-filtering set-similarity join (PPJoin-lite) ---------------------
+
+PF_TAU = 0.5  # shingle-set Jaccard threshold
+
+
+@query(
+    "dedup_prefix_filter",
+    oracle=f"""
+WITH {_DUCK_SHINGLES_H},
+tf AS (SELECT sh_h, CAST(count(*) AS BIGINT) AS freq FROM shh GROUP BY sh_h),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shh GROUP BY doc_id),
+ranked AS (
+  SELECT d.doc_id, d.sh_h,
+         row_number() OVER (PARTITION BY d.doc_id ORDER BY t.freq, d.sh_h)
+           AS rk,
+         s.n
+  FROM shh d JOIN tf t USING (sh_h) JOIN sizes s USING (doc_id)
+),
+pfx AS (
+  SELECT doc_id, sh_h FROM ranked
+  WHERE rk <= CAST(floor((1.0 - CAST({{PF_TAU!r}} AS DOUBLE)) * CAST(n AS DOUBLE))
+                   AS BIGINT) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pfx a JOIN pfx b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM cand c
+  JOIN shh ta ON ta.doc_id = c.id_a
+  JOIN shh tb ON tb.doc_id = c.id_b AND tb.sh_h = ta.sh_h
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.n_common, sa.n AS n_a, sb.n AS n_b,
+       floor(CAST(i.n_common AS DOUBLE)
+             / CAST(sa.n + sb.n - i.n_common AS DOUBLE)
+             * CAST(1000000.0 AS DOUBLE) + 0.5) / CAST(1000000.0 AS DOUBLE)
+         AS jaccard6
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.n_common AS DOUBLE)
+      / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= CAST({{PF_TAU!r}} AS DOUBLE)
+""".format(PF_TAU=PF_TAU),
+    tags=("dedup", "jaccard", "prefix-filter", "documents"),
+    exported=False,
+)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join by PREFIX FILTERING (the PPJoin family,
+    Xiao et al. 2008) — the fifth blocking strategy alongside the
+    any-shingle equi-join, MinHash bands, SimHash chunks, and
+    sign-LSH: order each doc's shingle-hash set by ascending global
+    frequency (rarest first; ties on hash), keep only the first
+    floor((1-tau)*n)+1 as the PREFIX, and generate candidates from a
+    prefix equi-join. Completeness: two sets with Jaccard >= tau
+    overlap in more than n - ceil(tau*n) elements, so their prefixes
+    must share one. Rare-first ordering keeps prefix buckets small (a
+    boilerplate shingle shared by every doc never enters a prefix), so
+    candidate volume is a strict subset of the any-shingle join's —
+    at this fixture tau, ~12k any-shingle candidate pairs collapse to
+    the ~28 true near-dup pairs' neighborhoods. Exact Jaccard over the
+    full hash sets verifies candidates (integer-count ratio, shared
+    IEEE rounding).
+
+    100 TB shape: one corpus tokenize + one frequency aggregate; the
+    candidate join shuffles only prefix hashes (<= (1-tau)*|doc|+1
+    each); verification joins are bounded by the candidate count."""
+    docs = load_table(spark, sf_dir, "documents")
+    shh = (
+        _spark_shingles(docs)
+        .select("doc_id", F.expr(SPARK_H60.format(x="shingle")).alias("sh_h"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tf = shh.groupBy("sh_h").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    sizes = shh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ranked = (
+        shh.join(tf, "sh_h")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy("doc_id").orderBy("freq", "sh_h")),
+        )
+    )
+    pfx = ranked.filter(
+        F.col("rk")
+        <= F.floor((F.lit(1.0) - F.lit(PF_TAU)) * F.col("n").cast("double")).cast(
+            "bigint"
+        )
+        + F.lit(1)
+    ).select("doc_id", "sh_h")
+    pa = pfx.select(F.col("doc_id").alias("id_a"), "sh_h")
+    pb = pfx.select(F.col("doc_id").alias("id_b"), "sh_h")
+    cand = (
+        pa.join(pb, "sh_h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = shh.select(F.col("doc_id").alias("id_a"), "sh_h")
+    tb = shh.select(F.col("doc_id").alias("id_b"), "sh_h")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "sh_h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= F.lit(PF_TAU))
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (F.floor(jac * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                "jaccard6"
+            ),
+        )
+    )

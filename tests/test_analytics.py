@@ -291,3 +291,30 @@ def test_langid_eval_identities(spark):
     for r in rows:
         for v in (r.precision6, r.recall6, r.f16):
             assert 0.0 <= v <= 1.0
+
+
+def test_prefix_filter_complete_vs_unfiltered_join(spark):
+    """Prefix-filtered candidates lose NO true pairs: the surviving
+    pair set equals the any-shingle join's pairs at the same
+    threshold (the oracle replays the same pruning, so a shared
+    too-aggressive prefix would slip past it — this compares against
+    the unpruned definition)."""
+    from engine.operators.dedup import (
+        PF_TAU,
+        dedup_ngram_jaccard,
+        dedup_prefix_filter,
+    )
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup_prefix_filter(spark, SF_DIR).collect()
+    }
+    # dedup_ngram_jaccard blocks on ANY shared shingle (superset of
+    # candidates) at threshold 0.2; filtering its exact jaccard to
+    # PF_TAU gives the ground-truth pair set.
+    expected = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, SF_DIR).collect()
+        if r.jaccard >= PF_TAU
+    }
+    assert got == expected and len(expected) > 0
