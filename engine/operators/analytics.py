@@ -976,3 +976,122 @@ def value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope_q.alias("slope6"),
         intercept_q.alias("intercept6"),
     )
+
+
+# -- k-core decomposition (iterative peeling) -------------------------------
+
+KCORE_K = 18
+KCORE_ROUNDS = 4
+
+
+def _duck_kcore() -> str:
+    parts = [
+        f"""ui AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE event_type = 'purchase'
+),
+capped AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+           row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn
+    FROM ui) t
+  WHERE rn <= {PR_BASKET_CAP}
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.item AS lo, b.item AS hi
+  FROM capped a JOIN capped b
+    ON a.user_id = b.user_id AND a.item < b.item
+)"""
+    ]
+    for t in range(KCORE_ROUNDS):
+        parts.append(
+            f"""d{t} AS MATERIALIZED (
+  SELECT item, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT lo AS item FROM e{t} UNION ALL SELECT hi FROM e{t}
+  ) GROUP BY item
+),
+k{t} AS MATERIALIZED (SELECT item FROM d{t} WHERE d >= {KCORE_K}),
+e{t + 1} AS MATERIALIZED (
+  SELECT e.lo, e.hi FROM e{t} e
+  JOIN k{t} a ON a.item = e.lo
+  JOIN k{t} b ON b.item = e.hi
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT item, CAST(count(*) AS BIGINT) AS core_deg FROM (
+  SELECT lo AS item FROM e{KCORE_ROUNDS}
+  UNION ALL SELECT hi FROM e{KCORE_ROUNDS}
+) GROUP BY item
+HAVING count(*) >= {KCORE_K}"""
+    )
+
+
+@query(
+    "kcore_items",
+    oracle=_duck_kcore(),
+    tags=("analytics", "graph", "iterative", "events"),
+    exported=False,
+)
+def kcore_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling: each round drops
+    nodes with degree < k and the edges touching them; survivors of
+    KCORE_ROUNDS rounds (with a final degree>=k filter, so a not-yet-
+    converged frontier can't leak sub-k nodes) approximate the k-core
+    from above — exactly the k-core once peeling stabilizes, which on
+    a dense co-purchase graph takes 1-2 rounds. All-integer degrees,
+    so the round-replaying CTE oracle matches bit-for-bit.
+
+    100 TB shape: per round one degree aggregate + one semi-join pair
+    of the edge list against the bounded survivor set; lineage cut
+    with localCheckpoint per round (the components/pagerank
+    precedent)."""
+    ev = load_table(spark, sf_dir, "events")
+    ui = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        )
+        .distinct()
+    )
+    capped = (
+        ui.withColumn(
+            "rn", F.row_number().over(W.partitionBy("user_id").orderBy("item"))
+        )
+        .filter(F.col("rn") <= PR_BASKET_CAP)
+        .select("user_id", "item")
+    )
+    a = capped.select("user_id", F.col("item").alias("lo"))
+    b = capped.select("user_id", F.col("item").alias("hi"))
+    edges = (
+        a.join(b, "user_id")
+        .filter(F.col("lo") < F.col("hi"))
+        .select("lo", "hi")
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("lo").alias("item"))
+            .unionAll(edges.select(F.col("hi").alias("item")))
+            .groupBy("item")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= KCORE_K).select("item")
+        edges = (
+            edges.join(keep.withColumnRenamed("item", "lo"), "lo", "left_semi")
+            .join(keep.withColumnRenamed("item", "hi"), "hi", "left_semi")
+            .select("lo", "hi")
+            .localCheckpoint()
+        )
+    return (
+        edges.select(F.col("lo").alias("item"))
+        .unionAll(edges.select(F.col("hi").alias("item")))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+        .filter(F.col("core_deg") >= KCORE_K)
+    )

@@ -318,3 +318,43 @@ def test_prefix_filter_complete_vs_unfiltered_join(spark):
         if r.jaccard >= PF_TAU
     }
     assert got == expected and len(expected) > 0
+
+
+def test_kcore_matches_python_peel_to_fixpoint(spark):
+    """Capped-round peeling == pure-Python peeling run to FIXPOINT on
+    the sf0.001 graph (proves the round cap converged), and some nodes
+    were actually peeled."""
+    import duckdb
+
+    from engine.operators.analytics import KCORE_K, PR_BASKET_CAP, kcore_items
+
+    pairs = duckdb.sql(f"""
+        WITH ui AS (
+          SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item
+          FROM read_parquet('{SF_DIR}/events.parquet') WHERE event_type = 'purchase'
+        ),
+        capped AS (
+          SELECT user_id, item FROM (
+            SELECT user_id, item,
+                   row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn
+            FROM ui) t WHERE rn <= {PR_BASKET_CAP}
+        )
+        SELECT DISTINCT a.item, b.item FROM capped a JOIN capped b
+          ON a.user_id = b.user_id AND a.item < b.item
+    """).fetchall()
+    adj: dict[int, set[int]] = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    n_all = len(adj)
+    changed = True
+    while changed:
+        doomed = [n for n, nb in adj.items() if len(nb) < KCORE_K]
+        changed = bool(doomed)
+        for n in doomed:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    got = {r.item: r.core_deg for r in kcore_items(spark, SF_DIR).collect()}
+    assert got == {n: len(nb) for n, nb in adj.items()}
+    assert 0 < len(adj) < n_all  # peeling really removed nodes
