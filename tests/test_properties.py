@@ -241,3 +241,47 @@ def test_qsum_is_permutation_invariant_and_exact(spark, vals, seed):
         ).repartition(n_parts)
         got = df.agg(qsum("v").alias("s")).collect()[0]["s"]
         assert got == expect
+
+
+_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),          # group
+        st.integers(min_value=-50, max_value=50),  # value (ties likely)
+        st.integers(min_value=0, max_value=999),   # unique-ish id
+    ),
+    min_size=0,
+    max_size=25,
+    unique_by=lambda r: r[2],
+)
+
+
+@given(rows=_rows, k=st.integers(min_value=1, max_value=5))
+@_prop_settings
+def test_topk_per_group_matches_window_property(spark, rows, k):
+    """Two-phase per-group top-k == single-task window top-k on
+    arbitrary groups/values/ties, for arbitrary k, regardless of
+    input partitioning."""
+    from pyspark.sql import Window as W
+
+    from engine.operators.globalrank import topk_per_group
+
+    df = spark.createDataFrame(
+        rows or [("a", 0, -1)], "g string, v int, id int"
+    )
+    if not rows:
+        df = df.filter(F.lit(False))
+    order = [F.col("v").desc(), F.col("id")]
+    expected = {
+        (r.g, r.id, r["rank"])
+        for r in df.withColumn(
+            "rank",
+            F.row_number().over(W.partitionBy("g").orderBy(*order)).cast("bigint"),
+        )
+        .filter(F.col("rank") <= k)
+        .collect()
+    }
+    got = {
+        (r.g, r.id, r["rank"])
+        for r in topk_per_group(df.repartition(5), ["g"], order, k).collect()
+    }
+    assert got == expected
