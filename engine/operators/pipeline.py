@@ -113,15 +113,18 @@ def pipeline_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sampled = docs.filter(bucket < rate).select("source")
     total = sampled.agg(F.count(F.lit(1)).alias("n_total"))
+    # Mixture share in basis points on a BIGINT grid — no float output
+    # column at all, so the driver's value hash cannot diverge on a
+    # half-boundary (both engines run the identical BIGINT*DOUBLE/
+    # DOUBLE floor; the result is an integer).
+    frac_bp = F.floor(
+        F.col("n_docs") * F.lit(10000.0) / F.col("n_total") + F.lit(0.5)
+    ).cast("bigint")
     return (
         sampled.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .join(F.broadcast(total))
-        .select(
-            "source",
-            "n_docs",
-            F.round(F.col("n_docs") * 1.0 / F.col("n_total"), 4).alias("frac"),
-        )
+        .select("source", "n_docs", frac_bp.alias("frac_bp"))
     )
 
 
@@ -457,10 +460,11 @@ funnel AS (
   FROM m
 )
 SELECT 'mix' AS facet, source AS key, count(*) AS n,
-       round(count(*) * 1.0 / (SELECT count(*) FROM sampled), 4) AS frac
+       CAST(floor(count(*) * CAST(10000.0 AS DOUBLE)
+                  / (SELECT count(*) FROM sampled) + 0.5) AS BIGINT) AS frac_bp
 FROM sampled GROUP BY source
 UNION ALL
-SELECT 'funnel', stage, n, CAST(NULL AS DOUBLE) FROM (
+SELECT 'funnel', stage, n, CAST(NULL AS BIGINT) FROM (
   SELECT 'n_total' AS stage, n_total AS n FROM funnel
   UNION ALL SELECT 'n_after_len', n_after_len FROM funnel
   UNION ALL SELECT 'n_after_alpha', n_after_alpha FROM funnel
@@ -472,7 +476,8 @@ SELECT 'funnel', stage, n, CAST(NULL AS DOUBLE) FROM (
 def pipeline_mix_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-assembly dashboards, federated: `mix` (weighted source
     mixing via per-source keep rates — key = source, n = kept docs,
-    frac = share of the mixture) and `funnel` (quality-filter cascade
+    frac_bp = share of the mixture in basis points on a BIGINT grid,
+    so no float column reaches the value hash) and `funnel` (quality-filter cascade
     attrition — key = stage name, n = surviving docs). The funnel's
     single wide row is unpivoted to rows so every number rides the
     same facet schema."""
@@ -480,7 +485,7 @@ def pipeline_mix_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("mix").alias("facet"),
         F.col("source").alias("key"),
         F.col("n_docs").alias("n"),
-        "frac",
+        "frac_bp",
     )
     funnel = pipeline_quality_funnel(spark, sf_dir).select(
         F.expr(
@@ -491,7 +496,7 @@ def pipeline_mix_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("funnel").alias("facet"),
         "key",
         "n",
-        F.lit(None).cast("double").alias("frac"),
+        F.lit(None).cast("bigint").alias("frac_bp"),
     )
     return mix.unionAll(funnel)
 
