@@ -230,6 +230,39 @@ PR_BASKET_CAP = 64  # mirrors engine.operators.recsys.BASKET_CAP
 _Q9 = "CAST(1000000000.0 AS DOUBLE)"
 
 
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-purchase item pairs (lo < hi, distinct), baskets
+    capped at PR_BASKET_CAP — the shared edge-list builder for the
+    graph operators (PageRank / triangles / k-core). The federated
+    ``graph_analytics`` registry query builds this ONCE, persists it,
+    and fans out to all three cores, so the events scan + basket
+    self-join (the dominant cost) runs once instead of three times."""
+    ev = load_table(spark, sf_dir, "events")
+    ui = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        )
+        .distinct()
+    )
+    capped = (
+        ui.withColumn(
+            "rn", F.row_number().over(W.partitionBy("user_id").orderBy("item"))
+        )
+        .filter(F.col("rn") <= PR_BASKET_CAP)
+        .select("user_id", "item")
+    )
+    a = capped.select("user_id", F.col("item").alias("lo"))
+    b = capped.select("user_id", F.col("item").alias("hi"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("lo") < F.col("hi"))
+        .select("lo", "hi")
+        .distinct()
+    )
+
+
 def _duck_pagerank() -> str:
     from engine.functions.rounding import duck_round_he
 
@@ -291,35 +324,23 @@ def pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the co-purchase item graph (see section comment
     for the exactness and scale contract). Returns every node with its
     out-degree and its rank after PR_ITERS damped rounds."""
+    return pagerank_core(copurchase_pairs(spark, sf_dir))
+
+
+def pagerank_core(pairs: DataFrame) -> DataFrame:
+    """PageRank from a prebuilt undirected (lo < hi) pair list. The
+    symmetric closure of the pairs is exactly the reference edge set
+    (src <> dst both directions), so results are unchanged vs building
+    edges directly."""
     import math
 
     from pyspark import StorageLevel
 
     from engine.functions.rounding import round_he
 
-    ev = load_table(spark, sf_dir, "events")
-    ui = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            "user_id",
-            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
-        )
-        .distinct()
-    )
-    capped = (
-        ui.withColumn(
-            "rn", F.row_number().over(W.partitionBy("user_id").orderBy("item"))
-        )
-        .filter(F.col("rn") <= PR_BASKET_CAP)
-        .select("user_id", "item")
-    )
-    a = capped.select("user_id", F.col("item").alias("src"))
-    b = capped.select("user_id", F.col("item").alias("dst"))
     edges = (
-        a.join(b, "user_id")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
+        pairs.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        .unionAll(pairs.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = (
@@ -528,37 +549,20 @@ def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     via one equi-join against the oriented edge list. All counts are
     integers; the coefficient 2T/(d(d-1)) guards d<2 (the engines
     diverge on 0/0) and rounds with the shared IEEE sequence."""
-    from engine.functions.rounding import round_he
-
-    ev = load_table(spark, sf_dir, "events")
-    ui = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            "user_id",
-            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
-        )
-        .distinct()
-    )
-    capped = (
-        ui.withColumn(
-            "rn", F.row_number().over(W.partitionBy("user_id").orderBy("item"))
-        )
-        .filter(F.col("rn") <= PR_BASKET_CAP)
-        .select("user_id", "item")
-    )
     from pyspark import StorageLevel
 
-    a = capped.select("user_id", F.col("item").alias("lo"))
-    b = capped.select("user_id", F.col("item").alias("hi"))
-    pairs = (
-        a.join(b, "user_id")
-        .filter(F.col("lo") < F.col("hi"))
-        .select("lo", "hi")
-        .distinct()
-        # consumers: degree count (x2 via union), orientation join —
-        # persist so basket expansion runs once
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    pairs = copurchase_pairs(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    return triangle_core(pairs)
+
+
+def triangle_core(pairs: DataFrame) -> DataFrame:
+    """Triangle counting from a prebuilt (and persisted) undirected
+    pair list — consumers: degree count (x2 via union), orientation
+    join; the caller persists so basket expansion runs once."""
+    from pyspark import StorageLevel
+
+    from engine.functions.rounding import round_he
+
     deg = (
         pairs.select(F.col("lo").alias("item"))
         .unionAll(pairs.select(F.col("hi").alias("item")))
@@ -904,25 +908,27 @@ s AS (
          CAST(sum(CAST(floor(CAST(x AS DOUBLE) * y * CAST(10000.0 AS DOUBLE)
                              + 0.5) AS BIGINT)) AS BIGINT) AS sxy4
   FROM pts GROUP BY event_type
+),
+sl AS (
+  SELECT event_type, n, sx, sy4,
+         CASE WHEN CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+              THEN CAST(0.0 AS DOUBLE)
+              ELSE floor((CAST(n AS DOUBLE) * (CAST(sxy4 AS DOUBLE) / CAST(10000.0 AS DOUBLE))
+                          - CAST(sx AS DOUBLE) * (CAST(sy4 AS DOUBLE) / CAST(10000.0 AS DOUBLE)))
+                         / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * CAST(1000000.0 AS DOUBLE) + 0.5) / CAST(1000000.0 AS DOUBLE)
+         END AS slope6
+  FROM s
 )
-SELECT event_type, n,
-       floor((CAST(n AS DOUBLE) * (CAST(sxy4 AS DOUBLE) / CAST(10000.0 AS DOUBLE))
-              - CAST(sx AS DOUBLE) * (CAST(sy4 AS DOUBLE) / CAST(10000.0 AS DOUBLE)))
-             / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
-                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-             * CAST(1000000.0 AS DOUBLE) + 0.5) / CAST(1000000.0 AS DOUBLE)
-         AS slope6,
+SELECT event_type, n, slope6,
        floor(((CAST(sy4 AS DOUBLE) / CAST(10000.0 AS DOUBLE))
               / CAST(n AS DOUBLE)
-              - (floor((CAST(n AS DOUBLE) * (CAST(sxy4 AS DOUBLE) / CAST(10000.0 AS DOUBLE))
-                        - CAST(sx AS DOUBLE) * (CAST(sy4 AS DOUBLE) / CAST(10000.0 AS DOUBLE)))
-                       / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
-                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                       * CAST(1000000.0 AS DOUBLE) + 0.5) / CAST(1000000.0 AS DOUBLE))
-                * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+              - slope6 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
              * CAST(1000000.0 AS DOUBLE) + 0.5) / CAST(1000000.0 AS DOUBLE)
          AS intercept6
-FROM s
+FROM sl
 """,
     tags=("analytics", "regression", "events"),
     exported=False,
@@ -964,9 +970,15 @@ def value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx2d = F.col("sx2").cast("double")
     syd = F.col("sy4").cast("double") / grid
     sxyd = F.col("sxy4").cast("double") / grid
-    slope_q = F.floor(
-        (nd * sxyd - sxd * syd) / (nd * sx2d - sxd * sxd) * F.lit(1e6) + F.lit(0.5)
-    ) / F.lit(1e6)
+    # Zero-variance guard: a group whose points all share one x (all
+    # events on a single day) has denominator 0 — slope degenerates to
+    # Inf/NaN, a cross-engine hash hazard. Define slope = 0 there (the
+    # intercept then falls back to the group mean).
+    denom = nd * sx2d - sxd * sxd
+    slope_q = F.when(denom == F.lit(0.0), F.lit(0.0)).otherwise(
+        F.floor((nd * sxyd - sxd * syd) / denom * F.lit(1e6) + F.lit(0.5))
+        / F.lit(1e6)
+    )
     intercept_q = F.floor(
         (syd / nd - slope_q * (sxd / nd)) * F.lit(1e6) + F.lit(0.5)
     ) / F.lit(1e6)
@@ -1022,7 +1034,11 @@ e{t + 1} AS MATERIALIZED (
         "WITH "
         + ",\n".join(parts)
         + f"""
-SELECT item, CAST(count(*) AS BIGINT) AS core_deg FROM (
+SELECT item, CAST(count(*) AS BIGINT) AS core_deg,
+       CAST((SELECT count(*) FROM e{KCORE_ROUNDS})
+            = (SELECT count(*) FROM e{KCORE_ROUNDS - 1}) AS BOOLEAN)
+         AS converged
+FROM (
   SELECT lo AS item FROM e{KCORE_ROUNDS}
   UNION ALL SELECT hi FROM e{KCORE_ROUNDS}
 ) GROUP BY item
@@ -1049,31 +1065,19 @@ def kcore_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the edge list against the bounded survivor set; lineage cut
     with localCheckpoint per round (the components/pagerank
     precedent)."""
-    ev = load_table(spark, sf_dir, "events")
-    ui = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            "user_id",
-            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
-        )
-        .distinct()
-    )
-    capped = (
-        ui.withColumn(
-            "rn", F.row_number().over(W.partitionBy("user_id").orderBy("item"))
-        )
-        .filter(F.col("rn") <= PR_BASKET_CAP)
-        .select("user_id", "item")
-    )
-    a = capped.select("user_id", F.col("item").alias("lo"))
-    b = capped.select("user_id", F.col("item").alias("hi"))
-    edges = (
-        a.join(b, "user_id")
-        .filter(F.col("lo") < F.col("hi"))
-        .select("lo", "hi")
-        .distinct()
-        .localCheckpoint()
-    )
+    return kcore_core(copurchase_pairs(spark, sf_dir).localCheckpoint())
+
+
+def kcore_core(pairs: DataFrame) -> DataFrame:
+    """k-core peeling from a prebuilt undirected pair list. Emits a
+    ``converged`` flag: peeling only ever REMOVES edges, so equal edge
+    counts in the last two rounds is an exact fixpoint test — on data
+    where KCORE_ROUNDS doesn't converge, the flag is false instead of
+    silently returning a non-fixpoint core. The per-round counts are
+    O(ROUNDS) driver scalars (the pagerank n-count precedent)."""
+    edges = pairs
+    prev_cnt = edges.count()
+    last_cnt = prev_cnt
     for _ in range(KCORE_ROUNDS):
         deg = (
             edges.select(F.col("lo").alias("item"))
@@ -1088,10 +1092,12 @@ def kcore_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("lo", "hi")
             .localCheckpoint()
         )
+        prev_cnt, last_cnt = last_cnt, edges.count()
     return (
         edges.select(F.col("lo").alias("item"))
         .unionAll(edges.select(F.col("hi").alias("item")))
         .groupBy("item")
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
         .filter(F.col("core_deg") >= KCORE_K)
+        .withColumn("converged", F.lit(bool(prev_cnt == last_cnt)))
     )

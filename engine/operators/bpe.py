@@ -152,6 +152,14 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     module docstring for the algorithm, determinism, and scale
     contracts)."""
     words = _spark_words(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    return learn_chain(words)[0]
+
+
+def learn_chain(words: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Run the K-round merge-learning chain once, returning BOTH the
+    per-step merge table and the final vocabulary state — so consumers
+    that need both (the federated ``bpe_pipeline``) pay for one chain,
+    not two."""
     out = None
     for t in range(BPE_MERGES):
         best = (
@@ -174,7 +182,7 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " concat('|', a, b, '|'))"
             ).alias("seq"),
         )
-    return out
+    return out, words
 
 
 def _duck_encode_sql() -> str:
@@ -235,18 +243,15 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the merge replay is K chained JVM string replaces and the join is
     a plain equi-join."""
     words = _spark_words(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    for _ in range(BPE_MERGES):
-        best = (
-            _spark_pairs(words).orderBy(F.col("cnt").desc(), "a", "b").limit(1)
-        )
-        words = words.crossJoin(F.broadcast(best)).select(
-            "word",
-            "freq",
-            F.expr(
-                "replace(seq, concat('|', a, '||', b, '|'),"
-                " concat('|', a, b, '|'))"
-            ).alias("seq"),
-        )
+    _, words = learn_chain(words)
+    return encode_from_vocab(spark, sf_dir, words)
+
+
+def encode_from_vocab(
+    spark: SparkSession, sf_dir: str, words: DataFrame
+) -> DataFrame:
+    """Per-doc token statistics from a fully-merged vocabulary state
+    (the tail of ``bpe_encode_docs``, reusable by ``bpe_pipeline``)."""
     enc = words.select(
         "word", F.expr(f"size({_SPARK_TOKS})").cast("bigint").alias("n_syms")
     )

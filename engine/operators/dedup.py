@@ -265,6 +265,7 @@ HAVING sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / {MINHASH_K}.0
        >= {MINHASH_EST_THRESHOLD}
 """,
     tags=("dedup", "minhash", "lsh"),
+    exported=False,  # driver-visible via facets2.dedup_minhash_prefix
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup detection: shingle → 16 minhashes

@@ -71,6 +71,7 @@ SELECT 'no_orders', c_mktsegment, {_NV}, n_customers
 FROM ({_oracle('customers_without_orders')}) d
 """,
     tags=("relational", "setop", "antijoin"),
+    exported=False,  # driver-visible via facets2.scalar_setops_facets
 )
 def setops_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operation surface, four facets: `lapsed` (EXCEPT — customers
@@ -124,6 +125,7 @@ SELECT 'pivot', o_orderstatus, {_NV}, {_NB}, {_ND}, urgent, high, low
 FROM ({_oracle('pivot_priority_by_status')}) pv
 """,
     tags=("relational", "grouping-sets", "cube", "rollup", "pivot"),
+    exported=False,  # driver-visible via facets2.grains_distribution_stats
 )
 def multi_grain_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-grain aggregation surface, four facets: `grouping_sets`
@@ -188,6 +190,7 @@ SELECT 'histogram', CAST(bucket AS VARCHAR), n_orders,
 FROM ({_oracle('histogram_order_totalprice')}) hi
 """,
     tags=("relational", "statistics", "histogram"),
+    exported=False,  # driver-visible via facets2.grains_distribution_stats
 )
 def distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-analysis surface, two facets: `stats` (per-flag
@@ -349,6 +352,7 @@ SELECT 'minmax_by', {_NB}, n_name, richest_customer, {_NV},
 FROM ({_oracle('minmax_by_lookup')}) mm
 """,
     tags=("relational", "functions", "predicates"),
+    exported=False,  # driver-visible via facets2.scalar_setops_facets
 )
 def scalar_predicate_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scalar-function and predicate surface, five facets:

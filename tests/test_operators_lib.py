@@ -129,9 +129,9 @@ def test_lsh_dedup_recall_floors(spark):
     bits for higher recall; MinHash banding recovers ~all exact-Jaccard
     pairs; SimHash blocking finds most of them under a different
     (hamming) metric."""
-    from engine.registry import all_queries
+    from engine.registry import all_queries_including_library
 
-    q = all_queries()
+    q = all_queries_including_library()
     sf = SF_SMOKE
     from engine.operators.similarity import embedding_near_dups_brute
 

@@ -68,6 +68,11 @@ NESTED_LOOP_OK = {
     "distribution_stats",  # stats + histogram 1-row broadcasts
     "term_rankings",  # corpus-size broadcast + 20-row topk rank join
     "pipeline_mix_funnel",  # source_mix 1-row total broadcast
+    # round-3 federations inheriting whitelisted components' bounded
+    # broadcasts (same O(1)-row / bounded-set sides as the components)
+    "grains_distribution_stats",  # stats + histogram 1-row broadcasts
+    "scalar_setops_facets",  # minmax_by 1-row argmax broadcast
+    "bpe_pipeline",  # bpe 1-row argmax merge-pair broadcasts
 }
 
 # Queries allowed a global (unpartitioned) window. EMPTY by design:
