@@ -84,7 +84,7 @@ UNION ALL
 SELECT 'kcore', item, core_deg, {_NB}, {_ND}, converged
 FROM ({_oracle('kcore_items')}) kc
 """,
-    tags=("analytics", "graph", "iterative", "events"),
+    tags=("analytics", "graph", "iterative", "events", "headline"),
 )
 def graph_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The co-purchase graph operators, federated: `pagerank` (item,

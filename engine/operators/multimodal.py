@@ -41,18 +41,56 @@ META_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes) -> Any:
-    """Real image decode — unavailable in this container (no PIL/cv2).
+# Real codecs load when present; otherwise the deterministic fake
+# metadata path below stands in (this container ships neither PIL nor
+# soundfile — a formal non-goal, see README "Multimodal decode").
+try:  # pragma: no cover - environment-dependent
+    from PIL import Image as _pil_image
 
-    Plug a real decoder here; everything upstream (binary column,
-    Arrow batching, schema) is already production-shaped.
-    """
-    raise NotImplementedError("image codecs not available in this environment")
+    HAS_PIL = True
+except ImportError:
+    _pil_image = None
+    HAS_PIL = False
+
+try:  # pragma: no cover - environment-dependent
+    import soundfile as _soundfile
+
+    HAS_SOUNDFILE = True
+except ImportError:
+    _soundfile = None
+    HAS_SOUNDFILE = False
+
+
+def decode_image(payload: bytes) -> Any:
+    """Image decode: real (PIL) when the codec is installed, else a
+    documented NotImplementedError. Everything upstream (binary
+    column, Arrow batching, schema) is production-shaped either way;
+    returns (width, height, n_channels) like the fake-metadata path."""
+    if HAS_PIL:
+        import io
+
+        img = _pil_image.open(io.BytesIO(payload))
+        return img.width, img.height, len(img.getbands())
+    raise NotImplementedError(
+        "image codecs not available in this environment (documented "
+        "non-goal: see README 'Multimodal decode'); install pillow to "
+        "activate this path"
+    )
 
 
 def decode_audio(payload: bytes) -> Any:
-    """Real audio decode — unavailable in this container (no soundfile)."""
-    raise NotImplementedError("audio codecs not available in this environment")
+    """Audio decode: real (soundfile) when installed, else a documented
+    NotImplementedError. Returns (n_samples, sample_rate)."""
+    if HAS_SOUNDFILE:
+        import io
+
+        data, sr = _soundfile.read(io.BytesIO(payload))
+        return len(data), int(sr)
+    raise NotImplementedError(
+        "audio codecs not available in this environment (documented "
+        "non-goal: see README 'Multimodal decode'); install soundfile "
+        "to activate this path"
+    )
 
 
 def _h60(s: str) -> int:

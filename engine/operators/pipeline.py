@@ -676,7 +676,7 @@ FROM clean
 WINDOW w AS (PARTITION BY bucket ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 """,
-    tags=("pipeline", "decontamination", "packing", "documents"),
+    tags=("pipeline", "decontamination", "packing", "documents", "headline"),
 )
 def pipeline_decontam_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontaminate → pack composition: training documents sharing any

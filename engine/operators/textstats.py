@@ -307,7 +307,11 @@ FROM documents
 """
 
 
-@query("text_quality_profile", oracle=_TQP_ORACLE, tags=("textstats", "quality", "langid"))
+@query(
+    "text_quality_profile",
+    oracle=_TQP_ORACLE,
+    tags=("textstats", "quality", "langid", "headline"),
+)
 def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full per-document text-analysis surface in ONE codegen'd
     projection: surface stats (char/token counts, token length, digit /

@@ -123,7 +123,7 @@ UNION ALL
 SELECT 'q9', nation, {_NULL_V}, CAST(o_year AS BIGINT), profit
 FROM ({_oracle('q9_product_profit')}) q9
 """,
-    tags=("relational", "tpch", "join", "aggregate"),
+    tags=("relational", "tpch", "join", "aggregate", "headline"),
 )
 def q7_q8_q9_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nation-level trade analytics by year, three facets: `q7`

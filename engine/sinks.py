@@ -282,6 +282,15 @@ def delete_keys_partitioned(
     Returns the number of partitions rewritten. ``keys_df`` must have
     exactly one column named ``key_col`` (it is broadcast — key sets
     are assumed deletion-request-sized, not corpus-sized).
+
+    Durability: the surviving rows are STAGED to a sibling directory
+    before the target is touched — overwriting a path while a live
+    plan still reads the same path is undefined behavior on every
+    filesystem, and a mid-write failure would otherwise corrupt the
+    only copy. Emptied-partition directories are removed through the
+    Hadoop FileSystem API (works on HDFS/S3/local alike, unlike
+    shutil) and their removal is verified, so a 'deleted' key can
+    never remain readable because a cleanup silently no-opped.
     """
     from pyspark.sql import functions as F
 
@@ -306,24 +315,42 @@ def delete_keys_partitioned(
         .filter(pred)  # partition-pruned: only affected partitions read
         .join(F.broadcast(keys_df), key_col, "left_anti")
     )
+    # Stage the surviving rows OUTSIDE the table, then republish from
+    # the staged copy: the overwrite never races its own input, and a
+    # failure between the two writes leaves the original table intact.
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _hpath(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    staging = path.rstrip("/") + ".__delete_staging__"
+    rewritten.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
     # Dynamic overwrite only replaces partitions PRESENT in the write,
     # so a partition whose every row is doomed would keep its old
-    # files. Find those fully-emptied partitions first and drop their
-    # directories after the rewrite.
+    # files. Find those fully-emptied partitions (from the staged copy
+    # — no recompute) and drop their directories after the rewrite.
     surviving = {
         tuple(row[c] for c in partition_by)
-        for row in rewritten.select(*partition_by).distinct().collect()
+        for row in staged.select(*partition_by).distinct().collect()
     }
     emptied = [
         row
         for row in affected
         if tuple(row[c] for c in partition_by) not in surviving
     ]
-    overwrite_partitions_dynamic(rewritten, path, partition_by)
-    import shutil
-
+    overwrite_partitions_dynamic(staged, path, partition_by)
+    fs = _hpath(path).getFileSystem(hconf)
     for row in emptied:
-        seg = os.path.join(path, *[f"{c}={row[c]}" for c in partition_by])
-        if os.path.isdir(seg):
-            shutil.rmtree(seg)
+        seg = _hpath(
+            "/".join([path.rstrip("/")] + [f"{c}={row[c]}" for c in partition_by])
+        )
+        if fs.exists(seg):
+            fs.delete(seg, True)
+        if fs.exists(seg):  # silent-no-op guard: deletion must be real
+            raise IOError(
+                f"failed to remove emptied partition directory {seg}"
+            )
+    fs.delete(_hpath(staging), True)
     return len(affected)
