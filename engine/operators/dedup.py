@@ -566,6 +566,7 @@ SELECT 'near_pair', doc_a, doc_b, hamming, CAST(NULL AS BIGINT)
 FROM ({_SIMHASH_PAIRS_ORACLE_BODY.strip()}) np
 """,
     tags=("dedup", "simhash", "lsh"),
+    exported=False,  # driver-visible via facets2.doc_fingerprint_methods
 )
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash dedup, two facets: `fingerprint` (the 60-bit Charikar

@@ -152,6 +152,15 @@ UNION ALL
 SELECT 'ols', event_type, {_NV}, {_NB}, {_NB}, {_NT}, {_NT},
        n, {_NB}, {_NBOOL}, slope6, intercept6
 FROM ({_oracle('value_trend_ols')}) ol
+UNION ALL
+SELECT 'retention', {_NV}, {_NV}, {_NB}, CAST(offset_days AS BIGINT),
+       cohort_day, {_NT}, n_users, cohort_size, {_NBOOL},
+       retention_rate, {_ND}
+FROM ({_oracle('events_retention_cohorts')}) rc
+UNION ALL
+SELECT 'rolling', {_NV}, {_NV}, {_NB}, {_NB}, day, {_NT},
+       active_users_7d, {_NB}, {_NBOOL}, {_ND}, {_ND}
+FROM ({_oracle('events_rolling_active_users')}) ra
 """,
     tags=("analytics", "sequence", "timeseries", "events"),
 )
@@ -170,7 +179,12 @@ def events_lifecycle_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     - `gapfill`:     dense calendar with LOCF (k1 = type, t1 = day,
       n1 = count, flag = gap day, x1 = carried-forward sum);
     - `ols`:         per-type closed-form trend (x1/x2 = slope/
-      intercept from integer-grid sufficient statistics).
+      intercept from integer-grid sufficient statistics);
+    - `retention`:   first-activity cohort × day-offset retention
+      matrix (t1 = cohort day, seq = offset, n1/n2 = retained/cohort
+      size, x1 = rate);
+    - `rolling`:     7-day rolling distinct users via the fixed x7
+      contribution explode (t1 = day, n1 = active users).
     """
     at = analytics.purchase_attribution(spark, sf_dir).select(
         F.lit("attribution").alias("facet"),
@@ -256,7 +270,43 @@ def events_lifecycle_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("slope6").alias("x1"),
         F.col("intercept6").alias("x2"),
     )
-    return at.unionAll(tm).unionAll(sc).unionAll(tr).unionAll(gf).unionAll(ol)
+    rc = relational.events_retention_cohorts(spark, sf_dir).select(
+        F.lit("retention").alias("facet"),
+        _nv().alias("k1"),
+        _nv().alias("k2"),
+        _nb().alias("id"),
+        F.col("offset_days").cast("bigint").alias("seq"),
+        F.col("cohort_day").alias("t1"),
+        _nt().alias("t2"),
+        F.col("n_users").alias("n1"),
+        F.col("cohort_size").alias("n2"),
+        _nbool().alias("flag"),
+        F.col("retention_rate").alias("x1"),
+        _nd().alias("x2"),
+    )
+    ra = relational.events_rolling_active_users(spark, sf_dir).select(
+        F.lit("rolling").alias("facet"),
+        _nv().alias("k1"),
+        _nv().alias("k2"),
+        _nb().alias("id"),
+        _nb().alias("seq"),
+        F.col("day").alias("t1"),
+        _nt().alias("t2"),
+        F.col("active_users_7d").alias("n1"),
+        _nb().alias("n2"),
+        _nbool().alias("flag"),
+        _nd().alias("x1"),
+        _nd().alias("x2"),
+    )
+    return (
+        at.unionAll(tm)
+        .unionAll(sc)
+        .unionAll(tr)
+        .unionAll(gf)
+        .unionAll(ol)
+        .unionAll(rc)
+        .unionAll(ra)
+    )
 
 
 @query(
@@ -474,3 +524,670 @@ def streaming_enriched_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
     )
     return en.unionAll(wc)
+
+
+# ---------------------------------------------------------------------------
+# Second wave: every remaining library-only operator gets a driver row
+# ---------------------------------------------------------------------------
+
+from engine.operators import (  # noqa: F401,E402
+    approx,
+    clustering,
+    multimodal,
+    pipeline,
+    recsys,
+    relational,
+    relational2,
+    relational3,
+    rerank,
+    similarity,
+    textstats,
+    windows,
+)
+
+_NI = "CAST(NULL AS INTEGER)"
+
+
+def _ni():
+    return F.lit(None).cast("int")
+
+
+@query(
+    "w_window_suite",
+    oracle=f"""
+SELECT facet, grp, key, rnk, rnk2, x,
+       {_NB} AS event_id, {_NB} AS user_id, {_NT} AS ts, {_NB} AS seq,
+       {_NB} AS prev_event_id, {_ND} AS running_value, {_ND} AS mov_avg_7,
+       {_ND} AS next_value, {_ND} AS first_val, {_ND} AS last_val,
+       {_ND} AS ts_cume_dist
+FROM ({_oracle('w_rankings')}) wr
+UNION ALL
+SELECT 'frames', {_NV}, {_NB}, {_NB}, {_NB}, {_ND},
+       event_id, user_id, ts, seq, prev_event_id, running_value,
+       mov_avg_7, next_value, first_val, last_val, ts_cume_dist
+FROM ({_oracle('w_frames_navigation')}) wf
+""",
+    tags=("window", "rank", "navigation", "events"),
+)
+def w_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-function surface, merged: the w_rankings facets
+    (per-group top customers / supplier balance ranks — grp/key/rnk/
+    rnk2/x unchanged) plus `frames` (the wide one-pass frame-navigation
+    row per purchase: running/moving/leading/first/last/cume_dist)."""
+    wr = windows.w_rankings(spark, sf_dir).select(
+        "facet",
+        "grp",
+        "key",
+        "rnk",
+        "rnk2",
+        "x",
+        _nb().alias("event_id"),
+        _nb().alias("user_id"),
+        _nt().alias("ts"),
+        _nb().alias("seq"),
+        _nb().alias("prev_event_id"),
+        _nd().alias("running_value"),
+        _nd().alias("mov_avg_7"),
+        _nd().alias("next_value"),
+        _nd().alias("first_val"),
+        _nd().alias("last_val"),
+        _nd().alias("ts_cume_dist"),
+    )
+    wf = windows.w_frames_navigation(spark, sf_dir).select(
+        F.lit("frames").alias("facet"),
+        _nv().alias("grp"),
+        _nb().alias("key"),
+        _nb().alias("rnk"),
+        _nb().alias("rnk2"),
+        _nd().alias("x"),
+        "event_id",
+        "user_id",
+        "ts",
+        "seq",
+        "prev_event_id",
+        "running_value",
+        "mov_avg_7",
+        "next_value",
+        "first_val",
+        "last_val",
+        "ts_cume_dist",
+    )
+    return wr.unionAll(wf)
+
+
+@query(
+    "doc_fingerprint_methods",
+    oracle=f"""
+SELECT 'winnow' AS facet, doc_id AS doc_a, {_NB} AS doc_b, fp, {_NI} AS hamming
+FROM ({_oracle('doc_fingerprints')}) df
+UNION ALL
+SELECT facet, doc_a, doc_b, simhash, hamming
+FROM ({_oracle('simhash_dedup')}) sd
+""",
+    tags=("textstats", "fingerprint", "dedup", "simhash"),
+)
+def doc_fingerprint_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document bit-fingerprint methods, merged: `winnow` (MOSS-style
+    winnowing fingerprints per doc — fp = selected hash) plus the
+    simhash facets (`fingerprint`: per-doc 60-bit simhash in fp;
+    `near_pair`: hamming-≤3 pairs via pigeonhole chunk blocking)."""
+    df_ = textstats.doc_fingerprints(spark, sf_dir).select(
+        F.lit("winnow").alias("facet"),
+        F.col("doc_id").alias("doc_a"),
+        _nb().alias("doc_b"),
+        "fp",
+        _ni().alias("hamming"),
+    )
+    sd = dedup.simhash_dedup(spark, sf_dir).select(
+        "facet",
+        "doc_a",
+        "doc_b",
+        F.col("simhash").alias("fp"),
+        "hamming",
+    )
+    return df_.unionAll(sd)
+
+
+@query(
+    "q10_q22_customer_value",
+    oracle=f"""
+SELECT 'q10' AS facet, c_custkey, c_name AS name, n_name AS nation,
+       {_NB} AS nkey, {_NB} AS n, revenue AS x1, c_acctbal AS x2
+FROM ({_oracle('q10_returned_items')}) q10
+UNION ALL
+SELECT 'q22', {_NB}, {_NV}, {_NV}, CAST(c_nationkey AS BIGINT), numcust,
+       totacctbal, {_ND}
+FROM ({_oracle('q22_idle_rich_customers')}) q22
+""",
+    tags=("relational", "tpch", "join", "antijoin", "topk"),
+)
+def q10_q22_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value TPC-H shapes, merged: `q10` (top-20 returned-item
+    customers: x1 = revenue, x2 = balance) and `q22` (idle rich
+    customers per nation via NOT EXISTS + scalar avg subquery: nkey =
+    nation, n = customers, x1 = total balance)."""
+    q10 = relational.q10_returned_items(spark, sf_dir).select(
+        F.lit("q10").alias("facet"),
+        "c_custkey",
+        F.col("c_name").alias("name"),
+        F.col("n_name").alias("nation"),
+        _nb().alias("nkey"),
+        _nb().alias("n"),
+        F.col("revenue").alias("x1"),
+        F.col("c_acctbal").alias("x2"),
+    )
+    q22 = relational2.q22_idle_rich_customers(spark, sf_dir).select(
+        F.lit("q22").alias("facet"),
+        _nb().alias("c_custkey"),
+        _nv().alias("name"),
+        _nv().alias("nation"),
+        F.col("c_nationkey").cast("bigint").alias("nkey"),
+        F.col("numcust").alias("n"),
+        F.col("totacctbal").alias("x1"),
+        _nd().alias("x2"),
+    )
+    return q10.unionAll(q22)
+
+
+@query(
+    "q13_q18_order_size",
+    oracle=f"""
+SELECT 'q13' AS facet, c_count AS n1, custdist AS n2, {_NB} AS id1,
+       {_NB} AS id2, {_NT} AS t, {_ND} AS x1, {_ND} AS x2
+FROM ({_oracle('q13_order_count_histogram')}) q13
+UNION ALL
+SELECT 'q18', {_NB}, {_NB}, c_custkey, o_orderkey,
+       CAST(o_orderdate AS TIMESTAMP), o_totalprice, sum_qty
+FROM ({_oracle('q18_large_orders')}) q18
+""",
+    tags=("relational", "tpch", "outerjoin", "having", "topk"),
+)
+def q13_q18_order_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-size TPC-H shapes, merged: `q13` (orders-per-customer
+    histogram via left outer join: n1 = order count, n2 = customers)
+    and `q18` (large-quantity orders via HAVING + top-100: id1/id2 =
+    customer/order, x1/x2 = totalprice/quantity)."""
+    q13 = relational2.q13_order_count_histogram(spark, sf_dir).select(
+        F.lit("q13").alias("facet"),
+        F.col("c_count").alias("n1"),
+        F.col("custdist").alias("n2"),
+        _nb().alias("id1"),
+        _nb().alias("id2"),
+        _nt().alias("t"),
+        _nd().alias("x1"),
+        _nd().alias("x2"),
+    )
+    q18 = relational.q18_large_orders(spark, sf_dir).select(
+        F.lit("q18").alias("facet"),
+        _nb().alias("n1"),
+        _nb().alias("n2"),
+        F.col("c_custkey").alias("id1"),
+        F.col("o_orderkey").alias("id2"),
+        F.col("o_orderdate").alias("t"),
+        F.col("o_totalprice").alias("x1"),
+        F.col("sum_qty").alias("x2"),
+    )
+    return q13.unionAll(q18)
+
+
+@query(
+    "pipeline_split_samplers",
+    oracle=f"""
+SELECT 'split' AS facet, split AS grp, {_NB} AS doc_id, n_docs AS n,
+       total_chars AS n2
+FROM ({_oracle('pipeline_train_val_test_split')}) sp
+UNION ALL
+SELECT facet, grp, doc_id, n, {_NB}
+FROM ({_oracle('pipeline_samplers')}) sa
+""",
+    tags=("pipeline", "split", "sampling", "documents"),
+)
+def pipeline_split_samplers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic selection primitives, merged: `split` (90/5/5
+    train/val/test via salted hash buckets — n/n2 = docs/chars) plus
+    the sampler facets (`stratified`: per-language rate sampling;
+    `reservoir`: per-source A-Res top-k rows)."""
+    sp = pipeline.pipeline_train_val_test_split(spark, sf_dir).select(
+        F.lit("split").alias("facet"),
+        F.col("split").alias("grp"),
+        _nb().alias("doc_id"),
+        F.col("n_docs").alias("n"),
+        F.col("total_chars").alias("n2"),
+    )
+    sa = pipeline.pipeline_samplers(spark, sf_dir).select(
+        "facet",
+        "grp",
+        "doc_id",
+        "n",
+        _nb().alias("n2"),
+    )
+    return sp.unionAll(sa)
+
+
+@query(
+    "corpus_mining",
+    oracle=f"""
+SELECT 'aes' AS facet, source AS s1, {_NV} AS s2, doc_id, rank,
+       n_chars AS n1, {_NB} AS n2, {_ND} AS x, {_NBOOL} AS flag1,
+       {_NBOOL} AS flag2
+FROM ({_oracle('weighted_sample_aes')}) ws
+UNION ALL
+SELECT 'index', term, postings, {_NB}, {_NB}, df, tf, {_ND}, {_NBOOL}, {_NBOOL}
+FROM ({_oracle('inverted_index_postings')}) ip
+UNION ALL
+SELECT 'fuzzy', tok_a, tok_b, {_NB}, {_NB}, freq_a, freq_b, {_ND},
+       {_NBOOL}, {_NBOOL}
+FROM ({_oracle('fuzzy_token_pairs')}) fz
+UNION ALL
+SELECT 'colloc', w1, w2, {_NB}, {_NB}, n_pair, {_NB}, lift6, {_NBOOL}, {_NBOOL}
+FROM ({_oracle('collocations_lift')}) cl
+UNION ALL
+SELECT 'heavy', token, {_NV}, {_NB}, {_NB}, exact_cnt, {_NB}, {_ND},
+       cm_no_underestimate, cm_within_eps
+FROM ({_oracle('approx_heavy_hitters')}) hh
+""",
+    tags=("analytics", "text", "sampling", "sketch", "documents"),
+)
+def corpus_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mining operators, federated (five facets):
+
+    - `aes`:    Efraimidis–Spirakis weighted sampling w/o replacement
+                (s1 = source, rank, doc_id, n1 = weight);
+    - `index`:  inverted-index postings (s1 = term, s2 = capped posting
+                list, n1/n2 = df/tf);
+    - `fuzzy`:  SymSpell deletion-blocked edit-distance-1 vocab pairs
+                (s1/s2 = tokens, n1/n2 = frequencies);
+    - `colloc`: collocation mining by lift (s1/s2 = bigram, n1 = pair
+                count, x = lift);
+    - `heavy`:  count-min-sketch heavy hitters, self-validating
+                (s1 = token, n1 = exact count, flag1/flag2 = sketch
+                bounds held).
+    """
+    ws = analytics.weighted_sample_aes(spark, sf_dir).select(
+        F.lit("aes").alias("facet"),
+        F.col("source").alias("s1"),
+        _nv().alias("s2"),
+        "doc_id",
+        "rank",
+        F.col("n_chars").alias("n1"),
+        _nb().alias("n2"),
+        _nd().alias("x"),
+        _nbool().alias("flag1"),
+        _nbool().alias("flag2"),
+    )
+    ip = analytics.inverted_index_postings(spark, sf_dir).select(
+        F.lit("index").alias("facet"),
+        F.col("term").alias("s1"),
+        F.col("postings").alias("s2"),
+        _nb().alias("doc_id"),
+        _nb().alias("rank"),
+        F.col("df").alias("n1"),
+        F.col("tf").alias("n2"),
+        _nd().alias("x"),
+        _nbool().alias("flag1"),
+        _nbool().alias("flag2"),
+    )
+    fz = analytics.fuzzy_token_pairs(spark, sf_dir).select(
+        F.lit("fuzzy").alias("facet"),
+        F.col("tok_a").alias("s1"),
+        F.col("tok_b").alias("s2"),
+        _nb().alias("doc_id"),
+        _nb().alias("rank"),
+        F.col("freq_a").alias("n1"),
+        F.col("freq_b").alias("n2"),
+        _nd().alias("x"),
+        _nbool().alias("flag1"),
+        _nbool().alias("flag2"),
+    )
+    cl = textstats.collocations_lift(spark, sf_dir).select(
+        F.lit("colloc").alias("facet"),
+        F.col("w1").alias("s1"),
+        F.col("w2").alias("s2"),
+        _nb().alias("doc_id"),
+        _nb().alias("rank"),
+        F.col("n_pair").alias("n1"),
+        _nb().alias("n2"),
+        F.col("lift6").alias("x"),
+        _nbool().alias("flag1"),
+        _nbool().alias("flag2"),
+    )
+    hh = approx.approx_heavy_hitters(spark, sf_dir).select(
+        F.lit("heavy").alias("facet"),
+        F.col("token").alias("s1"),
+        _nv().alias("s2"),
+        _nb().alias("doc_id"),
+        _nb().alias("rank"),
+        F.col("exact_cnt").alias("n1"),
+        _nb().alias("n2"),
+        _nd().alias("x"),
+        F.col("cm_no_underestimate").alias("flag1"),
+        F.col("cm_within_eps").alias("flag2"),
+    )
+    return ws.unionAll(ip).unionAll(fz).unionAll(cl).unionAll(hh)
+
+
+@query(
+    "eval_quality_audit",
+    oracle=f"""
+SELECT 'langid' AS facet, cls AS key, {_NB} AS doc_id, tp AS n1, fp AS n2,
+       fn AS n3, support AS n4, precision6 AS x1, recall6 AS x2, f16 AS x3
+FROM ({_oracle('langid_eval')}) le
+UNION ALL
+SELECT 'dq', "check", {_NB}, value, {_NB}, {_NB}, {_NB}, {_ND}, {_ND}, {_ND}
+FROM ({_oracle('data_quality_audit')}) dq
+UNION ALL
+SELECT 'quantile', source, doc_id, {_NB}, {_NB}, {_NB}, {_NB},
+       quality, pct_rank, {_ND}
+FROM ({_oracle('quality_quantile_filter')}) qf
+""",
+    tags=("analytics", "evaluation", "quality", "audit"),
+)
+def eval_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation and data-quality operators, federated (three
+    facets): `langid` (confusion-matrix metrics for the stopword
+    language-ID heuristic: n1..n4 = tp/fp/fn/support, x1..x3 =
+    precision/recall/F1), `dq` (Deequ-style completeness/validity/
+    uniqueness/FK-orphan metric table: key = check, n1 = value),
+    `quantile` (per-source top-quartile selection by quality score:
+    x1 = quality, x2 = deterministic percent rank)."""
+    le = textstats.langid_eval(spark, sf_dir).select(
+        F.lit("langid").alias("facet"),
+        F.col("cls").alias("key"),
+        _nb().alias("doc_id"),
+        F.col("tp").alias("n1"),
+        F.col("fp").alias("n2"),
+        F.col("fn").alias("n3"),
+        F.col("support").alias("n4"),
+        F.col("precision6").alias("x1"),
+        F.col("recall6").alias("x2"),
+        F.col("f16").alias("x3"),
+    )
+    dq = relational3.data_quality_audit(spark, sf_dir).select(
+        F.lit("dq").alias("facet"),
+        F.col("check").alias("key"),
+        _nb().alias("doc_id"),
+        F.col("value").alias("n1"),
+        _nb().alias("n2"),
+        _nb().alias("n3"),
+        _nb().alias("n4"),
+        _nd().alias("x1"),
+        _nd().alias("x2"),
+        _nd().alias("x3"),
+    )
+    qf = textstats.quality_quantile_filter(spark, sf_dir).select(
+        F.lit("quantile").alias("facet"),
+        F.col("source").alias("key"),
+        "doc_id",
+        _nb().alias("n1"),
+        _nb().alias("n2"),
+        _nb().alias("n3"),
+        _nb().alias("n4"),
+        F.col("quality").alias("x1"),
+        F.col("pct_rank").alias("x2"),
+        _nd().alias("x3"),
+    )
+    return le.unionAll(dq).unionAll(qf)
+
+
+@query(
+    "recsys_paths",
+    oracle=f"""
+SELECT 'cooc' AS facet, item_a AS id1, item_b AS id2, {_NV} AS pattern,
+       n_ab AS n, {_NB} AS rank, {_NB} AS score, cosine6 AS x
+FROM ({_oracle('item_cooccurrence')}) co
+UNION ALL
+SELECT 'rerank', query_id, neighbor_id, {_NV}, {_NB}, rnk,
+       model_score_ppm, cos_sim
+FROM ({_oracle('rerank_cross_encoder')}) rr
+UNION ALL
+SELECT 'paths', {_NB}, {_NB}, pattern, n_users, {_NB}, {_NB}, {_ND}
+FROM ({_oracle('user_path_patterns')}) up
+""",
+    tags=("recsys", "rerank", "sequence", "events"),
+)
+def recsys_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommendation / sequence operators, federated (three facets):
+    `cooc` ("people also bought" co-occurrence cosine from capped
+    baskets: id1/id2 = items, n = joint count, x = cosine), `rerank`
+    (retrieve-then-rerank: ANN candidates re-scored by the Arrow-
+    batched stub cross-encoder — score = model ppm, rank = rerank
+    position), `paths` (MATCH_RECOGNIZE-lite: per-user event-type
+    paths matched against the broadcast pattern set)."""
+    co = recsys.item_cooccurrence(spark, sf_dir).select(
+        F.lit("cooc").alias("facet"),
+        F.col("item_a").alias("id1"),
+        F.col("item_b").alias("id2"),
+        _nv().alias("pattern"),
+        F.col("n_ab").alias("n"),
+        _nb().alias("rank"),
+        _nb().alias("score"),
+        F.col("cosine6").alias("x"),
+    )
+    rr = rerank.rerank_cross_encoder(spark, sf_dir).select(
+        F.lit("rerank").alias("facet"),
+        F.col("query_id").alias("id1"),
+        F.col("neighbor_id").alias("id2"),
+        _nv().alias("pattern"),
+        _nb().alias("n"),
+        F.col("rnk").alias("rank"),
+        F.col("model_score_ppm").alias("score"),
+        F.col("cos_sim").alias("x"),
+    )
+    up = recsys.user_path_patterns(spark, sf_dir).select(
+        F.lit("paths").alias("facet"),
+        _nb().alias("id1"),
+        _nb().alias("id2"),
+        "pattern",
+        F.col("n_users").alias("n"),
+        _nb().alias("rank"),
+        _nb().alias("score"),
+        _nd().alias("x"),
+    )
+    return co.unionAll(rr).unionAll(up)
+
+
+@query(
+    "embedding_suite",
+    oracle=f"""
+SELECT 'kmeans' AS facet, cluster AS id1, dim_i AS id2, {_NV} AS src,
+       n_vecs AS n, centroid AS x, {_NI} AS flag
+FROM ({_oracle('embedding_kmeans')}) km
+UNION ALL
+SELECT 'pq', vec_id, sub_i, {_NV}, code, err6, {_NI}
+FROM ({_oracle('embedding_pq')}) pq
+UNION ALL
+SELECT 'adc', query_id, neighbor_id, {_NV}, rn, adc_d2, {_NI}
+FROM ({_oracle('ann_pq_adc_topk')}) adc
+UNION ALL
+SELECT 'centroid', {_NB}, dim_i, source, n_vecs, centroid, {_NI}
+FROM ({_oracle('source_embedding_centroids')}) ce
+UNION ALL
+SELECT 'outlier', vec_id, {_NB}, source, {_NB}, dist2, is_outlier
+FROM ({_oracle('embedding_outliers')}) ou
+UNION ALL
+SELECT 'sign_lsh', vec_a, vec_b, {_NV}, {_NB}, cos_sim, {_NI}
+FROM ({_oracle('sign_lsh_near_dups')}) sl
+""",
+    tags=("clustering", "embedding", "quantization", "ann", "lsh"),
+)
+def embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-space toolkit, federated (six facets): `kmeans`
+    (Lloyd centroid stats: id1/id2 = cluster/dim, x = centroid), `pq`
+    (product-quantization codes + per-subspace error), `adc`
+    (PQ asymmetric-distance top-k: x = ADC distance), `centroid`
+    (per-source centroid dims on the integer grid), `outlier`
+    (centroid-distance outlier flags), `sign_lsh` (4-band sign-LSH
+    near-dup pairs with exact cosine verify)."""
+    km = clustering.embedding_kmeans(spark, sf_dir).select(
+        F.lit("kmeans").alias("facet"),
+        F.col("cluster").alias("id1"),
+        F.col("dim_i").alias("id2"),
+        _nv().alias("src"),
+        F.col("n_vecs").alias("n"),
+        F.col("centroid").alias("x"),
+        _ni().alias("flag"),
+    )
+    pq = clustering.embedding_pq(spark, sf_dir).select(
+        F.lit("pq").alias("facet"),
+        F.col("vec_id").alias("id1"),
+        F.col("sub_i").alias("id2"),
+        _nv().alias("src"),
+        F.col("code").alias("n"),
+        F.col("err6").alias("x"),
+        _ni().alias("flag"),
+    )
+    adc = clustering.ann_pq_adc_topk(spark, sf_dir).select(
+        F.lit("adc").alias("facet"),
+        F.col("query_id").alias("id1"),
+        F.col("neighbor_id").alias("id2"),
+        _nv().alias("src"),
+        F.col("rn").alias("n"),
+        F.col("adc_d2").alias("x"),
+        _ni().alias("flag"),
+    )
+    ce = similarity.source_embedding_centroids(spark, sf_dir).select(
+        F.lit("centroid").alias("facet"),
+        _nb().alias("id1"),
+        F.col("dim_i").alias("id2"),
+        F.col("source").alias("src"),
+        F.col("n_vecs").alias("n"),
+        F.col("centroid").alias("x"),
+        _ni().alias("flag"),
+    )
+    ou = similarity.embedding_outliers(spark, sf_dir).select(
+        F.lit("outlier").alias("facet"),
+        F.col("vec_id").alias("id1"),
+        _nb().alias("id2"),
+        F.col("source").alias("src"),
+        _nb().alias("n"),
+        F.col("dist2").alias("x"),
+        F.col("is_outlier").alias("flag"),
+    )
+    sl = similarity.sign_lsh_near_dups(spark, sf_dir).select(
+        F.lit("sign_lsh").alias("facet"),
+        F.col("vec_a").alias("id1"),
+        F.col("vec_b").alias("id2"),
+        _nv().alias("src"),
+        _nb().alias("n"),
+        F.col("cos_sim").alias("x"),
+        _ni().alias("flag"),
+    )
+    return km.unionAll(pq).unionAll(adc).unionAll(ce).unionAll(ou).unionAll(sl)
+
+
+@query(
+    "dedup_extended",
+    oracle=f"""
+SELECT 'incremental' AS facet, doc_id AS doc_a, duplicate_of AS doc_b,
+       kind, {_NB} AS n1, {_NB} AS n2, {_NB} AS n3, {_ND} AS x, {_NI} AS flag
+FROM ({_oracle('dedup_incremental')}) di
+UNION ALL
+SELECT 'fp_pairs', doc_a, doc_b, {_NV}, shared_fps, {_NB}, {_NB}, {_ND}, {_NI}
+FROM ({_oracle('fingerprint_near_pairs')}) fp
+UNION ALL
+SELECT 'crossdoc', doc_id, {_NB}, {_NV}, n_tokens, dup_gram_occurrences,
+       covered_tokens, coverage_frac, dup_heavy
+FROM ({_oracle('dedup_crossdoc_ngram_coverage')}) cd
+""",
+    tags=("dedup", "incremental", "fingerprint", "coverage"),
+)
+def dedup_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining dedup strategies, federated (three facets):
+    `incremental` (new-batch-vs-corpus dedup: exact sha tier + MinHash
+    band tier — doc_b = matched corpus doc), `fp_pairs` (winnowing
+    fingerprint candidate pairs with >= 5 shared fingerprints),
+    `crossdoc` (Lee-et-al duplicated-span coverage: per-doc fraction of
+    token positions covered by a 4-gram occurring elsewhere)."""
+    di = dedup.dedup_incremental(spark, sf_dir).select(
+        F.lit("incremental").alias("facet"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("duplicate_of").alias("doc_b"),
+        "kind",
+        _nb().alias("n1"),
+        _nb().alias("n2"),
+        _nb().alias("n3"),
+        _nd().alias("x"),
+        _ni().alias("flag"),
+    )
+    fp = textstats.fingerprint_near_pairs(spark, sf_dir).select(
+        F.lit("fp_pairs").alias("facet"),
+        "doc_a",
+        "doc_b",
+        _nv().alias("kind"),
+        F.col("shared_fps").alias("n1"),
+        _nb().alias("n2"),
+        _nb().alias("n3"),
+        _nd().alias("x"),
+        _ni().alias("flag"),
+    )
+    cd = dedup.dedup_crossdoc_ngram_coverage(spark, sf_dir).select(
+        F.lit("crossdoc").alias("facet"),
+        F.col("doc_id").alias("doc_a"),
+        _nb().alias("doc_b"),
+        _nv().alias("kind"),
+        F.col("n_tokens").alias("n1"),
+        F.col("dup_gram_occurrences").alias("n2"),
+        F.col("covered_tokens").alias("n3"),
+        F.col("coverage_frac").alias("x"),
+        F.col("dup_heavy").alias("flag"),
+    )
+    return di.unionAll(fp).unionAll(cd)
+
+
+@query(
+    "pipeline_extended",
+    oracle=f"""
+SELECT 'lm' AS facet, {_NV} AS key, doc_id, {_NB} AS seq, {_NB} AS pos,
+       n_bigrams AS n1, sum_p_q9 AS n2, avg_bigram_p AS x, surprising AS flag
+FROM ({_oracle('pipeline_lm_likelihood')}) lm
+UNION ALL
+SELECT 'budget', source, doc_id, {_NB}, {_NB}, n_tokens, cum_tokens,
+       quality, {_NI}
+FROM ({_oracle('pipeline_token_budget')}) tb
+UNION ALL
+SELECT 'epoch', {_NV}, doc_id, epoch, pos, {_NB}, {_NB}, {_ND}, {_NI}
+FROM ({_oracle('pipeline_epoch_order')}) eo
+""",
+    tags=("pipeline", "lm", "budget", "ordering"),
+)
+def pipeline_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining pipeline-assembly operators, federated (three
+    facets): `lm` (CCNet-style corpus-bigram LM scoring — n2 = grid
+    log-prob sum, flag = surprising-doc), `budget` (quality-greedy
+    per-source token-budget admission: n1/n2 = tokens/cumulative),
+    `epoch` (deterministic per-epoch training order: seq = epoch,
+    pos = position from the range-partition global numbering)."""
+    lm = pipeline.pipeline_lm_likelihood(spark, sf_dir).select(
+        F.lit("lm").alias("facet"),
+        _nv().alias("key"),
+        "doc_id",
+        _nb().alias("seq"),
+        _nb().alias("pos"),
+        F.col("n_bigrams").alias("n1"),
+        F.col("sum_p_q9").alias("n2"),
+        F.col("avg_bigram_p").alias("x"),
+        F.col("surprising").alias("flag"),
+    )
+    tb = pipeline.pipeline_token_budget(spark, sf_dir).select(
+        F.lit("budget").alias("facet"),
+        F.col("source").alias("key"),
+        "doc_id",
+        _nb().alias("seq"),
+        _nb().alias("pos"),
+        F.col("n_tokens").alias("n1"),
+        F.col("cum_tokens").alias("n2"),
+        F.col("quality").alias("x"),
+        _ni().alias("flag"),
+    )
+    eo = pipeline.pipeline_epoch_order(spark, sf_dir).select(
+        F.lit("epoch").alias("facet"),
+        _nv().alias("key"),
+        "doc_id",
+        F.col("epoch").alias("seq"),
+        "pos",
+        _nb().alias("n1"),
+        _nb().alias("n2"),
+        _nd().alias("x"),
+        _ni().alias("flag"),
+    )
+    return lm.unionAll(tb).unionAll(eo)

@@ -249,6 +249,30 @@ def multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fake audio metadata, derived deterministically from the payload
+# checksum like the image metadata above: sample rate from a standard
+# rate table, duration 1-56 s of samples.
+AUDIO_RATES = (8000, 16000, 44100)
+AUDIO_MAX_EXTRA = 441000
+AUDIO_MIN_SAMPLES = 8000
+
+_AUDIO_ORACLE = f"""
+WITH ameta AS (
+  SELECT doc_id,
+         CAST(CASE {_H_CK} % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+              ELSE 44100 END AS INT) AS sr,
+         CAST({_H_CK} % {AUDIO_MAX_EXTRA} + {AUDIO_MIN_SAMPLES} AS BIGINT)
+           AS n_samples
+  FROM documents
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx, sr AS sample_rate,
+       CAST(i * sr AS BIGINT) AS start_sample,
+       CAST(least((i + 1) * sr, n_samples) AS BIGINT) AS end_sample
+FROM ameta CROSS JOIN (SELECT unnest(range(0, 60)) AS i) c
+WHERE i * sr < n_samples
+"""
+
+
 # -- consolidated registry query -------------------------------------------
 
 
@@ -265,7 +289,8 @@ WITH meta AS (
   FROM documents
 )
 SELECT 'meta' AS facet, doc_id, CAST(NULL AS INT) AS idx, n_bytes, checksum,
-       fake_width AS d1, fake_height AS d2, fake_channels AS d3
+       fake_width AS d1, fake_height AS d2, fake_channels AS d3,
+       CAST(NULL AS BIGINT) AS n2
 FROM meta
 UNION ALL
 SELECT 'frame', doc_id, CAST(i AS INT),
@@ -275,7 +300,8 @@ SELECT 'frame', doc_id, CAST(i AS INT),
             CAST((greatest(length(text) - {FRAME_LEN}, 0) * i)
                  // greatest({N_FRAMES} - 1, 1) + 1 AS INT),
             {FRAME_LEN})),
-       CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT)
+       CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
+       CAST(NULL AS BIGINT)
 FROM documents
 CROSS JOIN (SELECT unnest(range(0, {N_FRAMES})) AS i) f
 UNION ALL
@@ -285,8 +311,12 @@ SELECT 'resize', doc_id, CAST(NULL AS INT), CAST(NULL AS BIGINT),
             AS INT),
        CAST(greatest(fake_height * 224 // greatest(fake_width, fake_height), 1)
             AS INT),
-       CAST(NULL AS INT)
+       CAST(NULL AS INT), CAST(NULL AS BIGINT)
 FROM meta
+UNION ALL
+SELECT 'audio', doc_id, chunk_idx, start_sample, CAST(NULL AS VARCHAR),
+       sample_rate, CAST(NULL AS INT), CAST(NULL AS INT), end_sample
+FROM ({_AUDIO_ORACLE}) au
 """,
     tags=("multimodal", "pandas_udf", "frames", "resize"),
 )
@@ -301,7 +331,9 @@ def multimodal_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     - `frame`:  1→N frame sampling (4 evenly-spaced 32-char slices,
                 checksummed) — idx = frame index, n_bytes = char_start;
     - `resize`: fit-to-224 dimension planning from the decoded
-                metadata — d1/d2 = out_width/out_height.
+                metadata — d1/d2 = out_width/out_height;
+    - `audio`:  1-second audio segmentation (idx = chunk, n_bytes/n2 =
+                start/end sample, d1 = sample rate).
 
     The oracle recomputes all three in pure SQL, pinning the whole
     Python/Arrow round trip byte-for-byte. Zero shuffle: every facet is
@@ -316,6 +348,7 @@ def multimodal_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         StorageLevel.MEMORY_AND_DISK
     )
     null_i = F.lit(None).cast("int")
+    null_b = F.lit(None).cast("bigint")
     m = meta.select(
         F.lit("meta").alias("facet"),
         "doc_id",
@@ -325,6 +358,7 @@ def multimodal_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fake_width").alias("d1"),
         F.col("fake_height").alias("d2"),
         F.col("fake_channels").alias("d3"),
+        null_b.alias("n2"),
     )
     fr = sample_frames(with_blob, "doc_id", "payload").select(
         F.lit("frame").alias("facet"),
@@ -335,6 +369,7 @@ def multimodal_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_i.alias("d1"),
         null_i.alias("d2"),
         null_i.alias("d3"),
+        null_b.alias("n2"),
     )
     longest = F.greatest("fake_width", "fake_height")
     rz = meta.select(
@@ -350,16 +385,22 @@ def multimodal_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("d2"),
         null_i.alias("d3"),
+        null_b.alias("n2"),
     )
-    return m.unionAll(fr).unionAll(rz)
+    au = chunk_audio(with_blob, "doc_id", "payload").select(
+        F.lit("audio").alias("facet"),
+        "doc_id",
+        F.col("chunk_idx").alias("idx"),
+        F.col("start_sample").alias("n_bytes"),
+        F.lit(None).cast("string").alias("checksum"),
+        F.col("sample_rate").alias("d1"),
+        null_i.alias("d2"),
+        null_i.alias("d3"),
+        F.col("end_sample").alias("n2"),
+    )
+    return m.unionAll(fr).unionAll(rz).unionAll(au)
 
 
-# Fake audio metadata, derived deterministically from the payload
-# checksum like the image metadata above: sample rate from a standard
-# rate table, duration 1-56 s of samples.
-AUDIO_RATES = (8000, 16000, 44100)
-AUDIO_MAX_EXTRA = 441000
-AUDIO_MIN_SAMPLES = 8000
 AUDIO_CHUNK_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -420,23 +461,9 @@ def chunk_audio(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
 
 @query(
     "multimodal_audio_chunks",
-    oracle=f"""
-WITH meta AS (
-  SELECT doc_id,
-         CAST(CASE {_H_CK} % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-              ELSE 44100 END AS INT) AS sr,
-         CAST({_H_CK} % {AUDIO_MAX_EXTRA} + {AUDIO_MIN_SAMPLES} AS BIGINT)
-           AS n_samples
-  FROM documents
-)
-SELECT doc_id, CAST(i AS INT) AS chunk_idx, sr AS sample_rate,
-       CAST(i * sr AS BIGINT) AS start_sample,
-       CAST(least((i + 1) * sr, n_samples) AS BIGINT) AS end_sample
-FROM meta CROSS JOIN (SELECT unnest(range(0, 60)) AS i) c
-WHERE i * sr < n_samples
-""",
+    oracle=_AUDIO_ORACLE,
     tags=("multimodal", "pandas_udf", "audio"),
-    exported=False,
+    exported=False,  # driver-visible via the multimodal_facets audio facet
 )
 def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-duration (1 s) audio segmentation over binary payloads —

@@ -56,6 +56,7 @@ FROM (
 ) t GROUP BY split
 """,
     tags=("pipeline", "split", "documents"),
+    exported=False,  # driver-visible via facets2.pipeline_split_samplers
 )
 def pipeline_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test split via the salted md5
@@ -411,6 +412,7 @@ SELECT 'reservoir', source, doc_id, CAST(n_chars AS BIGINT) FROM (
 ) t WHERE rk <= {RESERVOIR_K}
 """,
     tags=("pipeline", "sampling", "documents"),
+    exported=False,  # driver-visible via facets2.pipeline_split_samplers
 )
 def pipeline_samplers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The two sampling families, federated: `stratified` (rate-based

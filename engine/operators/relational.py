@@ -268,6 +268,7 @@ ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """,
     tags=("relational", "join", "topk"),
+    exported=False,  # driver-visible via facets2.q10_q22_customer_value
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
@@ -383,6 +384,7 @@ ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100
 """,
     tags=("relational", "having", "topk"),
+    exported=False,  # driver-visible via facets2.q13_q18_order_size
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")

@@ -138,6 +138,7 @@ SELECT c_count, count(*) AS custdist FROM (
 ) t GROUP BY c_count
 """,
     tags=("relational", "outerjoin", "aggregate"),
+    exported=False,  # driver-visible via facets2.q13_q18_order_size
 )
 def q13_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13: orders-per-customer histogram via left outer join
@@ -307,6 +308,7 @@ WHERE c_acctbal > ab
 GROUP BY c_nationkey
 """,
     tags=("relational", "subquery", "antijoin"),
+    exported=False,  # driver-visible via facets2.q10_q22_customer_value
 )
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 adapted: above-average balances, no recent (2000+)

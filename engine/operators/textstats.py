@@ -182,6 +182,7 @@ SELECT DISTINCT doc_id,
 FROM hashed
 """,
     tags=("textstats", "fingerprint"),
+    exported=False,  # driver-visible via facets2.doc_fingerprint_methods
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style document fingerprints: rolling hash over 3-token

@@ -252,6 +252,7 @@ FROM events WHERE event_type = 'purchase'
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
     tags=("window", "navigation", "events"),
+    exported=False,  # driver-visible via facets2.w_window_suite
 )
 def w_frames_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full frame + navigation function surface over one window:
@@ -305,6 +306,7 @@ SELECT 'supplier_balance', CAST(s_nationkey AS VARCHAR), s_suppkey,
 FROM supplier
 """,
     tags=("window", "rank"),
+    exported=False,  # driver-visible via facets2.w_window_suite
 )
 def w_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking surface, two facets: partitioned top-k (`top_customer`:

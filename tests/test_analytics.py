@@ -255,6 +255,28 @@ def test_ols_recovers_known_line(spark, tmp_path):
     assert abs(r[0].slope6 - 0.5) < 1e-6 and abs(r[0].intercept6 - 3.0) < 1e-5
 
 
+def test_ols_zero_variance_group_defined(spark, tmp_path):
+    """A group whose events all share one day has denominator 0 in the
+    normal equations (ADVICE r2) — slope must be exactly 0 and the
+    intercept the group mean, never Inf/NaN."""
+    import datetime as dt
+
+    from engine.operators.analytics import value_trend_ols
+
+    rows = [
+        (i, dt.datetime(2024, 3, 5, 8 + i), 1, "burst", 2.0 + i, "{}")
+        for i in range(4)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    r = value_trend_ols(spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    assert r[0].slope6 == 0.0
+    assert abs(r[0].intercept6 - 3.5) < 1e-6  # mean of 2,3,4,5
+
+
 def test_epoch_order_is_distinct_bijection(spark):
     """Each epoch's positions are a 1..n bijection and the two epochs
     are genuinely different permutations."""

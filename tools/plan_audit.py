@@ -73,6 +73,11 @@ NESTED_LOOP_OK = {
     "grains_distribution_stats",  # stats + histogram 1-row broadcasts
     "scalar_setops_facets",  # minmax_by 1-row argmax broadcast
     "bpe_pipeline",  # bpe 1-row argmax merge-pair broadcasts
+    "q10_q22_customer_value",  # q22 1-row scalar avg broadcast
+    "corpus_mining",  # heavy-hitters/collocations 1-row total broadcasts
+    "recsys_paths",  # rerank query broadcast + 3-row pattern set
+    "embedding_suite",  # kmeans/PQ bounded codebook/centroid broadcasts
+    "pipeline_extended",  # lm_likelihood 1-row vocab-size broadcast
 }
 
 # Queries allowed a global (unpartitioned) window. EMPTY by design:
