@@ -159,13 +159,22 @@ def learn_chain(words: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Run the K-round merge-learning chain once, returning BOTH the
     per-step merge table and the final vocabulary state — so consumers
     that need both (the federated ``bpe_pipeline``) pay for one chain,
-    not two."""
+    not two.
+
+    Each round's 1-row argmax is persisted: it has TWO consumers (the
+    output merge table and the next round's vocabulary replace), so
+    without the cache every consumer re-expands the whole prior chain
+    and the executed plan grows 2^K-fold — the un-persisted form showed
+    128 distinct exchanges at K=6 where the linear chain needs ~K+3.
+    The chain stays fully lazy (persist defers to the first action);
+    nothing is collected driver-side."""
     out = None
     for t in range(BPE_MERGES):
         best = (
             _spark_pairs(words)
             .orderBy(F.col("cnt").desc(), "a", "b")
             .limit(1)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         row = best.select(
             F.lit(t).cast("bigint").alias("step"),

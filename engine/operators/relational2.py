@@ -172,9 +172,16 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
     exported=False,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15: CTE + scalar max subquery. In Spark the scalar
-    subquery is a broadcast of one row — no second scan of lineitem
-    thanks to CTE reuse."""
+    """TPC-H Q15: CTE + scalar max subquery. Spark does NOT reuse the
+    CTE across the two consumers (the supplier join and the max scalar
+    agg each rebuilt the revenue aggregate from a fresh lineitem scan —
+    two fact scans + two suppkey shuffles in the executed plan), so the
+    revenue intermediate is persisted: one lineitem scan, one shuffle,
+    and the max is a cheap single-partition fold of |suppliers| cached
+    rows. Same multi-consumer discipline as semantic_dedup /
+    hypertable_rollup."""
+    from pyspark import StorageLevel
+
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     revenue = (
@@ -188,6 +195,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_revenue"
             )
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
