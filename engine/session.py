@@ -9,9 +9,33 @@ real cluster AQE coalescing makes the static number mostly moot.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import SparkSession
+
+
+@contextlib.contextmanager
+def static_planning(spark: SparkSession):
+    """Temporarily disable AQE for a bounded-cardinality iterative
+    chain.
+
+    AQE materializes and re-plans every shuffle stage with a sequential
+    driver round trip (~0.4 s/round measured locally, independent of
+    data size). Iterative graph/clustering chains run K rounds whose
+    per-round cardinality is already known and bounded (rank vectors,
+    peeled edge lists), so adaptive re-planning has nothing to discover
+    and only adds coordination latency. Use around the EAGER
+    materialization of such a chain only — everything else keeps AQE's
+    coalescing and skew handling. Values never change: AQE affects
+    stage boundaries, not arithmetic."""
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def get_spark(app_name: str = "engine", shuffle_partitions: int | None = None) -> SparkSession:
