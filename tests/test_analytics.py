@@ -3,6 +3,7 @@ the oracle equality that test_queries_oracle already pins."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from engine.operators.analytics import (
@@ -380,3 +381,21 @@ def test_kcore_matches_python_peel_to_fixpoint(spark):
     got = {r.item: r.core_deg for r in kcore_items(spark, SF_DIR).collect()}
     assert got == {n: len(nb) for n, nb in adj.items()}
     assert 0 < len(adj) < n_all  # peeling really removed nodes
+
+
+def test_static_planning_restores_aqe_and_preserves_values(spark):
+    """pagerank_core materializes its chain under static planning; the
+    session must come back with AQE exactly as it was, both on success
+    and when the materialization raises."""
+    from engine.session import static_planning
+
+    key = "spark.sql.adaptive.enabled"
+    before = spark.conf.get(key)
+    rows = {r.item: r.pr9 for r in pagerank_items(spark, SF_DIR).collect()}
+    assert spark.conf.get(key) == before
+    assert rows  # chain actually produced ranks
+    with pytest.raises(RuntimeError):
+        with static_planning(spark):
+            assert spark.conf.get(key) == "false"
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == before
