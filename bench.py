@@ -49,13 +49,15 @@ def main() -> None:
                 pass
     load_table(spark, SF_DIR, "lineitem").count()
 
-    # Median of 3 runs per query: single-sample walltimes swing ±20%
+    # Median of 5 runs per query: single-sample walltimes swing ±20%
     # with machine load, which reads as phantom regressions across
-    # rounds. Each run rebuilds the DataFrame (no cross-run cache; any
-    # .persist() inside a query is scoped to that build) and fully
-    # materializes via the noop sink — a bare .count() would let
-    # Catalyst prune projections and under-measure map-heavy queries.
-    N_RUNS = 3
+    # rounds (whole-invocation drift of that size was measured between
+    # back-to-back identical runs). Each run rebuilds the DataFrame
+    # (no cross-run cache; any .persist() inside a query is scoped to
+    # that build) and fully materializes via the noop sink — a bare
+    # .count() would let Catalyst prune projections and under-measure
+    # map-heavy queries.
+    N_RUNS = 5
     per_query: dict[str, float] = {}
     for name in names:
         times = []
