@@ -1089,9 +1089,9 @@ def kcore_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the round-replaying CTE oracle matches bit-for-bit.
 
     100 TB shape: per round one degree aggregate + one semi-join pair
-    of the edge list against the bounded survivor set; lineage cut
-    with localCheckpoint per round (the components/pagerank
-    precedent)."""
+    of the edge list against the bounded survivor set; each round's
+    survivor edges are cut with localCheckpoint per round (multiple
+    consumers: the next round's degree + both semi-joins)."""
     return kcore_core(copurchase_pairs(spark, sf_dir).localCheckpoint())
 
 
@@ -1100,15 +1100,20 @@ def kcore_core(pairs: DataFrame) -> DataFrame:
     ``converged`` flag: peeling only ever REMOVES edges, so equal edge
     counts in the last two rounds is an exact fixpoint test — on data
     where KCORE_ROUNDS doesn't converge, the flag is false instead of
-    silently returning a non-fixpoint core. The per-round counts are
-    O(ROUNDS) driver scalars (the pagerank n-count precedent)."""
+    silently returning a non-fixpoint core. The two counts are 1-row
+    scalar aggregates over the last two CHECKPOINTED rounds, broadcast
+    into the output — exactly how the oracle's CTE computes the same
+    flag, and no eager count job per round.
+
+    Per-round localCheckpoint is load-bearing, not just lineage
+    hygiene: a fully lazy persist-chain alternative planned ~90s at
+    ANY scale factor (AQE re-planning nested cached subtrees per
+    consumer), vs ~2s with eager cuts. Peeling also keeps AQE: its
+    survivor semi-joins rely on AQE's runtime broadcast conversion
+    (measured 1.9s adaptive vs 5.5s static at sf0.1 — the opposite
+    tradeoff from pagerank_core's already-co-partitioned chain)."""
     edges = pairs
-    prev_cnt = edges.count()
-    last_cnt = prev_cnt
-    # Peeling keeps AQE: its per-round survivor semi-joins benefit from
-    # AQE's runtime broadcast conversion (measured 1.9s with AQE vs
-    # 5.5s static at sf0.1 — the opposite tradeoff from pagerank_core's
-    # already-co-partitioned chain).
+    prev = pairs
     for _ in range(KCORE_ROUNDS):
         deg = (
             edges.select(F.col("lo").alias("item"))
@@ -1117,18 +1122,23 @@ def kcore_core(pairs: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
         )
         keep = deg.filter(F.col("d") >= KCORE_K).select("item")
+        prev = edges
         edges = (
             edges.join(keep.withColumnRenamed("item", "lo"), "lo", "left_semi")
             .join(keep.withColumnRenamed("item", "hi"), "hi", "left_semi")
             .select("lo", "hi")
             .localCheckpoint()
         )
-        prev_cnt, last_cnt = last_cnt, edges.count()
+    cnt_last = edges.agg(F.count(F.lit(1)).alias("_c_last"))
+    cnt_prev = prev.agg(F.count(F.lit(1)).alias("_c_prev"))
     return (
         edges.select(F.col("lo").alias("item"))
         .unionAll(edges.select(F.col("hi").alias("item")))
         .groupBy("item")
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
         .filter(F.col("core_deg") >= KCORE_K)
-        .withColumn("converged", F.lit(bool(prev_cnt == last_cnt)))
+        .crossJoin(F.broadcast(cnt_last))  # 1-row scalar
+        .crossJoin(F.broadcast(cnt_prev))  # 1-row scalar
+        .withColumn("converged", F.col("_c_last") == F.col("_c_prev"))
+        .drop("_c_last", "_c_prev")
     )

@@ -78,6 +78,8 @@ NESTED_LOOP_OK = {
     "recsys_paths",  # rerank query broadcast + 3-row pattern set
     "embedding_suite",  # kmeans/PQ bounded codebook/centroid broadcasts
     "pipeline_extended",  # lm_likelihood 1-row vocab-size broadcast
+    "kcore_items",  # two 1-row edge-count scalars (convergence flag)
+    "graph_analytics",  # inherits kcore's 1-row convergence scalars
 }
 
 # Queries allowed a global (unpartitioned) window. EMPTY by design:
