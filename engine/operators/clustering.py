@@ -464,8 +464,12 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, cents = _lloyd_full(es, PQ_K, PQ_UPDATES)
         # Both the final assignment and the ADC table consume the
         # codebook; cache its K rows so the Lloyd chain runs once per
-        # subspace instead of twice.
+        # subspace instead of twice. The final assignment is cached
+        # too: `embedding_pq` builds the IDENTICAL plan, so inside the
+        # federated `embedding_suite` its facet cache-hits this one
+        # instead of re-scoring the corpus per subspace.
         cents = cents.persist(StorageLevel.MEMORY_AND_DISK)
+        a = a.persist(StorageLevel.MEMORY_AND_DISK)
         qs = es.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("qid"), F.col("emb")
         )
