@@ -352,6 +352,16 @@ def pagerank_core(pairs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.sum("d").alias("m")
     ).first()  # driver scalars, O(1) — node and directed-edge counts
     n, m = stats["n"], int(stats["m"] or 0)
+    if n == 0:
+        # Empty graph (no purchase events / no items): return the
+        # empty result with the output schema instead of dividing by
+        # zero in pr0 — matching triangle_core/kcore_core, which fall
+        # through to empty naturally.
+        return deg.select(
+            F.col("src").alias("item"),
+            F.col("d").alias("out_deg"),
+            F.lit(0.0).alias("pr9"),
+        )
     # Size the iteration cache to the MEASURED graph, not the session
     # default: an iterative chain pays per-stage task overhead
     # PR_ITERS times over, so a 10k-edge graph spread across 32

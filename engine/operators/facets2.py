@@ -165,7 +165,7 @@ FROM ({_oracle('events_rolling_active_users')}) ra
     tags=("analytics", "sequence", "timeseries", "events"),
 )
 def events_lifecycle_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The user-journey and time-series analytics operators, six
+    """The user-journey and time-series analytics operators, eight
     facets over events:
 
     - `attribution`: first-/last-touch matrix (k1/k2 = touches, n1 =

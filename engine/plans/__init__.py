@@ -3,17 +3,21 @@
 optimal (pushdown reached the scan, dims broadcast, no cartesian)."""
 
 from engine.plans.inspect import (
+    executed_exchange_ids,
     formatted_plan,
     has_broadcast_hash_join,
     has_cartesian_product,
     n_exchanges,
+    n_executed_exchanges,
     pushed_filters,
 )
 
 __all__ = [
+    "executed_exchange_ids",
     "formatted_plan",
     "has_broadcast_hash_join",
     "has_cartesian_product",
     "n_exchanges",
+    "n_executed_exchanges",
     "pushed_filters",
 ]

@@ -39,3 +39,35 @@ def n_exchanges(df: DataFrame) -> int:
     """Shuffle exchanges in the plan (excluding broadcast exchanges)."""
     plan = formatted_plan(df)
     return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+_EX_PATTERNS = (
+    r"\bExchange (?:hash|range)?[Pp]artitioning[^\n]*?\[plan_id=(\d+)\]",
+    r"\bExchange SinglePartition[^\n]*?\[plan_id=(\d+)\]",
+)
+_BC_PATTERN = r"BroadcastExchange [^\n]*?\[plan_id=(\d+)\]"
+
+
+def executed_exchange_ids(df: DataFrame) -> tuple[set[str], set[str]]:
+    """(shuffle plan_ids, broadcast plan_ids) from the EXECUTED plan.
+
+    A persisted subtree prints its full lineage under every
+    InMemoryTableScan that consumes it but executes once; the executed
+    plan tags each physical node with a [plan_id=N] that is SHARED
+    across repeats of the same cached subtree, so distinct plan_ids
+    count per-execution work honestly. The single source of truth for
+    exchange counting — used by tools/dump_plans.py (PLANS.md) and the
+    plan-shape regression tests. Raises if the plan string carries no
+    plan_id tags at all (counting would silently return 0)."""
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    if "[plan_id=" not in phys:
+        raise ValueError("executed plan carries no [plan_id=] tags")
+    shuffles: set[str] = set()
+    for pat in _EX_PATTERNS:
+        shuffles |= set(re.findall(pat, phys))
+    return shuffles, set(re.findall(_BC_PATTERN, phys))
+
+
+def n_executed_exchanges(df: DataFrame) -> int:
+    """Distinct shuffle exchanges actually executed (plan_id-deduped)."""
+    return len(executed_exchange_ids(df)[0])

@@ -295,9 +295,20 @@ def delete_keys_partitioned(
     from pyspark.sql import functions as F
 
     table = spark.read.parquet(path)
+    # One row per affected partition, carrying the partition's REAL
+    # directory (from input_file_name, not reconstructed): Hive escapes
+    # special characters (':', ' ', '%') in partition dir names and
+    # spells NULL as __HIVE_DEFAULT_PARTITION__, so an f-string built
+    # from the Python values would name a directory that doesn't exist
+    # and the emptied-partition cleanup below would silently no-op.
     affected = (
         table.join(F.broadcast(keys_df), key_col)
-        .select(*partition_by)
+        .select(
+            *partition_by,
+            F.expr("regexp_replace(input_file_name(), '/[^/]*$', '')").alias(
+                "_dir"
+            ),
+        )
         .distinct()
         .collect()
     )  # O(#affected partitions) driver rows — bounded by the key set
@@ -307,7 +318,10 @@ def delete_keys_partitioned(
     for row in affected:
         clause = None
         for c in partition_by:
-            p = F.col(c) == F.lit(row[c])
+            # eqNullSafe: a NULL-valued partition must still be
+            # selected for rewrite (plain == yields NULL and the
+            # doomed keys there would silently survive)
+            p = F.col(c).eqNullSafe(F.lit(row[c]))
             clause = p if clause is None else (clause & p)
         pred = clause if pred is None else (pred | clause)
     rewritten = (
@@ -342,12 +356,21 @@ def delete_keys_partitioned(
     ]
     overwrite_partitions_dynamic(staged, path, partition_by)
     fs = _hpath(path).getFileSystem(hconf)
+    from urllib.parse import unquote
+
     for row in emptied:
-        seg = _hpath(
-            "/".join([path.rstrip("/")] + [f"{c}={row[c]}" for c in partition_by])
-        )
-        if fs.exists(seg):
-            fs.delete(seg, True)
+        # row["_dir"] is the partition's actual on-disk directory as
+        # reported by the scan — correct for Hive-escaped values and
+        # __HIVE_DEFAULT_PARTITION__ alike. input_file_name() returns
+        # the path URI-encoded ONCE MORE than the on-disk name (the
+        # on-disk "stamp=.. 00%3A00%3A00" comes back as
+        # "stamp=..%2000%253A00%253A00"), so unquote exactly once.
+        seg = _hpath(unquote(row["_dir"]))
+        if not fs.exists(seg):
+            raise IOError(
+                f"emptied partition directory vanished before cleanup: {seg}"
+            )
+        fs.delete(seg, True)
         if fs.exists(seg):  # silent-no-op guard: deletion must be real
             raise IOError(
                 f"failed to remove emptied partition directory {seg}"

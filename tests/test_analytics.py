@@ -399,3 +399,14 @@ def test_static_planning_restores_aqe_and_preserves_values(spark):
             assert spark.conf.get(key) == "false"
             raise RuntimeError("boom")
     assert spark.conf.get(key) == before
+
+
+def test_pagerank_core_empty_graph(spark):
+    """An empty pair list (no purchase events) must return the empty
+    (item, out_deg, pr9) frame, not ZeroDivisionError on 1/n."""
+    from engine.operators.analytics import pagerank_core
+
+    empty = spark.createDataFrame([], "lo bigint, hi bigint")
+    out = pagerank_core(empty)
+    assert out.columns == ["item", "out_deg", "pr9"]
+    assert out.count() == 0

@@ -258,3 +258,49 @@ def test_delete_keys_partitioned(spark, tmp_path):
     n2 = delete_keys_partitioned(spark, path, ["day"], "user_id", keys)
     assert n2 == 0
     assert contents() == got
+
+
+def test_delete_keys_partitioned_escaped_and_null_partitions(spark, tmp_path):
+    """The two silent-no-op surfaces of the GDPR delete: partition
+    values Hive must escape in directory names (':' → '%3A') and NULL
+    partition values (__HIVE_DEFAULT_PARTITION__). Doomed keys in both
+    must actually vanish, and a fully-doomed escaped partition's
+    directory must be removed (name taken from the scan, not rebuilt
+    from the Python value)."""
+    import os
+
+    from engine.sinks import delete_keys_partitioned
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", 2, "a"),  # escaped dir, fully doomed
+            ("2024-01-02 00:00:00", 2, "b"),  # escaped dir, mixed
+            ("2024-01-02 00:00:00", 3, "c"),
+            (None, 2, "d"),                   # NULL partition, mixed
+            (None, 4, "e"),
+        ],
+        "stamp string, user_id long, payload string",
+    )
+    df.write.partitionBy("stamp").parquet(path)
+    # precondition: Hive really escapes the value in the dir name
+    assert any("%3A" in d for d in os.listdir(path)), os.listdir(path)
+
+    keys = spark.createDataFrame([(2,)], "user_id long")
+    n = delete_keys_partitioned(spark, path, ["stamp"], "user_id", keys)
+    assert n == 3  # three partitions contained key 2
+
+    got = {
+        # partition-column type inference reads `stamp` back as a
+        # TIMESTAMP — compare its string form
+        (str(r.stamp) if r.stamp is not None else None, r.user_id, r.payload)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("2024-01-02 00:00:00", 3, "c"),
+        (None, 4, "e"),
+    }
+    # the fully-doomed escaped partition's directory is gone
+    assert not any(
+        "2024-01-01" in d for d in os.listdir(path)
+    ), os.listdir(path)

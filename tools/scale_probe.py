@@ -170,16 +170,26 @@ def run(spark: SparkSession) -> dict:
         # warm the footers
         load_table(spark, sf_dir, "lineitem").count()
         for name in names:
+            # Per-query isolation: one query failing at the derived
+            # sf1 scale must record an error, not abort the whole
+            # multi-minute probe and discard every timing collected.
             t0 = time.time()
-            specs[name].fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            dt = round(time.time() - t0, 3)
-            result.setdefault(name, {})[tag] = dt
-            print(f"# {tag} {name}: {dt}s", file=sys.stderr)
+            try:
+                specs[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = round(time.time() - t0, 3)
+                result.setdefault(name, {})[tag] = dt
+                print(f"# {tag} {name}: {dt}s", file=sys.stderr)
+            except Exception as exc:  # pragma: no cover - probe resilience
+                result.setdefault(name, {})[f"{tag}_error"] = (
+                    f"{type(exc).__name__}: {exc}"[:200]
+                )
+                print(f"# {tag} {name}: FAILED {exc}", file=sys.stderr)
             spark.catalog.clearCache()
     for name, r in result.items():
-        r["ratio"] = round(r["sf1"] / max(r["sf0.1"], 1e-9), 2)
+        if "sf1" in r and "sf0.1" in r:
+            r["ratio"] = round(r["sf1"] / max(r["sf0.1"], 1e-9), 2)
     # The documented scale contract for semantic_dedup is "K grows with
     # the corpus so clusters stay bounded" — holding K fixed at 10x
     # data makes within-cluster pair work grow ~quadratically (the
