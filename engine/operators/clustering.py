@@ -456,7 +456,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine.operators.similarity import N_QUERIES, TOPK
 
     e = _spark_emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    scored = None
+    parts = []
     for s in range(PQ_M):
         es = e.select(
             "vec_id", F.slice("emb", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("emb")
@@ -476,13 +476,32 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc = (
             qs.join(F.broadcast(cents))  # Q × K rows — tiny, bounded
             .withColumn("_pd2", F.expr(_SPARK_D2))
-            .select("qid", F.col("cid").alias(f"code{s}"), F.col("_pd2").alias(f"pd{s}"))
+            .select("qid", F.col("cid").alias("code"), F.col("_pd2").alias("_pd"))
         )
-        codes = a.select("vec_id", F.col("cluster").alias(f"code{s}"))
-        part = codes.join(F.broadcast(adc), f"code{s}").select(
-            "vec_id", "qid", f"pd{s}"
+        codes = a.select("vec_id", F.col("cluster").alias("code"))
+        parts.append(
+            codes.join(F.broadcast(adc), "code").select(
+                "vec_id", "qid", F.lit(s).alias("_sub"), "_pd"
+            )
         )
-        scored = part if scored is None else scored.join(part, ["vec_id", "qid"])
+    # Assemble per-(vector, query) scores with ONE shuffle: union the
+    # tagged subspace frames (narrow — each is a map-side broadcast
+    # join) and pivot the M partial distances out with conditional
+    # sums. Each (vec, qid, sub) appears exactly once, so every
+    # conditional sum folds a single value — exact regardless of
+    # aggregation order — and the M partials are then added in the
+    # same fixed left-to-right subspace order as the oracle. The
+    # previous form joined the four frames pairwise on (vec_id, qid):
+    # three shuffle joins where one grouped aggregate suffices.
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionAll(p)
+    scored = allp.groupBy("vec_id", "qid").agg(
+        *[
+            F.sum(F.when(F.col("_sub") == s, F.col("_pd"))).alias(f"pd{s}")
+            for s in range(PQ_M)
+        ]
+    )
     total = (
         (F.col("pd0") + F.col("pd1")) + F.col("pd2")
     ) + F.col("pd3")
