@@ -111,25 +111,29 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").filter(
         F.col("p_type").isin("SMALL", "MEDIUM")
     ).select("p_partkey", "p_name")
-    ranked = (
+    # Per-part argmin as min_by (ordering struct = the oracle's
+    # (unit_cost, s_suppkey) row_number tie-break, unique per part):
+    # partial aggregation collapses candidates map-side, where the
+    # row_number window shuffled and sorted every (part, supplier) row.
+    payload = F.struct("s_acctbal", "s_name", "n_name", "p_name", "unit_cost")
+    best = (
         cost.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("p_partkey").orderBy("unit_cost", "s_suppkey")
-            ),
+        .groupBy("p_partkey")
+        .agg(
+            F.min_by(
+                payload, F.struct(F.col("unit_cost"), F.col("s_suppkey"))
+            ).alias("_b")
         )
-        .filter(F.col("rn") == 1)
     )
     return (
-        ranked.select(
-            "s_acctbal",
-            "s_name",
-            "n_name",
+        best.select(
+            F.col("_b.s_acctbal").alias("s_acctbal"),
+            F.col("_b.s_name").alias("s_name"),
+            F.col("_b.n_name").alias("n_name"),
             "p_partkey",
-            "p_name",
-            (F.floor(F.col("unit_cost") * 10000 + 0.5) / 10000).alias(
+            F.col("_b.p_name").alias("p_name"),
+            (F.floor(F.col("_b.unit_cost") * 10000 + 0.5) / 10000).alias(
                 "min_unit_cost"
             ),
         )
