@@ -190,6 +190,67 @@ def test_range_clustered_layout_stats_disjoint(spark, tmp_path):
         assert hi1 <= lo2  # disjoint up to the range boundary
 
 
+def test_zorder_clustered_skips_on_every_dimension(spark, tmp_path):
+    """Z-ordering by (user_id, value) yields footer stats that skip
+    files for a predicate on EITHER column — the multi-column property
+    the single-column range layout lacks (its value spans are global in
+    every file). Also: exact roundtrip, and >=4 real output files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from engine.sinks import write_range_clustered, write_zorder_clustered
+
+    ev = load_table(spark, SF_SMOKE, "events").where("value IS NOT NULL")
+    zdir = str(tmp_path / "ev_zorder")
+    rdir = str(tmp_path / "ev_range")
+    write_zorder_clustered(ev, zdir, ["user_id", "value"], n_files=8)
+    write_range_clustered(ev, rdir, ["user_id"], n_files=8)
+    assert spark.read.parquet(zdir).count() == ev.count()
+
+    def file_spans(d, col):
+        spans = []
+        for f in sorted(glob.glob(d + "/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            st = [
+                md.row_group(rg).column(idx[col]).statistics
+                for rg in range(md.num_row_groups)
+            ]
+            spans.append((min(s.min for s in st), max(s.max for s in st)))
+        return spans
+
+    def overlapping(spans, lo, hi):
+        return sum(1 for (mn, mx) in spans if mx >= lo and mn <= hi)
+
+    zu, zv = file_spans(zdir, "user_id"), file_spans(zdir, "value")
+    assert len(zu) >= 4
+    # Query boxes: the TOP quarter of each dimension's global span
+    # (value is right-skewed, so low-value cells appear in every file;
+    # the sparse top of the range is where footer skipping shows).
+    glo_u = (min(s[0] for s in zu), max(s[1] for s in zu))
+    glo_v = (min(s[0] for s in zv), max(s[1] for s in zv))
+    qu = (glo_u[1] - (glo_u[1] - glo_u[0]) / 4, glo_u[1])
+    qv = (glo_v[1] - (glo_v[1] - glo_v[0]) / 4, glo_v[1])
+
+    # The z layout skips files on BOTH single-column boxes at once.
+    assert overlapping(zu, *qu) < len(zu)
+    assert overlapping(zv, *qv) < len(zv)
+    # And on the dimension the range layout did NOT sort by, z-order
+    # skips strictly more: user_id-sorted files each span most of the
+    # value range (skew means a few may still luck into skipping).
+    rv = file_spans(rdir, "value")
+    assert overlapping(zv, *qv) < overlapping(rv, *qv)
+    # And the 2-D box prunes strictly harder than either 1-D check in
+    # the z layout: files must overlap on both dimensions at once.
+    both = sum(
+        1
+        for (su, sv) in zip(zu, zv)
+        if su[1] >= qu[0] and su[0] <= qu[1] and sv[1] >= qv[0] and sv[0] <= qv[1]
+    )
+    assert both <= min(overlapping(zu, *qu), overlapping(zv, *qv))
+
+
 def test_materialize_checkpoint_truncates_lineage(spark, tmp_path):
     from engine.sinks import materialize_checkpoint
 
