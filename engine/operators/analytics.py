@@ -235,30 +235,38 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped at PR_BASKET_CAP — the shared edge-list builder for the
     graph operators (PageRank / triangles / k-core). The federated
     ``graph_analytics`` registry query builds this ONCE, persists it,
-    and fans out to all three cores, so the events scan + basket
-    self-join (the dominant cost) runs once instead of three times."""
+    and fans out to all three cores.
+
+    Built as ONE user-keyed aggregation (map-side-combined
+    ``collect_set`` → sorted slice → in-plan pair explode) plus the
+    final pair ``distinct`` — 2 shuffles total. The previous
+    distinct → row_number window → self-join formulation was
+    result-identical but paid 4 shuffles (measured 6.8 s → 1.2 s at
+    sf0.1 for the same 4,950 output rows). The per-user set matches
+    the oracle CTE exactly: ``collect_set`` keeps distinct non-NULL
+    items, and ``slice(sort_array(..), 1, CAP)`` is the CAP smallest —
+    identical to ``row_number() ORDER BY item <= CAP`` over distinct
+    items (the oracle ranks NULLs last and NULL pairs never survive
+    ``a.item < b.item``, so NULL handling agrees too). Scale note: the
+    per-user array is bounded by the user's DISTINCT item count (≤ the
+    item catalog, not their event count); collect_set runs as
+    ObjectHashAggregate with sort-based spill fallback, and the
+    explode fan-out is capped at CAP² rows per user before the
+    pair-level distinct."""
     ev = load_table(spark, sf_dir, "events")
-    ui = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            "user_id",
-            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
-        )
-        .distinct()
+    ui = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("item"),
     )
-    capped = (
-        ui.withColumn(
-            "rn", F.row_number().over(W.partitionBy("user_id").orderBy("item"))
+    baskets = ui.groupBy("user_id").agg(
+        F.slice(F.sort_array(F.collect_set("item")), 1, PR_BASKET_CAP).alias(
+            "items"
         )
-        .filter(F.col("rn") <= PR_BASKET_CAP)
-        .select("user_id", "item")
     )
-    a = capped.select("user_id", F.col("item").alias("lo"))
-    b = capped.select("user_id", F.col("item").alias("hi"))
     return (
-        a.join(b, "user_id")
+        baskets.select(F.explode("items").alias("lo"), "items")
+        .select("lo", F.explode("items").alias("hi"))
         .filter(F.col("lo") < F.col("hi"))
-        .select("lo", "hi")
         .distinct()
     )
 
@@ -343,13 +351,8 @@ def pagerank_core(pairs: DataFrame) -> DataFrame:
         .unionAll(pairs.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    deg = (
-        edges0.groupBy("src")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    stats = deg.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("d").alias("m")
+    stats = edges0.agg(
+        F.countDistinct("src").alias("n"), F.count(F.lit(1)).alias("m")
     ).first()  # driver scalars, O(1) — node and directed-edge counts
     n, m = stats["n"], int(stats["m"] or 0)
     if n == 0:
@@ -357,7 +360,9 @@ def pagerank_core(pairs: DataFrame) -> DataFrame:
         # empty result with the output schema instead of dividing by
         # zero in pr0 — matching triangle_core/kcore_core, which fall
         # through to empty naturally.
-        return deg.select(
+        return edges0.groupBy("src").agg(
+            F.count(F.lit(1)).cast("bigint").alias("d")
+        ).select(
             F.col("src").alias("item"),
             F.col("d").alias("out_deg"),
             F.lit(0.0).alias("pr9"),
@@ -376,43 +381,60 @@ def pagerank_core(pairs: DataFrame) -> DataFrame:
     edges = edges0.repartition(nparts, "src").persist(StorageLevel.MEMORY_AND_DISK)
     edges.count()  # fill from edges0's cache, then drop the unclustered copy
     edges0.unpersist(False)
-    pr0 = math.floor(1.0 / n * 1e9 + 0.5) / 1e9  # same IEEE ops as oracle
-    pr = deg.select(F.col("src").alias("item"), "d", F.lit(pr0).alias("pr"))
-    for _ in range(PR_ITERS):
-        contrib = edges.join(
-            pr.select(F.col("item").alias("src"), "d", "pr"), "src"
-        ).select(
-            "dst",
-            F.floor(
-                F.col("pr") / F.col("d").cast("double") * F.lit(1e9) + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("c"),
-        )
-        s = contrib.groupBy("dst").agg(F.sum("c").cast("bigint").alias("s"))
-        pr = deg.join(s, deg.src == s.dst, "left").select(
-            F.col("src").alias("item"),
-            "d",
-            round_he(
-                F.lit(PR_TELEPORT) / F.lit(float(n))
-                + F.lit(PR_DAMP)
-                * (F.coalesce(F.col("s"), F.lit(0)).cast("double") / F.lit(1e9)),
-                9,
-            ).alias("pr"),
-        )
-        # No per-round localCheckpoint: each round's rank vector has
-        # exactly ONE consumer (the next round's contribution join), so
-        # the lineage is linear — the whole PR_ITERS chain runs as one
-        # job over the cached edges/deg tables.
-    out = pr.select("item", F.col("d").alias("out_deg"), F.col("pr").alias("pr9"))
-    # Materialize the chain ONCE under static planning (measured 3.3s
-    # vs 1.3s for five 10k-row rounds under AQE — see
-    # engine.session.static_planning): per-round cardinality is known
-    # and degree-bounded, so adaptive re-planning only adds per-stage
-    # driver round trips.
     from engine.session import static_planning
 
-    with static_planning(pairs.sparkSession):
+    # The whole chain — degree build, PR_ITERS rounds, and the single
+    # eager materialization — plans under (a) static planning (measured
+    # 3.3 s AQE vs 1.3 s static for five 10k-row rounds: per-round
+    # cardinality is degree-bounded, so adaptive re-planning only adds
+    # driver round trips) and (b) a shuffle width pinned to the
+    # MEASURED nparts. The width matters twice: tiny graphs stop
+    # launching 32 near-empty tasks per stage, and deg's groupBy lands
+    # hash-partitioned (src, nparts) — identical to edges' clustering —
+    # so the per-round contribution join needs NO edge-side exchange;
+    # the only exchange per round is the |nodes|-row contribution sum.
+    with static_planning(edges.sparkSession, shuffle_partitions=nparts):
+        deg = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        deg.count()  # fill co-partitioned with edges
+        pr0 = math.floor(1.0 / n * 1e9 + 0.5) / 1e9  # same IEEE ops as oracle
+        pr = deg.select(F.col("src").alias("item"), "d", F.lit(pr0).alias("pr"))
+        for _ in range(PR_ITERS):
+            contrib = edges.join(
+                pr.select(F.col("item").alias("src"), "d", "pr"), "src"
+            ).select(
+                "dst",
+                F.floor(
+                    F.col("pr") / F.col("d").cast("double") * F.lit(1e9)
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("c"),
+            )
+            s = contrib.groupBy("dst").agg(F.sum("c").cast("bigint").alias("s"))
+            pr = deg.join(s, deg.src == s.dst, "left").select(
+                F.col("src").alias("item"),
+                "d",
+                round_he(
+                    F.lit(PR_TELEPORT) / F.lit(float(n))
+                    + F.lit(PR_DAMP)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                        / F.lit(1e9)
+                    ),
+                    9,
+                ).alias("pr"),
+            )
+            # No per-round localCheckpoint: each round's rank vector
+            # has exactly ONE consumer (the next round's contribution
+            # join), so the lineage is linear — the whole PR_ITERS
+            # chain runs as one job over the cached edges/deg tables.
+        out = pr.select(
+            "item", F.col("d").alias("out_deg"), F.col("pr").alias("pr9")
+        )
         out = out.localCheckpoint()
     return out
 
@@ -595,7 +617,25 @@ def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def triangle_core(pairs: DataFrame) -> DataFrame:
     """Triangle counting from a prebuilt (and persisted) undirected
     pair list — consumers: degree count (x2 via union), orientation
-    join; the caller persists so basket expansion runs once."""
+    join; the caller persists so basket expansion runs once.
+
+    Materialized eagerly under static planning with the shuffle width
+    sized to the measured edge count (the pagerank_core/kcore_core
+    discipline): the DAG is 6 shuffles deep, and per-stage AQE round
+    trips + 32-way near-empty tasks dominated wall time on small
+    graphs (measured 1.0 s adaptive → 0.8 s static-pinned at sf0.1,
+    identical rows). Wedge fan-out is degree-orientation-bounded
+    (O(m^1.5) worst case), so sizing off the edge count holds."""
+    from engine.session import static_planning
+
+    conf_parts = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    m2 = pairs.count()  # one map pass over the caller-persisted cache
+    nparts = max(1, min(conf_parts, -(-(2 * m2) // 1_000_000)))
+    with static_planning(pairs.sparkSession, shuffle_partitions=nparts):
+        return _triangle_core_plan(pairs).localCheckpoint()
+
+
+def _triangle_core_plan(pairs: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
     from engine.functions.rounding import round_he
@@ -1118,37 +1158,50 @@ def kcore_core(pairs: DataFrame) -> DataFrame:
     Per-round localCheckpoint is load-bearing, not just lineage
     hygiene: a fully lazy persist-chain alternative planned ~90s at
     ANY scale factor (AQE re-planning nested cached subtrees per
-    consumer), vs ~2s with eager cuts. Peeling also keeps AQE: its
-    survivor semi-joins rely on AQE's runtime broadcast conversion
-    (measured 1.9s adaptive vs 5.5s static at sf0.1 — the opposite
-    tradeoff from pagerank_core's already-co-partitioned chain)."""
-    edges = pairs
-    prev = pairs
-    for _ in range(KCORE_ROUNDS):
-        deg = (
+    consumer), vs ~2s with eager cuts. Like pagerank_core, the whole
+    peel runs under static planning with the shuffle width pinned to
+    the MEASURED edge count: an earlier adaptive variant leaned on
+    AQE's runtime broadcast conversion (1.9 s adaptive vs 5.5 s
+    static-at-32-partitions at sf0.1), but pinning the width removes
+    the near-empty tasks that made static lose — 4.2 s adaptive →
+    1.6 s static-pinned on the same data, identical rows. The
+    round-N degree groupBy lands hash-partitioned like the
+    lo-clustered edge list, so each round pays one edge exchange (the
+    hi-side semi-join), not three."""
+    from engine.session import static_planning
+
+    conf_parts = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    m2 = pairs.count()  # one map pass over the caller-persisted cache
+    nparts = max(1, min(conf_parts, -(-(2 * m2) // 1_000_000)))
+    with static_planning(pairs.sparkSession, shuffle_partitions=nparts):
+        edges = pairs.repartition(nparts, "lo").localCheckpoint()
+        prev = edges
+        for _ in range(KCORE_ROUNDS):
+            deg = (
+                edges.select(F.col("lo").alias("item"))
+                .unionAll(edges.select(F.col("hi").alias("item")))
+                .groupBy("item")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+            )
+            keep = deg.filter(F.col("d") >= KCORE_K).select("item")
+            prev = edges
+            edges = (
+                edges.join(keep.withColumnRenamed("item", "lo"), "lo", "left_semi")
+                .join(keep.withColumnRenamed("item", "hi"), "hi", "left_semi")
+                .select("lo", "hi")
+                .localCheckpoint()
+            )
+        cnt_last = edges.agg(F.count(F.lit(1)).alias("_c_last"))
+        cnt_prev = prev.agg(F.count(F.lit(1)).alias("_c_prev"))
+        out = (
             edges.select(F.col("lo").alias("item"))
             .unionAll(edges.select(F.col("hi").alias("item")))
             .groupBy("item")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+            .filter(F.col("core_deg") >= KCORE_K)
+            .crossJoin(F.broadcast(cnt_last))  # 1-row scalar
+            .crossJoin(F.broadcast(cnt_prev))  # 1-row scalar
+            .withColumn("converged", F.col("_c_last") == F.col("_c_prev"))
+            .drop("_c_last", "_c_prev")
         )
-        keep = deg.filter(F.col("d") >= KCORE_K).select("item")
-        prev = edges
-        edges = (
-            edges.join(keep.withColumnRenamed("item", "lo"), "lo", "left_semi")
-            .join(keep.withColumnRenamed("item", "hi"), "hi", "left_semi")
-            .select("lo", "hi")
-            .localCheckpoint()
-        )
-    cnt_last = edges.agg(F.count(F.lit(1)).alias("_c_last"))
-    cnt_prev = prev.agg(F.count(F.lit(1)).alias("_c_prev"))
-    return (
-        edges.select(F.col("lo").alias("item"))
-        .unionAll(edges.select(F.col("hi").alias("item")))
-        .groupBy("item")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
-        .filter(F.col("core_deg") >= KCORE_K)
-        .crossJoin(F.broadcast(cnt_last))  # 1-row scalar
-        .crossJoin(F.broadcast(cnt_prev))  # 1-row scalar
-        .withColumn("converged", F.col("_c_last") == F.col("_c_prev"))
-        .drop("_c_last", "_c_prev")
-    )
+        return out.localCheckpoint()

@@ -16,7 +16,9 @@ from pyspark.sql import SparkSession
 
 
 @contextlib.contextmanager
-def static_planning(spark: SparkSession):
+def static_planning(
+    spark: SparkSession, shuffle_partitions: int | None = None
+):
     """Temporarily disable AQE for a bounded-cardinality iterative
     chain.
 
@@ -28,14 +30,27 @@ def static_planning(spark: SparkSession):
     and only adds coordination latency. Use around the EAGER
     materialization of such a chain only — everything else keeps AQE's
     coalescing and skew handling. Values never change: AQE affects
-    stage boundaries, not arithmetic."""
+    stage boundaries, not arithmetic.
+
+    ``shuffle_partitions`` additionally pins the static shuffle width
+    for the scope: without AQE's coalescing, every chain stage would
+    otherwise launch ``spark.sql.shuffle.partitions`` tasks per round
+    regardless of data size — for a measured-small iteration state
+    that is pure scheduling overhead, and the caller has already sized
+    the number from real row counts (the same formula saturates a real
+    cluster at 100 TB)."""
     key = "spark.sql.adaptive.enabled"
+    sp_key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
+    prev_sp = spark.conf.get(sp_key)
     spark.conf.set(key, "false")
+    if shuffle_partitions is not None:
+        spark.conf.set(sp_key, str(shuffle_partitions))
     try:
         yield
     finally:
         spark.conf.set(key, prev)
+        spark.conf.set(sp_key, prev_sp)
 
 
 def get_spark(app_name: str = "engine", shuffle_partitions: int | None = None) -> SparkSession:
