@@ -115,6 +115,25 @@ def test_ivf_recall_vs_brute_force(spark):
     assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
 
 
+def test_hamming_recall_vs_brute_force(spark):
+    """Sign-bit Hamming candidates + exact rerank must recover most of
+    the exact top-k (corpus-proportional candidate pool from 64-bit
+    signatures). Recall is the operator's quality contract; the result
+    itself is oracle-checked (ann_hamming_topk / ann_topk facet)."""
+    from engine.operators.similarity import ann_cosine_topk, ann_hamming_topk
+
+    sf = SF_SMOKE
+    exact = {
+        (r.query_id, r.neighbor_id) for r in ann_cosine_topk(spark, sf).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_hamming_topk(spark, sf).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"Hamming recall {recall:.2f} below floor"
+
+
 def test_range_join_generic_semantics(spark):
     """Half-open containment, multi-bucket intervals, extra conditions."""
     from engine.operators.rangejoin import range_join

@@ -37,6 +37,7 @@ NESTED_LOOP_OK = {
     "ann_cosine_topk",  # 10 broadcast query vectors × corpus
     "embedding_near_dups_brute",  # documented all-pairs oracle baseline
     "ann_ivf_topk",  # K=16 broadcast centroids × corpus (build pass)
+    "ann_hamming_topk",  # 10 broadcast query signatures × corpus scan
     "q11_important_parts",  # 1-row scalar threshold broadcast
     "q15_top_supplier",  # 1-row scalar max broadcast
     "q17_small_quantity_revenue",  # per-part avg broadcast, equi-ish
