@@ -38,6 +38,7 @@ NESTED_LOOP_OK = {
     "embedding_near_dups_brute",  # documented all-pairs oracle baseline
     "ann_ivf_topk",  # K=16 broadcast centroids × corpus (build pass)
     "ann_hamming_topk",  # 10 broadcast query signatures × corpus scan
+    "hard_negative_topk",  # 10 broadcast queries × corpus, label-!= scan
     "q11_important_parts",  # 1-row scalar threshold broadcast
     "q15_top_supplier",  # 1-row scalar max broadcast
     "q17_small_quantity_revenue",  # per-part avg broadcast, equi-ish
