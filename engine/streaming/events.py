@@ -180,6 +180,101 @@ def streaming_user_value_stats(
     )
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+# transformWithStateInPandas talks to its state server over a protobuf
+# protocol, so the PYTHON side needs the protobuf package at query
+# start (the JVM side ships its own). Gate like the multimodal codecs:
+# the operator below is complete and its plan builds without protobuf;
+# only RUNNING the stream needs it, and the agreement test skips when
+# the package is absent (this container has no protobuf and installs
+# are not allowed).
+try:  # pragma: no cover - environment-dependent
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    HAS_PROTOBUF = True
+except ImportError:  # pragma: no cover
+    HAS_PROTOBUF = False
+
+
+def streaming_user_value_stats_tws(
+    events: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """The same running per-user purchase stats as
+    :func:`streaming_user_value_stats`, built on Spark 4's
+    ``transformWithStateInPandas`` (the arbitrary-state v2 API): a
+    ``StatefulProcessor`` holding one typed ``ValueState`` per user.
+    The v2 API is the forward path for custom stateful operators —
+    multiple named state variables, per-state TTL, timers, and
+    initial-state bootstrap — and requires the RocksDB state store
+    provider (``ROCKSDB_PROVIDER``; the only provider with the column
+    families the API needs) plus the protobuf package on the Python
+    side (``HAS_PROTOBUF`` — see the gate comment above). State size
+    and semantics are identical to the v1 twin, and batch agreement
+    for BOTH is pinned in tests/test_streaming.py (the v2 test skips
+    where protobuf is unavailable)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+
+    class UserStatsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState(
+                "stats", "n bigint, total double, mx double"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            cur = self._stats.get()
+            n, total, mx = cur if cur is not None else (0, 0.0, None)
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                batch_max = float(pdf["value"].max())
+                mx = batch_max if mx is None else max(mx, batch_max)
+            self._stats.update((n, total, mx))
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "n_events": n,
+                        "total_value": total,
+                        "max_value": mx,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserStatsProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def streaming_view_purchase_join(
     events: DataFrame, horizon: str = "1 hour", watermark: str = "1 day"
 ) -> DataFrame:

@@ -88,6 +88,73 @@ def test_stateful_user_stats_match_batch(spark):
     assert got == want
 
 
+def test_tws_stateful_user_stats_match_batch(spark):
+    """transformWithStateInPandas (arbitrary-state v2, RocksDB-backed)
+    running stats must agree with the batch groupBy — and with the v1
+    applyInPandasWithState twin, since the expected values are the
+    same. Plan construction is asserted unconditionally; RUNNING the
+    stream needs the protobuf package (the v2 state protocol), so the
+    execution half gates on HAS_PROTOBUF like the multimodal codecs."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from engine.io import load_table
+    from engine.streaming.events import (
+        HAS_PROTOBUF,
+        ROCKSDB_PROVIDER,
+        streaming_user_value_stats_tws,
+    )
+
+    # The lazy plan must always build (catches API drift even where
+    # protobuf is missing).
+    plan_df = streaming_user_value_stats_tws(read_event_stream(spark, SF_SMOKE))
+    assert [f.name for f in plan_df.schema.fields] == [
+        "user_id",
+        "n_events",
+        "total_value",
+        "max_value",
+    ]
+    if not HAS_PROTOBUF:
+        pytest.skip(
+            "transformWithState python worker needs protobuf"
+            " (not installed in this container; installs not allowed)"
+        )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        stream = read_event_stream(spark, SF_SMOKE)
+        got = {
+            r.user_id: (r.n_events, round(r.total_value, 6), r.max_value)
+            for r in run_available_now(
+                streaming_user_value_stats_tws(stream),
+                "t_stateful_tws",
+                output_mode="update",
+            ).collect()
+        }
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+    want = {
+        r.user_id: (r.n_events, round(r.total_value, 6), r.max_value)
+        for r in (
+            load_table(spark, SF_SMOKE, "events")
+            .filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("total_value"),
+                F.max("value").alias("max_value"),
+            )
+        ).collect()
+    }
+    assert got == want
+
+
 def test_stream_stream_join_matches_batch(spark):
     """Watermarked stream-stream view→purchase join must agree with the
     equivalent batch range join on the bounded input."""

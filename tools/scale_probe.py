@@ -166,6 +166,11 @@ def run(spark: SparkSession) -> dict:
             pass
     spark.catalog.clearCache()
     result: dict[str, dict[str, float]] = {}
+    # Median of 3 per (query, scale): the probe's product is the
+    # RATIO, and on a shared host a single contended run corrupts
+    # numerator or denominator by 5-10x (observed). Same rationale as
+    # bench.py's median-of-5; 3 keeps the two-scale probe tractable.
+    n_runs = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "3"))
     for sf_dir, tag in ((SRC, "sf0.1"), (DST, "sf1")):
         # warm the footers
         load_table(spark, sf_dir, "lineitem").count()
@@ -173,14 +178,19 @@ def run(spark: SparkSession) -> dict:
             # Per-query isolation: one query failing at the derived
             # sf1 scale must record an error, not abort the whole
             # multi-minute probe and discard every timing collected.
-            t0 = time.time()
+            times = []
             try:
-                specs[name].fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                dt = round(time.time() - t0, 3)
+                for _ in range(n_runs):
+                    t0 = time.time()
+                    specs[name].fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    times.append(time.time() - t0)
+                    spark.catalog.clearCache()
+                dt = round(sorted(times)[len(times) // 2], 3)
                 result.setdefault(name, {})[tag] = dt
-                print(f"# {tag} {name}: {dt}s", file=sys.stderr)
+                runs = "/".join(f"{t:.3f}" for t in times)
+                print(f"# {tag} {name}: median {dt}s of {runs}", file=sys.stderr)
             except Exception as exc:  # pragma: no cover - probe resilience
                 result.setdefault(name, {})[f"{tag}_error"] = (
                     f"{type(exc).__name__}: {exc}"[:200]
@@ -200,11 +210,17 @@ def run(spark: SparkSession) -> dict:
     km_k0 = clustering.KM_K
     try:
         clustering.KM_K = km_k0 * N_COPIES
-        t0 = time.time()
-        specs["semantic_dedup"].fn(spark, DST).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        result["semantic_dedup"]["sf1_k_scaled"] = round(time.time() - t0, 3)
+        ktimes = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            specs["semantic_dedup"].fn(spark, DST).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            ktimes.append(time.time() - t0)
+            spark.catalog.clearCache()
+        result["semantic_dedup"]["sf1_k_scaled"] = round(
+            sorted(ktimes)[len(ktimes) // 2], 3
+        )
         result["semantic_dedup"]["ratio_k_scaled"] = round(
             result["semantic_dedup"]["sf1_k_scaled"]
             / max(result["semantic_dedup"]["sf0.1"], 1e-9),
