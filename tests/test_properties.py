@@ -285,3 +285,36 @@ def test_topk_per_group_matches_window_property(spark, rows, k):
         for r in topk_per_group(df.repartition(5), ["g"], order, k).collect()
     }
     assert got == expected
+
+
+def test_results_invariant_to_shuffle_width(spark):
+    """Shuffle width is a cluster-sizing knob, never a semantics knob:
+    re-running representative queries with spark.sql.shuffle.partitions
+    at 5 vs 32 must produce identical rows. This holds because value
+    aggregates ride integer grids / exact types (qsum) and every
+    sampler is a salted-hash predicate — the partition-count cousin of
+    the retry-determinism proof (tests/test_retry_determinism.py)."""
+    from engine.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    specs = all_queries()
+    names = [
+        "q1_pricing_summary",
+        "wordcount_tokens",
+        "hypertable_rollup",
+        "skew_salted_events",
+    ]
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    results: dict[str, list] = {}
+    try:
+        for width in ("5", "32"):
+            spark.conf.set(key, width)
+            for n in names:
+                rows = sorted(map(tuple, specs[n].fn(spark, SF_SMOKE).collect()))
+                results.setdefault(n, []).append(rows)
+            spark.catalog.clearCache()
+    finally:
+        spark.conf.set(key, prev)
+    for n, (narrow, wide) in results.items():
+        assert narrow == wide, f"{n}: results differ across shuffle widths"
