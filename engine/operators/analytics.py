@@ -436,6 +436,11 @@ def pagerank_core(pairs: DataFrame) -> DataFrame:
             "item", F.col("d").alias("out_deg"), F.col("pr").alias("pr9")
         )
         out = out.localCheckpoint()
+    # The checkpoint is the only live result: drop the iteration
+    # caches so long-lived sessions (the 145-query oracle gate) don't
+    # accumulate dead edge-list-sized blocks per invocation.
+    edges.unpersist(False)
+    deg.unpersist(False)
     return out
 
 
@@ -611,7 +616,9 @@ def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     pairs = copurchase_pairs(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    return triangle_core(pairs)
+    out = triangle_core(pairs)  # eager: checkpointed before returning
+    pairs.unpersist(False)
+    return out
 
 
 def triangle_core(pairs: DataFrame) -> DataFrame:
@@ -632,10 +639,17 @@ def triangle_core(pairs: DataFrame) -> DataFrame:
     m2 = pairs.count()  # one map pass over the caller-persisted cache
     nparts = max(1, min(conf_parts, -(-(2 * m2) // 1_000_000)))
     with static_planning(pairs.sparkSession, shuffle_partitions=nparts):
-        return _triangle_core_plan(pairs).localCheckpoint()
+        plan, caches = _triangle_core_plan(pairs)
+        out = plan.localCheckpoint()
+    # The checkpoint is the only live result: drop the internal
+    # deg/orientation caches so repeated invocations in a long-lived
+    # session don't accumulate dead blocks.
+    for c in caches:
+        c.unpersist(False)
+    return out
 
 
-def _triangle_core_plan(pairs: DataFrame) -> DataFrame:
+def _triangle_core_plan(pairs: DataFrame):
     from pyspark import StorageLevel
 
     from engine.functions.rounding import round_he
@@ -685,7 +699,7 @@ def _triangle_core_plan(pairs: DataFrame) -> DataFrame:
             6,
         ),
     ).otherwise(F.lit(0.0))
-    return (
+    plan = (
         deg.join(pern, deg.item == pern.item, "left")
         .select(
             deg.item,
@@ -695,6 +709,7 @@ def _triangle_core_plan(pairs: DataFrame) -> DataFrame:
         .withColumn("clustering6", coeff)
         .select("item", "degree", "n_triangles", "clustering6")
     )
+    return plan, [deg, o]
 
 
 # -- SCD Type-2 dimension build --------------------------------------------

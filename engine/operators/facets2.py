@@ -121,6 +121,9 @@ def graph_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd().alias("x"),
         F.col("converged").alias("flag"),
     )
+    # All three cores materialized eagerly above (localCheckpoint), so
+    # the shared pair cache has no remaining consumers — drop it.
+    pairs.unpersist(False)
     return pr.unionAll(tc).unionAll(kc)
 
 

@@ -271,6 +271,8 @@ LIMIT 20
     exported=False,  # driver-visible via facets2.q10_q22_customer_value
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer
+    over one half-year, top 20 by revenue."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -314,6 +316,8 @@ GROUP BY l_linestatus
     exported=False,
 )
 def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late-vs-committed shipping line counts per
+    ship mode, split by order priority class."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
@@ -348,6 +352,8 @@ WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
     exported=False,
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-part revenue share of total revenue in
+    one quarter (single-row percentage)."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-09-01 00:00:00").cast("timestamp"))
@@ -387,6 +393,8 @@ LIMIT 100
     exported=False,  # driver-visible via facets2.q13_q18_order_size
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with orders whose total quantity
+    exceeds the large-order threshold (HAVING over a join)."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -450,6 +458,8 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     exported=False,
 )
 def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (status, priority): order counts and totals at
+    every prefix grain including the grand total."""
     orders = _t(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -469,6 +479,8 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
     exported=False,
 )
 def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): line counts and quantity
+    sums at all four grouping grains."""
     li = _t(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_lines"),
@@ -553,6 +565,8 @@ WHERE p_size >= 10 AND p_size <= 40
     exported=False,
 )
 def scalar_part_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/arithmetic function battery over part (upper,
+    substring, length, modulo, rounding) for expression parity."""
     part = _t(spark, sf_dir, "part")
     return part.filter((F.col("p_size") >= 10) & (F.col("p_size") <= 40)).select(
         "p_partkey",
@@ -584,6 +598,8 @@ WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
     exported=False,
 )
 def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date/time function battery over orders (trunc, extract,
+    datediff, add_months) for expression parity."""
     orders = _t(spark, sf_dir, "orders")
     return orders.filter(
         F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
@@ -645,6 +661,8 @@ GROUP BY 1, 2
     exported=False,
 )
 def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(day, event_type) event counts and grid-summed values —
+    the single-grain precursor of hypertable_rollup."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
