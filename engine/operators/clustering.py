@@ -37,7 +37,15 @@ from engine.functions.rounding import duck_round_he, round_he
 from engine.registry import query
 from engine.operators.similarity import _DUCK_EMB, _SPARK_DOT, _spark_emb
 
-KM_K = 8  # clusters (fixture-sized; grows with corpus at scale)
+# Cluster count. The fixture default is 8; the documented scale
+# contract is "K grows with the corpus so clusters stay bounded"
+# (SCALE_PROBE.md measures the difference: 27.8 s vs 8.5 s at 10x
+# data). SPARK_GRAFT_KM_K makes that contract operational — it is
+# read ONCE at import, before the oracle SQL strings are formatted,
+# so the Spark plan and its DuckDB oracle always agree on K.
+import os as _os
+
+KM_K = int(_os.environ.get("SPARK_GRAFT_KM_K", "8"))
 KM_UPDATES = 2  # Lloyd centroid updates (assign → update, twice)
 KM_Q = 1000000.0  # 1e-6 integer grid for centroid-mean aggregation
 SEM_COS = 0.4  # within-cluster cosine threshold for semantic dups
