@@ -205,7 +205,20 @@ def _lloyd(e: DataFrame, k: int, updates: int) -> DataFrame:
 
 
 def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Final Lloyd assignment: (vec_id, emb, nrm, cluster, d2)."""
+    """Final Lloyd assignment: (vec_id, emb, nrm, cluster, d2).
+
+    Deliberately LAZY — the opposite call from the graph cores'
+    eager static-pinned materialization, and a measured one: Lloyd's
+    per-stage data is the CORPUS (every round re-scores n vectors),
+    not a tiny iteration state, so consumers lean on AQE's runtime
+    stats (broadcast conversion of the downstream cluster self-join,
+    coalescing) and on inheriting a well-partitioned cache. An eager
+    localCheckpoint variant (static planning, measured-width pin) made
+    the chain itself faster (2.7 s → 1.5 s at sf0.1) but starved every
+    downstream consumer of map-side parallelism — semantic_dedup
+    regressed 2.8 s → 4.7 s in a same-session A/B, with repartitioned-
+    checkpoint variants no better. Consumers that fan out persist the
+    result themselves (semantic_dedup's three-consumer persist)."""
     e = _spark_emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     return _lloyd(e, KM_K, KM_UPDATES)
 
