@@ -148,3 +148,30 @@ def test_pq_adc_topk_recall_floor(spark):
         (adc.query_id == brute.qid) & (adc.neighbor_id == brute.vec_id),
     ).count()
     assert hits / (N_QUERIES * TOPK) >= 0.1  # observed 0.22 at sf0.001
+
+
+def test_km_k_env_knob_reaches_impl_and_oracle():
+    """SPARK_GRAFT_KM_K must flow into BOTH the Spark constant and the
+    DuckDB oracle SQL (formatted at import) — if either side missed
+    the knob, a non-default K would silently hash-mismatch at the
+    driver gate. Runs in a subprocess because the knob is read once at
+    module import."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from engine.operators import clustering\n"
+        "from engine.registry import all_queries_including_library\n"
+        "assert clustering.KM_K == 16, clustering.KM_K\n"
+        "sql = all_queries_including_library()['embedding_kmeans'].oracle\n"
+        "assert 'vec_id < 16' in sql, sql[:200]\n"
+        "print('ok')\n" % repo
+    )
+    env = dict(os.environ, SPARK_GRAFT_KM_K="16")
+    out = subprocess.run(
+        [sys.executable, "-c", script], env=env, capture_output=True, text=True
+    )
+    assert out.returncode == 0 and "ok" in out.stdout, out.stderr[-2000:]
