@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from engine.functions.rounding import duck_round_he, round_he
 from engine.io import load_table
 from engine.registry import query
-from engine.operators.textstats import DUCK_H60, SPARK_H60
+from engine.operators.textstats import DUCK_H60, SPARK_H60, ngram_idx
 
 JACCARD_THRESHOLD = 0.2
 MINHASH_K = 16  # 8 bands × 2 rows
@@ -71,7 +71,7 @@ def _spark_shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(t) - 2, 0)),"
+                f"transform({ngram_idx(3)},"
                 " i -> concat_ws(' ', element_at(t, i),"
                 " element_at(t, i + 1), element_at(t, i + 2)))"
             )
@@ -107,7 +107,7 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       round(both_cnt * 1.0 / (na.n + nb.n - both_cnt), 6) AS jaccard
+       {duck_round_he("both_cnt * 1.0 / (na.n + nb.n - both_cnt)", 6)} AS jaccard
 FROM inter
 JOIN sizes na ON doc_a = na.doc_id
 JOIN sizes nb ON doc_b = nb.doc_id
@@ -136,17 +136,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cost. MEMORY_AND_DISK so the (hash, doc_id) table — far smaller
     # than the raw text — spills rather than OOMs at corpus scale.
     sh = (
-        docs.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, greatest(size(t) - 2, 0)),"
-                    " i -> concat_ws(' ', element_at(t, i),"
-                    " element_at(t, i + 1), element_at(t, i + 2)))"
-                )
-            ).alias("shingle"),
-        )
+        _spark_shingles(docs, distinct=False)
         .select("doc_id", F.xxhash64("shingle").alias("sh_h"))
         .repartition("sh_h")
         .distinct()
@@ -174,7 +164,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
         .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
         .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        # round_he, not engine-native round: Spark's BigDecimal HALF_UP
+        # and DuckDB's scaled-double round disagree on decimal half-
+        # boundaries (e.g. 1/640 = 0.0015625 at 6 digits) — the exact
+        # divergence class engine/functions/rounding.py exists to kill.
+        .select("doc_a", "doc_b", round_he(jac, 6).alias("jaccard"))
     )
 
 
@@ -525,7 +519,7 @@ FROM documents
 GROUP BY sha256(text)
 UNION ALL
 SELECT 'component', CAST(doc_id AS VARCHAR), canonical_id, CAST(NULL AS BIGINT)
-FROM ({_COMPONENTS_ORACLE.replace('WITH RECURSIVE', 'WITH RECURSIVE ').strip()}) cc
+FROM ({_COMPONENTS_ORACLE.strip()}) cc
 """,
     tags=("dedup", "exact", "connected-components"),
 )

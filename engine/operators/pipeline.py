@@ -30,7 +30,7 @@ from engine.functions.hashing import DUCK_H60, SPARK_H60
 from engine.functions.rounding import duck_round_he, round_he
 from engine.io import load_table
 from engine.registry import query
-from engine.operators.textstats import _QQ_QUALITY_DUCK
+from engine.operators.textstats import _QQ_QUALITY_DUCK, ngram_idx
 
 TEST_PCT = 5  # h60 buckets 0-4 of 100 → test
 VAL_PCT = 5  # buckets 5-9 → val
@@ -223,7 +223,7 @@ def pipeline_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = toks.select(
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(t) - 1, 1)),"
+                f"transform({ngram_idx(2)},"
                 " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
             )
         ).alias("bigram")
@@ -804,7 +804,7 @@ def pipeline_lm_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, greatest(size(t) - 1, 1)),"
+                    f"transform({ngram_idx(2)},"
                     " i -> struct(element_at(t, i) AS w1,"
                     " element_at(t, i + 1) AS w2))"
                 )

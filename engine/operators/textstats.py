@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from engine.functions.rounding import duck_round_he, round_he
 from engine.io import load_table
 from engine.registry import query
 
@@ -45,17 +46,17 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_chars.cast("bigint").alias("n_chars_calc"),
         F.when(n_chars == F.col("n_chars"), 1).otherwise(0).cast("int").alias("n_chars_ok"),
         n_tokens.alias("n_tokens"),
-        F.round(
+        round_he(
             F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) * 1.0
             / F.nullif(n_tokens, F.lit(0)),
             4,
         ).alias("avg_token_len"),
-        F.round(
+        round_he(
             F.length(F.regexp_replace("text", "[^0-9]", "")) * 1.0
             / F.nullif(n_chars, F.lit(0)),
             6,
         ).alias("digit_ratio"),
-        F.round(
+        round_he(
             F.length(F.regexp_replace("text", "[^A-Z]", "")) * 1.0
             / F.nullif(n_chars, F.lit(0)),
             6,
@@ -112,13 +113,6 @@ def langid_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QUALITY_SPARK = (
-    "round(1.0 / (1.0 + exp(-("
-    "0.3 * ln(1 + {n_tokens}) + 2.0 * {stop_ratio} - 5.0 * {digit_ratio}"
-    "))), 6)"
-)
-
-
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Logistic quality score from (length, stopword ratio, digit
     ratio) — the standard pretraining-corpus heuristic family."""
@@ -130,7 +124,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit_ratio = F.length(F.regexp_replace("text", "[^0-9]", "")) * 1.0 / F.nullif(
         F.length("text"), F.lit(0)
     )
-    quality = F.round(
+    quality = round_he(
         1.0
         / (1.0 + F.exp(-(0.3 * F.log(1 + n_tokens) + 2.0 * stop_ratio - 5.0 * digit_ratio))),
         6,
@@ -159,6 +153,28 @@ def token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared Spark/DuckDB deterministic 60-bit hash (canonical home:
 # engine.functions.hashing; re-exported here for operator modules).
 from engine.functions.hashing import DUCK_H60, SPARK_H60  # noqa: E402
+
+
+def ngram_idx(n: int) -> str:
+    """Ascending Spark-SQL index array ``1 .. size(t)-(n-1)``, EMPTY
+    when the tokenized column ``t`` has fewer than ``n`` tokens.
+
+    The naive ``sequence(1, greatest(size(t) - k, 0))`` is a trap:
+    Spark's ``sequence`` REVERSES direction when start > stop, so a 1-
+    or 2-token document yields the DESCENDING ``[1, 0]`` and the
+    n-gram lambda evaluates ``element_at(t, 0)`` — an unconditional
+    runtime error (and out-of-range indices error under ANSI mode,
+    this session's default). The slice form is always ascending and
+    empty for short documents, matching the DuckDB oracles' end-
+    exclusive ``range(...)`` which is empty-for-short by construction.
+    Used by every ``element_at``-indexed n-gram transform (shingles,
+    bigrams); ``slice(t, i, n)``-based grams degrade gracefully and
+    keep their own floor-at-1 form to match their oracles."""
+    k = n - 1
+    return (
+        f"slice(sequence(1, greatest(size(t) - {k}, 1)),"
+        f" 1, greatest(size(t) - {k}, 0))"
+    )
 
 
 @query(
@@ -196,7 +212,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(
             F.expr(
-                "transform(sequence(1, greatest(size(t) - 2, 0)),"
+                f"transform({ngram_idx(3)},"
                 " i -> concat_ws(' ', element_at(t, i),"
                 " element_at(t, i + 1), element_at(t, i + 2)))"
             )
@@ -212,38 +228,20 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
 
 
-_TFIDF_ORACLE = """
-WITH toks3 AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
-  FROM documents
-),
-tf AS (
-  SELECT doc_id, token, count(*) AS cnt FROM toks3
-  WHERE token <> '' GROUP BY 1, 2
-),
-doclen AS (SELECT doc_id, sum(cnt) AS dl FROM tf GROUP BY 1),
-df AS (SELECT token, count(*) AS ndocs FROM tf GROUP BY 1),
-n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf)
-SELECT doc_id, token,
-       round((cnt * 1.0 / dl) * ln(n_docs * 1.0 / ndocs), 6) AS tfidf,
-       CAST(rnk AS BIGINT) AS rnk
-FROM (
-  SELECT tf.doc_id, tf.token, tf.cnt, doclen.dl, df.ndocs, n.n_docs,
-         row_number() OVER (
-           PARTITION BY tf.doc_id
-           ORDER BY (cnt * 1.0 / dl) * ln(n_docs * 1.0 / ndocs) DESC, tf.token
-         ) AS rnk
-  FROM tf JOIN doclen USING (doc_id) JOIN df USING (token) CROSS JOIN n
-) t WHERE rnk <= 3
-"""
-
-
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (tf = term fraction of doc,
     idf = ln(N/df)). One shuffle builds the (doc, token) counts; doc
     length comes from a window over the same partitioning; the
     document-frequency table is one small aggregate broadcast back —
-    the raw token stream is never re-shuffled."""
+    the raw token stream is never re-shuffled.
+
+    Ranks by the 6-digit ``round_he``-quantized score (token tiebreak),
+    not the raw double: the score contains ln(), whose last ulp is not
+    guaranteed identical between the JVM and DuckDB's libm, and a raw
+    ORDER BY would let that ulp flip which token holds rank 3 vs 4.
+    Quantizing before ranking confines any residual risk to the
+    astronomically-thin rounding boundary (the collocations_lift
+    precedent)."""
     from pyspark.sql import Window as W
 
     from pyspark import StorageLevel
@@ -272,36 +270,55 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tf.join(F.broadcast(df), "token")
         .join(F.broadcast(n_docs))
-        .withColumn("_s", score)
+        .withColumn("_s", round_he(score, 6))
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
-        .select("doc_id", "token", F.round("_s", 6).alias("tfidf"), "rnk")
+        .select("doc_id", "token", F.col("_s").alias("tfidf"), "rnk")
     )
 
 
 # -- consolidated registry queries -----------------------------------------
 
 
+# Rounded fragments precomputed as plain strings (f-string expression
+# parts cannot contain the \S backslash escapes these SQL bodies need).
+_TQP_AVG_TOKLEN = duck_round_he(
+    "length(replace(text, ' ', '')) * 1.0"
+    " / nullif(len(regexp_extract_all(text, '\\S+')), 0)",
+    4,
+)
+_TQP_DIGIT = duck_round_he(
+    "length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0"
+    " / nullif(length(text), 0)",
+    6,
+)
+_TQP_UPPER = duck_round_he(
+    "length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0"
+    " / nullif(length(text), 0)",
+    6,
+)
+_TQP_QUALITY = duck_round_he(
+    "1.0 / (1.0 + exp(-("
+    "0.3 * ln(1 + len(regexp_extract_all(text, '\\S+')))"
+    " + 2.0 * (" + _lang_scores_sql("duck")["en"] + " * 1.0"
+    " / nullif(len(regexp_extract_all(text, '\\S+')), 0))"
+    " - 5.0 * (length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0"
+    " / nullif(length(text), 0)))))",
+    6,
+)
+
 _TQP_ORACLE = f"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars_calc,
        CAST(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END AS INT) AS n_chars_ok,
        CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
-       round(length(replace(text, ' ', '')) * 1.0
-             / nullif(len(regexp_extract_all(text, '\\S+')), 0), 4) AS avg_token_len,
-       round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
-             / nullif(length(text), 0), 6) AS digit_ratio,
-       round(length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0
-             / nullif(length(text), 0), 6) AS upper_ratio,
+       {_TQP_AVG_TOKLEN} AS avg_token_len,
+       {_TQP_DIGIT} AS digit_ratio,
+       {_TQP_UPPER} AS upper_ratio,
        lang AS lang_declared,
        {_langid_case(_lang_scores_sql('duck'))} AS lang_predicted,
        CAST({_lang_scores_sql('duck')['en']} AS BIGINT) AS en_stopword_hits,
-       round(1.0 / (1.0 + exp(-(
-           0.3 * ln(1 + len(regexp_extract_all(text, '\\S+')))
-           + 2.0 * ({_lang_scores_sql('duck')['en']} * 1.0
-                    / nullif(len(regexp_extract_all(text, '\\S+')), 0))
-           - 5.0 * (length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
-                    / nullif(length(text), 0))))), 6) AS quality,
+       {_TQP_QUALITY} AS quality,
        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT)
          AS n_bpeish_tokens
 FROM documents
@@ -333,7 +350,11 @@ def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit_ratio = F.length(F.regexp_replace("text", "[^0-9]", "")) * 1.0 / F.nullif(
         n_chars, F.lit(0)
     )
-    quality = F.round(
+    # round_he on every rounded ratio (not engine-native round): the
+    # half-boundary divergence class rounding.py documents — Spark's
+    # BigDecimal HALF_UP vs DuckDB's scaled-double round can differ by
+    # one last-digit ulp on exact decimal halves.
+    quality = round_he(
         1.0
         / (1.0 + F.exp(-(0.3 * F.log(1 + n_tokens) + 2.0 * stop_ratio - 5.0 * digit_ratio))),
         6,
@@ -343,13 +364,13 @@ def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_chars.cast("bigint").alias("n_chars_calc"),
         F.when(n_chars == F.col("n_chars"), 1).otherwise(0).cast("int").alias("n_chars_ok"),
         n_tokens.cast("bigint").alias("n_tokens"),
-        F.round(
+        round_he(
             F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) * 1.0
             / F.nullif(n_tokens.cast("bigint"), F.lit(0)),
             4,
         ).alias("avg_token_len"),
-        F.round(digit_ratio, 6).alias("digit_ratio"),
-        F.round(
+        round_he(digit_ratio, 6).alias("digit_ratio"),
+        round_he(
             F.length(F.regexp_replace("text", "[^A-Z]", "")) * 1.0
             / F.nullif(n_chars, F.lit(0)),
             6,
@@ -381,13 +402,14 @@ doclen AS (SELECT doc_id, sum(cnt) AS dl FROM tf GROUP BY 1),
 df AS (SELECT token, count(*) AS ndocs FROM tf GROUP BY 1),
 n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf)
 SELECT 'tfidf' AS facet, doc_id, token,
-       round((cnt * 1.0 / dl) * ln(n_docs * 1.0 / ndocs), 6) AS x,
+       {duck_round_he("(cnt * 1.0 / dl) * ln(n_docs * 1.0 / ndocs)", 6)} AS x,
        CAST(rnk AS BIGINT) AS rnk
 FROM (
   SELECT tf.doc_id, tf.token, tf.cnt, doclen.dl, df.ndocs, n.n_docs,
          row_number() OVER (
            PARTITION BY tf.doc_id
-           ORDER BY (cnt * 1.0 / dl) * ln(n_docs * 1.0 / ndocs) DESC, tf.token
+           ORDER BY {duck_round_he("(cnt * 1.0 / dl) * ln(n_docs * 1.0 / ndocs)", 6)}
+             DESC, tf.token
          ) AS rnk
   FROM tf JOIN doclen USING (doc_id) JOIN df USING (token) CROSS JOIN n
 ) t WHERE rnk <= 3
@@ -492,7 +514,6 @@ REP_THR_DISTINCT = 0.55
 REP_THR_TOP_BIGRAM = 0.08
 REP_THR_DUP_TRIGRAM = 0.05
 
-from engine.functions.rounding import duck_round_he, round_he  # noqa: E402
 
 
 @query(
@@ -564,7 +585,14 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_bg_frac = F.col("top_bg").cast("double") / F.col("n_bg")
     dup_tg_frac = F.lit(1.0) - F.col("nd_tg").cast("double") / F.col("n_tg")
     return (
-        tok.join(bgs, "doc_id")
+        # Inner-join bgs AND require >=1 trigram: the oracle's
+        # ts JOIN tgs JOIN bgs drops docs with no trigrams (its tg CTE
+        # emits no row for them), while the Spark single-aggregate tok
+        # carries n_tg=0 for such docs — without the filter a 2-token
+        # doc would surface here with a NaN dup_trigram_frac and
+        # diverge from the oracle's row set.
+        tok.filter(F.col("n_tg") > 0)
+        .join(bgs, "doc_id")
         .select(
             "doc_id",
             F.col("n_tokens").cast("bigint").alias("n_tokens"),
@@ -586,12 +614,15 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QQ_THRESHOLD = 0.75  # keep the top quartile per source
 
-_QQ_QUALITY_DUCK = f"""round(1.0 / (1.0 + exp(-(
+_QQ_QUALITY_DUCK = duck_round_he(
+    f"""1.0 / (1.0 + exp(-(
     0.3 * ln(1 + len(regexp_extract_all(text, '\\S+')))
     + 2.0 * ({_lang_scores_sql('duck')['en']} * 1.0
              / nullif(len(regexp_extract_all(text, '\\S+')), 0))
     - 5.0 * (length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
-             / nullif(length(text), 0))))), 6)"""
+             / nullif(length(text), 0)))))""",
+    6,
+)
 
 
 @query(
@@ -671,7 +702,7 @@ def spark_quality_expr() -> "F.Column":
     digit_ratio = F.length(F.regexp_replace("text", "[^0-9]", "")) * 1.0 / F.nullif(
         F.length("text"), F.lit(0)
     )
-    return F.round(
+    return round_he(
         1.0
         / (
             1.0
