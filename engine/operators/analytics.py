@@ -359,7 +359,9 @@ def pagerank_core(pairs: DataFrame) -> DataFrame:
         # Empty graph (no purchase events / no items): return the
         # empty result with the output schema instead of dividing by
         # zero in pr0 — matching triangle_core/kcore_core, which fall
-        # through to empty naturally.
+        # through to empty naturally. Unpersist first (recomputing an
+        # empty plan is free; a pinned dead cache entry is not).
+        edges0.unpersist(False)
         return edges0.groupBy("src").agg(
             F.count(F.lit(1)).cast("bigint").alias("d")
         ).select(

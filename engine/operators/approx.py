@@ -188,9 +188,7 @@ def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("g.i").alias("i"), F.col("g.b").alias("b"))
         .agg(F.sum("c").alias("bucket_cnt"))
     )
-    n_total = tc.agg(F.sum("exact_cnt").alias("n")).select(
-        "n", F.lit(1).alias("k")
-    )
+    n_total = tc.agg(F.sum("exact_cnt").alias("n"))
     top = (
         tc.orderBy(F.col("exact_cnt").desc(), "token")
         .limit(CM_TOPK)
@@ -206,7 +204,7 @@ def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eps = 2.718281828 / CM_WIDTH
     return (
-        est.join(F.broadcast(n_total.select("n")))
+        est.join(F.broadcast(n_total))
         .select(
             "token",
             F.col("exact_cnt").cast("bigint").alias("exact_cnt"),

@@ -26,6 +26,7 @@ def asof_join(
     right_ts: str,
     right_value_cols: list[str],
     strict: bool = True,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Generic as-of join via union + window.
 
@@ -33,13 +34,25 @@ def asof_join(
     column, the value from the latest right row with
     ``right_ts < left_ts`` (or ``<=`` when strict=False), per ``key``.
 
+    Determinism contract: right rows with a NULL timestamp are dropped
+    (a row with no time can never be "the most recent prior" — without
+    the filter they sort NULLS FIRST into every frame and fabricate
+    matches), and right rows SHARING a timestamp are ordered by
+    ``tiebreak_cols`` (default: the value columns, ascending), so the
+    carried value is reproducible across task orders and retries
+    instead of whichever duplicate a partition happened to emit last.
+
     Scale: one shuffle on ``key``; window state is O(1) per row
     (last_value carry-forward), so it survives arbitrarily long
     histories — unlike a range join, which explodes on wide gaps.
     """
     lcols = left.columns
     l = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
-    r = right.withColumn("_side", F.lit(0)).withColumn("_ts", F.col(right_ts))
+    r = (
+        right.filter(F.col(right_ts).isNotNull())
+        .withColumn("_side", F.lit(0))
+        .withColumn("_ts", F.col(right_ts))
+    )
     for c in lcols:
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None))
@@ -48,9 +61,14 @@ def asof_join(
             l = l.withColumn(c, F.lit(None))
     cols = lcols + ["_side", "_ts"] + [c for c in right_value_cols if c not in lcols]
     u = l.select(*cols).unionByName(r.select(*cols))
-    # Order: time, then right-before-left on ties iff strict (so a
-    # strictly-prior-only join never sees a same-timestamp right row).
-    order = [F.col("_ts"), F.col("_side")] if not strict else [F.col("_ts"), (1 - F.col("_side"))]
+    # Order: time, then LEFT-before-right on ties iff strict (so a
+    # strictly-prior-only join never sees a same-timestamp right row
+    # in its UNBOUNDED..-1 frame), then the deterministic right-row
+    # tiebreak (left rows carry NULLs there, which cannot reorder
+    # them relative to right rows because _side sorts first).
+    side = F.col("_side") if not strict else (1 - F.col("_side"))
+    ties = [F.col(c) for c in (tiebreak_cols or sorted(right_value_cols))]
+    order = [F.col("_ts"), side, *ties]
     w = (
         W.partitionBy(key)
         .orderBy(*order)

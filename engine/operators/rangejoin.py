@@ -57,23 +57,44 @@ def range_join(
     interval length: too small multiplies interval replication
     (Σ width/bucket), too large multiplies false candidates per cell.
     Both inputs shuffle once on the cell key; no cartesian, no nested
-    loop.
+    loop. Inner-only: the containment filter runs AFTER the cell join,
+    where it would silently drop an outer join's null-extended rows —
+    for LEFT semantics aggregate the inner result and re-join
+    (range_join_order_day_events shows the pattern).
     """
+    if how != "inner":
+        raise ValueError(
+            "range_join supports how='inner' only — the post-join"
+            " containment filter drops null-extended rows, silently"
+            " degrading any outer join to inner; build LEFT semantics"
+            " by re-joining the aggregated inner result instead"
+        )
+    # Epoch seconds as DOUBLE (cast keeps sub-second precision):
+    # unix_timestamp() truncates to whole seconds, which dropped the
+    # final grid cell of any interval whose end carries a fractional
+    # second (events.ts is nanosecond-precision per engine/io.py) —
+    # a point in that last cell silently missed its match.
+    p_sec = F.col(point_col).cast("double")
+    s_sec = F.col(start_col).cast("double")
+    e_sec = F.col(end_col).cast("double")
     p_b = points.withColumn(
-        "__cell", F.floor(F.unix_timestamp(F.col(point_col)) / bucket_seconds)
+        "__cell", F.floor(p_sec / F.lit(float(bucket_seconds))).cast("bigint")
     )
-    i_b = intervals.withColumn(
+    first_cell = F.floor(s_sec / F.lit(float(bucket_seconds))).cast("bigint")
+    # end is exclusive: an interval ending exactly on a cell boundary
+    # does not reach into that cell, so last cell = ceil(end/bucket)-1
+    # (correct for fractional ends too, unlike floor((end_s - 1)/b)).
+    last_cell = (F.ceil(e_sec / F.lit(float(bucket_seconds))) - F.lit(1)).cast(
+        "bigint"
+    )
+    i_b = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
+        # The end>start guard keeps the sequence ascending: an empty or
+        # corrupt interval (end <= start) must yield ZERO cells, not
+        # the descending runaway Spark's sequence produces when
+        # stop < start. For valid half-open intervals last >= first
+        # always holds.
         "__cell",
-        F.explode(
-            F.sequence(
-                F.floor(F.unix_timestamp(F.col(start_col)) / bucket_seconds),
-                # end is exclusive: an interval ending exactly on a cell
-                # boundary does not reach into that cell.
-                F.floor(
-                    (F.unix_timestamp(F.col(end_col)) - F.lit(1)) / bucket_seconds
-                ),
-            )
-        ),
+        F.explode(F.sequence(first_cell, last_cell)),
     )
     cond = (F.col(point_col) >= F.col(start_col)) & (
         F.col(point_col) < F.col(end_col)

@@ -448,9 +448,9 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "rollup_order_status",
-    oracle="""
+    oracle=f"""
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price
+       {duck_qsum_rounded("o_totalprice", 2)} AS total_price
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
@@ -459,11 +459,14 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 )
 def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (status, priority): order counts and totals at
-    every prefix grain including the grand total."""
+    every prefix grain including the grand total. Totals ride the
+    qsum integer grid: the grand-total row sums the whole table's
+    doubles, where partial-aggregation order differs across tasks and
+    engines (the hypertable_rollup flake class)."""
     orders = _t(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        qsum_rounded("o_totalprice", 2).alias("total_price"),
     )
 
 

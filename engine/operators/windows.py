@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from engine.functions.rounding import duck_qsum_rounded, qsum_rounded
 from engine.io import load_table
 from engine.registry import query
 
@@ -30,7 +31,10 @@ def w_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_nationkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+        # qsum grid, not round(sum(double)): partial-aggregation order
+        # differs across tasks and engines, and the ranking below keys
+        # on this value — the hypertable_rollup flake class.
+        .agg(qsum_rounded("o_totalprice", 2).alias("total_spend"))
     )
     w = W.partitionBy("n_name").orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
     return (
@@ -284,9 +288,10 @@ def w_frames_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "w_rankings",
-    oracle="""
+    oracle=f"""
 WITH rev AS (
-  SELECT c_custkey, c_nationkey, round(sum(o_totalprice), 2) AS total_spend
+  SELECT c_custkey, c_nationkey,
+         {duck_qsum_rounded("o_totalprice", 2)} AS total_spend
   FROM customer JOIN orders ON c_custkey = o_custkey
   GROUP BY c_custkey, c_nationkey
 )

@@ -53,6 +53,61 @@ def test_asof_join_inclusive(spark):
     assert row["asof_px"] == 101.0
 
 
+def test_asof_join_null_ts_and_duplicate_ts_determinism(spark):
+    """Right rows with NULL timestamps must never match (they'd sort
+    NULLS FIRST into every frame), and duplicate-timestamp right rows
+    must resolve by the deterministic value tiebreak, not task order."""
+    quotes = spark.createDataFrame(
+        [
+            ("A", None, 99.0),  # no timestamp: can never be "prior"
+            ("A", _ts("2024-01-01T10:00:01"), 100.0),
+            ("A", _ts("2024-01-01T10:00:01"), 105.0),  # duplicate ts
+        ],
+        "sym string, qts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01T10:00:05"), 1),  # after both real quotes
+            ("A", _ts("2024-01-01T10:00:00"), 2),  # before every real quote
+        ],
+        "sym string, tts timestamp, qty int",
+    )
+    out = {
+        r["qty"]: r["asof_px"]
+        for r in asof_join(trades, quotes, "sym", "tts", "qts", ["px"]).collect()
+    }
+    assert out[1] == 105.0  # max-value tiebreak among equal timestamps
+    assert out[2] is None  # NOT 99.0 from the NULL-ts row
+
+
+def test_range_join_subsecond_interval_end(spark):
+    """An interval whose end carries sub-second precision must still
+    match points in its final grid cell (unix_timestamp truncation
+    used to drop that cell), and end <= start intervals yield nothing
+    instead of a descending cell explosion."""
+    import datetime as dt
+
+    from engine.operators.rangejoin import range_join
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    points = spark.createDataFrame(
+        [(1, base + dt.timedelta(seconds=100, milliseconds=200))], "pid int, t timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [
+            (10, base + dt.timedelta(seconds=95), base + dt.timedelta(seconds=100, milliseconds=500)),
+            (11, base + dt.timedelta(seconds=300), base + dt.timedelta(seconds=200)),  # corrupt: end < start
+        ],
+        "iid int, s timestamp, e timestamp",
+    )
+    got = {(r.pid, r.iid) for r in range_join(points, intervals, "t", "s", "e", 10).collect()}
+    assert got == {(1, 10)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        range_join(points, intervals, "t", "s", "e", 10, how="left")
+
+
 def test_multimodal_decode_gated_on_codecs():
     """decode_image/decode_audio use the real codec when installed and
     raise the documented NotImplementedError otherwise — either branch

@@ -155,6 +155,11 @@ def main() -> int:
             print(f"FAIL {name}: duckdb side raised\n{traceback.format_exc()}")
             n_fail += 1
             continue
+        # Per-query cache hygiene: many queries persist multi-consumer
+        # intermediates for the duration of their plan; without this,
+        # a full 145-query run accumulates every query's caches in one
+        # session and later queries run under eviction pressure.
+        spark.catalog.clearCache()
         errs = compare(name, spark_rows, spark_cols, duck_rows, duck_cols, args.tol)
         if errs:
             print(f"FAIL {name} [{time.time()-t0:.1f}s]")
