@@ -39,21 +39,27 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name not in TABLES:
-        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    # The caller may hand us a session built without engine.session's
-    # configs (the driver does); these are load-bearing for correctness
-    # and are runtime-settable, so pin them here.
+def pin_fixture_ts_confs(spark: SparkSession) -> None:
+    """Pin the runtime confs every fixture read depends on. The caller
+    may hand us a session built without engine.session's configs (the
+    driver does); these are load-bearing for correctness and are
+    runtime-settable. Fixture timestamps are naive
+    (isAdjustedToUTC=false); read them as session-tz TIMESTAMP (= UTC
+    wall clock, matching the DuckDB oracle's naive semantics) rather
+    than TIMESTAMP_NTZ, which chrono functions like unix_micros
+    reject."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # Fixture timestamps are naive (isAdjustedToUTC=false); read them as
-    # session-tz TIMESTAMP (= UTC wall clock, matching the DuckDB
-    # oracle's naive semantics) rather than TIMESTAMP_NTZ, which
-    # chrono functions like unix_micros reject.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+
+
+def normalize_fixture_ts(df: DataFrame) -> DataFrame:
+    """Normalize per-vintage timestamp encodings to session-tz
+    TIMESTAMP — the ONE place both batch (load_table) and streaming
+    (engine.streaming.events.read_event_stream) get the logic, so a
+    new fixture vintage can't make them read the same file
+    differently."""
+    if dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long (see engine.session); convert to
         # microsecond timestamp with integer division — `ts/1000` in
         # doubles would lose precision at ~1.7e18 ns epochs.
@@ -64,6 +70,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in ntz_cols:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    pin_fixture_ts_confs(spark)
+    return normalize_fixture_ts(spark.read.parquet(table_path(sf_dir, name)))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

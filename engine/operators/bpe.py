@@ -47,7 +47,15 @@ from engine.io import load_table
 from engine.registry import query
 
 BPE_MERGES = 6
-_WORD_RE = "^[a-z0-9]+$"
+# Anchored with \A..\z, not ^..$: Java regex find-semantics let a
+# non-MULTILINE $ match BEFORE a final newline, so a token like
+# "foo\n" would pass the Spark rlike filter while DuckDB's
+# regexp_full_match rejects it — diverging word counts and therefore
+# learned merges on any corpus with trailing-newline text. \A/\z
+# anchor at the true string ends in Java; the DuckDB side keeps
+# regexp_full_match of the bare body (full-match by construction).
+_WORD_RE = "\\A[a-z0-9]+\\z"
+_WORD_RE_BODY = "[a-z0-9]+"
 
 # seq string -> adjacent (a, b) symbol pairs, exploded (Spark SQL).
 _SPARK_TOKS = "split(substring(seq, 2, length(seq) - 2), '\\\\|\\\\|')"
@@ -103,7 +111,7 @@ def _duck_chain_parts() -> list[str]:
                         i -> '|' || word[i] || '|'), 'string_agg', '') AS seq
   FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
         FROM documents)
-  WHERE regexp_full_match(word, '{_WORD_RE[1:-1]}')
+  WHERE regexp_full_match(word, '{_WORD_RE_BODY}')
   GROUP BY word
 )"""
     ]
@@ -207,7 +215,7 @@ def _duck_encode_sql() -> str:
   SELECT doc_id, word
   FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
         FROM documents)
-  WHERE regexp_full_match(word, '{_WORD_RE[1:-1]}')
+  WHERE regexp_full_match(word, '{_WORD_RE_BODY}')
 )"""
     )
     from engine.functions.rounding import duck_round_he

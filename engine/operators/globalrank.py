@@ -24,6 +24,7 @@ where the range partitioner draws its boundaries.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark import StorageLevel
@@ -133,8 +134,14 @@ def with_global_value_ranks(
     w = W.partitionBy(_PID).orderBy(*cols)
     w_cum = w.rowsBetween(W.unboundedPreceding, 0)
     v = F.col(value_col)
+    # Partition-first detection via lag of a CONSTANT (lag(v) is NULL
+    # both at the first row and after a NULL value, which made every
+    # post-NULL row a spurious run start), and null-safe value
+    # comparison so NULL==NULL / NaN==NaN rows share one run exactly
+    # like SQL rank/dense_rank (Spark's <=> treats NaN = NaN).
+    first_in_part = F.lag(F.lit(1)).over(w).isNull()
     flag = F.when(
-        F.lag(v).over(w).isNull() | (F.lag(v).over(w) != v), 1
+        first_in_part | ~F.lag(v).over(w).eqNullSafe(v), 1
     ).otherwise(0)
     local = (
         part.withColumn("_l_rn", F.row_number().over(w))
@@ -163,14 +170,27 @@ def with_global_value_ranks(
     total = sum(r["cnt"] for r in stats.values())
 
     # Driver walk in partition order: offsets + carry-in resolution.
+    def _veq(a, b):
+        # Null-safe, NaN-safe equality matching Spark's <=> semantics
+        # (a bare == would call a NULL boundary 'new run' and a NaN
+        # boundary 'new run' since nan != nan in Python).
+        if a is None or b is None:
+            return a is None and b is None
+        if isinstance(a, float) and isinstance(b, float):
+            if math.isnan(a) or math.isnan(b):
+                return math.isnan(a) and math.isnan(b)
+        return a == b
+
     rows_acc = 0
     runs_acc = 0
     carry_rank = 0  # global rn of the run spanning into this partition
     prev_last_v = None
+    seen_first = False
     offsets = []
     for pid in sorted(stats):
         r = stats[pid]
-        spurious = int(prev_last_v is not None and r["first"]["v"] == prev_last_v)
+        spurious = int(seen_first and _veq(r["first"]["v"], prev_last_v))
+        seen_first = True
         offsets.append((pid, rows_acc, runs_acc, spurious, carry_rank))
         # Next partition's carry: the global start of the run in
         # progress at this partition's end.
@@ -236,7 +256,7 @@ def topk_per_group(
     must be a total ordering (unique tie-break) for determinism.
     ``out_col`` receives the 1-based in-group rank.
     """
-    gcols = [F.col(c) if isinstance(c, str) else c for c in group_cols]
+    gcols = _as_cols(group_cols)
     ocols = _as_cols(order_cols)
     local = (
         df.withColumn(_PID, F.spark_partition_id())

@@ -58,7 +58,18 @@ def salted_join(
     to a hash of ALL fact columns: deterministic under task retries
     (unlike ``rand()`` / ``monotonically_increasing_id``), and only
     fully-duplicate rows share a salt.
+
+    ``how`` is restricted to fact-side-preserving joins: a right/full
+    outer would return every unmatched dim row once PER SALT REPLICA
+    (the explode below replicates dim n_salts×, and nothing collapses
+    unmatched replicas).
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the dim side is"
+            " replicated per salt, so right/full outer joins would emit"
+            " each unmatched dim row n_salts times"
+        )
     salt_col = _salt(fact, n_salts, salt_source)
     f = fact.withColumn("__salt", salt_col)
     d = dim.withColumn(
@@ -160,7 +171,10 @@ def skew_salted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined,
         "event_type",
         {
-            "n_events": ("wcents", "count"),
+            # count over the never-NULL key, not wcents: the oracle is
+            # count(*), and F.count(col) skips NULLs — a NULL-valued
+            # event would silently put the two engines off by one.
+            "n_events": ("event_id", "count"),
             "weighted_cents": ("wcents", "sum"),
         },
         n_salts=_SALTS,

@@ -15,6 +15,7 @@ Scale notes:
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -77,6 +78,45 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def _publish_via_rename(staging: str, path: str, prefix: str) -> None:
+    """Atomically publish ``staging`` at ``path`` via two renames: the
+    current dir (if any) moves aside, staging moves in, and a failed
+    second rename rolls the old dir back — a reader only ever sees the
+    old directory or the new one, never a partial state. Shared by
+    compact_parquet and upsert_parquet so the publish protocol cannot
+    drift between them (the two inline copies had already diverged in
+    their existence guards). Local-filesystem rename semantics; on
+    object stores use a transactional table format instead."""
+    import os
+    import shutil
+    import tempfile
+
+    retired = tempfile.mktemp(prefix=f"{prefix}-old-", dir=str(Path(path).parent))
+    if os.path.isdir(path):
+        os.rename(path, retired)
+    try:
+        os.rename(staging, path)
+    except OSError:
+        if os.path.isdir(retired):
+            os.rename(retired, path)  # roll back: republish the old data
+        raise
+    shutil.rmtree(retired, ignore_errors=True)
+
+
+def _hive_partition_cols(path: str) -> list[str]:
+    """Partition column names of a Hive-layout directory (outermost
+    first), [] for a flat layout — read from the ``key=value``
+    directory names down one branch."""
+    cols: list[str] = []
+    p = Path(path)
+    while True:
+        subs = [d for d in p.iterdir() if d.is_dir() and "=" in d.name]
+        if not subs:
+            return cols
+        cols.append(subs[0].name.split("=", 1)[0])
+        p = subs[0]
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -96,30 +136,36 @@ def compact_parquet(
     never a missing path mid-``rmtree``. (On a real deployment prefer a
     table format with a transactional commit; same-filesystem rename is
     the strongest primitive a plain directory sink has.)
+
+    Hive-partitioned layouts are PRESERVED: partition columns are
+    detected from the ``key=value`` directory names and the rewrite
+    re-emits them with ``partitionBy``, clustered so each partition
+    directory compacts to one file. (A naive flat rewrite would read
+    the partition columns back as data columns and silently destroy
+    partition pruning plus every sibling that expects the layout —
+    dynamic overwrite, targeted key deletion, the streaming sinks.)
     """
     import math
-    import os
     import shutil
     import tempfile
-    from pathlib import Path
 
     df = spark.read.parquet(path)
+    pcols = _hive_partition_cols(path)
     total_bytes = sum(
         int(f.stat().st_size) for f in Path(path).rglob("*.parquet")
     )
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
-    parent = str(Path(path).parent)
-    staging = tempfile.mkdtemp(prefix="compact-", dir=parent)
-    retired = tempfile.mktemp(prefix="compact-old-", dir=parent)
+    staging = tempfile.mkdtemp(prefix="compact-", dir=str(Path(path).parent))
     try:
-        df.repartition(n_files).write.mode("overwrite").parquet(staging)
-        os.rename(path, retired)
-        try:
-            os.rename(staging, path)
-        except OSError:
-            os.rename(retired, path)  # roll back: republish the old data
-            raise
-        shutil.rmtree(retired, ignore_errors=True)
+        if pcols:
+            # Cluster by the partition columns: each Hive dir's rows
+            # land in one task, so each dir compacts to one file.
+            df.repartition(n_files, *pcols).write.mode("overwrite").partitionBy(
+                *pcols
+            ).parquet(staging)
+        else:
+            df.repartition(n_files).write.mode("overwrite").parquet(staging)
+        _publish_via_rename(staging, path, "compact")
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return n_files
@@ -149,10 +195,8 @@ def upsert_parquet(
     Publication reuses the compact_parquet rename protocol: readers see
     the old snapshot or the new one, never a partial directory.
     """
-    import os
     import shutil
     import tempfile
-    from pathlib import Path
 
     from pyspark.sql import functions as F
 
@@ -182,19 +226,10 @@ def upsert_parquet(
     parent = str(Path(path).parent)
     os.makedirs(parent, exist_ok=True)
     staging = tempfile.mkdtemp(prefix="upsert-", dir=parent)
-    retired = tempfile.mktemp(prefix="upsert-old-", dir=parent)
     try:
         snapshot.write.mode("overwrite").parquet(staging)
         n_rows = spark.read.parquet(staging).count()
-        if os.path.isdir(path):
-            os.rename(path, retired)
-        try:
-            os.rename(staging, path)
-        except OSError:
-            if os.path.isdir(retired):
-                os.rename(retired, path)
-            raise
-        shutil.rmtree(retired, ignore_errors=True)
+        _publish_via_rename(staging, path, "upsert")
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return n_rows

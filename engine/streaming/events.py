@@ -28,24 +28,18 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     UTC-adjusted timestamps. ``ts`` is normalized to a session-tz
     TIMESTAMP exactly as ``engine.io.load_table`` does for batch.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    from engine.io import table_path
+    from engine.io import normalize_fixture_ts, pin_fixture_ts_confs, table_path
 
+    pin_fixture_ts_confs(spark)
     raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ts_type = raw_schema["ts"].dataType.typeName()
-    if ts_type == "long":
-        # TIMESTAMP(NANOS) surfaced as long; integer div keeps µs exact.
-        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    elif ts_type != "timestamp":
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    # Same vintage normalization as batch load_table — shared helper so
+    # batch and streaming can never read the same file differently.
+    return normalize_fixture_ts(raw)
 
 
 def streaming_tumbling_counts(
@@ -499,10 +493,16 @@ def write_stream_incremental_dedup(
     from engine.sinks import overwrite_partitions_dynamic
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark import StorageLevel
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
+        # Persisted: the emptiness probes below plus the two writes
+        # would otherwise re-run the hash + index read + joins up to
+        # four times per micro-batch.
         hashed = batch_df.select(
             "doc_id", F.sha2("text", 256).alias("content_hash")
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         firsts = hashed.groupBy("content_hash").agg(
             F.min("doc_id").alias("first_id")
         )
@@ -510,22 +510,32 @@ def write_stream_incremental_dedup(
             idx = spark.read.parquet(index_path).filter(
                 F.col("batch_id") < batch_id
             )
-        except Exception:
+        except AnalysisException:
+            # Path-not-found on the FIRST batch only. Narrow on
+            # purpose: treating an arbitrary read failure (transient
+            # IO, permissions, corrupt footer) as "empty corpus" would
+            # silently mark every doc novel and append contradictory
+            # index rows — fail the batch and let the retry see the
+            # real index instead.
             idx = spark.createDataFrame(
                 [], "content_hash string, first_id bigint, batch_id bigint"
             )
         corpus = idx.select(
             "content_hash", F.col("first_id").alias("corpus_id")
         )
-        joined = hashed.join(corpus, "content_hash", "left").join(
-            firsts, "content_hash"
-        )
-        dups = joined.filter(
-            F.col("corpus_id").isNotNull() | (F.col("doc_id") != F.col("first_id"))
-        ).select(
-            "doc_id",
-            F.coalesce("corpus_id", "first_id").alias("duplicate_of"),
-            F.lit(batch_id).cast("bigint").alias("batch_id"),
+        dups = (
+            hashed.join(corpus, "content_hash", "left")
+            .join(firsts, "content_hash")
+            .filter(
+                F.col("corpus_id").isNotNull()
+                | (F.col("doc_id") != F.col("first_id"))
+            )
+            .select(
+                "doc_id",
+                F.coalesce("corpus_id", "first_id").alias("duplicate_of"),
+                F.lit(batch_id).cast("bigint").alias("batch_id"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         novel = (
             firsts.join(corpus, "content_hash", "left_anti")
@@ -534,13 +544,20 @@ def write_stream_incremental_dedup(
                 "first_id",
                 F.lit(batch_id).cast("bigint").alias("batch_id"),
             )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        # Empty dynamic overwrites write no files (an empty dir is
-        # unreadable parquet); a batch with no dups owns no partition.
-        if dups.limit(1).count() > 0:
-            overwrite_partitions_dynamic(dups, dups_path, ["batch_id"])
-        if novel.limit(1).count() > 0:
-            overwrite_partitions_dynamic(novel, index_path, ["batch_id"])
+        try:
+            # Empty dynamic overwrites write no files (an empty dir is
+            # unreadable parquet); a batch with no dups owns no
+            # partition. The probes hit the caches filled above.
+            if dups.limit(1).count() > 0:
+                overwrite_partitions_dynamic(dups, dups_path, ["batch_id"])
+            if novel.limit(1).count() > 0:
+                overwrite_partitions_dynamic(novel, index_path, ["batch_id"])
+        finally:
+            dups.unpersist(False)
+            novel.unpersist(False)
+            hashed.unpersist(False)
 
     return (
         docs.writeStream.queryName(name)

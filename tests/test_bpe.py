@@ -50,7 +50,7 @@ def test_bpe_matches_pure_python_replay(spark):
     assert all(x >= y for x, y in zip(cnts, cnts[1:]))
 
     docs = load_table(spark, SF_SMOKE, "documents")
-    rx = re.compile(_WORD_RE)
+    rx = re.compile(_WORD_RE.replace("\\z", "\\Z"))  # Python spells absolute-end \Z, Java \z
     wf = Counter()
     for row in docs.select("text").collect():
         for w in row["text"].lower().split(" "):
@@ -68,7 +68,7 @@ def test_bpe_encode_matches_pure_python(spark):
     from engine.operators.bpe import bpe_encode_docs
 
     docs = load_table(spark, SF_SMOKE, "documents")
-    rx = re.compile(_WORD_RE)
+    rx = re.compile(_WORD_RE.replace("\\z", "\\Z"))  # Python spells absolute-end \Z, Java \z
     wf = Counter()
     doc_words: dict[int, list[str]] = {}
     for row in docs.select("doc_id", "text").collect():

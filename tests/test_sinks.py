@@ -78,6 +78,39 @@ def test_compact_parquet_small_files(spark, tmp_path):
     assert set(back.columns) == set(li.columns)
 
 
+def test_compact_parquet_preserves_hive_partitions(spark, tmp_path):
+    """Compacting a partitionBy layout must keep the key=value dirs
+    (a flat rewrite would read the partition column back as data and
+    silently destroy partition pruning for every layout-dependent
+    sibling: dynamic overwrite, targeted deletion, streaming sinks)."""
+    import glob
+
+    from engine.sinks import compact_parquet
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    out = str(tmp_path / "li_part_small")
+    li.repartition(16).write.partitionBy("l_returnflag").parquet(out)
+    want = li.count()
+    dirs_before = sorted(
+        p.split("/")[-1] for p in glob.glob(f"{out}/l_returnflag=*")
+    )
+    files_before = len(glob.glob(f"{out}/l_returnflag=*/*.parquet"))
+
+    compact_parquet(spark, out, target_file_bytes=64 * 1024 * 1024)
+    dirs_after = sorted(
+        p.split("/")[-1] for p in glob.glob(f"{out}/l_returnflag=*")
+    )
+    files_after = len(glob.glob(f"{out}/l_returnflag=*/*.parquet"))
+    assert dirs_after == dirs_before  # layout preserved
+    assert files_after < files_before  # and actually compacted
+    back = spark.read.parquet(out)
+    assert back.count() == want
+    assert set(back.columns) == set(li.columns)
+    # pruning still works: the partition filter reaches the scan
+    pruned = back.filter(F.col("l_returnflag") == "R")
+    assert pruned.count() == li.filter(F.col("l_returnflag") == "R").count()
+
+
 def test_upsert_parquet_merge_semantics(spark, tmp_path):
     """Insert + update + late-arriving stale version + idempotent
     same-version republish."""
