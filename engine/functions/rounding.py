@@ -66,6 +66,28 @@ def duck_qsum_rounded(expr: str, ndigits: int, q: float = VALUE_Q) -> str:
     )
 
 
+def qavg_rounded(
+    col: Column | str, ndigits: int, q: float = VALUE_Q
+) -> Column:
+    """``round_he(avg(col), ndigits)`` with the sum on the integer
+    grid — the drop-in replacement for ``round(avg(col), ndigits)``
+    output columns (NULLs excluded from numerator and denominator,
+    matching avg())."""
+    c = F.col(col) if isinstance(col, str) else col
+    return round_he(
+        qsum(c, q).cast("double") / F.lit(q) / F.count(c), ndigits
+    )
+
+
+def duck_qavg_rounded(expr: str, ndigits: int, q: float = VALUE_Q) -> str:
+    """DuckDB text twin of :func:`qavg_rounded`."""
+    return duck_round_he(
+        f"CAST({duck_qsum(expr, q)} AS DOUBLE) / CAST({q!r} AS DOUBLE)"
+        f" / count({expr})",
+        ndigits,
+    )
+
+
 def duck_round_he(expr: str, ndigits: int) -> str:
     """The same rounding as :func:`round_he`, as DuckDB SQL text.
 

@@ -229,23 +229,34 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(with_blob, "doc_id", "payload")
 
 
+def _resize_exprs():
+    """(out_width, out_height) fit-to-224 integer planning expressions
+    over decoded (fake_width, fake_height) metadata — ONE definition
+    shared by multimodal_resize_dims and the multimodal_facets resize
+    facet so the two can't drift."""
+    longest = F.greatest("fake_width", "fake_height")
+    ow = (
+        F.greatest(F.expr("fake_width * 224") / longest, F.lit(1)).cast("int")
+    )
+    oh = (
+        F.greatest(F.expr("fake_height * 224") / longest, F.lit(1)).cast("int")
+    )
+    return ow, oh
+
+
 def multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize-to-fit-224 dimension planning over the decoded metadata —
     integer math only (reproducible everywhere); a real resize kernel
     consumes (out_width, out_height) per payload in the same
     mapInPandas pass as the decoder."""
     meta = multimodal_blob_meta(spark, sf_dir)
-    longest = F.greatest("fake_width", "fake_height")
+    ow, oh = _resize_exprs()
     return meta.select(
         "doc_id",
         "fake_width",
         "fake_height",
-        F.greatest(F.expr("fake_width * 224") / longest, F.lit(1))
-        .cast("int")
-        .alias("out_width"),
-        F.greatest(F.expr("fake_height * 224") / longest, F.lit(1))
-        .cast("int")
-        .alias("out_height"),
+        ow.alias("out_width"),
+        oh.alias("out_height"),
     )
 
 
@@ -371,19 +382,15 @@ def multimodal_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_i.alias("d3"),
         null_b.alias("n2"),
     )
-    longest = F.greatest("fake_width", "fake_height")
+    ow, oh = _resize_exprs()
     rz = meta.select(
         F.lit("resize").alias("facet"),
         "doc_id",
         null_i.alias("idx"),
         F.lit(None).cast("bigint").alias("n_bytes"),
         F.lit(None).cast("string").alias("checksum"),
-        F.greatest(F.expr("fake_width * 224") / longest, F.lit(1))
-        .cast("int")
-        .alias("d1"),
-        F.greatest(F.expr("fake_height * 224") / longest, F.lit(1))
-        .cast("int")
-        .alias("d2"),
+        ow.alias("d1"),
+        oh.alias("d2"),
         null_i.alias("d3"),
         null_b.alias("n2"),
     )
@@ -428,7 +435,13 @@ def chunk_audio(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[blob_col]):
                 checksum = _hl.md5(bytes(payload)).hexdigest()
-                h = _h60(checksum)
+                # Inline the shared 60-bit hash (== _h60) instead of
+                # calling the module-global: nested closures ship by
+                # value, but a referenced module-level function pickles
+                # by REFERENCE and would need the repo on executor
+                # PYTHONPATH — the self-containment rule the sibling
+                # image/frame closures already follow.
+                h = int(_hl.md5(checksum.encode("utf-8")).hexdigest()[:15], 16)
                 sr = AUDIO_RATES[h % 3]
                 n_samples = h % AUDIO_MAX_EXTRA + AUDIO_MIN_SAMPLES
                 i = 0

@@ -129,6 +129,20 @@ def pipeline_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chunk_exprs():
+    """(n_chunks, start, end) for the fixed-size overlapping chunk
+    grid over a tokenized column ``t`` with chunk index ``c`` — ONE
+    definition shared by the library form (pipeline_doc_chunks) and
+    the federated pipeline_scrub_chunks facet, so the chunk-count
+    formula cannot drift between them."""
+    n_chunks = F.expr(
+        f"greatest(ceil((size(t) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}), 0) + 1"
+    ).cast("int")
+    start = F.col("c") * CHUNK_STRIDE + 1
+    end = F.least(F.col("c") * CHUNK_STRIDE + CHUNK_TOKENS, F.size("t"))
+    return n_chunks, start, end
+
+
 def pipeline_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping fixed-size token windows ({CHUNK_TOKENS} tokens,
     stride {CHUNK_STRIDE}) per document — the context-window packing
@@ -137,16 +151,12 @@ def pipeline_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     stride."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
-    n_chunks = F.expr(
-        f"greatest(ceil((size(t) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}), 0) + 1"
-    ).cast("int")
+    n_chunks, start, end = _chunk_exprs()
     chunks = toks.select(
         "doc_id",
         "t",
         F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("c"),
     )
-    start = F.col("c") * CHUNK_STRIDE + 1
-    end = F.least(F.col("c") * CHUNK_STRIDE + CHUNK_TOKENS, F.size("t"))
     return chunks.select(
         "doc_id",
         F.col("c").cast("bigint").alias("chunk_id"),
@@ -190,15 +200,21 @@ _URL_RE = "https?://[^ ]+"
 _EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
 
+def _scrub_expr(col: str = "text"):
+    """URL/EMAIL scrub expression — shared by pipeline_scrub_text and
+    the federated pipeline_scrub_chunks facet."""
+    return F.regexp_replace(
+        F.regexp_replace(col, _URL_RE, "<URL>"), _EMAIL_RE, "<EMAIL>"
+    )
+
+
 def pipeline_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII/URL scrubbing audit: URLs → <URL>, emails → <EMAIL>, with
     per-document before/after char accounting. Pure regexp_replace —
     JVM-side, narrow, no shuffle; the actual cleaned text column is the
     same expression minus the length()."""
     docs = load_table(spark, sf_dir, "documents")
-    scrubbed = F.regexp_replace(
-        F.regexp_replace("text", _URL_RE, "<URL>"), _EMAIL_RE, "<EMAIL>"
-    )
+    scrubbed = _scrub_expr()
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars_before"),
@@ -297,6 +313,30 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pack_bucket_expr():
+    """Deterministic pack-bucket assignment — shared by
+    pipeline_pack_sequences and the pipeline_decontam_pack facet."""
+    return (
+        F.expr(SPARK_H60.format(x="concat('pack:', cast(doc_id as string))"))
+        % PACK_BUCKETS
+    )
+
+
+def _pack_positions():
+    """(seq_id, seq_offset) over a (bucket, doc_id, n_tokens) frame —
+    the concat-and-split window math, defined once."""
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        (cum_before / PACK_CTX).cast("bigint"),
+        (cum_before % PACK_CTX).cast("bigint"),
+    )
+
+
 def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (concat-and-split): documents are concatenated
     in deterministic order within {PACK_BUCKETS} independent hash
@@ -311,20 +351,16 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
-        (
-            F.expr(SPARK_H60.format(x="concat('pack:', cast(doc_id as string))"))
-            % PACK_BUCKETS
-        ).alias("bucket"),
+        _pack_bucket_expr().alias("bucket"),
         F.size(F.split("text", " ")).alias("n_tokens"),
     )
-    w = W.partitionBy("bucket").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
-    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    seq_id, seq_offset = _pack_positions()
     return d.select(
         F.col("bucket").cast("bigint").alias("bucket"),
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        (cum_before / PACK_CTX).cast("bigint").alias("seq_id"),
-        (cum_before % PACK_CTX).cast("bigint").alias("seq_offset"),
+        seq_id.alias("seq_id"),
+        seq_offset.alias("seq_offset"),
     )
 
 
@@ -547,10 +583,7 @@ def pipeline_scrub_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     start/end, txt = chunk text). All JVM regexp/array expressions,
     zero shuffle — the full pipeline is a narrow map at any scale."""
     docs = load_table(spark, sf_dir, "documents")
-    stext = F.regexp_replace(
-        F.regexp_replace("text", _URL_RE, "<URL>"), _EMAIL_RE, "<EMAIL>"
-    )
-    scrubbed = docs.select("doc_id", "text", stext.alias("stext"))
+    scrubbed = docs.select("doc_id", "text", _scrub_expr().alias("stext"))
     null_b = F.lit(None).cast("bigint")
     audit = scrubbed.select(
         F.lit("scrub").alias("facet"),
@@ -567,11 +600,7 @@ def pipeline_scrub_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("txt"),
     )
     toks = scrubbed.select("doc_id", F.split("stext", " ").alias("t"))
-    n_chunks = F.expr(
-        f"greatest(ceil((size(t) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}), 0) + 1"
-    ).cast("int")
-    start = F.col("c") * CHUNK_STRIDE + 1
-    end = F.least(F.col("c") * CHUNK_STRIDE + CHUNK_TOKENS, F.size("t"))
+    n_chunks, start, end = _chunk_exprs()
     chunks = (
         toks.select("doc_id", "t", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("c"))
         .select(
@@ -711,22 +740,18 @@ def pipeline_decontam_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(contaminated.select("doc_id"), "doc_id", "left_anti")
         .select(
             "doc_id",
-            (
-                F.expr(SPARK_H60.format(x="concat('pack:', cast(doc_id as string))"))
-                % PACK_BUCKETS
-            ).alias("bucket"),
+            _pack_bucket_expr().alias("bucket"),
             F.size(F.split("text", " ")).alias("n_tokens"),
         )
     )
-    w = W.partitionBy("bucket").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
-    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    seq_id, seq_offset = _pack_positions()
     pack_facet = clean.select(
         F.lit("pack").alias("facet"),
         "doc_id",
         F.col("bucket").cast("bigint").alias("bucket"),
         F.col("n_tokens").cast("bigint").alias("n"),
-        (cum_before / PACK_CTX).cast("bigint").alias("seq_id"),
-        (cum_before % PACK_CTX).cast("bigint").alias("seq_offset"),
+        seq_id.alias("seq_id"),
+        seq_offset.alias("seq_offset"),
     )
     return decon_facet.unionAll(pack_facet)
 

@@ -30,7 +30,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from engine.functions.rounding import duck_qsum_rounded, qsum_rounded
+from engine.functions.rounding import (
+    duck_qavg_rounded,
+    duck_qsum_rounded,
+    qavg_rounded,
+    qsum,
+    qsum_rounded,
+    round_he,
+)
 from engine.io import load_table
 from engine.registry import query
 
@@ -44,16 +51,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                        AS sum_qty,
-       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-       round(avg(l_quantity), 4)                                        AS avg_qty,
-       round(avg(l_extendedprice), 4)                                   AS avg_price,
-       round(avg(l_discount), 6)                                        AS avg_disc,
-       count(*)                                                         AS count_order
+       {duck_qsum_rounded('l_quantity', 2)} AS sum_qty,
+       {duck_qsum_rounded('l_extendedprice', 2)} AS sum_base_price,
+       {duck_qsum_rounded('l_extendedprice * (1 - l_discount)', 2)} AS sum_disc_price,
+       {duck_qsum_rounded('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 2, q=1000000.0)} AS sum_charge,
+       {duck_qavg_rounded('l_quantity', 4)} AS avg_qty,
+       {duck_qavg_rounded('l_extendedprice', 4)} AS avg_price,
+       {duck_qavg_rounded('l_discount', 6)} AS avg_disc,
+       count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
 GROUP BY l_returnflag, l_linestatus
@@ -72,13 +79,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # qsum/qavg integer grids, not round(sum(double)): partial
+            # double sums combine in task order, and a half-boundary
+            # round then flips across runs/engines (rounding.py). Row
+            # values are exact on the grid (prices/discounts have <= 2
+            # decimals, disc_price 4, charge 6 -> the 1e6 grid).
+            qsum_rounded("l_quantity", 2).alias("sum_qty"),
+            qsum_rounded("l_extendedprice", 2).alias("sum_base_price"),
+            qsum_rounded(disc_price, 2).alias("sum_disc_price"),
+            qsum_rounded(
+                disc_price * (1 + F.col("l_tax")), 2, q=1_000_000.0
+            ).alias("sum_charge"),
+            qavg_rounded("l_quantity", 4).alias("avg_qty"),
+            qavg_rounded("l_extendedprice", 4).alias("avg_price"),
+            qavg_rounded("l_discount", 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -91,7 +105,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_revenue",
     oracle="""
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       floor((CAST(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * CAST(10000.0 AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / CAST(10000.0 AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS revenue,
        o_orderdate, o_orderpriority
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -121,7 +135,7 @@ def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            qsum_rounded(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
                 "revenue"
             )
         )
@@ -169,7 +183,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q5_local_supplier_volume",
     oracle="""
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name, floor((CAST(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * CAST(10000.0 AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / CAST(10000.0 AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -204,7 +218,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            qsum_rounded(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
                 "revenue"
             )
         )
@@ -217,7 +231,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle="""
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT floor((CAST(CAST(sum(CAST(floor((l_extendedprice * l_discount) * CAST(10000.0 AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / CAST(10000.0 AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS revenue,
        count(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -241,7 +255,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            qsum_rounded(F.col("l_extendedprice") * F.col("l_discount"), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -254,7 +268,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
 SELECT c_custkey, c_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       floor((CAST(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * CAST(10000.0 AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / CAST(10000.0 AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS revenue,
        c_acctbal, n_name
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -286,7 +300,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            qsum_rounded(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
                 "revenue"
             )
         )
@@ -340,10 +354,7 @@ def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_revenue",
     oracle="""
-SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+SELECT floor((100.0 * CAST(CAST(sum(CAST(floor((CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * CAST(10000.0 AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / CAST(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * CAST(10000.0 AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)) * CAST(10000.0 AS DOUBLE) + 0.5) / CAST(10000.0 AS DOUBLE) AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-09-01 00:00:00'
@@ -363,10 +374,15 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            F.round(
+            # Both sums on the 1e-4 integer grid (row values are exact
+            # 4-decimal products), then one rounded ratio — the ratio
+            # of two exact integers is the same double on both engines.
+            round_he(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
-                / F.sum(disc),
+                * qsum(
+                    F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0)
+                ).cast("double")
+                / qsum(disc).cast("double"),
                 4,
             ).alias("promo_revenue_pct")
         )
@@ -625,7 +641,7 @@ def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        count(*) AS n_events,
-       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       floor((CAST(CAST(sum(CAST(floor((CAST(json_extract_string(props, '$.k') AS INT)) * CAST(10000.0 AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / CAST(10000.0 AS DOUBLE) / count(CAST(json_extract_string(props, '$.k') AS INT))) * CAST(10000.0 AS DOUBLE) + 0.5) / CAST(10000.0 AS DOUBLE) AS avg_k,
        CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
        CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
 FROM events
@@ -641,7 +657,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object("props", "$.k").cast("int")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg(k), 4).alias("avg_k"),
+        qavg_rounded(k, 4).alias("avg_k"),
         F.min(k).cast("int").alias("min_k"),
         F.max(k).cast("int").alias("max_k"),
     )
@@ -785,9 +801,15 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     present-days semi join keeps the output aligned with observed days
     (broadcast: one row per calendar day)."""
     ev = _t(spark, sf_dir, "events")
-    days = ev.select(
-        "user_id", F.date_trunc("day", "ts").alias("day")
-    ).distinct()
+    from pyspark import StorageLevel
+
+    # Two consumers (contribution expansion + present-days semi side):
+    # persist so the events scan + distinct shuffle run once.
+    days = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     contrib = days.select(
         "user_id",
         F.explode(

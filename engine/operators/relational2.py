@@ -13,6 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from engine.functions.rounding import (
+    duck_qavg_rounded,
+    duck_qsum_rounded,
+    qavg_rounded,
+    qsum_rounded,
+)
 from engine.io import load_table
 from engine.registry import query
 
@@ -26,7 +32,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle="""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(o_orderdate) AS INT) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+       floor((CAST(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * CAST(10000.0 AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / CAST(10000.0 AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS volume
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN orders   ON l_orderkey = o_orderkey
@@ -67,7 +73,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            qsum_rounded(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
                 "volume"
             )
         )
@@ -158,7 +164,7 @@ def q13_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         floor((CAST(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * CAST(10000.0 AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / CAST(10000.0 AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -191,7 +197,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            qsum_rounded(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
                 "total_revenue"
             )
         )
@@ -237,7 +243,7 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_quantity_revenue",
     oracle="""
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT floor((CAST(CAST(sum(CAST(floor((l_extendedprice / 7.0) * CAST(10000.0 AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / CAST(10000.0 AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS avg_yearly
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#1'
   AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
@@ -259,14 +265,14 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(per_part_avg, li.l_partkey == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(qsum_rounded(F.col("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
 
 
 @query(
     "q19_disjunctive_revenue",
     oracle="""
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT floor((CAST(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * CAST(10000.0 AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / CAST(10000.0 AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS revenue,
        count(*) AS n_lines
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity >= 1 AND l_quantity <= 20)
@@ -292,7 +298,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            qsum_rounded(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_lines"),
@@ -307,7 +313,7 @@ WITH avg_bal AS (
   SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
 )
 SELECT c_nationkey, count(*) AS numcust,
-       round(sum(c_acctbal), 2) AS totacctbal
+       floor((CAST(CAST(sum(CAST(floor((c_acctbal) * CAST(10000.0 AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / CAST(10000.0 AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS totacctbal
 FROM customer, avg_bal
 WHERE c_acctbal > ab
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -335,7 +341,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            qsum_rounded("c_acctbal", 2).alias("totacctbal"),
         )
     )
 
@@ -375,7 +381,7 @@ def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping_sets_sql",
     oracle="""
 SELECT l_returnflag, l_linestatus, count(*) AS n,
-       round(sum(l_extendedprice), 2) AS total
+       floor((CAST(CAST(sum(CAST(floor((l_extendedprice) * CAST(10000.0 AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / CAST(10000.0 AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS total
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """,
@@ -389,7 +395,7 @@ def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus, count(*) AS n,
-               round(sum(l_extendedprice), 2) AS total
+               floor((CAST(CAST(sum(CAST(floor((l_extendedprice) * CAST(10000.0 AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / CAST(10000.0 AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS total
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
@@ -432,7 +438,7 @@ SELECT CASE WHEN c_acctbal < 0 THEN 'debt'
             WHEN c_acctbal < 5000 THEN 'mid'
             ELSE 'high' END AS bal_bucket,
        count(*) AS n,
-       round(avg(coalesce(nullif(c_acctbal, 0.0), 0.0)), 4) AS avg_bal
+       floor((CAST(CAST(sum(CAST(floor((coalesce(nullif(c_acctbal, 0.0), 0.0)) * CAST(10000.0 AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / CAST(10000.0 AS DOUBLE) / count(coalesce(nullif(c_acctbal, 0.0), 0.0))) * CAST(10000.0 AS DOUBLE) + 0.5) / CAST(10000.0 AS DOUBLE) AS avg_bal
 FROM customer
 GROUP BY 1
 """,
@@ -450,8 +456,8 @@ def null_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cust.groupBy(bucket.alias("bal_bucket")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(
-            F.avg(F.coalesce(F.nullif(F.col("c_acctbal"), F.lit(0.0)), F.lit(0.0))), 4
+        qavg_rounded(
+            F.coalesce(F.nullif(F.col("c_acctbal"), F.lit(0.0)), F.lit(0.0)), 4
         ).alias("avg_bal"),
     )
 
@@ -507,28 +513,34 @@ def stats_lineitem_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "minmax_by_lookup",
     oracle="""
-SELECT n_name,
-       max_by(c_name, round(c_acctbal, 2) || '-' || c_custkey) AS richest_customer,
-       round(max(c_acctbal), 2) AS max_bal
-FROM customer JOIN nation ON c_nationkey = n_nationkey
-GROUP BY n_name
+SELECT n_name, c_name AS richest_customer, round(max_bal, 2) AS max_bal
+FROM (
+  SELECT n_name, c_name,
+         max(c_acctbal) OVER (PARTITION BY n_name) AS max_bal,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+) t WHERE rn = 1
 """,
     tags=("relational", "stats"),
     exported=False,
 )
 def minmax_by_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """max_by argmax aggregation (deterministic: ordering key includes
-    the unique custkey as tiebreak)."""
+    """max_by argmax aggregation, ordered by a NUMERIC (balance,
+    custkey) struct on both engines — a previous string ordering key
+    (round(bal) || '-' || custkey) compared lexicographically, so
+    '989.74' outranked '9664.04' and richest_customer contradicted
+    max_bal in the same row; struct comparison is numeric field-by-
+    field and the unique custkey keeps the argmax deterministic."""
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
-    order_key = F.concat_ws(
-        "-", F.round(F.col("c_acctbal"), 2).cast("string"), F.col("c_custkey")
-    )
     return (
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.max_by("c_name", order_key).alias("richest_customer"),
+            F.max_by(
+                "c_name", F.struct(F.col("c_acctbal"), F.col("c_custkey"))
+            ).alias("richest_customer"),
             F.round(F.max("c_acctbal"), 2).alias("max_bal"),
         )
     )

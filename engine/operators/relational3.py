@@ -148,7 +148,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q8_market_share",
     oracle="""
-SELECT year(o_orderdate) AS o_year,
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
        round(sum(CASE WHEN sn.n_name = 'NATION_2'
                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
              / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
