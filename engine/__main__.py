@@ -30,6 +30,7 @@ so every reference executable has a named counterpart.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -105,9 +106,11 @@ def cmd_stop(_args: argparse.Namespace) -> int:
 
 
 def cmd_query(args: argparse.Namespace) -> int:
-    from engine.registry import all_queries
+    # Include the library layer: `list --all` prints those names, so
+    # `query` must be able to run every name it advertises.
+    from engine.registry import all_queries_including_library
 
-    specs = all_queries()
+    specs = all_queries_including_library()
     if args.name not in specs:
         print(f"unknown query {args.name!r}; see `python -m engine list`",
               file=sys.stderr)
@@ -154,7 +157,11 @@ def main(argv: list[str] | None = None) -> int:
 
     q = sub.add_parser("query", help="run a registered query")
     q.add_argument("name")
-    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument(
+        "--sf-dir",
+        # Honors the documented SPARK_GRAFT_SF_DIR env var (engine.io).
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
     q.add_argument("--limit", type=int, default=20)
     q.add_argument("--explain", action="store_true")
     q.set_defaults(fn=cmd_query)

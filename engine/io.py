@@ -32,7 +32,9 @@ TABLES = (
 # tables that grow past broadcast size.
 SMALL_DIMS = ("region", "nation", "supplier", "part", "customer")
 
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# Default fixture dir for ad-hoc use; the CLI (engine/__main__.py)
+# honors the same SPARK_GRAFT_SF_DIR env var.
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def table_path(sf_dir: str, name: str) -> str:

@@ -33,7 +33,6 @@ is ``num_reducers`` (partition count past the shuffle).
 
 from __future__ import annotations
 
-import hashlib
 import os
 import shutil
 from collections.abc import Callable, Iterator
@@ -42,16 +41,6 @@ from tempfile import mkdtemp
 from pyspark.sql import SparkSession
 
 LineTransform = Callable[[Iterator[str]], Iterator[str]]
-
-
-def _md5_bucket(key: str, num_partitions: int) -> int:
-    """Reference partitioner: worker/__main__.py:143-148."""
-    return int(hashlib.md5(key.encode("utf-8")).hexdigest(), 16) % num_partitions
-
-
-def _line_key(line: str) -> str:
-    """Key = text before the first tab (worker/__main__.py:144-145)."""
-    return line.split("\t", 1)[0]
 
 
 def _exec_command(executable: str | list[str]) -> str:
@@ -116,9 +105,15 @@ def run_job(
     # sc.textFile takes a comma-separated path list, so a comma INSIDE a
     # filename would silently split into two bogus paths (round-1
     # advice). Reject loudly; such names also break Hadoop's own API.
-    bad = [f for f in files if "," in f]
+    # Hadoop also interprets the path string as a GLOB, so [, ], {, },
+    # *, ? in a filename would be expanded as a pattern and silently
+    # skip (or mis-match) the file — same path-string-API bug class.
+    bad = [f for f in files if "," in f or any(ch in f for ch in "[]{}*?")]
     if bad:
-        raise ValueError(f"input paths must not contain commas: {bad}")
+        raise ValueError(
+            f"input paths must not contain commas or glob"
+            f" metacharacters ([]{{}}*?): {bad}"
+        )
 
     # Map stage. minPartitions=num_mappers for task-shape parity with
     # the reference's round-robin split (manager/__main__.py:195-202);
@@ -127,7 +122,10 @@ def run_job(
     if callable(mapper):
         mapped = lines.mapPartitions(mapper)
     else:
-        mapped = lines.pipe(_exec_command(mapper))
+        # checkCode: a mapper that exits non-zero must FAIL the job
+        # (reference Hadoop-Streaming semantics), not publish the
+        # partial lines it emitted before crashing.
+        mapped = lines.pipe(_exec_command(mapper), checkCode=True)
 
     # Shuffle: md5-bucket by key, whole-line sort within partition.
     # Defined as local closures (not module references) so cloudpickle
@@ -154,7 +152,7 @@ def run_job(
     if callable(reducer):
         reduced = shuffled.mapPartitions(reducer)
     else:
-        reduced = shuffled.pipe(_exec_command(reducer))
+        reduced = shuffled.pipe(_exec_command(reducer), checkCode=True)
 
     # Sink: delete + recreate the output dir (manager/__main__.py:183-187),
     # then publish Spark's part-NNNNN files (worker/__main__.py:195).
@@ -168,7 +166,15 @@ def run_job(
     for name in sorted(os.listdir(target)):
         if name.startswith("part-"):
             # Spark names files part-00000[.codec]; reference uses bare
-            # part-NNNNN (worker/__main__.py:195).
+            # part-NNNNN (worker/__main__.py:195). A codec suffix means
+            # the session enabled output compression — renaming would
+            # publish compressed bytes under a plain-text name, so
+            # refuse instead of silently corrupting the contract.
+            if "." in name:
+                raise RuntimeError(
+                    f"compressed part file {name!r}: disable output"
+                    " compression for reference text-sink parity"
+                )
             dst = os.path.join(output_directory, name.split(".")[0])
             shutil.move(os.path.join(target, name), dst)
             out_paths.append(dst)

@@ -231,3 +231,39 @@ def test_run_job_rejects_comma_paths(spark, tmp_path):
             spark, str(d), str(tmp_path / "out"),
             mapper=f"{EXEC}/wc_map.sh", reducer=f"{EXEC}/wc_reduce.sh",
         )
+
+
+def test_crashing_executable_fails_the_job(spark, tmp_path):
+    """A mapper that exits non-zero after emitting lines must FAIL the
+    job (reference Hadoop-Streaming semantics) — without checkCode the
+    partial output would publish as success."""
+    import textwrap
+
+    import pytest
+
+    from engine.mapreduce.runner import run_job
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    (ind / "f0.txt").write_text("hello world\n")
+    bad = tmp_path / "bad_map.sh"
+    bad.write_text(
+        textwrap.dedent(
+            """\
+            #!/bin/sh
+            cat
+            exit 3
+            """
+        )
+    )
+    bad.chmod(0o755)
+    with pytest.raises(Exception, match="3|Pipe|pipe"):
+        run_job(
+            spark,
+            str(ind),
+            str(tmp_path / "out"),
+            str(bad),
+            str(bad),
+            num_mappers=1,
+            num_reducers=1,
+        )
