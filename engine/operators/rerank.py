@@ -32,7 +32,13 @@ from pyspark.sql import Window as W
 from engine.functions.hashing import DUCK_H60, h60_py
 from engine.io import load_table
 from engine.registry import query
-from engine.operators.similarity import ann_cosine_topk, N_QUERIES, TOPK
+from engine.operators.similarity import (
+    _DUCK_DOT,
+    _DUCK_EMB,
+    N_QUERIES,
+    TOPK,
+    ann_cosine_topk,
+)
 
 RERANK_K = 3  # final results per query after rerank
 _SEP = "\x1f"
@@ -47,14 +53,17 @@ _RERANK_SCHEMA = T.StructType(
     ]
 )
 
+# Candidate stage composed from similarity.py's SHARED constants
+# (_DUCK_EMB embedding CTE + _DUCK_DOT) — the Spark side consumes
+# ann_cosine_topk directly, so the oracle must define candidates with
+# the same arithmetic; a hand-copied CTE here drifted independently
+# of the definitions it mirrors.
 _DUCK_CAND = f"""
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-      CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings),
+{_DUCK_EMB},
 q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn
       FROM e WHERE vec_id < {N_QUERIES}),
 s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-             round(list_dot_product(q.qe, e.emb) / (q.qn * e.nrm), 6)
+             round({_DUCK_DOT.format(a='q.qe', b='e.emb')} / (q.qn * e.nrm), 6)
                AS cos_sim
       FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
 cand AS (SELECT query_id, neighbor_id, cos_sim FROM (
