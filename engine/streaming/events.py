@@ -180,11 +180,14 @@ ROCKSDB_PROVIDER = (
 
 # transformWithStateInPandas talks to its state server over a protobuf
 # protocol, so the PYTHON side needs the protobuf package at query
-# start (the JVM side ships its own). Gate like the multimodal codecs:
-# the operator below is complete and its plan builds without protobuf;
-# only RUNNING the stream needs it, and the agreement test skips when
-# the package is absent (this container has no protobuf and installs
-# are not allowed).
+# start (the JVM side ships its own). The container has no protobuf
+# install, but the repo vendors a loader around a public pure-Python
+# runtime present in the image (see engine/_vendor.py) — wire it up
+# before probing, then gate like the multimodal codecs so the operator
+# still degrades to plan-only where no runtime exists at all.
+from engine._vendor import ensure_vendor_path as _ensure_vendor_path
+
+_ensure_vendor_path()
 try:  # pragma: no cover - environment-dependent
     from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
 
