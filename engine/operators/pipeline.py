@@ -114,13 +114,13 @@ def pipeline_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sampled = docs.filter(bucket < rate).select("source")
     total = sampled.agg(F.count(F.lit(1)).alias("n_total"))
-    # Mixture share in basis points on a BIGINT grid — no float output
-    # column at all, so the driver's value hash cannot diverge on a
-    # half-boundary (both engines run the identical BIGINT*DOUBLE/
-    # DOUBLE floor; the result is an integer).
-    frac_bp = F.floor(
-        F.col("n_docs") * F.lit(10000.0) / F.col("n_total") + F.lit(0.5)
-    ).cast("bigint")
+    # Mixture share in basis points, computed entirely in BIGINT:
+    # round-half-up(10000*n/total) = (20000*n + total) div (2*total).
+    # No double exists anywhere in the expression, so the value cannot
+    # depend on engine float semantics at all.
+    frac_bp = F.expr("(20000 * n_docs + n_total) DIV (2 * n_total)").cast(
+        "bigint"
+    )
     return (
         sampled.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -373,17 +373,24 @@ def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE scan, conditional aggregation — the cascade never materializes
     intermediate corpora; at 100 TB this is a single map-side-combined
     pass. The same boolean columns, used as a filter instead of
-    counted, ARE the production filter."""
+    counted, ARE the production filter.
+
+    Every threshold is an integer cross-multiplication (alpha ratio
+    ≥ 0.82 becomes ``100*alpha_len >= 82*len``; 5.3 ≤ chars/word ≤ 5.7
+    becomes ``10*chars BETWEEN 53*words AND 57*words``) and the word
+    count is pure arithmetic (``len - len(without spaces) + 1``), so
+    no double — and no engine-varying split() edge semantics — exists
+    anywhere in the predicate: both engines evaluate identical exact
+    integer comparisons."""
     docs = load_table(spark, sf_dir, "documents")
     c_len = F.col("n_chars") >= 200
     c_alpha = (
-        F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
-        * 1.0
-        / F.greatest(F.length("text"), F.lit(1))
-        >= 0.82
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")) * 100
+        >= F.greatest(F.length("text"), F.lit(1)) * 82
     )
-    wlen = F.length("text") * 1.0 / F.size(F.split("text", " "))
-    c_wlen = (wlen >= 5.3) & (wlen <= 5.7)
+    words = F.expr("length(text) - length(replace(text, ' ', '')) + 1")
+    chars10 = F.length("text") * 10
+    c_wlen = (chars10 >= words * 53) & (chars10 <= words * 57)
     m = docs.select(c_len.alias("c_len"), c_alpha.alias("c_alpha"), c_wlen.alias("c_wlen"))
     one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
     return m.agg(
@@ -483,10 +490,12 @@ WITH sampled AS (
 ),
 m AS (
   SELECT n_chars >= 200 AS c_len,
-         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-           / greatest(length(text), 1) >= 0.82 AS c_alpha,
-         CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
-           BETWEEN 5.3 AND 5.7 AS c_wlen
+         100 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+           >= 82 * greatest(length(text), 1) AS c_alpha,
+         10 * length(text)
+           BETWEEN 53 * (length(text) - length(replace(text, ' ', '')) + 1)
+               AND 57 * (length(text) - length(replace(text, ' ', '')) + 1)
+           AS c_wlen
   FROM documents
 ),
 funnel AS (
@@ -498,8 +507,8 @@ funnel AS (
   FROM m
 )
 SELECT 'mix' AS facet, source AS key, count(*) AS n,
-       CAST(floor(count(*) * CAST(10000.0 AS DOUBLE)
-                  / (SELECT count(*) FROM sampled) + 0.5) AS BIGINT) AS frac_bp
+       CAST((20000 * count(*) + (SELECT count(*) FROM sampled))
+            // (2 * (SELECT count(*) FROM sampled)) AS BIGINT) AS frac_bp
 FROM sampled GROUP BY source
 UNION ALL
 SELECT 'funnel', stage, n, CAST(NULL AS BIGINT) FROM (
