@@ -131,8 +131,8 @@ def multi_grain_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-grain aggregation surface, four facets: `grouping_sets`
     (explicit grouping-set lattice over lineitem flags), `cube` (the
     full 2^2 lattice), `rollup` (hierarchical order status→priority),
-    `pivot` (priority columns per status: p1/p2/p3 = urgent/high/low o_totalprice sums
-    counts). k1/k2 = the grain keys (NULL marks subtotal rows for the
+    `pivot` (priority columns per status: p1/p2/p3 = urgent/high/low
+    o_totalprice sums). k1/k2 = the grain keys (NULL marks subtotal rows for the
     lattice facets — the facet tag keeps them from colliding)."""
     gs = relational2.grouping_sets_sql(spark, sf_dir).select(
         F.lit("grouping_sets").alias("facet"),

@@ -16,8 +16,10 @@ from pyspark.sql import functions as F
 from engine.functions.rounding import (
     duck_qavg_rounded,
     duck_qsum_rounded,
+    duck_round_he,
     qavg_rounded,
     qsum_rounded,
+    round_he,
 )
 from engine.io import load_table
 from engine.registry import query
@@ -348,11 +350,11 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pivot_priority_by_status",
-    oracle="""
+    oracle=f"""
 SELECT o_orderstatus,
-       round(coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 0), 2) AS urgent,
-       round(coalesce(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 0), 2) AS high,
-       round(coalesce(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 0), 2) AS low
+       coalesce({duck_qsum_rounded("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END", 2)}, 0.0) AS urgent,
+       coalesce({duck_qsum_rounded("CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END", 2)}, 0.0) AS high,
+       coalesce({duck_qsum_rounded("CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END", 2)}, 0.0) AS low
 FROM orders
 GROUP BY o_orderstatus
 """,
@@ -362,18 +364,30 @@ GROUP BY o_orderstatus
 def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: order priorities to columns. Explicit value list keeps the
     plan single-pass (no distinct-values pre-query) — required practice
-    at scale."""
+    at scale. The pivoted money sums ride the qsum integer grid (the
+    pivot aggregates the pre-quantized BIGINT), so partial-sum order
+    can't move the rounded outputs on either engine."""
     orders = _t(spark, sf_dir, "orders")
-    piv = (
-        orders.groupBy("o_orderstatus")
-        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "5-LOW"])
-        .sum("o_totalprice")
+    q = F.floor(F.col("o_totalprice") * F.lit(10000.0) + F.lit(0.5)).cast(
+        "bigint"
     )
+    piv = (
+        orders.withColumn("_q", q)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "5-LOW"])
+        .sum("_q")
+    )
+
+    def unquant(c: str):
+        return F.coalesce(
+            round_he(F.col(c).cast("double") / F.lit(10000.0), 2), F.lit(0.0)
+        )
+
     return piv.select(
         "o_orderstatus",
-        F.round(F.coalesce(F.col("1-URGENT"), F.lit(0.0)), 2).alias("urgent"),
-        F.round(F.coalesce(F.col("2-HIGH"), F.lit(0.0)), 2).alias("high"),
-        F.round(F.coalesce(F.col("5-LOW"), F.lit(0.0)), 2).alias("low"),
+        unquant("1-URGENT").alias("urgent"),
+        unquant("2-HIGH").alias("high"),
+        unquant("5-LOW").alias("low"),
     )
 
 
@@ -481,32 +495,118 @@ def like_regexp_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_name", "p_brand")
 
 
+# stats_lineitem_summary: every moment statistic is derived from exact
+# integer-grid sums (sum-of-squares at DECIMAL(38,0)), so partial-
+# aggregation ORDER cannot move any output digit — stddev/var/corr were
+# the last aggregate family riding raw double sums. The grids are exact
+# for the fixture decimals (quantity: integers, ×100; discount: 4dp,
+# ×1e4; price: 2dp, ×100) and the identical formula TEXT is evaluated
+# by both engines, so every double op downstream of the exact integers
+# is the same IEEE op. Percentiles stay on the raw doubles (the
+# interpolation shape is engine-internal) but round via round_he —
+# the one documented residual surface here.
+_STATS_SD_QTY = duck_round_he(
+    "sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sqq - sq * sq AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
+    " / CAST(100.0 AS DOUBLE)",
+    4,
+)
+_STATS_VAR_DISC = duck_round_he(
+    "CAST(CAST(n AS DECIMAL(38,0)) * sdd - sd * sd AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))"
+    " / CAST(10000.0 AS DOUBLE) / CAST(10000.0 AS DOUBLE)",
+    6,
+)
+_STATS_CORR = duck_round_he(
+    "CAST(CAST(n AS DECIMAL(38,0)) * sqp - sq * sp AS DOUBLE)"
+    " / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sqq - sq * sq AS DOUBLE)"
+    " * CAST(CAST(n AS DECIMAL(38,0)) * spp - sp * sp AS DOUBLE))",
+    6,
+)
+_STATS_MEDIAN = duck_round_he("med_raw", 4)
+_STATS_P90 = duck_round_he("p90_raw", 4)
+
+
 @query(
     "stats_lineitem_summary",
-    oracle="""
+    oracle=f"""
+WITH g AS (
+  SELECT l_returnflag, l_quantity, l_extendedprice,
+         CAST(floor(l_quantity * CAST(100.0 AS DOUBLE) + 0.5) AS BIGINT) AS qq,
+         CAST(floor(l_discount * CAST(10000.0 AS DOUBLE) + 0.5) AS BIGINT) AS qd,
+         CAST(floor(l_extendedprice * CAST(100.0 AS DOUBLE) + 0.5) AS BIGINT) AS qp
+  FROM lineitem
+), a AS (
+  SELECT l_returnflag, count(*) AS n,
+         CAST(sum(qq) AS DECIMAL(38,0)) AS sq,
+         CAST(sum(qd) AS DECIMAL(38,0)) AS sd,
+         CAST(sum(qp) AS DECIMAL(38,0)) AS sp,
+         CAST(sum(CAST(qq * qq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sqq,
+         CAST(sum(CAST(qd * qd AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sdd,
+         CAST(sum(CAST(qp * qp AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS spp,
+         CAST(sum(CAST(qq * qp AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sqp,
+         quantile_cont(l_quantity, 0.5) AS med_raw,
+         quantile_cont(l_extendedprice, 0.9) AS p90_raw
+  FROM g GROUP BY l_returnflag
+)
 SELECT l_returnflag,
-       round(stddev_samp(l_quantity), 4) AS sd_qty,
-       round(var_samp(l_discount), 6) AS var_disc,
-       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-       round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
-       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
-FROM lineitem
-GROUP BY l_returnflag
+       {_STATS_SD_QTY} AS sd_qty,
+       {_STATS_VAR_DISC} AS var_disc,
+       {_STATS_CORR} AS corr_qty_price,
+       {_STATS_MEDIAN} AS median_qty,
+       {_STATS_P90} AS p90_price
+FROM a
 """,
     tags=("relational", "stats"),
     exported=False,
 )
 def stats_lineitem_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates: sample stddev/variance, Pearson
+    """Statistical aggregates — sample stddev/variance, Pearson
     correlation, exact interpolated percentiles (percentile ==
-    DuckDB quantile_cont semantics)."""
+    DuckDB quantile_cont semantics) — with every moment computed from
+    exact integer-grid sums (see the formula constants above): the
+    shuffle carries BIGINT/DECIMAL partials, so the result is
+    independent of partial-aggregation order on any cluster size."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+
+    def grid(col: str, q: float):
+        return F.floor(F.col(col) * F.lit(q) + F.lit(0.5)).cast("bigint")
+
+    g = li.select(
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+        grid("l_quantity", 100.0).alias("qq"),
+        grid("l_discount", 10000.0).alias("qd"),
+        grid("l_extendedprice", 100.0).alias("qp"),
+    )
+    a = g.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qq").cast("decimal(38,0)").alias("sq"),
+        F.sum("qd").cast("decimal(38,0)").alias("sd"),
+        F.sum("qp").cast("decimal(38,0)").alias("sp"),
+        F.sum((F.col("qq") * F.col("qq")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sqq"),
+        F.sum((F.col("qd") * F.col("qd")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sdd"),
+        F.sum((F.col("qp") * F.col("qp")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("spp"),
+        F.sum((F.col("qq") * F.col("qp")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sqp"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("med_raw"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_raw"),
+    )
+    return a.select(
+        "l_returnflag",
+        F.expr(_STATS_SD_QTY).alias("sd_qty"),
+        F.expr(_STATS_VAR_DISC).alias("var_disc"),
+        F.expr(_STATS_CORR).alias("corr_qty_price"),
+        F.expr(_STATS_MEDIAN).alias("median_qty"),
+        F.expr(_STATS_P90).alias("p90_price"),
     )
 
 

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from engine.functions.rounding import duck_qsum, duck_round_he, qsum, round_he
 from engine.io import load_table
 from engine.registry import query
 
@@ -145,13 +146,29 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Q8-style: national market share within a region's market.
 # --------------------------------------------------------------------------
+
+# Both CASE sums ride the 1e4 integer grid and the ratio of the exact
+# integers is rounded via identical IEEE ops (as q14_promo_revenue) —
+# round(sum(double)/sum(double)) was the last-digit partial-order flake
+# class.
+_Q8_SHARE = duck_round_he(
+    "CAST("
+    + duck_qsum(
+        "CASE WHEN sn.n_name = 'NATION_2' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END"
+    )
+    + " AS DOUBLE) / CAST("
+    + duck_qsum("l_extendedprice * (1 - l_discount)")
+    + " AS DOUBLE)",
+    6,
+)
+
+
 @query(
     "q8_market_share",
-    oracle="""
+    oracle=f"""
 SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-       round(sum(CASE WHEN sn.n_name = 'NATION_2'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+       {_Q8_SHARE} AS mkt_share
 FROM lineitem
 JOIN part      ON l_partkey = p_partkey
 JOIN orders    ON l_orderkey = o_orderkey
@@ -208,9 +225,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(0.0))
-                / F.sum(vol),
+            round_he(
+                qsum(
+                    F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(0.0)
+                ).cast("double")
+                / qsum(vol).cast("double"),
                 6,
             ).alias("mkt_share")
         )

@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from engine.functions.rounding import duck_qsum_rounded, qsum_rounded
+from engine.functions.rounding import (
+    duck_qsum_rounded,
+    duck_round_he,
+    qsum_rounded,
+    round_he,
+)
 from engine.io import load_table
 from engine.registry import query
 
@@ -53,7 +58,7 @@ def w_running_purchase_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.round(F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)), 2).alias(
+        round_he(F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)), 2).alias(
             "running_value"
         ),
         F.lag("event_id").over(w).alias("prev_event_id"),
@@ -68,7 +73,7 @@ def w_moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.avg("value").over(w), 4).alias("mov_avg_7"),
+        round_he(F.avg("value").over(w), 4).alias("mov_avg_7"),
     )
 
 
@@ -134,7 +139,7 @@ def w_supplier_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     supp = _t(spark, sf_dir, "supplier")
     base = supp.select(
-        "s_suppkey", "s_nationkey", F.round(F.col("s_acctbal"), 2).alias("_v")
+        "s_suppkey", "s_nationkey", round_he(F.col("s_acctbal"), 2).alias("_v")
     )
     ranked, n_rows = with_global_value_ranks(
         base, [F.col("_v").desc(), F.col("s_suppkey")], value_col="_v"
@@ -144,7 +149,7 @@ def w_supplier_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey",
         "s_nationkey",
         F.col("dense").alias("balance_rank"),
-        F.round((F.col("rank") - 1) / F.lit(pr_denom), 6).alias(
+        round_he((F.col("rank") - 1) / F.lit(pr_denom), 6).alias(
             "balance_pctile"
         ),
         ntile_expr(F.col("rn"), n_rows, 4).cast("bigint").alias("quartile"),
@@ -153,7 +158,7 @@ def w_supplier_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "funnel_view_to_purchase",
-    oracle="""
+    oracle=f"""
 WITH v AS (
   SELECT user_id, min(ts) AS first_view
   FROM events WHERE event_type = 'view' GROUP BY user_id
@@ -165,8 +170,12 @@ WITH v AS (
 )
 SELECT count(v.user_id) AS n_viewers,
        count(p.user_id) AS n_converted,
-       round(count(p.user_id) * 1.0 / count(v.user_id), 6) AS conversion_rate,
-       round(avg(floor(epoch(p.first_purchase)) - floor(epoch(v.first_view))), 2)
+       {duck_round_he("count(p.user_id) * 1.0 / count(v.user_id)", 6)}
+         AS conversion_rate,
+       {duck_round_he(
+           "CAST(sum(floor(epoch(p.first_purchase))"
+           " - floor(epoch(v.first_view))) AS DOUBLE)"
+           " / count(p.first_purchase)", 2)}
          AS avg_seconds_to_convert
 FROM v LEFT JOIN p ON v.user_id = p.user_id
 """,
@@ -197,14 +206,17 @@ def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("first_purchase"))
     )
     joined = v.join(p, "user_id", "left")
+    # The latency mean sums exact integer seconds (BIGINT) and divides
+    # once — avg(bigint) would sum doubles in task-completion order.
+    lat = F.unix_seconds("first_purchase") - F.unix_seconds("first_view")
     return joined.agg(
         F.count("user_id").alias("n_viewers"),
         F.count("first_purchase").alias("n_converted"),
-        F.round(F.count("first_purchase") * 1.0 / F.count("user_id"), 6).alias(
+        round_he(F.count("first_purchase") * 1.0 / F.count("user_id"), 6).alias(
             "conversion_rate"
         ),
-        F.round(
-            F.avg(F.unix_seconds("first_purchase") - F.unix_seconds("first_view")), 2
+        round_he(
+            F.sum(lat).cast("double") / F.count("first_purchase"), 2
         ).alias("avg_seconds_to_convert"),
     )
 
@@ -220,10 +232,10 @@ def w_order_value_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
-        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
-        F.round(F.last("o_totalprice").over(w_full), 2).alias("last_price"),
-        F.round(F.cume_dist().over(w), 6).alias("date_cume_dist"),
+        round_he(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        round_he(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        round_he(F.last("o_totalprice").over(w_full), 2).alias("last_price"),
+        round_he(F.cume_dist().over(w), 6).alias("date_cume_dist"),
     )
 
 
@@ -236,22 +248,23 @@ def w_order_value_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "w_frames_navigation",
-    oracle="""
+    oracle=f"""
 SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
        CAST(row_number() OVER w AS BIGINT) AS seq,
        lag(event_id) OVER w AS prev_event_id,
-       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING), 2) AS running_value,
-       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
-         AS mov_avg_7,
-       round(lead(value) OVER w, 2) AS next_value,
-       round(first_value(value) OVER w, 2) AS first_val,
-       round(last_value(value)
-             OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+       {duck_round_he(
+           "sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+           " ROWS UNBOUNDED PRECEDING)", 2)} AS running_value,
+       {duck_round_he(
+           "avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+           " ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)", 4)} AS mov_avg_7,
+       {duck_round_he("lead(value) OVER w", 2)} AS next_value,
+       {duck_round_he("first_value(value) OVER w", 2)} AS first_val,
+       {duck_round_he(
+           "last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+           " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)", 2)}
          AS last_val,
-       round(cume_dist() OVER w, 6) AS ts_cume_dist
+       {duck_round_he("cume_dist() OVER w", 6)} AS ts_cume_dist
 FROM events WHERE event_type = 'purchase'
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
@@ -277,13 +290,23 @@ def w_frames_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.row_number().over(w).cast("bigint").alias("seq"),
         F.lag("event_id").over(w).alias("prev_event_id"),
-        F.round(F.sum("value").over(w_run), 2).alias("running_value"),
-        F.round(F.avg("value").over(w_mov), 4).alias("mov_avg_7"),
-        F.round(F.lead("value").over(w), 2).alias("next_value"),
-        F.round(F.first("value").over(w), 2).alias("first_val"),
-        F.round(F.last("value").over(w_full), 2).alias("last_val"),
-        F.round(F.cume_dist().over(w), 6).alias("ts_cume_dist"),
+        # round_he, not F.round: the frame fixes the summation order so
+        # both engines reach the same double, but each engine's round()
+        # applies a different half-way rule — identical IEEE
+        # floor(x*s+0.5)/s ops are the only rounding that cannot split.
+        round_he(F.sum("value").over(w_run), 2).alias("running_value"),
+        round_he(F.avg("value").over(w_mov), 4).alias("mov_avg_7"),
+        round_he(F.lead("value").over(w), 2).alias("next_value"),
+        round_he(F.first("value").over(w), 2).alias("first_val"),
+        round_he(F.last("value").over(w_full), 2).alias("last_val"),
+        round_he(F.cume_dist().over(w), 6).alias("ts_cume_dist"),
     )
+
+
+# Ranking key for supplier balances — round_he text (identity on the
+# 2-decimal fixture, but keeps both engines' key expression the same
+# IEEE ops as the Spark side's `_v`).
+_BAL = duck_round_he("s_acctbal", 2)
 
 
 @query(
@@ -305,9 +328,9 @@ FROM (
 ) t WHERE rnk <= 3
 UNION ALL
 SELECT 'supplier_balance', CAST(s_nationkey AS VARCHAR), s_suppkey,
-       CAST(dense_rank() OVER (ORDER BY round(s_acctbal, 2) DESC) AS BIGINT),
-       CAST(ntile(4) OVER (ORDER BY round(s_acctbal, 2) DESC, s_suppkey) AS BIGINT),
-       round(percent_rank() OVER (ORDER BY round(s_acctbal, 2) DESC), 6)
+       CAST(dense_rank() OVER (ORDER BY {_BAL} DESC) AS BIGINT),
+       CAST(ntile(4) OVER (ORDER BY {_BAL} DESC, s_suppkey) AS BIGINT),
+       {duck_round_he(f"percent_rank() OVER (ORDER BY {_BAL} DESC)", 6)}
 FROM supplier
 """,
     tags=("window", "rank"),

@@ -139,15 +139,24 @@ def compact_parquet(
 
     Hive-partitioned layouts are PRESERVED: partition columns are
     detected from the ``key=value`` directory names and the rewrite
-    re-emits them with ``partitionBy``, clustered so each partition
-    directory compacts to one file. (A naive flat rewrite would read
-    the partition columns back as data columns and silently destroy
-    partition pruning plus every sibling that expects the layout —
-    dynamic overwrite, targeted key deletion, the streaming sinks.)
+    re-emits them with ``partitionBy``, clustered by (partition cols +
+    a bounded per-partition salt) so each directory compacts to
+    ~target-size files. The salt width is ceil(partition_rows /
+    rows-per-target-file), computed from a metadata-only count — so a
+    cold partition still compacts to ONE file while a hot partition
+    fans out across ceil(its_bytes / target) tasks instead of
+    funnelling through a single task (the skew/OOM point a pure
+    partition-column clustering has at scale). (A naive flat rewrite
+    would read the partition columns back as data columns and silently
+    destroy partition pruning plus every sibling that expects the
+    layout — dynamic overwrite, targeted key deletion, the streaming
+    sinks.)
     """
     import math
     import shutil
     import tempfile
+
+    from pyspark.sql import functions as F
 
     df = spark.read.parquet(path)
     pcols = _hive_partition_cols(path)
@@ -158,11 +167,39 @@ def compact_parquet(
     staging = tempfile.mkdtemp(prefix="compact-", dir=str(Path(path).parent))
     try:
         if pcols:
-            # Cluster by the partition columns: each Hive dir's rows
-            # land in one task, so each dir compacts to one file.
-            df.repartition(n_files, *pcols).write.mode("overwrite").partitionBy(
-                *pcols
-            ).parquet(staging)
+            # Rows per target-size file, estimated from the directory's
+            # aggregate bytes/row ratio (counts are parquet metadata —
+            # no data scan).
+            total_rows = df.count()
+            rows_per_file = max(
+                1,
+                int(total_rows * target_file_bytes / max(total_bytes, 1)),
+            )
+            widths = (
+                df.groupBy(*pcols)
+                .agg(
+                    F.greatest(
+                        F.ceil(F.count(F.lit(1)) / F.lit(rows_per_file)),
+                        F.lit(1),
+                    )
+                    .cast("int")
+                    .alias("_w")
+                )
+            )
+            data_cols = [c for c in df.columns if c not in pcols]
+            # Explicit width: a number-less repartition is fair game
+            # for AQE coalescing, which would re-merge the salt fanout.
+            salted = (
+                df.join(F.broadcast(widths), list(pcols))
+                .withColumn(
+                    "_salt", F.pmod(F.xxhash64(*data_cols), F.col("_w"))
+                )
+                .repartition(n_files, *pcols, "_salt")
+                .drop("_w", "_salt")
+            )
+            salted.write.mode("overwrite").partitionBy(*pcols).parquet(
+                staging
+            )
         else:
             df.repartition(n_files).write.mode("overwrite").parquet(staging)
         _publish_via_rename(staging, path, "compact")

@@ -111,6 +111,44 @@ def test_compact_parquet_preserves_hive_partitions(spark, tmp_path):
     assert pruned.count() == li.filter(F.col("l_returnflag") == "R").count()
 
 
+def test_compact_parquet_salts_hot_partitions(spark, tmp_path):
+    """A hot Hive partition must compact to MULTIPLE ~target files (one
+    per salt bucket), not funnel through one task into one oversized
+    file — while cold partitions still compact to exactly one file."""
+    import glob
+
+    from engine.sinks import compact_parquet
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    # Skew: bucket 'hot' holds ~¾ of rows, the rest spread thin.
+    skewed = li.withColumn(
+        "bkt",
+        F.when(F.col("l_orderkey") % 4 != 0, "hot").otherwise(
+            F.concat(F.lit("cold"), (F.col("l_orderkey") % 7).cast("string"))
+        ),
+    )
+    out = str(tmp_path / "li_skew")
+    skewed.repartition(16).write.partitionBy("bkt").parquet(out)
+    want = skewed.count()
+
+    # Target sized so the hot partition needs several files but each
+    # cold partition fits in one.
+    hot_bytes = sum(
+        __import__("os").path.getsize(f)
+        for f in glob.glob(f"{out}/bkt=hot/*.parquet")
+    )
+    compact_parquet(spark, out, target_file_bytes=max(hot_bytes // 4, 1))
+    hot_files = len(glob.glob(f"{out}/bkt=hot/*.parquet"))
+    cold_counts = [
+        len(glob.glob(f"{d}/*.parquet"))
+        for d in glob.glob(f"{out}/bkt=cold*")
+    ]
+    assert hot_files > 1  # salted: the hot dir fans out
+    assert cold_counts and all(c == 1 for c in cold_counts)
+    back = spark.read.parquet(out)
+    assert back.count() == want
+
+
 def test_upsert_parquet_merge_semantics(spark, tmp_path):
     """Insert + update + late-arriving stale version + idempotent
     same-version republish."""
