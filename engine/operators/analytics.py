@@ -33,6 +33,7 @@ from engine.functions.hashing import DUCK_H60, SPARK_H60
 from engine.functions.rounding import duck_qsum_rounded, qsum_rounded
 from engine.io import load_table
 from engine.operators.globalrank import topk_per_group
+from engine.plans import record_iteration_plan
 from engine.registry import query
 
 SAMPLE_K = 20
@@ -404,7 +405,7 @@ def pagerank_core(pairs: DataFrame) -> DataFrame:
         deg.count()  # fill co-partitioned with edges
         pr0 = math.floor(1.0 / n * 1e9 + 0.5) / 1e9  # same IEEE ops as oracle
         pr = deg.select(F.col("src").alias("item"), "d", F.lit(pr0).alias("pr"))
-        for _ in range(PR_ITERS):
+        for _i in range(PR_ITERS):
             contrib = edges.join(
                 pr.select(F.col("item").alias("src"), "d", "pr"), "src"
             ).select(
@@ -434,9 +435,15 @@ def pagerank_core(pairs: DataFrame) -> DataFrame:
             # has exactly ONE consumer (the next round's contribution
             # join), so the lineage is linear — the whole PR_ITERS
             # chain runs as one job over the cached edges/deg tables.
+            if _i == 0:
+                # Pre-checkpoint auditability (armed-only no-op): the
+                # round-1 plan = setup + one round; the chain capture
+                # below lets the audit derive exchanges-per-round.
+                record_iteration_plan("pagerank_round1", pr)
         out = pr.select(
             "item", F.col("d").alias("out_deg"), F.col("pr").alias("pr9")
         )
+        record_iteration_plan("pagerank_chain", out)
         out = out.localCheckpoint()
     # The checkpoint is the only live result: drop the iteration
     # caches so long-lived sessions (the 145-query oracle gate) don't
@@ -642,6 +649,7 @@ def triangle_core(pairs: DataFrame) -> DataFrame:
     nparts = max(1, min(conf_parts, -(-(2 * m2) // 1_000_000)))
     with static_planning(pairs.sparkSession, shuffle_partitions=nparts):
         plan, caches = _triangle_core_plan(pairs)
+        record_iteration_plan("triangle_chain", plan)
         out = plan.localCheckpoint()
     # The checkpoint is the only live result: drop the internal
     # deg/orientation caches so repeated invocations in a long-lived
@@ -1202,12 +1210,14 @@ def kcore_core(pairs: DataFrame) -> DataFrame:
             )
             keep = deg.filter(F.col("d") >= KCORE_K).select("item")
             prev = edges
-            edges = (
+            nxt = (
                 edges.join(keep.withColumnRenamed("item", "lo"), "lo", "left_semi")
                 .join(keep.withColumnRenamed("item", "hi"), "hi", "left_semi")
                 .select("lo", "hi")
-                .localCheckpoint()
             )
+            # One peel round, pre-checkpoint (armed-only no-op).
+            record_iteration_plan("kcore_round", nxt)
+            edges = nxt.localCheckpoint()
         cnt_last = edges.agg(F.count(F.lit(1)).alias("_c_last"))
         cnt_prev = prev.agg(F.count(F.lit(1)).alias("_c_prev"))
         out = (

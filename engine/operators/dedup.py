@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from engine.functions.rounding import duck_round_he, round_he
 from engine.io import load_table
+from engine.plans import record_iteration_plan
 from engine.registry import query
 from engine.operators.textstats import DUCK_H60, SPARK_H60, ngram_idx
 
@@ -491,12 +492,10 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
         prop = edges.join(
             labels, edges["src"] == labels["node"]
         ).select(F.col("dst").alias("node"), "lbl")
-        labels = (
-            labels.union(prop)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
-        )
+        nxt = labels.union(prop).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        # One propagation round, pre-checkpoint (armed-only no-op).
+        record_iteration_plan("components_round", nxt)
+        labels = nxt.localCheckpoint()
         # Labels only ever decrease: an unchanged sum ⇔ a fixpoint.
         cur_sum = labels.agg(F.sum("lbl")).first()[0]
         if cur_sum == prev_sum:

@@ -10,6 +10,7 @@ from engine.plans.inspect import (
     n_exchanges,
     n_executed_exchanges,
     pushed_filters,
+    record_iteration_plan,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "n_exchanges",
     "n_executed_exchanges",
     "pushed_filters",
+    "record_iteration_plan",
 ]

@@ -71,3 +71,39 @@ def executed_exchange_ids(df: DataFrame) -> tuple[set[str], set[str]]:
 def n_executed_exchanges(df: DataFrame) -> int:
     """Distinct shuffle exchanges actually executed (plan_id-deduped)."""
     return len(executed_exchange_ids(df)[0])
+
+
+# -- iteration-subplan capture ----------------------------------------------
+#
+# Iterative chains (pagerank, k-core peel, min-label components) cut
+# lineage with localCheckpoint, so the plan a consumer (PLANS.md, the
+# plan-audit gate) sees is an RDD-scan leaf with X=0 — the audit is
+# blind exactly where the iteration lives. The cores therefore offer a
+# capture hook: arm `ITERATION_PLAN_SINK` with a dict, run the
+# operator, and each core records the PRE-checkpoint exchange counts
+# of its first round (and, where the chain is lazy end-to-end, the
+# whole chain) under a stable tag. Disarmed (None, the default) the
+# hook is a no-op — production plans are unchanged and nothing extra
+# is planned.
+
+ITERATION_PLAN_SINK: dict[str, dict] | None = None
+
+
+def record_iteration_plan(tag: str, df: DataFrame) -> None:
+    """Record `df`'s exchange counts under `tag` if the sink is armed.
+
+    Only the FIRST recording per tag sticks (a federated query may run
+    the same core several times; round-1's plan is the representative
+    one). Planning the DataFrame is the only cost, and only when
+    armed."""
+    if ITERATION_PLAN_SINK is None or tag in ITERATION_PLAN_SINK:
+        return
+    try:
+        ex, bc = executed_exchange_ids(df)
+        ITERATION_PLAN_SINK[tag] = {"X": len(ex), "BC": len(bc)}
+    except ValueError:  # untagged plan string: fall back to text count
+        plan = formatted_plan(df)
+        ITERATION_PLAN_SINK[tag] = {
+            "X": len(re.findall(r"\(\d+\) Exchange\b", plan)),
+            "BC": plan.count("BroadcastExchange"),
+        }

@@ -109,10 +109,11 @@ def test_range_join_subsecond_interval_end(spark):
 
 
 def test_multimodal_decode_gated_on_codecs():
-    """decode_image/decode_audio use the real codec when installed and
-    raise the documented NotImplementedError otherwise — either branch
-    is a tested, intended state (README 'Multimodal decode')."""
-    from engine.operators.multimodal import HAS_PIL, HAS_SOUNDFILE
+    """decode_image uses the real codec when installed and raises the
+    documented NotImplementedError otherwise; decode_audio always
+    decodes WAV — via soundfile when installed, else the pure-stdlib
+    RIFF parse — and rejects garbage bytes."""
+    from engine.operators.multimodal import HAS_SOUNDFILE, HAS_PIL, synth_wav
 
     if HAS_PIL:
         import io
@@ -125,18 +126,28 @@ def test_multimodal_decode_gated_on_codecs():
     else:
         with pytest.raises(NotImplementedError):
             decode_image(b"\x89PNG")
-    if HAS_SOUNDFILE:
-        import io
-
-        import numpy as np
-        import soundfile as sf
-
-        buf = io.BytesIO()
-        sf.write(buf, np.zeros(16000), 16000, format="WAV")
-        assert decode_audio(buf.getvalue()) == (16000, 16000)
-    else:
-        with pytest.raises(NotImplementedError):
+    # Audio decodes in EVERY environment (VERDICT r3 #6).
+    assert decode_audio(synth_wav(16000, 16000)) == (16000, 16000)
+    if not HAS_SOUNDFILE:
+        with pytest.raises(ValueError):
             decode_audio(b"RIFF")
+
+
+def test_decode_audio_golden_wav_fixture():
+    """Checked-in 1 kB WAV fixture: the stdlib parse must read the
+    exact header fields byte-for-byte (8 kHz, 1000 8-bit mono frames,
+    1044 total bytes), and the synthesizer must reproduce the fixture
+    bit-identically — pinning both directions of the RIFF round trip
+    against silent drift."""
+    import os
+
+    from engine.operators.multimodal import synth_wav
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures", "tone_8k.wav")
+    payload = open(fix, "rb").read()
+    assert len(payload) == 1044
+    assert decode_audio(payload) == (1000, 8000)
+    assert synth_wav(8000, 1000) == payload
 
 
 def test_extract_blob_meta_plumbing(spark):

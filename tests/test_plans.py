@@ -111,3 +111,47 @@ def test_supplier_audit_shares_revenue_intermediate(spark):
 
     n = n_executed_exchanges(_df(spark, "q15_q20_q21_supplier_audit"))
     assert 3 <= n <= 8, n
+
+
+def test_iteration_subplans_within_exchange_budget(spark):
+    """The plan audit is blind below localCheckpoint RDD-scan leaves —
+    exactly where the iterative graph chains live (VERDICT r3 #5).
+    Arm the pre-checkpoint capture hook and assert per-round exchange
+    budgets: a regression that adds a shuffle inside the pagerank /
+    k-core / components round multiplies by the round count at 100 TB.
+    Lower bounds prove the captures matched real plans (see the BPE
+    test's rationale)."""
+    from engine.operators.analytics import PR_ITERS
+    from engine.plans import inspect as plan_inspect
+
+    assert plan_inspect.ITERATION_PLAN_SINK is None
+    plan_inspect.ITERATION_PLAN_SINK = {}
+    try:
+        _df(spark, "graph_analytics")
+        _df(spark, "dedup_exact_components")
+        got = plan_inspect.ITERATION_PLAN_SINK
+    finally:
+        plan_inspect.ITERATION_PLAN_SINK = None
+
+    assert set(got) == {
+        "pagerank_round1",
+        "pagerank_chain",
+        "triangle_chain",
+        "kcore_round",
+        "components_round",
+    }, got
+    # pagerank: setup (edge repartition + degree build) + round 1.
+    assert 2 <= got["pagerank_round1"]["X"] <= 8, got
+    # Marginal exchanges per extra round ≤ 2 (measured: ~1.25 — the
+    # |nodes|-row contribution sum, occasionally split by a reuse).
+    marginal = got["pagerank_chain"]["X"] - got["pagerank_round1"]["X"]
+    assert 0 <= marginal <= 2 * (PR_ITERS - 1), got
+    # k-core peel round: degree groupBy lands co-partitioned with the
+    # pinned-width edge list and the semi-joins broadcast — NO shuffle.
+    assert got["kcore_round"]["X"] <= 1, got
+    assert got["kcore_round"]["BC"] >= 1, got
+    # min-label propagation round: label join + min aggregate over the
+    # persisted pair graph (lineage below the cache prints too).
+    assert 1 <= got["components_round"]["X"] <= 7, got
+    # triangle chain (lazy end-to-end, checkpointed once).
+    assert 3 <= got["triangle_chain"]["X"] <= 12, got

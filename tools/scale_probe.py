@@ -151,9 +151,27 @@ def build(spark: SparkSession) -> None:
     write("embeddings", _copies(load_table(spark, SRC, "embeddings"), emb_fn))
 
 
-def run(spark: SparkSession) -> dict:
+# Heaviest non-headliner plans (PLANS.md X=44/25/19) — probed alongside
+# the headline set per VERDICT r3 #4: a fat federation whose exchanges
+# sum across facets still has to scale ~linearly per facet.
+EXTRA_PROBE = (
+    "embedding_suite",
+    "events_lifecycle_analytics",
+    "corpus_mining",
+)
+
+
+def run(spark: SparkSession, only: list[str] | None = None) -> dict:
     specs = all_queries()
     names = sorted(n for n, s in specs.items() if "headline" in s.tags)
+    names += [n for n in EXTRA_PROBE if n in specs and n not in names]
+    if only:
+        unknown = set(only) - set(specs)
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
+        names = [n for n in names if n in only] + [
+            n for n in only if n not in names
+        ]
     # Warm codegen/Arrow/broadcast paths at the tiny sf first (the
     # bench.py discipline) — without this the first few sf0.1 numbers
     # absorb JVM warmup and the ratios read sub-linear.
@@ -200,6 +218,8 @@ def run(spark: SparkSession) -> dict:
     for name, r in result.items():
         if "sf1" in r and "sf0.1" in r:
             r["ratio"] = round(r["sf1"] / max(r["sf0.1"], 1e-9), 2)
+    if "semantic_dedup" not in names:
+        return result
     # The documented scale contract for semantic_dedup is "K grows with
     # the corpus so clusters stay bounded" — holding K fixed at 10x
     # data makes within-cluster pair work grow ~quadratically (the
@@ -240,7 +260,8 @@ def main() -> None:
         return
     if not os.path.isdir(DST):
         build(spark)
-    res = run(spark)
+    only = sys.argv[2:] or None  # `run name1 name2` probes a subset
+    res = run(spark, only)
     print(json.dumps({"n_copies": N_COPIES, "queries": res}, indent=1))
 
 
