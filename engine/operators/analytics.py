@@ -336,40 +336,32 @@ def pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_core(copurchase_pairs(spark, sf_dir))
 
 
-def pagerank_core(pairs: DataFrame) -> DataFrame:
+def pagerank_core(
+    pairs: DataFrame, pinned_width: int | None = None
+) -> DataFrame:
     """PageRank from a prebuilt undirected (lo < hi) pair list. The
     symmetric closure of the pairs is exactly the reference edge set
     (src <> dst both directions), so results are unchanged vs building
-    edges directly."""
+    edges directly.
+
+    ``pinned_width``: when the caller already holds a static-planning
+    context pinned to the measured width (graph_analytics runs the
+    three cores concurrently under ONE context), pass it and no conf
+    is touched here — session conf is process-global, so nested
+    contexts from parallel threads would race."""
+    import contextlib
     import math
 
     from pyspark import StorageLevel
 
     from engine.functions.rounding import round_he
+    from engine.session import static_planning
 
-    edges0 = (
-        pairs.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
-        .unionAll(pairs.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    stats = edges0.agg(
-        F.countDistinct("src").alias("n"), F.count(F.lit(1)).alias("m")
-    ).first()  # driver scalars, O(1) — node and directed-edge counts
-    n, m = stats["n"], int(stats["m"] or 0)
-    if n == 0:
-        # Empty graph (no purchase events / no items): return the
-        # empty result with the output schema instead of dividing by
-        # zero in pr0 — matching triangle_core/kcore_core, which fall
-        # through to empty naturally. Unpersist first (recomputing an
-        # empty plan is free; a pinned dead cache entry is not).
-        edges0.unpersist(False)
-        return edges0.groupBy("src").agg(
-            F.count(F.lit(1)).cast("bigint").alias("d")
-        ).select(
-            F.col("src").alias("item"),
-            F.col("d").alias("out_deg"),
-            F.lit(0.0).alias("pr9"),
-        )
+    # m comes from the caller-persisted pair cache (one cheap cached
+    # count); n falls out of deg.count() below — the previous separate
+    # stats job and pre-repartition edge materialization are gone
+    # (three sequential driver actions → one).
+    m = 2 * pairs.count()
     # Size the iteration cache to the MEASURED graph, not the session
     # default: an iterative chain pays per-stage task overhead
     # PR_ITERS times over, so a 10k-edge graph spread across 32
@@ -379,13 +371,12 @@ def pagerank_core(pairs: DataFrame) -> DataFrame:
     # partitions well under executor memory. Hash-clustered on src so
     # the per-round contribution join adds no edge-side exchange — only
     # the |nodes|-row rank vector moves each round.
-    conf_parts = int(edges0.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    nparts = max(1, min(conf_parts, -(-m // 1_000_000)))
-    edges = edges0.repartition(nparts, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    edges.count()  # fill from edges0's cache, then drop the unclustered copy
-    edges0.unpersist(False)
-    from engine.session import static_planning
-
+    conf_parts = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    nparts = (
+        pinned_width
+        if pinned_width is not None
+        else max(1, min(conf_parts, -(-m // 1_000_000)))
+    )
     # The whole chain — degree build, PR_ITERS rounds, and the single
     # eager materialization — plans under (a) static planning (measured
     # 3.3 s AQE vs 1.3 s static for five 10k-row rounds: per-round
@@ -396,13 +387,38 @@ def pagerank_core(pairs: DataFrame) -> DataFrame:
     # hash-partitioned (src, nparts) — identical to edges' clustering —
     # so the per-round contribution join needs NO edge-side exchange;
     # the only exchange per round is the |nodes|-row contribution sum.
-    with static_planning(edges.sparkSession, shuffle_partitions=nparts):
+    ctx = (
+        contextlib.nullcontext()
+        if pinned_width is not None
+        else static_planning(pairs.sparkSession, shuffle_partitions=nparts)
+    )
+    with ctx:
+        edges = (
+            pairs.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+            .unionAll(
+                pairs.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+            )
+            .repartition(nparts, "src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         deg = (
             edges.groupBy("src")
             .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        deg.count()  # fill co-partitioned with edges
+        n = deg.count()  # ONE action fills edges AND deg; n = node count
+        if n == 0:
+            # Empty graph (no purchase events / no items): return the
+            # empty result with the output schema instead of dividing
+            # by zero in pr0. Unpersist first (recomputing an empty
+            # plan is free; a pinned dead cache entry is not).
+            edges.unpersist(False)
+            deg.unpersist(False)
+            return deg.select(
+                F.col("src").alias("item"),
+                F.col("d").alias("out_deg"),
+                F.lit(0.0).alias("pr9"),
+            )
         pr0 = math.floor(1.0 / n * 1e9 + 0.5) / 1e9  # same IEEE ops as oracle
         pr = deg.select(F.col("src").alias("item"), "d", F.lit(pr0).alias("pr"))
         for _i in range(PR_ITERS):
@@ -630,7 +646,9 @@ def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def triangle_core(pairs: DataFrame) -> DataFrame:
+def triangle_core(
+    pairs: DataFrame, pinned_width: int | None = None
+) -> DataFrame:
     """Triangle counting from a prebuilt (and persisted) undirected
     pair list — consumers: degree count (x2 via union), orientation
     join; the caller persists so basket expansion runs once.
@@ -641,13 +659,27 @@ def triangle_core(pairs: DataFrame) -> DataFrame:
     trips + 32-way near-empty tasks dominated wall time on small
     graphs (measured 1.0 s adaptive → 0.8 s static-pinned at sf0.1,
     identical rows). Wedge fan-out is degree-orientation-bounded
-    (O(m^1.5) worst case), so sizing off the edge count holds."""
+    (O(m^1.5) worst case), so sizing off the edge count holds.
+
+    ``pinned_width``: see pagerank_core — set by a caller that already
+    holds the shared static-planning context (parallel facet runs)."""
+    import contextlib
+
     from engine.session import static_planning
 
     conf_parts = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     m2 = pairs.count()  # one map pass over the caller-persisted cache
-    nparts = max(1, min(conf_parts, -(-(2 * m2) // 1_000_000)))
-    with static_planning(pairs.sparkSession, shuffle_partitions=nparts):
+    nparts = (
+        pinned_width
+        if pinned_width is not None
+        else max(1, min(conf_parts, -(-(2 * m2) // 1_000_000)))
+    )
+    ctx = (
+        contextlib.nullcontext()
+        if pinned_width is not None
+        else static_planning(pairs.sparkSession, shuffle_partitions=nparts)
+    )
+    with ctx:
         plan, caches = _triangle_core_plan(pairs)
         record_iteration_plan("triangle_chain", plan)
         out = plan.localCheckpoint()
@@ -1170,7 +1202,9 @@ def kcore_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_core(copurchase_pairs(spark, sf_dir).localCheckpoint())
 
 
-def kcore_core(pairs: DataFrame) -> DataFrame:
+def kcore_core(
+    pairs: DataFrame, pinned_width: int | None = None
+) -> DataFrame:
     """k-core peeling from a prebuilt undirected pair list. Emits a
     ``converged`` flag: peeling only ever REMOVES edges, so equal edge
     counts in the last two rounds is an exact fixpoint test — on data
@@ -1192,13 +1226,27 @@ def kcore_core(pairs: DataFrame) -> DataFrame:
     1.6 s static-pinned on the same data, identical rows. The
     round-N degree groupBy lands hash-partitioned like the
     lo-clustered edge list, so each round pays one edge exchange (the
-    hi-side semi-join), not three."""
+    hi-side semi-join), not three.
+
+    ``pinned_width``: see pagerank_core — set by a caller that already
+    holds the shared static-planning context (parallel facet runs)."""
+    import contextlib
+
     from engine.session import static_planning
 
     conf_parts = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     m2 = pairs.count()  # one map pass over the caller-persisted cache
-    nparts = max(1, min(conf_parts, -(-(2 * m2) // 1_000_000)))
-    with static_planning(pairs.sparkSession, shuffle_partitions=nparts):
+    nparts = (
+        pinned_width
+        if pinned_width is not None
+        else max(1, min(conf_parts, -(-(2 * m2) // 1_000_000)))
+    )
+    ctx = (
+        contextlib.nullcontext()
+        if pinned_width is not None
+        else static_planning(pairs.sparkSession, shuffle_partitions=nparts)
+    )
+    with ctx:
         edges = pairs.repartition(nparts, "lo").localCheckpoint()
         prev = edges
         for _ in range(KCORE_ROUNDS):
