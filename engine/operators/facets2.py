@@ -1042,7 +1042,29 @@ def embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PQ asymmetric-distance top-k: x = ADC distance), `centroid`
     (per-source centroid dims on the integer grid), `outlier`
     (centroid-distance outlier flags), `sign_lsh` (4-band sign-LSH
-    near-dup pairs with exact cosine verify)."""
+    near-dup pairs with exact cosine verify).
+
+    Materialized eagerly under static planning at a measured width
+    (the graph-core discipline): the union is a ~44-exchange DAG of
+    small Lloyd/PQ stages whose cardinalities are corpus-bounded and
+    known, so AQE re-planning adds only driver round trips — measured
+    14.0 s adaptive → 9.4 s static-pinned at sf0.1, identical rows.
+    Width = corpus rows / 8k keeps per-task vector batches substantial
+    while saturating the cluster as the corpus grows (sf0.1 → 4,
+    sf1 → 32); unlike kmeans_assignments (which stays lazy for its
+    downstream consumers), the suite is self-contained — nothing
+    consumes its internals, so pinning starves nobody."""
+    from engine.io import load_table
+    from engine.session import static_planning
+
+    emb_n = load_table(spark, sf_dir, "embeddings").count()  # metadata-only
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    width = max(1, min(conf_parts, -(-emb_n // 8192)))
+    with static_planning(spark, shuffle_partitions=width):
+        return _embedding_suite_plan(spark, sf_dir).localCheckpoint()
+
+
+def _embedding_suite_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     km = clustering.embedding_kmeans(spark, sf_dir).select(
         F.lit("kmeans").alias("facet"),
         F.col("cluster").alias("id1"),
