@@ -218,37 +218,68 @@ def run(spark: SparkSession, only: list[str] | None = None) -> dict:
     for name, r in result.items():
         if "sf1" in r and "sf0.1" in r:
             r["ratio"] = round(r["sf1"] / max(r["sf0.1"], 1e-9), 2)
-    if "semantic_dedup" not in names:
-        return result
-    # The documented scale contract for semantic_dedup is "K grows with
-    # the corpus so clusters stay bounded" — holding K fixed at 10x
-    # data makes within-cluster pair work grow ~quadratically (the
-    # probe's one superlinear row). Demonstrate the contract: rerun at
-    # sf1 with K scaled 10x and record the K-scaled time.
-    from engine.operators import clustering
+    if "semantic_dedup" in names:
+        # The documented scale contract for semantic_dedup is "K grows
+        # with the corpus so clusters stay bounded" — holding K fixed
+        # at 10x data makes within-cluster pair work grow
+        # ~quadratically (the probe's one superlinear row). Demonstrate
+        # the contract: rerun at sf1 with K scaled 10x and record the
+        # K-scaled time.
+        from engine.operators import clustering
 
-    km_k0 = clustering.KM_K
-    try:
-        clustering.KM_K = km_k0 * N_COPIES
-        ktimes = []
-        for _ in range(n_runs):
-            t0 = time.time()
-            specs["semantic_dedup"].fn(spark, DST).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            ktimes.append(time.time() - t0)
+        km_k0 = clustering.KM_K
+        try:
+            clustering.KM_K = km_k0 * N_COPIES
+            ktimes = []
+            for _ in range(n_runs):
+                t0 = time.time()
+                specs["semantic_dedup"].fn(spark, DST).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                ktimes.append(time.time() - t0)
+                spark.catalog.clearCache()
+            result["semantic_dedup"]["sf1_k_scaled"] = round(
+                sorted(ktimes)[len(ktimes) // 2], 3
+            )
+            result["semantic_dedup"]["ratio_k_scaled"] = round(
+                result["semantic_dedup"]["sf1_k_scaled"]
+                / max(result["semantic_dedup"]["sf0.1"], 1e-9),
+                2,
+            )
+        finally:
+            clustering.KM_K = km_k0
             spark.catalog.clearCache()
-        result["semantic_dedup"]["sf1_k_scaled"] = round(
-            sorted(ktimes)[len(ktimes) // 2], 3
-        )
-        result["semantic_dedup"]["ratio_k_scaled"] = round(
-            result["semantic_dedup"]["sf1_k_scaled"]
-            / max(result["semantic_dedup"]["sf0.1"], 1e-9),
-            2,
-        )
-    finally:
-        clustering.KM_K = km_k0
-        spark.catalog.clearCache()
+    if "embedding_suite" in names:
+        # Same contract for sign-LSH band width: fixed 4-bit bands make
+        # candidate work Σ bucket² ≈ bands × n²/16 (quadratic at fixed
+        # geometry); width grown by log2(corpus growth) — 4×4 bits →
+        # 4×8 bits at 10× data — keeps expected bucket size flat.
+        # (SPARK_GRAFT_LSH_BITS is the production knob; the probe
+        # patches the module constant the Spark plan reads.)
+        from engine.operators import similarity
+
+        bits0 = similarity.LSH_BITS
+        try:
+            similarity.LSH_BITS = bits0 * 2
+            wtimes = []
+            for _ in range(n_runs):
+                t0 = time.time()
+                specs["embedding_suite"].fn(spark, DST).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                wtimes.append(time.time() - t0)
+                spark.catalog.clearCache()
+            result["embedding_suite"]["sf1_lsh_scaled"] = round(
+                sorted(wtimes)[len(wtimes) // 2], 3
+            )
+            result["embedding_suite"]["ratio_lsh_scaled"] = round(
+                result["embedding_suite"]["sf1_lsh_scaled"]
+                / max(result["embedding_suite"].get("sf0.1", 0), 1e-9),
+                2,
+            )
+        finally:
+            similarity.LSH_BITS = bits0
+            spark.catalog.clearCache()
     return result
 
 
