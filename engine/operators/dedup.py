@@ -250,7 +250,9 @@ cand AS (
     oracle=f"""
 WITH {_DUCK_MINHASH}
 SELECT c.doc_a, c.doc_b,
-       round(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / {MINHASH_K}.0, 4)
+       {duck_round_he(
+           f"sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / {MINHASH_K}.0", 4
+       )}
          AS est_jaccard
 FROM cand c
 JOIN mh x ON x.doc_id = c.doc_a
@@ -296,7 +298,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .filter(F.col("_est") >= MINHASH_EST_THRESHOLD)
-        .select("doc_a", "doc_b", F.round("_est", 4).alias("est_jaccard"))
+        # round_he, not round(): the estimate is k/MINHASH_K — dyadic
+        # ratios scale to EXACT integer halves (e.g. 3/32 × 1e4 =
+        # 937.5), the one place engine round() rules genuinely split.
+        .select("doc_a", "doc_b", round_he(F.col("_est"), 4).alias("est_jaccard"))
     )
 
 

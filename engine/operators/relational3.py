@@ -242,9 +242,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q11_important_parts",
-    oracle="""
+    oracle=f"""
 WITH eu_value AS (
-  SELECT l_partkey, sum(l_extendedprice) AS part_value
+  SELECT l_partkey, {duck_qsum("l_extendedprice")} AS pv_q
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation   ON s_nationkey = n_nationkey
@@ -252,9 +252,13 @@ WITH eu_value AS (
   WHERE r_name = 'EUROPE'
   GROUP BY l_partkey
 )
-SELECT l_partkey AS p_partkey, round(part_value, 2) AS part_value
+SELECT l_partkey AS p_partkey,
+       {duck_round_he("CAST(pv_q AS DOUBLE) / CAST(10000.0 AS DOUBLE)", 2)}
+         AS part_value
 FROM eu_value
-WHERE part_value > (SELECT avg(part_value) * 2.4 FROM eu_value)
+WHERE CAST(pv_q AS DOUBLE) / CAST(10000.0 AS DOUBLE)
+      > (SELECT CAST(sum(pv_q) AS DOUBLE) / CAST(10000.0 AS DOUBLE)
+                / count(*) * CAST(2.4 AS DOUBLE) FROM eu_value)
 ORDER BY part_value DESC, p_partkey
 """,
     tags=("relational", "subquery", "aggregate"),
@@ -282,21 +286,31 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     # Scalar-subquery shape: eu_value feeds both the threshold and the
-    # filter; persisted (1 row/part) so lineitem scans once.
+    # filter; persisted (1 row/part) so lineitem scans once. The
+    # per-part sum rides the qsum integer grid and the threshold is
+    # derived from the exact integer total via the same IEEE op
+    # sequence as the oracle — round(sum(double)) here was the
+    # order-dependent boundary class.
     eu_value = (
         li.join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
-        .agg(F.sum("l_extendedprice").alias("part_value"))
+        .agg(qsum("l_extendedprice").alias("pv_q"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
     total = eu_value.agg(
-        (F.avg("part_value") * 2.4).alias("threshold")
+        (
+            F.sum("pv_q").cast("double")
+            / F.lit(10000.0)
+            / F.count(F.lit(1))
+            * F.lit(2.4)
+        ).alias("threshold")
     )
+    pv = F.col("pv_q").cast("double") / F.lit(10000.0)
     return (
         eu_value.join(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("threshold"))
+        .filter(pv > F.col("threshold"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
-            F.round("part_value", 2).alias("part_value"),
+            round_he(pv, 2).alias("part_value"),
         )
         .orderBy(F.col("part_value").desc(), "p_partkey")
     )

@@ -665,7 +665,9 @@ def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit_ratio = F.length(F.regexp_replace("text", "[^0-9]", "")) * 1.0 / F.nullif(
         F.length("text"), F.lit(0)
     )
-    quality = F.round(
+    # round_he to mirror the oracle's duck_round_he (_QQ_QUALITY_DUCK)
+    # exactly — the two sides of one query must round identically.
+    quality = round_he(
         1.0
         / (
             1.0
