@@ -1,0 +1,68 @@
+"""Driver-fidelity gate: every exported query must run on a PLAIN
+SparkSession — no engine.session configs — exactly as the driver runs
+them.
+
+The engine's own session factory pins legacy/nanos-timestamp and
+Arrow confs; a query that silently depends on one of them passes every
+other test and then breaks only in the driver (the events
+TIMESTAMP(NANOS) bug class — see .claude/skills/verify). This module
+builds the same bare session the driver does and executes the full
+exported surface once at the smoke scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def plain_spark():
+    # Deliberately NOT engine.session.get_spark: default confs, like
+    # the driver. getOrCreate() would reuse the engine-tuned session
+    # from other test modules (same JVM), which would defeat the
+    # point — so this module must not share a process-wide session.
+    # newSession() shares the SparkContext but gets FRESH default
+    # SQLConf, which is where every config this gate cares about
+    # lives (nanosAsLong, inferTimestampNTZ, session timezone are
+    # session confs, not context confs).
+    from pyspark.sql import SparkSession
+
+    base = SparkSession.builder.master("local[8]").config(
+        "spark.ui.enabled", "false"
+    ).getOrCreate()
+    s = base.newSession()
+    # Explicit STOCK values, not unset(): builder-time configs land in
+    # the context SparkConf, so in a shared JVM unset() would restore
+    # the engine-tuned values and silently weaken this gate.
+    for key, stock in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "false"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "true"),
+        ("spark.sql.shuffle.partitions", "200"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ):
+        s.conf.set(key, stock)
+    yield s
+
+
+def test_every_exported_query_runs_on_a_plain_session(plain_spark):
+    """Execute all ~50 exported queries with default confs; each must
+    produce rows with a stable non-empty schema. engine.io.load_table
+    is responsible for pinning any conf a fixture vintage needs — a
+    failure here means a query leaked a dependency on the tuned
+    session."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    assert len(qs) >= 50
+    failures = {}
+    for name, fn in sorted(qs.items()):
+        try:
+            df = fn(plain_spark, SF_SMOKE)
+            cols = df.columns
+            assert cols and all(c for c in cols)
+            df.collect()
+        except Exception as exc:  # noqa: BLE001 - collecting a report
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+    assert not failures, failures
