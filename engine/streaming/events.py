@@ -272,6 +272,145 @@ def streaming_user_value_stats_tws(
     )
 
 
+def streaming_user_profile_tws(
+    events: DataFrame,
+    initial_snapshot=None,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """The v2 API's distinguishing features in one operator: MULTIPLE
+    typed state variables per key (a ``ValueState`` for purchase
+    running stats + a ``MapState`` of per-event-type counts — v1
+    offers exactly one opaque state slot) and optional INITIAL-STATE
+    bootstrap (``initialState=`` a grouped snapshot; the production
+    "backfill from batch, then stream increments" pattern —
+    ``handleInitialState`` seeds both variables before the first
+    batch). Emits one profile row per user per batch with input:
+    (n_purchases, total_value, n_event_types, n_events).
+
+    ``initial_snapshot`` is a DataFrame of
+    (user_id, n_purchases, total_value, type_counts MAP<string,bigint>)
+    — build it with :func:`user_profile_snapshot`. State size is
+    O(users × event types); the map never stores rows, only counts —
+    bounded state on an unbounded stream."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_purchases", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("n_event_types", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+
+    class UserProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState("stats", "n bigint, total double")
+            self._counts = handle.getMapState(
+                "type_counts", "et string", "c bigint"
+            )
+
+        def handleInitialState(self, key, initialState, timer_values) -> None:
+            row = initialState.iloc[0]
+            self._stats.update(
+                (int(row["n_purchases"]), float(row["total_value"]))
+            )
+            # Arrow maps reach pandas as either a dict (spark.sql.
+            # execution.pandas convertToArrowArraySafely / pydict
+            # mode) or a list of (key, value) tuples — accept both.
+            tc = row["type_counts"]
+            items = tc.items() if hasattr(tc, "items") else (tc or [])
+            for et, c in items:
+                self._counts.updateValue((et,), (int(c),))
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            cur = self._stats.get()
+            n, total = cur if cur is not None else (0, 0.0)
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                purchases = pdf[pdf["event_type"] == "purchase"]
+                n += len(purchases)
+                total += float(purchases["value"].sum())
+                for et, c in pdf["event_type"].value_counts().items():
+                    prev = self._counts.getValue((et,))
+                    base = int(prev[0]) if prev is not None else 0
+                    self._counts.updateValue((et,), (base + int(c),))
+            self._stats.update((n, total))
+            n_types, n_events = 0, 0
+            for _k, v in self._counts.iterator():
+                n_types += 1
+                n_events += int(v[0])
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "n_purchases": n,
+                        "total_value": total,
+                        "n_event_types": n_types,
+                        "n_events": n_events,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserProfileProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+            initialState=(
+                initial_snapshot.groupBy("user_id")
+                if initial_snapshot is not None
+                else None
+            ),
+        )
+    )
+
+
+def user_profile_snapshot(events: DataFrame) -> DataFrame:
+    """Batch snapshot in :func:`streaming_user_profile_tws`'s
+    initial-state layout — the "backfill" half of backfill-then-stream."""
+    per_type = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return (
+        per_type.groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("event_type", "c"))
+            ).alias("type_counts")
+        )
+        .join(
+            events.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+                F.sum("value").cast("double").alias("total_value"),
+            ),
+            "user_id",
+            "left",
+        )
+        .select(
+            "user_id",
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+            "type_counts",
+        )
+    )
+
+
 def streaming_view_purchase_join(
     events: DataFrame, horizon: str = "1 hour", watermark: str = "1 day"
 ) -> DataFrame:
