@@ -267,3 +267,80 @@ def test_crashing_executable_fails_the_job(spark, tmp_path):
             num_mappers=1,
             num_reducers=1,
         )
+
+
+def test_wordcount_large_corpus_golden(spark, tmp_path):
+    """Large-corpus parity over the reference's input_large fixtures
+    (the corpus its memory-profile tests test_worker_07/11 stream):
+
+    (a) our map stage over input_large reproduces the reference's
+        checked-in input_large_intermediate (multiset of
+        '<token>\\t1' lines at ~700k tokens, where the 36 KB `input`
+        goldens could hide corpus-scale edge cases). Non-empty tokens
+        only: every input_large file ends with a trailing space and
+        NO final newline, and a raw byte stream (how the intermediate
+        was generated) yields no empty record there while a
+        line-record pipe does — the in-line empty-token contract is
+        already pinned exactly by test_empty_key_partitioning;
+    (b) the full executable wordcount pipeline's per-token counts
+        equal an independent pure-Python recount implementing
+        wc_map.sh's exact semantics (tr space/tab→newline, lowercase,
+        empty tokens kept)."""
+    import glob
+
+    large = f"{REFDATA}/input_large"
+    inter = f"{REFDATA}/input_large_intermediate"
+
+    # (a) map-only: a case-preserving tr-tokenizer (the mapper the
+    # intermediate was generated with — wc_map.sh minus the lowercase
+    # stage), identity reduce, one partition.
+    raw_map = tmp_path / "raw_map.sh"
+    raw_map.write_text(
+        "#!/bin/bash\nset -Eeuo pipefail\n"
+        "cat | tr '[ \\t]' '\\n' | awk '{print $1\"\\t1\"}'\n"
+    )
+    raw_map.chmod(0o755)
+    out_map = str(tmp_path / "map_only")
+    parts = run_job(
+        spark, large, out_map,
+        mapper=str(raw_map), reducer="/bin/cat",
+        num_mappers=4, num_reducers=1,
+    )
+    got_lines = sorted(
+        line
+        for p in parts
+        for line in open(p, encoding="utf-8").read().splitlines()
+        if not line.startswith("\t")
+    )
+    want_lines = sorted(
+        line
+        for p in sorted(glob.glob(f"{inter}/file0*"))
+        for line in open(p, encoding="utf-8").read().splitlines()
+        if not line.startswith("\t")
+    )
+    assert got_lines == want_lines
+
+    # (b) full pipeline vs independent recount
+    out_wc = str(tmp_path / "wc")
+    parts = run_job(
+        spark, large, out_wc,
+        mapper=f"{REFDATA}/exec/wc_map.sh",
+        reducer=f"{REFDATA}/exec/wc_reduce.sh",
+        num_mappers=4, num_reducers=2,
+    )
+    got = {}
+    for p in parts:
+        for line in open(p, encoding="utf-8").read().splitlines():
+            tok, _, c = line.rpartition("\t")
+            got[tok] = got.get(tok, 0) + int(c)
+
+    import re
+
+    want = {}
+    for p in sorted(glob.glob(f"{large}/file0*")):
+        for line in open(p, encoding="utf-8").read().splitlines():
+            for piece in re.split(r"[ \t]", line):
+                tok = piece.lower()
+                want[tok] = want.get(tok, 0) + 1
+    assert got == want
+    assert sum(want.values()) > 50_000  # the corpus is actually large
