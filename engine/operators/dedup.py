@@ -119,7 +119,28 @@ WHERE both_cnt * 1.0 / (na.n + nb.n - both_cnt) >= {JACCARD_THRESHOLD}
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs, shingle-blocked: only
     documents sharing ≥1 word-3-shingle are compared (25 pairs survive
-    at threshold 0.2 on this corpus vs 125k all-pairs)."""
+    at threshold 0.2 on this corpus vs 125k all-pairs).
+
+    Materialized eagerly under static planning at a measured width
+    (the embedding_suite discipline): per-stage cardinalities are
+    corpus-bounded, so AQE re-planning only adds driver round trips —
+    ~25% of wall time at sf0.1 in an interleaved A/B. Width = docs/1k
+    (the shuffled unit is ~40 8-byte shingle hashes per doc); the
+    shingle cache is dropped once the checkpoint holds the result."""
+    from engine.session import static_planning
+
+    n_docs = load_table(spark, sf_dir, "documents").count()  # metadata-only
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    width = max(1, min(conf_parts, -(-n_docs // 1000)))
+    with static_planning(spark, shuffle_partitions=width):
+        plan, caches = _dedup_ngram_jaccard_plan(spark, sf_dir)
+        out = plan.localCheckpoint()
+    for c in caches:
+        c.unpersist(False)
+    return out
+
+
+def _dedup_ngram_jaccard_plan(spark: SparkSession, sf_dir: str):
     docs = load_table(spark, sf_dir, "documents")
     # Hash BEFORE the distinct: the dedup shuffle then moves 8-byte
     # ints, not ~30-byte shingle strings. xxhash64 (JVM-native, ~25%
@@ -161,7 +182,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = F.broadcast(sizes.alias("na"))
     nb = F.broadcast(sizes.alias("nb"))
     jac = F.col("both_cnt") * 1.0 / (F.col("na.n") + F.col("nb.n") - F.col("both_cnt"))
-    return (
+    out = (
         inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
         .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
         .filter(jac >= JACCARD_THRESHOLD)
@@ -171,6 +192,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # divergence class engine/functions/rounding.py exists to kill.
         .select("doc_a", "doc_b", round_he(jac, 6).alias("jaccard"))
     )
+    return out, [sh]
 
 
 def _minhash_tables(docs):

@@ -728,7 +728,27 @@ def pipeline_decontam_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: gram join shuffles 8-byte hashes; the contaminated set
     (small by construction) anti-joins the corpus; packing windows are
-    partitioned by hash bucket — no global state anywhere."""
+    partitioned by hash bucket — no global state anywhere.
+
+    Materialized eagerly under static planning at a measured width
+    (docs/1k — see dedup_ngram_jaccard): the gram/anti-join/window
+    stages have corpus-bounded cardinalities, so AQE re-planning only
+    added driver round trips (~25% of sf0.1 wall time, interleaved
+    A/B)."""
+    from engine.session import static_planning
+
+    n_docs = load_table(spark, sf_dir, "documents").count()  # metadata-only
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    width = max(1, min(conf_parts, -(-n_docs // 1000)))
+    with static_planning(spark, shuffle_partitions=width):
+        plan, caches = _pipeline_decontam_pack_plan(spark, sf_dir)
+        out = plan.localCheckpoint()
+    for c in caches:
+        c.unpersist(False)
+    return out
+
+
+def _pipeline_decontam_pack_plan(spark: SparkSession, sf_dir: str):
     from pyspark import StorageLevel
 
     contaminated = pipeline_decontaminate(spark, sf_dir).persist(
@@ -762,7 +782,7 @@ def pipeline_decontam_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq_id.alias("seq_id"),
         seq_offset.alias("seq_offset"),
     )
-    return decon_facet.unionAll(pack_facet)
+    return decon_facet.unionAll(pack_facet), [contaminated]
 
 
 LM_SURPRISE_THRESHOLD = 0.0333  # ~bottom decile of avg bigram likelihood

@@ -39,8 +39,16 @@ def test_q1_single_shuffle(spark):
 
 
 def test_jaccard_no_cartesian(spark):
-    df = _df(spark, "dedup_ngram_jaccard")
-    assert not has_cartesian_product(df)
+    # The registered query checkpoints eagerly (RDD-scan leaf would
+    # make this assertion vacuous) — audit the pre-checkpoint plan.
+    from engine.operators.dedup import _dedup_ngram_jaccard_plan
+
+    plan, caches = _dedup_ngram_jaccard_plan(spark, SF_SMOKE)
+    try:
+        assert not has_cartesian_product(plan)
+    finally:
+        for c in caches:
+            c.unpersist(False)
 
 
 def test_minhash_no_cartesian(spark):
