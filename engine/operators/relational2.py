@@ -15,9 +15,11 @@ from pyspark.sql import functions as F
 
 from engine.functions.rounding import (
     duck_qavg_rounded,
+    duck_qsum,
     duck_qsum_rounded,
     duck_round_he,
     qavg_rounded,
+    qsum,
     qsum_rounded,
     round_he,
 )
@@ -310,9 +312,11 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q22_idle_rich_customers",
-    oracle="""
+    oracle=f"""
 WITH avg_bal AS (
-  SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+  SELECT CAST({duck_qsum("c_acctbal")} AS DOUBLE) / CAST(10000.0 AS DOUBLE)
+         / count(*) AS ab
+  FROM customer WHERE c_acctbal > 0.0
 )
 SELECT c_nationkey, count(*) AS numcust,
        floor((CAST(CAST(sum(CAST(floor((c_acctbal) * CAST(10000.0 AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / CAST(10000.0 AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS totacctbal
@@ -333,8 +337,16 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
     )
+    # Threshold from the exact integer-grid sum (identical IEEE op
+    # sequence as the oracle): a raw avg(double) partial-sums in task
+    # order, and a customer whose balance sits an ulp from the mean
+    # could flip membership between engines/runs (the q11 class).
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("ab")
+        (
+            qsum("c_acctbal").cast("double")
+            / F.lit(10000.0)
+            / F.count(F.lit(1))
+        ).alias("ab")
     )
     return (
         cust.join(F.broadcast(avg_bal))
