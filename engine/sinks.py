@@ -187,15 +187,28 @@ def compact_parquet(
                 )
             )
             data_cols = [c for c in df.columns if c not in pcols]
+            # NULL-SAFE join on the partition columns: a Hive layout
+            # can hold a __HIVE_DEFAULT_PARTITION__ (NULL-valued)
+            # directory, and a plain equi-join would silently DROP
+            # every row of it during compaction.
+            w_aliased = F.broadcast(
+                widths.select(
+                    *[F.col(c).alias(f"_p_{c}") for c in pcols], "_w"
+                )
+            )
+            cond = None
+            for c in pcols:
+                term = F.col(c).eqNullSafe(F.col(f"_p_{c}"))
+                cond = term if cond is None else (cond & term)
             # Explicit width: a number-less repartition is fair game
             # for AQE coalescing, which would re-merge the salt fanout.
             salted = (
-                df.join(F.broadcast(widths), list(pcols))
+                df.join(w_aliased, cond)
                 .withColumn(
                     "_salt", F.pmod(F.xxhash64(*data_cols), F.col("_w"))
                 )
                 .repartition(n_files, *pcols, "_salt")
-                .drop("_w", "_salt")
+                .drop("_w", "_salt", *[f"_p_{c}" for c in pcols])
             )
             salted.write.mode("overwrite").partitionBy(*pcols).parquet(
                 staging

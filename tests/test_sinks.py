@@ -149,6 +149,35 @@ def test_compact_parquet_salts_hot_partitions(spark, tmp_path):
     assert back.count() == want
 
 
+def test_compact_parquet_keeps_null_partition(spark, tmp_path):
+    """A __HIVE_DEFAULT_PARTITION__ (NULL-valued) directory must
+    survive compaction row-for-row: the salting width lookup joins on
+    the partition columns, and a plain equi-join would silently drop
+    every NULL-partition row."""
+    import glob
+
+    from engine.sinks import compact_parquet
+
+    li = load_table(spark, SF_SMOKE, "lineitem").limit(500)
+    part = li.withColumn(
+        "bkt",
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("b"), (F.col("l_orderkey") % 2).cast("string"))),
+    )
+    out = str(tmp_path / "li_nullpart")
+    part.repartition(4).write.partitionBy("bkt").parquet(out)
+    want_total = part.count()
+    want_null = part.filter(F.col("bkt").isNull()).count()
+    assert want_null > 0
+    assert glob.glob(f"{out}/bkt=__HIVE_DEFAULT_PARTITION__")
+
+    compact_parquet(spark, out, target_file_bytes=64 * 1024 * 1024)
+    back = spark.read.parquet(out)
+    assert back.count() == want_total
+    assert back.filter(F.col("bkt").isNull()).count() == want_null
+    assert glob.glob(f"{out}/bkt=__HIVE_DEFAULT_PARTITION__")
+
+
 def test_upsert_parquet_merge_semantics(spark, tmp_path):
     """Insert + update + late-arriving stale version + idempotent
     same-version republish."""
