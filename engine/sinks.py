@@ -157,6 +157,7 @@ def compact_parquet(
     import tempfile
 
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     df = spark.read.parquet(path)
     pcols = _hive_partition_cols(path)
@@ -186,7 +187,25 @@ def compact_parquet(
                     .alias("_w")
                 )
             )
-            data_cols = [c for c in df.columns if c not in pcols]
+            # Salt input: atomic data columns only (xxhash64 rejects
+            # MAP columns, and deep struct/array hashing buys nothing
+            # for a spread). A table with no atomic non-partition
+            # column falls back to the row's stable position id.
+            atomic = {
+                f.name
+                for f in df.schema.fields
+                if not isinstance(
+                    f.dataType, (T.MapType, T.ArrayType, T.StructType)
+                )
+            }
+            data_cols = [
+                c for c in df.columns if c not in pcols and c in atomic
+            ]
+            salt_src = (
+                F.xxhash64(*data_cols)
+                if data_cols
+                else F.monotonically_increasing_id()
+            )
             # NULL-SAFE join on the partition columns: a Hive layout
             # can hold a __HIVE_DEFAULT_PARTITION__ (NULL-valued)
             # directory, and a plain equi-join would silently DROP
@@ -204,9 +223,7 @@ def compact_parquet(
             # for AQE coalescing, which would re-merge the salt fanout.
             salted = (
                 df.join(w_aliased, cond)
-                .withColumn(
-                    "_salt", F.pmod(F.xxhash64(*data_cols), F.col("_w"))
-                )
+                .withColumn("_salt", F.pmod(salt_src, F.col("_w")))
                 .repartition(n_files, *pcols, "_salt")
                 .drop("_w", "_salt", *[f"_p_{c}" for c in pcols])
             )
