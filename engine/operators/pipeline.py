@@ -499,11 +499,17 @@ m AS (
   FROM documents
 ),
 funnel AS (
+  -- CAST: DuckDB's sum(CASE ...) yields HUGEINT, which UNION-ALL-promotes
+  -- the whole `n` column and reaches a fetch-layer value hash as
+  -- float64/decimal128 instead of int64.  BIGINT keeps the column
+  -- hash-identical to Spark's LongType.
   SELECT count(*) AS n_total,
-         sum(CASE WHEN c_len THEN 1 ELSE 0 END) AS n_after_len,
-         sum(CASE WHEN c_len AND c_alpha THEN 1 ELSE 0 END) AS n_after_alpha,
-         sum(CASE WHEN c_len AND c_alpha AND c_wlen THEN 1 ELSE 0 END)
-           AS n_after_wordlen
+         CAST(sum(CASE WHEN c_len THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_after_len,
+         CAST(sum(CASE WHEN c_len AND c_alpha THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_after_alpha,
+         CAST(sum(CASE WHEN c_len AND c_alpha AND c_wlen THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_after_wordlen
   FROM m
 )
 SELECT 'mix' AS facet, source AS key, count(*) AS n,

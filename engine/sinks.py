@@ -141,11 +141,12 @@ def compact_parquet(
     detected from the ``key=value`` directory names and the rewrite
     re-emits them with ``partitionBy``, clustered by (partition cols +
     a bounded per-partition salt) so each directory compacts to
-    ~target-size files. The salt width is ceil(partition_rows /
-    rows-per-target-file), computed from a metadata-only count — so a
-    cold partition still compacts to ONE file while a hot partition
-    fans out across ceil(its_bytes / target) tasks instead of
-    funnelling through a single task (the skew/OOM point a pure
+    ~target-size files. The salt width is ceil(directory_bytes /
+    target_file_bytes), computed from the file LISTING the function
+    already performs — genuinely metadata-only, zero Spark pre-pass
+    jobs — so a cold partition still compacts to ONE file while a hot
+    partition fans out across ceil(its_bytes / target) tasks instead
+    of funnelling through a single task (the skew/OOM point a pure
     partition-column clustering has at scale). (A naive flat rewrite
     would read the partition columns back as data columns and silently
     destroy partition pruning plus every sibling that expects the
@@ -159,33 +160,48 @@ def compact_parquet(
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    import pyarrow.parquet as pq
+
     df = spark.read.parquet(path)
     pcols = _hive_partition_cols(path)
-    total_bytes = sum(
-        int(f.stat().st_size) for f in Path(path).rglob("*.parquet")
-    )
+    # One listing walk feeds everything: total data bytes (global file
+    # count) and per-partition-directory data bytes (salt widths) —
+    # from the parquet FOOTERS (row-group compressed column sizes), a
+    # true metadata-only pass with zero Spark jobs and zero data scan.
+    # Footer bytes, not st_size: in the exact small-files pathology
+    # this function targets, per-file footer/padding overhead dominates
+    # raw file sizes and would inflate every cold directory's width.
+    # (At millions of files, distribute this listing pass — e.g. over
+    # a binaryFile read of the footers; driver-side is fine for the
+    # directory counts a periodic compactor sees per run.)
+    dir_bytes: dict[str, int] = {}
+    for f in Path(path).rglob("*.parquet"):
+        rel = f.relative_to(path).parent.as_posix()
+        try:
+            md = pq.ParquetFile(str(f)).metadata
+            nbytes = sum(
+                md.row_group(i).column(j).total_compressed_size
+                for i in range(md.num_row_groups)
+                for j in range(md.num_columns)
+            )
+        except Exception:  # unreadable footer: fall back to file size
+            nbytes = int(f.stat().st_size)
+        dir_bytes[rel] = dir_bytes.get(rel, 0) + nbytes
+    total_bytes = sum(dir_bytes.values())
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
     staging = tempfile.mkdtemp(prefix="compact-", dir=str(Path(path).parent))
     try:
         if pcols:
-            # Rows per target-size file, estimated from the directory's
-            # aggregate bytes/row ratio (counts are parquet metadata —
-            # no data scan).
-            total_rows = df.count()
-            rows_per_file = max(
-                1,
-                int(total_rows * target_file_bytes / max(total_bytes, 1)),
-            )
-            widths = (
-                df.groupBy(*pcols)
-                .agg(
-                    F.greatest(
-                        F.ceil(F.count(F.lit(1)) / F.lit(rows_per_file)),
-                        F.lit(1),
-                    )
-                    .cast("int")
-                    .alias("_w")
-                )
+            # Per-directory salt width = ceil(dir_bytes / target): the
+            # quantity we actually want (output files per directory),
+            # measured directly instead of estimated via a global
+            # bytes/row ratio.
+            widths = spark.createDataFrame(
+                [
+                    (d, max(1, math.ceil(b / target_file_bytes)))
+                    for d, b in sorted(dir_bytes.items())
+                ],
+                "_dir string, _w int",
             )
             # Salt input: atomic data columns only (xxhash64 rejects
             # MAP columns, and deep struct/array hashing buys nothing
@@ -206,26 +222,31 @@ def compact_parquet(
                 if data_cols
                 else F.monotonically_increasing_id()
             )
-            # NULL-SAFE join on the partition columns: a Hive layout
-            # can hold a __HIVE_DEFAULT_PARTITION__ (NULL-valued)
-            # directory, and a plain equi-join would silently DROP
-            # every row of it during compaction.
-            w_aliased = F.broadcast(
-                widths.select(
-                    *[F.col(c).alias(f"_p_{c}") for c in pcols], "_w"
-                )
+            # Join key: the row's source partition DIRECTORY, taken
+            # from the _metadata.file_path's trailing key=value
+            # segments.  Joining on the directory string (not the
+            # typed partition columns) sidesteps both the NULL
+            # partition (__HIVE_DEFAULT_PARTITION__ is just another
+            # string) and type-inference round-trips ("05" dirs that
+            # read back as int 5).  slice(-n) guards against k=v
+            # segments in the base path itself; the left join +
+            # coalesce keeps any row whose directory the listing
+            # missed (width 1).
+            seg = F.regexp_extract_all(
+                F.col("_metadata.file_path"), F.lit(r"/([^/=]+=[^/]*)"), 1
             )
-            cond = None
-            for c in pcols:
-                term = F.col(c).eqNullSafe(F.col(f"_p_{c}"))
-                cond = term if cond is None else (cond & term)
+            dir_key = F.array_join(
+                F.slice(seg, -len(pcols), len(pcols)), "/"
+            )
             # Explicit width: a number-less repartition is fair game
             # for AQE coalescing, which would re-merge the salt fanout.
             salted = (
-                df.join(w_aliased, cond)
+                df.withColumn("_dir", dir_key)
+                .join(F.broadcast(widths), "_dir", "left")
+                .withColumn("_w", F.coalesce(F.col("_w"), F.lit(1)))
                 .withColumn("_salt", F.pmod(salt_src, F.col("_w")))
                 .repartition(n_files, *pcols, "_salt")
-                .drop("_w", "_salt", *[f"_p_{c}" for c in pcols])
+                .drop("_w", "_salt", "_dir")
             )
             salted.write.mode("overwrite").partitionBy(*pcols).parquet(
                 staging

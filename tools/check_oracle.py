@@ -17,6 +17,7 @@ import argparse
 import datetime as dt
 import math
 import os
+import re
 import sys
 import time
 import traceback
@@ -28,6 +29,72 @@ import duckdb  # noqa: E402
 from engine.io import TABLES, table_path  # noqa: E402
 from engine.registry import all_queries_including_library  # noqa: E402
 from engine.session import get_spark  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# Fetch-type safety gate (round-5; see tests/test_oracle_types.py).
+#
+# The driver hashes FETCHED values; DuckDB types that pandas/Arrow widen,
+# narrow or decimal-ize on fetch (HUGEINT from sum(CASE...), DECIMAL,
+# FLOAT, small ints) hash-diverge from Spark's output even when every
+# value is numerically equal — the exact pipeline_mix_funnel r2-r4
+# failure.  Only these type tokens fetch identically to the matching
+# Spark collect() representation:
+SAFE_TYPE_TOKENS = {
+    "BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "DATE", "TIMESTAMP",
+    "BOOLEAN", "BLOB", "STRUCT", "MAP", "NULL",
+}
+
+_TYPE_TOKEN_RE = re.compile(r"\b[A-Z][A-Z_0-9]+\b")
+
+
+def unsafe_type_tokens(type_str: str) -> list:
+    """Fetch-unsafe ALL-CAPS type tokens in a DuckDB type string
+    (flat scan recurses through STRUCT/MAP/[] nesting; struct field
+    names are lowercase in this repo and never match)."""
+    return [t for t in _TYPE_TOKEN_RE.findall(type_str) if t not in SAFE_TYPE_TOKENS]
+
+
+# Map a DuckDB result type / a Spark simpleString to the fetch "family"
+# a value hash actually sees, so the two engines can be compared
+# column-by-column before any values are.
+_DUCK_FAMILY = {
+    "BIGINT": "int", "INTEGER": "int", "DOUBLE": "float",
+    "VARCHAR": "str", "DATE": "date", "TIMESTAMP": "timestamp",
+    "TIMESTAMP WITH TIME ZONE": "timestamp",
+    "BOOLEAN": "bool", "BLOB": "bytes",
+}
+_SPARK_FAMILY = {
+    "bigint": "int", "int": "int", "double": "float", "string": "str",
+    "date": "date", "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+    "boolean": "bool", "binary": "bytes",
+}
+
+
+def _family(mapping, type_str):
+    t = str(type_str)
+    if t.endswith("[]"):  # duckdb list
+        return ("list", _family(mapping, t[:-2]))
+    if t.startswith("array<") and t.endswith(">"):  # spark list
+        return ("list", _family(mapping, t[6:-1]))
+    return mapping.get(t, t)
+
+
+def dtype_mismatches(spark_schema, duck_cols, duck_types) -> list:
+    """Column-name-matched fetch-family comparison between a Spark
+    schema and a DuckDB result signature.  Returns [(col, spark, duck)]
+    for every column whose fetched representation would differ."""
+    duck_by_col = {c: str(t) for c, t in zip(duck_cols, duck_types)}
+    out = []
+    for f in spark_schema.fields:
+        d = duck_by_col.get(f.name)
+        if d is None:
+            continue  # column-name mismatch is reported by compare()
+        sfam = _family(_SPARK_FAMILY, f.dataType.simpleString())
+        dfam = _family(_DUCK_FAMILY, d)
+        if sfam != dfam and "NULL" not in d:
+            out.append((f.name, f.dataType.simpleString(), d))
+    return out
 
 
 def _norm(v):
@@ -150,9 +217,29 @@ def main() -> int:
         try:
             rel = con.sql(spec.oracle)
             duck_cols = list(rel.columns)
+            duck_types = list(rel.types)
             duck_rows = rel.fetchall()
         except Exception:
             print(f"FAIL {name}: duckdb side raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        # Fetch-type gate: value comparison below uses fetchall() Python
+        # scalars and is blind to dtype divergence; the driver's hash is
+        # not.  Fail on any type a pandas/Arrow fetch would distort, and
+        # on any per-column fetch-family mismatch vs the Spark schema.
+        type_errs = [
+            f"oracle column {c} has fetch-unsafe type {t} "
+            f"(tokens {unsafe_type_tokens(str(t))})"
+            for c, t in zip(duck_cols, duck_types)
+            if unsafe_type_tokens(str(t))
+        ] + [
+            f"fetch-dtype mismatch on {c}: spark={s} duckdb={d}"
+            for c, s, d in dtype_mismatches(sdf.schema, duck_cols, duck_types)
+        ]
+        if type_errs:
+            print(f"FAIL {name} [{time.time()-t0:.1f}s]")
+            for e in type_errs:
+                print(f"   {e}")
             n_fail += 1
             continue
         # Per-query cache hygiene: many queries persist multi-consumer
