@@ -1199,7 +1199,9 @@ def kcore_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the edge list against the bounded survivor set; each round's
     survivor edges are cut with localCheckpoint per round (multiple
     consumers: the next round's degree + both semi-joins)."""
-    return kcore_core(copurchase_pairs(spark, sf_dir).localCheckpoint())
+    pairs = copurchase_pairs(spark, sf_dir)
+    record_iteration_plan("copurchase_pairs_pre", pairs)
+    return kcore_core(pairs.localCheckpoint())
 
 
 def kcore_core(

@@ -134,6 +134,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = max(1, min(conf_parts, -(-n_docs // 1000)))
     with static_planning(spark, shuffle_partitions=width):
         plan, caches = _dedup_ngram_jaccard_plan(spark, sf_dir)
+        record_iteration_plan("ngram_jaccard_pre", plan)
         out = plan.localCheckpoint()
     for c in caches:
         c.unpersist(False)

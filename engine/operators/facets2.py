@@ -33,6 +33,7 @@ from engine.operators import (  # noqa: F401
     facets,
     streaming_queries,
 )
+from engine.plans import record_iteration_plan
 from engine.registry import _REGISTRY, query
 
 def _oracle(name: str) -> str:
@@ -1061,7 +1062,9 @@ def embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     width = max(1, min(conf_parts, -(-emb_n // 8192)))
     with static_planning(spark, shuffle_partitions=width):
-        return _embedding_suite_plan(spark, sf_dir).localCheckpoint()
+        plan = _embedding_suite_plan(spark, sf_dir)
+        record_iteration_plan("embedding_suite_pre", plan)
+        return plan.localCheckpoint()
 
 
 def _embedding_suite_plan(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -29,6 +29,7 @@ from pyspark.sql import Window as W
 from engine.functions.hashing import DUCK_H60, SPARK_H60
 from engine.functions.rounding import duck_round_he, round_he
 from engine.io import load_table
+from engine.plans import record_iteration_plan
 from engine.registry import query
 from engine.operators.textstats import _QQ_QUALITY_DUCK, ngram_idx
 
@@ -748,6 +749,7 @@ def pipeline_decontam_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = max(1, min(conf_parts, -(-n_docs // 1000)))
     with static_planning(spark, shuffle_partitions=width):
         plan, caches = _pipeline_decontam_pack_plan(spark, sf_dir)
+        record_iteration_plan("decontam_pack_pre", plan)
         out = plan.localCheckpoint()
     for c in caches:
         c.unpersist(False)

@@ -10,6 +10,7 @@ from engine.plans.inspect import (
     n_exchanges,
     n_executed_exchanges,
     pushed_filters,
+    rdd_leaf_classes,
     record_iteration_plan,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "n_exchanges",
     "n_executed_exchanges",
     "pushed_filters",
+    "rdd_leaf_classes",
     "record_iteration_plan",
 ]

@@ -73,6 +73,36 @@ def n_executed_exchanges(df: DataFrame) -> int:
     return len(executed_exchange_ids(df)[0])
 
 
+# -- ExistingRDD leaf classification ----------------------------------------
+#
+# Every ExistingRDD leaf's Arguments line names the RDD's producer call
+# site — "at localCheckpoint at ..." for an eager checkpoint cut, "at
+# applySchemaToPythonRDD at ..." for a createDataFrame local input
+# (bounded driver-side list: globalrank offsets, pattern/weight dims).
+# Checkpoint leaves must be covered by a capture tag (the sink below)
+# or they are a plan-audit blind spot; local-input leaves hide nothing
+# worth auditing.
+
+_RDD_LEAF_RE = re.compile(r"MapPartitionsRDD\[\d+\] at (\w+) at ")
+
+
+def rdd_leaf_classes(plan: str, captured: set) -> list[str]:
+    """Classify every ExistingRDD leaf in a formatted plan string:
+    'local' (bounded createDataFrame input), 'audited' (an eager
+    checkpoint whose pre-checkpoint plan was captured under a tag
+    during this query's construction), or 'blind' (unaudited hidden
+    work — a regression the plan gate must fail)."""
+    classes = []
+    for m in _RDD_LEAF_RE.finditer(plan):
+        if m.group(1) == "applySchemaToPythonRDD":
+            classes.append("local")
+        elif m.group(1) == "localCheckpoint" and captured:
+            classes.append("audited")
+        else:
+            classes.append("blind")
+    return classes
+
+
 # -- iteration-subplan capture ----------------------------------------------
 #
 # Iterative chains (pagerank, k-core peel, min-label components) cut

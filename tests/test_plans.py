@@ -163,3 +163,55 @@ def test_iteration_subplans_within_exchange_budget(spark):
     assert 1 <= got["components_round"]["X"] <= 7, got
     # triangle chain (lazy end-to-end, checkpointed once).
     assert 3 <= got["triangle_chain"]["X"] <= 12, got
+
+
+def test_eager_subplans_within_exchange_budget(spark):
+    """Round-5 closure of the VERDICT r4 'plan-audit blindness' item:
+    the NON-iterative eager federations (static-planned
+    localCheckpoint) also record their pre-checkpoint plans, so a
+    shuffle regression inside e.g. decontam_pack's hidden stage now
+    fails here instead of being invisible below an RDD-scan leaf.
+    Budgets are measured-at-sf0.001 ±slack; lower bounds prove the
+    captures matched real plans (see the BPE test's rationale).
+    tools/plan_audit.py additionally fails ANY query whose checkpoint
+    leaf recorded no tag at all."""
+    from engine.plans import inspect as plan_inspect
+
+    assert plan_inspect.ITERATION_PLAN_SINK is None
+    # Deterministic baseline: leftover caches from earlier tests change
+    # which subtrees plan as InMemoryTableScan reuses vs fresh lineage,
+    # shifting the plan_id-deduped exchange counts (42 clean vs 70
+    # under a dirty cache for embedding_suite_pre).
+    spark.catalog.clearCache()
+    plan_inspect.ITERATION_PLAN_SINK = {}
+    try:
+        _df(spark, "dedup_ngram_jaccard")
+        _df(spark, "embedding_suite")
+        _df(spark, "pipeline_decontam_pack")
+        _df(spark, "kcore_items")
+        got = dict(plan_inspect.ITERATION_PLAN_SINK)
+    finally:
+        plan_inspect.ITERATION_PLAN_SINK = None
+        spark.catalog.clearCache()
+
+    assert {
+        "ngram_jaccard_pre",
+        "embedding_suite_pre",
+        "decontam_pack_pre",
+        "copurchase_pairs_pre",
+        "kcore_round",
+    } <= set(got), got
+    # ngram jaccard: one 8-byte-hash gram shuffle; candidate join +
+    # pair similarity ride broadcasts of the bounded candidate set.
+    assert 1 <= got["ngram_jaccard_pre"]["X"] <= 4, got
+    # decontam+pack: gram join, anti-join, pack windows — each a
+    # corpus-bounded shuffle; well under the 10-exchange regime that
+    # would signal a lost cache re-expanding the chain.
+    assert 2 <= got["decontam_pack_pre"]["X"] <= 8, got
+    # co-purchase pair build: basket self-join (order-key shuffle) +
+    # pair dedup — 2 measured.
+    assert 1 <= got["copurchase_pairs_pre"]["X"] <= 4, got
+    # embedding suite: 6 facets (kmeans Lloyd rounds, PQ codebooks,
+    # LSH banding, IVF, brute oracle) federated — 42 measured; the
+    # budget bounds facet-sum growth, not single-chain depth.
+    assert 20 <= got["embedding_suite_pre"]["X"] <= 60, got

@@ -91,15 +91,37 @@ GLOBAL_WINDOW_OK: set[str] = set()
 
 
 def audit(name: str, fn) -> list[str]:
+    from engine.plans import rdd_leaf_classes
+    from engine.plans import inspect as plan_inspect
+
     spark = get_spark("plan-audit")
     findings: list[str] = []
+    # Arm a per-query capture sink: eager operators record their
+    # pre-checkpoint plans while fn() builds, so checkpoint RDD leaves
+    # can be verified as AUDITED below (vs a blind spot).
+    outer = plan_inspect.ITERATION_PLAN_SINK
+    plan_inspect.ITERATION_PLAN_SINK = {}
     try:
         df = fn(spark, SF_DIR)
+        captured = set(plan_inspect.ITERATION_PLAN_SINK)
     except Exception as exc:  # pragma: no cover
         return [f"build failed: {exc}"]
+    finally:
+        plan_inspect.ITERATION_PLAN_SINK = outer
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
+    # Eager-checkpoint blindness gate (round 5): every ExistingRDD
+    # leaf must be a bounded createDataFrame local input OR an eager
+    # checkpoint whose pre-checkpoint plan recorded a capture tag
+    # during construction — a 'blind' leaf means a shuffle regression
+    # could hide below it, invisible to every check in this file.
+    n_blind = rdd_leaf_classes(plan, captured).count("blind")
+    if n_blind:
+        findings.append(
+            f"{n_blind} unaudited RDD-scan leaves (add a"
+            " record_iteration_plan tag at the checkpoint site)"
+        )
     if "CartesianProduct" in plan and name not in NESTED_LOOP_OK:
         findings.append("CartesianProduct")
     if "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_OK:
