@@ -318,3 +318,39 @@ def test_results_invariant_to_shuffle_width(spark):
         spark.conf.set(key, prev)
     for n, (narrow, wide) in results.items():
         assert narrow == wide, f"{n}: results differ across shuffle widths"
+
+
+_pct_vals = st.lists(
+    st.integers(min_value=-10**6, max_value=10**6).map(lambda c: c / 100.0),
+    min_size=1,
+    max_size=400,
+)
+
+
+@given(vals=_pct_vals, p=st.sampled_from([0.25, 0.5, 0.77, 0.9, 0.99]))
+@_prop_settings
+def test_percentile_bit_identical_to_duckdb_quantile_cont(spark, vals, p):
+    """Spark `percentile` and DuckDB `quantile_cont` must agree
+    BIT-FOR-BIT on double input: both compute the same linear
+    interpolation (lo + frac*(hi-lo) at pos p*(n-1)) with the same
+    IEEE ops.  This is the constructed-identity evidence behind the
+    one float surface that rides raw doubles instead of an integer
+    grid (stats_lineitem_summary's med_raw/p90_raw — see
+    engine/operators/relational2.py).  A 160-case offline sweep over
+    n up to 12,345 found zero mismatches; this keeps that claim
+    continuously tested (any engine upgrade that changes either
+    implementation fails here, not in a driver hash three rounds
+    later)."""
+    import struct
+
+    import duckdb
+
+    s = (
+        spark.createDataFrame([(v,) for v in vals], "v double")
+        .agg(F.percentile("v", F.lit(p)).alias("x"))
+        .collect()[0]["x"]
+    )
+    d = duckdb.connect().execute(
+        "SELECT quantile_cont(v, ?) FROM (SELECT unnest(?) AS v)", [p, vals]
+    ).fetchone()[0]
+    assert struct.pack("d", s) == struct.pack("d", d), (vals, p, s, d)
