@@ -944,3 +944,148 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -- span-level exact substring dedup ---------------------------------------
+#
+# Lee et al., "Deduplicating Training Data Makes Language Models
+# Better" (ACL 2022) deduplicates at the SUBSTRING level: a span that
+# recurs verbatim across documents is cut even when the documents as a
+# whole are distinct. The suffix-array construction there is
+# single-machine; the distributed equivalent used here is the standard
+# windowed-hash reduction: slide fixed-width character windows at a
+# stride, hash each window (shared md5-H60, engine-portable), and
+# shuffle WINDOW HASHES (8-byte keys) — a span is duplicated iff its
+# hash occurs in >= 2 distinct docs. Never all-pairs: candidate work
+# is Σ bucket² over identical-span buckets only, and the per-doc
+# verdict is one aggregate over the doc's own spans.
+#
+# 100 TB shape: one explode (docs → ~len/stride span rows, local), one
+# hash-keyed shuffle for the duplicate-set aggregate, one hash join of
+# span rows against the (much smaller) duplicated-hash set, one
+# groupBy(doc_id). Window width 40 chars ≈ the 50-token span of the
+# paper scaled to the fixture's short docs; stride 20 halves the rows
+# at 2× coarser cut granularity — both are literals baked into the
+# Spark plan and the oracle so the engines cannot desync.
+
+SPAN_W = 40
+SPAN_STRIDE = 20
+
+_SPAN_ORACLE = f"""
+WITH spans AS (
+  SELECT doc_id,
+         CAST(s AS BIGINT) AS start,
+         {DUCK_H60.format(x=f"substring(text, CAST(s AS INT), {SPAN_W})")} AS h
+  FROM documents,
+       LATERAL (SELECT unnest(range(1, greatest(length(text) - {SPAN_W} + 1, 0) + 1,
+                               {SPAN_STRIDE})) AS s) g
+  WHERE length(text) >= {SPAN_W}
+),
+dup AS (
+  SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+per_doc AS (
+  SELECT s.doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_spans,
+         CAST(min(CASE WHEN d.h IS NOT NULL THEN s.start END) AS BIGINT)
+           AS first_dup_start
+  FROM spans s LEFT JOIN dup d ON s.h = d.h
+  GROUP BY s.doc_id
+)
+SELECT 'doc' AS facet, doc_id AS id, n_spans, n_dup_spans, first_dup_start
+FROM per_doc WHERE n_dup_spans > 0
+UNION ALL
+SELECT 'span', h, n_docs, n_occurrences, CAST(NULL AS BIGINT)
+FROM (SELECT * FROM dup ORDER BY n_occurrences DESC, n_docs DESC, h LIMIT 20) t
+"""
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=_SPAN_ORACLE,
+    tags=("dedup", "substring", "span", "documents"),
+    exported=False,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact substring dedup (see section comment), two
+    facets: `doc` (per affected doc: total spans, duplicated spans,
+    first duplicated offset — the cut list a scrubber consumes) and
+    `span` (top-20 most-recurrent spans by occurrence count — the
+    boilerplate leaderboard). All-integer output."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= SPAN_W
+    )
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(
+                    F.length("text") - F.lit(SPAN_W - 1), F.lit(0)
+                ),
+                F.lit(SPAN_STRIDE),
+            )
+        ).alias("start"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("start").cast("bigint").alias("start"),
+        F.expr(
+            SPARK_H60.format(
+                x=f"substring(text, cast(start as int), {SPAN_W})"
+            )
+        ).alias("h"),
+    )
+    # Multi-consumer (dup-set aggregate + per-doc join): persist the
+    # hashed span rows so the explode+md5 pass runs once.
+    from pyspark import StorageLevel
+
+    spans = spans.persist(StorageLevel.MEMORY_AND_DISK)
+    dup = (
+        spans.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    per_doc = (
+        spans.join(dup.select("h", F.lit(1).alias("_dup")), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+            F.min(
+                F.when(F.col("_dup").isNotNull(), F.col("start"))
+            ).alias("first_dup_start"),
+        )
+        .filter(F.col("n_dup_spans") > 0)
+    )
+    top = (
+        dup.orderBy(
+            F.desc("n_occurrences"), F.desc("n_docs"), F.asc("h")
+        )
+        .limit(20)
+    )
+    nb = F.lit(None).cast("bigint")
+    return per_doc.select(
+        F.lit("doc").alias("facet"),
+        F.col("doc_id").alias("id"),
+        "n_spans",
+        F.col("n_dup_spans"),
+        F.col("first_dup_start"),
+    ).unionAll(
+        top.select(
+            F.lit("span").alias("facet"),
+            F.col("h").alias("id"),
+            F.col("n_docs").alias("n_spans"),
+            F.col("n_occurrences").alias("n_dup_spans"),
+            nb.alias("first_dup_start"),
+        )
+    )

@@ -1071,3 +1071,111 @@ def pipeline_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = numbered.select("epoch", "doc_id", F.col("pos").cast("bigint"))
         out = part if out is None else out.unionAll(part)
     return out
+
+
+# -- temperature-based source mixing ----------------------------------------
+#
+# Multilingual/multi-source LM corpora are rarely mixed at natural
+# proportions: high-resource sources drown the tail. The standard fix
+# (GPT-3's data mixing, mT5/UniMax sampling) reweights source s by
+# n_s^alpha with alpha < 1 — alpha = 1 is natural sampling, alpha = 0
+# is uniform, alpha = 0.5 (used here: exactly sqrt, whose IEEE result
+# is correctly rounded and therefore engine-identical) is the common
+# compromise. Everything after the sqrt rides integer grids: the
+# per-source weight is floor(sqrt(n_s)*1e6 + 0.5) (a BIGINT), the
+# normalizer is an exact BIGINT sum, and the keep-rate in basis points
+# is half-up integer division — no float reaches the output or the
+# sampling predicate. Sampling is the engine's standard deterministic
+# hash predicate (h60 of a salted doc id), so the sampled corpus is
+# reproducible across engines and runs.
+#
+# 100 TB shape: one count aggregate per source (map-side partial), a
+# broadcast of the O(sources) rate table, one pass over the corpus
+# with the hash predicate, one final count per source. No shuffle of
+# document bodies at all.
+
+MIX_ALPHA_NOTE = "alpha = 0.5 (sqrt); generalize via pow(n, alpha)"
+
+_TMIX_H = DUCK_H60.format(x="'tmix:' || CAST(doc_id AS VARCHAR)")
+
+_TMIX_ORACLE = f"""
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+q AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+           AS w_grid
+  FROM c
+),
+t AS (SELECT CAST(sum(w_grid) AS BIGINT) AS tot FROM q),
+r AS (
+  SELECT source, n_docs, w_grid,
+         CAST((20000 * w_grid + tot) // (2 * tot) AS BIGINT) AS rate_bp
+  FROM q CROSS JOIN t
+),
+s AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_sampled
+  FROM documents d JOIN r ON d.source = r.source
+  WHERE {_TMIX_H} % 10000 < r.rate_bp
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.w_grid, r.rate_bp,
+       COALESCE(s.n_sampled, CAST(0 AS BIGINT)) AS n_sampled
+FROM r LEFT JOIN s USING (source)
+"""
+
+
+@query(
+    "pipeline_temperature_mix",
+    oracle=_TMIX_ORACLE,
+    tags=("pipeline", "sampling", "mixing", "documents"),
+    exported=False,
+)
+def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (see section comment): per
+    source, the natural count, the sqrt-temperature weight on the 1e6
+    grid, the basis-point keep rate, and the deterministically sampled
+    count under that rate. All-integer output."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    q = counts.withColumn(
+        "w_grid",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint"),
+    )
+    tot = q.agg(F.sum("w_grid").cast("bigint").alias("tot"))
+    rates = (
+        q.crossJoin(F.broadcast(tot))  # 1-row normalizer broadcast
+        .withColumn(
+            "rate_bp",
+            ((F.lit(20000) * F.col("w_grid") + F.col("tot"))
+             / (F.lit(2) * F.col("tot"))).cast("bigint"),
+        )
+        .drop("tot")
+    )
+    sampled = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(rates.select("source", "rate_bp")), "source")
+        .filter(
+            F.expr(
+                SPARK_H60.format(x="concat('tmix:', cast(doc_id as string))")
+            )
+            % F.lit(10000)
+            < F.col("rate_bp")
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled"))
+    )
+    return rates.join(sampled, "source", "left").select(
+        "source",
+        "n_docs",
+        "w_grid",
+        "rate_bp",
+        F.coalesce(F.col("n_sampled"), F.lit(0).cast("bigint")).alias(
+            "n_sampled"
+        ),
+    )

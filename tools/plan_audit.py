@@ -48,6 +48,7 @@ NESTED_LOOP_OK = {
     "histogram_order_totalprice",  # 1-row min/max bounds broadcast
     "tfidf_top_terms",  # 1-row corpus-size broadcast
     "pipeline_source_mix",  # 1-row sampled-total broadcast
+    "pipeline_temperature_mix",  # 1-row weight-normalizer broadcast
     "approx_heavy_hitters",  # 1-row total-N broadcast vs 20 hitters
     "embedding_kmeans",  # K=8 broadcast centroids × corpus (Lloyd pass)
     "semantic_dedup",  # same bounded centroid broadcast per iteration
