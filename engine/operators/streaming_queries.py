@@ -194,3 +194,37 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("x"),
     )
     return tumb.unionAll(ded)
+
+
+@query(
+    "streaming_view_purchase_pairs",
+    oracle="""
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       CAST(v.ts AS TIMESTAMP) AS view_ts,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+       p.value AS purchase_value
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts > v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+""",
+    tags=("streaming", "join", "stream-stream", "events"),
+    exported=False,
+)
+def streaming_view_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join, hash-checked against batch SQL (round
+    5 — previously pytest-rows-only): each purchase matched to the
+    same user's views in the preceding hour, both sides watermarked
+    with a time-range join condition so state on either side is
+    dropped once the watermark passes view_ts + horizon — the bounded-
+    state requirement for an unbounded stream. purchase_value is a
+    raw fixture column (byte-identical in both engines); timestamps
+    are event times both engines read from the same parquet."""
+    from engine.streaming.events import streaming_view_purchase_join
+
+    ev = read_event_stream(spark, sf_dir)
+    return run_available_now(
+        streaming_view_purchase_join(ev), _sink("t_vp_pairs")
+    )
