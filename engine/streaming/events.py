@@ -28,15 +28,26 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     UTC-adjusted timestamps. ``ts`` is normalized to a session-tz
     TIMESTAMP exactly as ``engine.io.load_table`` does for batch.
     """
+    import os
+
     from engine.io import normalize_fixture_ts, pin_fixture_ts_confs, table_path
 
     pin_fixture_ts_confs(spark)
-    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    raw = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    p = table_path(sf_dir, "events")
+    raw_schema = spark.read.parquet(p).schema
+    if os.path.isdir(p):
+        # Spark-written table: events.parquet/ is a DIRECTORY of part
+        # files (the scale probe's derived fixture, any re-written
+        # landing zone) — stream the directory itself. The glob-filter
+        # variant below would list sf_dir's FILES, match nothing, and
+        # silently stream zero rows.
+        raw = spark.readStream.schema(raw_schema).parquet(p)
+    else:
+        raw = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     # Same vintage normalization as batch load_table — shared helper so
     # batch and streaming can never read the same file differently.
     return normalize_fixture_ts(raw)

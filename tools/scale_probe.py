@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from engine.io import load_table
-from engine.registry import all_queries
+from engine.registry import all_queries_including_library
 from engine.session import get_spark
 
 SRC = "/root/testdata/sf0.1"
@@ -162,7 +162,10 @@ EXTRA_PROBE = (
 
 
 def run(spark: SparkSession, only: list[str] | None = None) -> dict:
-    specs = all_queries()
+    # including library: round-5 probes cover the new library
+    # operators (substring spans, temperature mix, stream-stream
+    # join) via the `only` subset path.
+    specs = all_queries_including_library()
     names = sorted(n for n, s in specs.items() if "headline" in s.tags)
     names += [n for n in EXTRA_PROBE if n in specs and n not in names]
     if only:
