@@ -503,3 +503,23 @@ def test_incremental_dedup_stream_consistency_and_replay(spark, tmp_path):
         sorted(map(tuple, spark.read.parquet(dups).collect())),
     )
     assert after == before
+
+
+def test_event_stream_reads_directory_layout_fixture(spark, tmp_path):
+    """A directory-layout events.parquet (Spark-written landing zone,
+    the scale probe's derived fixture) must stream every row — the
+    round-5 probe caught the single-file pathGlobFilter silently
+    streaming ZERO rows from it, the worst failure mode a source can
+    have."""
+    from engine.streaming.events import run_available_now
+
+    sf = str(tmp_path)
+    load_table(spark, SF_SMOKE, "events").limit(500).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    got = run_available_now(
+        read_event_stream(spark, sf).groupBy().count(),
+        "t_dirlayout",
+        output_mode="complete",
+    ).collect()[0][0]
+    assert got == 500
