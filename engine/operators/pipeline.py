@@ -1151,9 +1151,11 @@ def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates = (
         q.crossJoin(F.broadcast(tot))  # 1-row normalizer broadcast
         .withColumn(
+            # Exact integer division (DIV), matching the oracle's `//`:
+            # double division + cast can flip the truncated quotient by 1
+            # once 2*tot exceeds ~1e12 — at corpus scale, not hypothetical.
             "rate_bp",
-            ((F.lit(20000) * F.col("w_grid") + F.col("tot"))
-             / (F.lit(2) * F.col("tot"))).cast("bigint"),
+            F.expr("(20000 * w_grid + tot) DIV (2 * tot)").cast("bigint"),
         )
         .drop("tot")
     )

@@ -83,7 +83,7 @@ def n_executed_exchanges(df: DataFrame) -> int:
 # or they are a plan-audit blind spot; local-input leaves hide nothing
 # worth auditing.
 
-_RDD_LEAF_RE = re.compile(r"MapPartitionsRDD\[\d+\] at (\w+) at ")
+_RDD_LEAF_RE = re.compile(r"MapPartitionsRDD\[(\d+)\] at (\w+) at ")
 
 
 def rdd_leaf_classes(plan: str, captured: set) -> list[str]:
@@ -91,13 +91,28 @@ def rdd_leaf_classes(plan: str, captured: set) -> list[str]:
     'local' (bounded createDataFrame input), 'audited' (an eager
     checkpoint whose pre-checkpoint plan was captured under a tag
     during this query's construction), or 'blind' (unaudited hidden
-    work — a regression the plan gate must fail)."""
+    work — a regression the plan gate must fail).
+
+    Checkpoint leaves are matched against the capture-tag COUNT, not
+    just non-emptiness: a plan with more DISTINCT checkpoint RDDs than
+    recorded tags has at least one checkpoint whose pre-checkpoint
+    plan nobody captured — exactly the hidden subplan this gate exists
+    to catch — so the surplus leaves classify 'blind'. Leaves are
+    deduped by RDD id first (the same checkpointed DataFrame referenced
+    twice in one plan — self-join, union-with-self — is one audit
+    obligation, not two)."""
     classes = []
+    ckpt_class: dict[str, str] = {}
     for m in _RDD_LEAF_RE.finditer(plan):
-        if m.group(1) == "applySchemaToPythonRDD":
+        rdd_id, producer = m.group(1), m.group(2)
+        if producer == "applySchemaToPythonRDD":
             classes.append("local")
-        elif m.group(1) == "localCheckpoint" and captured:
-            classes.append("audited")
+        elif producer == "localCheckpoint":
+            if rdd_id not in ckpt_class:
+                ckpt_class[rdd_id] = (
+                    "audited" if len(ckpt_class) < len(captured) else "blind"
+                )
+            classes.append(ckpt_class[rdd_id])
         else:
             classes.append("blind")
     return classes

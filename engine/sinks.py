@@ -235,8 +235,20 @@ def compact_parquet(
             seg = F.regexp_extract_all(
                 F.col("_metadata.file_path"), F.lit(r"/([^/=]+=[^/]*)"), 1
             )
-            dir_key = F.array_join(
-                F.slice(seg, -len(pcols), len(pcols)), "/"
+            # _metadata.file_path is a URI whose segments are
+            # percent-encoded ("v 1" dir → "v%201"), while dir_bytes
+            # keys are raw filesystem names — without decoding, every
+            # row of such a directory misses the broadcast join and
+            # coalesces to width 1, re-creating the single-task hot
+            # partition this rewrite exists to prevent.  url_decode
+            # treats '+' as space (form encoding), but URI path
+            # encoding leaves '+' literal, so shield it first.
+            dir_key = F.url_decode(
+                F.regexp_replace(
+                    F.array_join(F.slice(seg, -len(pcols), len(pcols)), "/"),
+                    r"\+",
+                    "%2B",
+                )
             )
             # Explicit width: a number-less repartition is fair game
             # for AQE coalescing, which would re-merge the salt fanout.

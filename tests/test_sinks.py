@@ -149,6 +149,44 @@ def test_compact_parquet_salts_hot_partitions(spark, tmp_path):
     assert back.count() == want
 
 
+def test_compact_parquet_encoded_partition_value_still_salts(spark, tmp_path):
+    """A partition VALUE containing URI-encodable characters (space,
+    '%', '+') is percent-encoded in _metadata.file_path but raw in the
+    listing walk — if the width join key is not decoded, every row of
+    that directory misses the broadcast join, coalesces to width 1 and
+    funnels through a single task.  The hot directory here has a space
+    (and a literal '+', which naive form-decoding would corrupt into a
+    space) in its value and must still fan out across salt buckets."""
+    import glob
+    import os
+
+    from engine.sinks import compact_parquet
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    skewed = li.withColumn(
+        "bkt",
+        F.when(F.col("l_orderkey") % 4 != 0, "hot part+x").otherwise(
+            F.concat(F.lit("cold "), (F.col("l_orderkey") % 7).cast("string"))
+        ),
+    )
+    out = str(tmp_path / "li_enc")
+    skewed.repartition(16).write.partitionBy("bkt").parquet(out)
+    want = skewed.count()
+
+    hot_dirs = glob.glob(f"{out}/bkt=hot*")
+    assert len(hot_dirs) == 1
+    hot_bytes = sum(
+        os.path.getsize(f) for f in glob.glob(f"{hot_dirs[0]}/*.parquet")
+    )
+    compact_parquet(spark, out, target_file_bytes=max(hot_bytes // 4, 1))
+    hot_files = len(glob.glob(f"{glob.glob(f'{out}/bkt=hot*')[0]}/*.parquet"))
+    assert hot_files > 1  # decoded join key: the hot dir still fans out
+    back = spark.read.parquet(out)
+    assert back.count() == want
+    # the '+' survived round-trip: the partition value is unchanged
+    assert back.filter(F.col("bkt") == "hot part+x").count() > 0
+
+
 def test_compact_parquet_keeps_null_partition(spark, tmp_path):
     """A __HIVE_DEFAULT_PARTITION__ (NULL-valued) directory must
     survive compaction row-for-row: the salting width lookup joins on

@@ -47,11 +47,26 @@ SAFE_TYPE_TOKENS = {
 
 _TYPE_TOKEN_RE = re.compile(r"\b[A-Z][A-Z_0-9]+\b")
 
+# Multi-word DuckDB type phrases collapsed to ONE verdict token before
+# tokenizing, so the unsafe-token report names the actual type instead
+# of a misleading WITH/TIME/ZONE shard list.  TIMESTAMP WITH TIME ZONE
+# is deliberately fetch-UNSAFE: the driver hashes raw fetched values,
+# and a tz-aware datetime hashes differently from Spark's naive
+# session-local timestamp even when the instants match — oracles must
+# CAST to plain TIMESTAMP.
+_TYPE_PHRASES = {
+    "TIMESTAMP WITH TIME ZONE": "TIMESTAMPTZ",
+    "TIME WITH TIME ZONE": "TIMETZ",
+}
+
 
 def unsafe_type_tokens(type_str: str) -> list:
     """Fetch-unsafe ALL-CAPS type tokens in a DuckDB type string
     (flat scan recurses through STRUCT/MAP/[] nesting; struct field
-    names are lowercase in this repo and never match)."""
+    names are lowercase in this repo and never match).  Multi-word
+    phrases (TIMESTAMP WITH TIME ZONE) report as one token."""
+    for phrase, tok in _TYPE_PHRASES.items():
+        type_str = type_str.replace(phrase, tok)
     return [t for t in _TYPE_TOKEN_RE.findall(type_str) if t not in SAFE_TYPE_TOKENS]
 
 
@@ -61,7 +76,8 @@ def unsafe_type_tokens(type_str: str) -> list:
 _DUCK_FAMILY = {
     "BIGINT": "int", "INTEGER": "int", "DOUBLE": "float",
     "VARCHAR": "str", "DATE": "date", "TIMESTAMP": "timestamp",
-    "TIMESTAMP WITH TIME ZONE": "timestamp",
+    # TIMESTAMP WITH TIME ZONE intentionally absent: fetch-unsafe
+    # (see _TYPE_PHRASES) — oracles must CAST to plain TIMESTAMP.
     "BOOLEAN": "bool", "BLOB": "bytes",
 }
 _SPARK_FAMILY = {
