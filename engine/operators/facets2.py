@@ -517,26 +517,34 @@ def scalar_setops_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_enriched_windows",
     oracle=f"""
 SELECT 'enriched' AS facet, event_id, user_id, n_name AS key,
-       {_NT} AS day, {_NB} AS n, value AS x
+       {_NT} AS day, {_NT} AS t2, {_NB} AS n, value AS x
 FROM ({_oracle('streaming_enriched_purchase_rows')}) en
 UNION ALL
-SELECT facet, {_NB}, {_NB}, event_type, day, n, x
+SELECT facet, {_NB}, {_NB}, event_type, day, {_NT}, n, x
 FROM ({_oracle('streaming_windowed_counts')}) wc
+UNION ALL
+SELECT 'vp_pairs', view_id, user_id, {_NV}, view_ts, purchase_ts,
+       purchase_id, purchase_value
+FROM ({_oracle('streaming_view_purchase_pairs')}) vp
 """,
-    tags=("streaming", "join", "window", "dedup", "events"),
+    tags=("streaming", "join", "stream-stream", "window", "dedup", "events"),
 )
 def streaming_enriched_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merged streaming surface (three facets, each a bounded
+    """Merged streaming surface (four facets, each a bounded
     availableNow run pinned against batch SQL): `enriched`
     (stream-static broadcast dimension join — event/user ids, key =
     nation, x = value), `tumbling` (watermarked daily counts + value
-    sums) and `dedup` (watermark-bounded dropDuplicates counts)."""
+    sums), `dedup` (watermark-bounded dropDuplicates counts), and the
+    round-5 `vp_pairs` (watermarked STREAM-STREAM inner join:
+    event_id = view, n = matched purchase id, day/t2 = view/purchase
+    event times, x = purchase value)."""
     en = streaming_queries.streaming_enriched_purchase_rows(spark, sf_dir).select(
         F.lit("enriched").alias("facet"),
         "event_id",
         "user_id",
         F.col("n_name").alias("key"),
         _nt().alias("day"),
+        _nt().alias("t2"),
         _nb().alias("n"),
         F.col("value").alias("x"),
     )
@@ -546,10 +554,21 @@ def streaming_enriched_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nb().alias("user_id"),
         F.col("event_type").alias("key"),
         "day",
+        _nt().alias("t2"),
         "n",
         "x",
     )
-    return en.unionAll(wc)
+    vp = streaming_queries.streaming_view_purchase_pairs(spark, sf_dir).select(
+        F.lit("vp_pairs").alias("facet"),
+        F.col("view_id").alias("event_id"),
+        "user_id",
+        _nv().alias("key"),
+        F.col("view_ts").alias("day"),
+        F.col("purchase_ts").alias("t2"),
+        F.col("purchase_id").alias("n"),
+        F.col("purchase_value").alias("x"),
+    )
+    return en.unionAll(wc).unionAll(vp)
 
 
 # ---------------------------------------------------------------------------
@@ -1138,16 +1157,24 @@ UNION ALL
 SELECT 'crossdoc', doc_id, {_NB}, {_NV}, n_tokens, dup_gram_occurrences,
        covered_tokens, coverage_frac, dup_heavy
 FROM ({_oracle('dedup_crossdoc_ngram_coverage')}) cd
+UNION ALL
+SELECT 'sub_' || facet, id, {_NB}, {_NV}, n_spans, n_dup_spans,
+       first_dup_start, {_ND}, CAST(NULL AS INTEGER)
+FROM ({_oracle('dedup_substring_spans')}) ss
 """,
-    tags=("dedup", "incremental", "fingerprint", "coverage"),
+    tags=("dedup", "incremental", "fingerprint", "coverage", "substring"),
 )
 def dedup_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The remaining dedup strategies, federated (three facets):
+    """The remaining dedup strategies, federated (five facets):
     `incremental` (new-batch-vs-corpus dedup: exact sha tier + MinHash
     band tier — doc_b = matched corpus doc), `fp_pairs` (winnowing
     fingerprint candidate pairs with >= 5 shared fingerprints),
     `crossdoc` (Lee-et-al duplicated-span coverage: per-doc fraction of
-    token positions covered by a 4-gram occurring elsewhere)."""
+    token positions covered by a 4-gram occurring elsewhere), and the
+    round-5 span-level substring dedup's two facets as `sub_doc`
+    (per-doc cut list: n1/n2/n3 = spans / duplicated spans / first dup
+    offset) and `sub_span` (top-20 boilerplate spans: doc_a = span
+    hash, n1/n2 = distinct docs / occurrences)."""
     di = dedup.dedup_incremental(spark, sf_dir).select(
         F.lit("incremental").alias("facet"),
         F.col("doc_id").alias("doc_a"),
@@ -1181,7 +1208,18 @@ def dedup_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("coverage_frac").alias("x"),
         F.col("dup_heavy").alias("flag"),
     )
-    return di.unionAll(fp).unionAll(cd)
+    ss = dedup.dedup_substring_spans(spark, sf_dir).select(
+        F.concat(F.lit("sub_"), F.col("facet")).alias("facet"),
+        F.col("id").alias("doc_a"),
+        _nb().alias("doc_b"),
+        _nv().alias("kind"),
+        F.col("n_spans").alias("n1"),
+        F.col("n_dup_spans").alias("n2"),
+        F.col("first_dup_start").alias("n3"),
+        _nd().alias("x"),
+        _ni().alias("flag"),
+    )
+    return di.unionAll(fp).unionAll(cd).unionAll(ss)
 
 
 @query(
@@ -1197,16 +1235,23 @@ FROM ({_oracle('pipeline_token_budget')}) tb
 UNION ALL
 SELECT 'epoch', {_NV}, doc_id, epoch, pos, {_NB}, {_NB}, {_ND}, {_NI}
 FROM ({_oracle('pipeline_epoch_order')}) eo
+UNION ALL
+SELECT 'tmix', source, {_NB}, w_grid, rate_bp, n_docs, n_sampled,
+       {_ND}, {_NI}
+FROM ({_oracle('pipeline_temperature_mix')}) tm
 """,
-    tags=("pipeline", "lm", "budget", "ordering"),
+    tags=("pipeline", "lm", "budget", "ordering", "mixing"),
 )
 def pipeline_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The remaining pipeline-assembly operators, federated (three
+    """The remaining pipeline-assembly operators, federated (four
     facets): `lm` (CCNet-style corpus-bigram LM scoring — n2 = grid
     log-prob sum, flag = surprising-doc), `budget` (quality-greedy
     per-source token-budget admission: n1/n2 = tokens/cumulative),
     `epoch` (deterministic per-epoch training order: seq = epoch,
-    pos = position from the range-partition global numbering)."""
+    pos = position from the range-partition global numbering), and the
+    round-5 `tmix` (UniMax/GPT-3-style sqrt-temperature source mixing:
+    key = source, seq/pos = integer-grid weight / basis-point keep
+    rate, n1/n2 = natural / sampled doc counts)."""
     lm = pipeline.pipeline_lm_likelihood(spark, sf_dir).select(
         F.lit("lm").alias("facet"),
         _nv().alias("key"),
@@ -1240,4 +1285,15 @@ def pipeline_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd().alias("x"),
         _ni().alias("flag"),
     )
-    return lm.unionAll(tb).unionAll(eo)
+    tm = pipeline.pipeline_temperature_mix(spark, sf_dir).select(
+        F.lit("tmix").alias("facet"),
+        F.col("source").alias("key"),
+        _nb().alias("doc_id"),
+        F.col("w_grid").alias("seq"),
+        F.col("rate_bp").alias("pos"),
+        F.col("n_docs").alias("n1"),
+        F.col("n_sampled").alias("n2"),
+        _nd().alias("x"),
+        _ni().alias("flag"),
+    )
+    return lm.unionAll(tb).unionAll(eo).unionAll(tm)
