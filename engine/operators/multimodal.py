@@ -362,6 +362,10 @@ FROM wmeta
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 PNG_SAMPLE_MOD = 50
+# Raw-byte ceiling for the pure-Python de-filter (see parse_png):
+# 1 MiB ≈ a 590×590 RGB image — far above the ≤64×64 probes, far below
+# anything the per-byte loop should be pointed at.
+PNG_MAX_DECODE_BYTES = 1 << 20
 # color type per channel count: 0 = grayscale, 2 = RGB, 6 = RGBA
 _PNG_COLOR_TYPE = {1: 0, 3: 2, 4: 6}
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # incl. 4 = gray+alpha
@@ -381,25 +385,43 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
 
 def synth_png(width: int, height: int, channels: int, value: int) -> bytes:
     """A real, minimal PNG: 8-bit, constant pixel ``value``, scanline
-    filters cycling None/Sub/Up so a decoder must actually de-filter.
+    filters cycling ALL FIVE spec types (None/Sub/Up/Average/Paeth) so
+    a decoder must actually de-filter every branch — encoded
+    generically from the raw rows, not via per-filter shortcuts, so
+    this stays an independent encode of whatever parse_png inverts.
     Constant pixels keep every decoded quantity closed-form for the
-    DuckDB oracle while the byte stream remains a spec-conformant PNG
-    (PIL opens these when installed)."""
+    DuckDB oracle (the filter choice never changes decoded values)
+    while the byte stream remains a spec-conformant PNG (PIL opens
+    these when installed)."""
     import struct
     import zlib
 
     bpp = channels  # bytes per pixel at bit depth 8
     row_len = width * channels
     stream = bytearray()
+    prior = bytes(row_len)
+    raw = bytes([value]) * row_len  # every row is the same constant row
     for r in range(height):
-        ft = r % 3  # 0 None, 1 Sub, 2 Up
+        ft = r % 5
         stream.append(ft)
-        if ft == 0:
-            stream.extend([value] * row_len)
-        elif ft == 1:  # Sub: first pixel raw, rest delta-0
-            stream.extend([value] * bpp + [0] * (row_len - bpp))
-        else:  # Up: constant rows ⇒ all deltas 0 (row 0 prior = zeros)
-            stream.extend([0] * row_len)
+        for i in range(row_len):
+            a = raw[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            stream.append((raw[i] - pred) & 0xFF)
+        prior = raw
     ihdr = struct.pack(
         ">IIBBBBB", width, height, 8, _PNG_COLOR_TYPE[channels], 0, 0, 0
     )
@@ -452,6 +474,15 @@ def parse_png(payload: bytes) -> tuple[int, int, int, int, int]:
     if color not in _PNG_CHANNELS:
         raise ValueError(f"unsupported color type {color}")
     channels = _PNG_CHANNELS[color]
+    # The de-filter loop below is per-byte Python: correct, but only
+    # meant for the small synthesized probes (≤64×64) this stdlib-only
+    # container decodes. Refuse full-size images rather than crawl —
+    # real codecs (PIL) take over beyond this bound when installed.
+    if width * height * channels > PNG_MAX_DECODE_BYTES:
+        raise ValueError(
+            f"image too large for the pure-Python de-filter path: "
+            f"{width}x{height}x{channels} > {PNG_MAX_DECODE_BYTES} bytes"
+        )
     stream = zlib.decompress(bytes(idat))
     row_len = width * channels
     if len(stream) != height * (1 + row_len):

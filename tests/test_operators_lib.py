@@ -215,10 +215,10 @@ def test_parse_png_rejects_corruption():
 
 def test_decode_image_golden_png_fixture():
     """Checked-in PNG fixture: the stdlib parse must read the exact
-    header/pixel facts (16x9 RGB, constant 200, filters None/Sub/Up),
-    and the synthesizer must reproduce the fixture bit-identically —
-    pinning both directions of the PNG round trip against drift (the
-    image twin of the tone_8k.wav golden)."""
+    header/pixel facts (16x9 RGB, constant 200, filters cycling all
+    five spec types), and the synthesizer must reproduce the fixture
+    bit-identically — pinning both directions of the PNG round trip
+    against drift (the image twin of the tone_8k.wav golden)."""
     import os
 
     from engine.operators.multimodal import parse_png, synth_png
@@ -228,6 +228,28 @@ def test_decode_image_golden_png_fixture():
     assert parse_png(payload) == (16, 9, 3, 9 * (1 + 16 * 3), 16 * 9 * 3 * 200)
     assert decode_image(payload) == (16, 9, 3)
     assert synth_png(16, 9, 3, 200) == payload
+
+
+def test_parse_png_max_dimension_guard():
+    """The pure-Python de-filter loop must refuse full-size images
+    (per-byte Python; meant for ≤64×64 probes) — and must refuse them
+    from the HEADER, before inflating anything."""
+    import struct
+
+    import pytest
+
+    from engine.operators.multimodal import PNG_SIG, _png_chunk, parse_png
+
+    payload = (
+        PNG_SIG
+        + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 4096, 4096, 8, 2, 0, 0, 0)
+        )
+        + _png_chunk(b"IDAT", b"")
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="too large"):
+        parse_png(payload)
 
 
 def test_decode_audio_golden_wav_fixture():
