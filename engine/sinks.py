@@ -117,10 +117,82 @@ def _hive_partition_cols(path: str) -> list[str]:
         p = subs[0]
 
 
+def _file_footer_bytes(p: str) -> int:
+    """Parquet data bytes of one file from its FOOTER (row-group
+    compressed column sizes); falls back to st_size on an unreadable
+    footer. Footer bytes, not st_size, because in the small-files
+    pathology per-file footer/padding overhead dominates raw sizes and
+    would inflate every cold directory's salt width."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(p).metadata
+        return sum(
+            md.row_group(i).column(j).total_compressed_size
+            for i in range(md.num_row_groups)
+            for j in range(md.num_columns)
+        )
+    except Exception:
+        return int(Path(p).stat().st_size)
+
+
+def _dir_bytes_driver(base: str, files: list) -> dict:
+    """Per-partition-directory data bytes, footers read on the driver
+    (fine for the directory counts a periodic compactor sees)."""
+    out: dict[str, int] = {}
+    for f in files:
+        rel = Path(f).relative_to(base).parent.as_posix()
+        out[rel] = out.get(rel, 0) + _file_footer_bytes(str(f))
+    return out
+
+
+def _dir_bytes_distributed(spark: SparkSession, base: str, files: list) -> dict:
+    """The scale-safe listing pass: the driver ships only PATH STRINGS;
+    executors open the footers (the per-file open+parse that dominates
+    at millions of files) and emit (directory, bytes) partials, which
+    one tiny aggregate reduces to a |directories|-row result. The
+    collect is bounded by the directory count, never the file count."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_slices = max(1, min(len(files) // 64 + 1, conf_parts))
+    paths_df = spark.createDataFrame(
+        [(str(f),) for f in files], "p string"
+    ).repartition(n_slices)
+
+    def scan(batches):
+        for batch in batches:
+            part: dict[str, int] = {}
+            for p in batch["p"]:
+                rel = Path(p).relative_to(base).parent.as_posix()
+                part[rel] = part.get(rel, 0) + _file_footer_bytes(p)
+            yield pd.DataFrame(
+                {"d": list(part.keys()), "b": list(part.values())}
+            )
+
+    rows = (
+        paths_df.mapInPandas(scan, "d string, b long")
+        .groupBy("d")
+        .agg(F.sum("b").alias("b"))
+        .collect()
+    )
+    return {r["d"]: int(r["b"]) for r in rows}
+
+
+# Above this many files, compact_parquet moves the footer reads off the
+# driver. The threshold is deliberately conservative: a driver can open
+# a few thousand local footers in seconds, while the distributed path
+# costs one extra (tiny) Spark job.
+COMPACT_DRIVER_LISTING_MAX_FILES = 4096
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    max_driver_files: int = COMPACT_DRIVER_LISTING_MAX_FILES,
 ) -> int:
     """Rewrite a parquet directory into ~target-size files; returns the
     new file count.
@@ -160,33 +232,20 @@ def compact_parquet(
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    import pyarrow.parquet as pq
-
     df = spark.read.parquet(path)
     pcols = _hive_partition_cols(path)
     # One listing walk feeds everything: total data bytes (global file
     # count) and per-partition-directory data bytes (salt widths) —
-    # from the parquet FOOTERS (row-group compressed column sizes), a
-    # true metadata-only pass with zero Spark jobs and zero data scan.
-    # Footer bytes, not st_size: in the exact small-files pathology
-    # this function targets, per-file footer/padding overhead dominates
-    # raw file sizes and would inflate every cold directory's width.
-    # (At millions of files, distribute this listing pass — e.g. over
-    # a binaryFile read of the footers; driver-side is fine for the
-    # directory counts a periodic compactor sees per run.)
-    dir_bytes: dict[str, int] = {}
-    for f in Path(path).rglob("*.parquet"):
-        rel = f.relative_to(path).parent.as_posix()
-        try:
-            md = pq.ParquetFile(str(f)).metadata
-            nbytes = sum(
-                md.row_group(i).column(j).total_compressed_size
-                for i in range(md.num_row_groups)
-                for j in range(md.num_columns)
-            )
-        except Exception:  # unreadable footer: fall back to file size
-            nbytes = int(f.stat().st_size)
-        dir_bytes[rel] = dir_bytes.get(rel, 0) + nbytes
+    # from the parquet FOOTERS, a true metadata-only pass with zero
+    # data scan. The name walk itself stays on the driver (cheap: no
+    # file opens); the per-file footer OPEN+PARSE — the cost that
+    # explodes at millions of files — moves to executors past the
+    # threshold, reduced to a |directories|-row aggregate.
+    files = list(Path(path).rglob("*.parquet"))
+    if len(files) > max_driver_files:
+        dir_bytes = _dir_bytes_distributed(spark, path, files)
+    else:
+        dir_bytes = _dir_bytes_driver(path, files)
     total_bytes = sum(dir_bytes.values())
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
     staging = tempfile.mkdtemp(prefix="compact-", dir=str(Path(path).parent))

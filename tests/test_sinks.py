@@ -187,6 +187,60 @@ def test_compact_parquet_encoded_partition_value_still_salts(spark, tmp_path):
     assert back.filter(F.col("bkt") == "hot part+x").count() > 0
 
 
+def test_compact_parquet_distributed_footer_listing(spark, tmp_path):
+    """Past the file-count threshold the footer reads move off the
+    driver: the distributed (executor-side mapInPandas) byte-gather
+    must agree byte-for-byte with the driver-side walk on the same
+    many-file fixture, and compaction through the distributed path
+    must still salt the hot directory identically."""
+    import glob
+    import os
+    from pathlib import Path
+
+    from engine.sinks import (
+        _dir_bytes_distributed,
+        _dir_bytes_driver,
+        compact_parquet,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    skewed = li.withColumn(
+        "bkt",
+        F.when(F.col("l_orderkey") % 4 != 0, "hot").otherwise(
+            F.concat(F.lit("cold"), (F.col("l_orderkey") % 7).cast("string"))
+        ),
+    )
+    out = str(tmp_path / "li_dist")
+    # many small files per directory: the exact shape the threshold targets
+    skewed.repartition(24).write.partitionBy("bkt").parquet(out)
+    files = list(Path(out).rglob("*.parquet"))
+    assert len(files) > 8
+
+    a = _dir_bytes_driver(out, files)
+    b = _dir_bytes_distributed(spark, out, files)
+    assert a == b  # identical widths follow from identical bytes
+
+    hot_bytes = sum(
+        os.path.getsize(f) for f in glob.glob(f"{out}/bkt=hot/*.parquet")
+    )
+    # max_driver_files=0 forces every footer read through the
+    # distributed path end-to-end.
+    compact_parquet(
+        spark,
+        out,
+        target_file_bytes=max(hot_bytes // 4, 1),
+        max_driver_files=0,
+    )
+    hot_files = len(glob.glob(f"{out}/bkt=hot/*.parquet"))
+    cold_counts = [
+        len(glob.glob(f"{d}/*.parquet"))
+        for d in glob.glob(f"{out}/bkt=cold*")
+    ]
+    assert hot_files > 1
+    assert cold_counts and all(c == 1 for c in cold_counts)
+    assert spark.read.parquet(out).count() == skewed.count()
+
+
 def test_compact_parquet_keeps_null_partition(spark, tmp_path):
     """A __HIVE_DEFAULT_PARTITION__ (NULL-valued) directory must
     survive compaction row-for-row: the salting width lookup joins on
