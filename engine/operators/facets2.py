@@ -1087,6 +1087,10 @@ def embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_suite_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Each facet records its OWN pre-checkpoint capture tag (round 6):
+    # the union-level embedding_suite_pre count smeared six facets into
+    # one 20-60 window, wide enough for a single facet to double its
+    # shuffles unnoticed; per-facet ±2 budgets in test_plans.py bite.
     km = clustering.embedding_kmeans(spark, sf_dir).select(
         F.lit("kmeans").alias("facet"),
         F.col("cluster").alias("id1"),
@@ -1141,6 +1145,15 @@ def _embedding_suite_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_sim").alias("x"),
         _ni().alias("flag"),
     )
+    for tag, df in (
+        ("embedding_suite_kmeans_pre", km),
+        ("embedding_suite_pq_pre", pq),
+        ("embedding_suite_adc_pre", adc),
+        ("embedding_suite_centroid_pre", ce),
+        ("embedding_suite_outlier_pre", ou),
+        ("embedding_suite_signlsh_pre", sl),
+    ):
+        record_iteration_plan(tag, df)
     return km.unionAll(pq).unionAll(adc).unionAll(ce).unionAll(ou).unionAll(sl)
 
 
