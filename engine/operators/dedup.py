@@ -971,8 +971,10 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_W = 40
 SPAN_STRIDE = 20
 
-_SPAN_ORACLE = f"""
-WITH spans AS (
+# The windowed-hash span builder, shared verbatim by the reporter
+# (dedup_substring_spans) and the scrubber (dedup_substring_scrub) so
+# the two stages can never desync on window geometry.
+_SPANS_CTE = f"""spans AS (
   SELECT doc_id,
          CAST(s AS BIGINT) AS start,
          {DUCK_H60.format(x=f"substring(text, CAST(s AS INT), {SPAN_W})")} AS h
@@ -980,7 +982,10 @@ WITH spans AS (
        LATERAL (SELECT unnest(range(1, greatest(length(text) - {SPAN_W} + 1, 0) + 1,
                                {SPAN_STRIDE})) AS s) g
   WHERE length(text) >= {SPAN_W}
-),
+)"""
+
+_SPAN_ORACLE = f"""
+WITH {_SPANS_CTE},
 dup AS (
   SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          CAST(count(*) AS BIGINT) AS n_occurrences
@@ -1004,6 +1009,36 @@ FROM (SELECT * FROM dup ORDER BY n_occurrences DESC, n_docs DESC, h LIMIT 20) t
 """
 
 
+def _span_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, start, h) windowed-hash span rows — the Spark twin of
+    the `_SPANS_CTE` oracle fragment (same width/stride literals)."""
+    return (
+        docs.filter(F.length("text") >= SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.length("text") - F.lit(SPAN_W - 1), F.lit(0)
+                    ),
+                    F.lit(SPAN_STRIDE),
+                )
+            ).alias("start"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.col("start").cast("bigint").alias("start"),
+            F.expr(
+                SPARK_H60.format(
+                    x=f"substring(text, cast(start as int), {SPAN_W})"
+                )
+            ).alias("h"),
+        )
+    )
+
+
 @query(
     "dedup_substring_spans",
     oracle=_SPAN_ORACLE,
@@ -1016,30 +1051,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     first duplicated offset — the cut list a scrubber consumes) and
     `span` (top-20 most-recurrent spans by occurrence count — the
     boilerplate leaderboard). All-integer output."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") >= SPAN_W
-    )
-    spans = docs.select(
-        "doc_id",
-        F.explode(
-            F.sequence(
-                F.lit(1),
-                F.greatest(
-                    F.length("text") - F.lit(SPAN_W - 1), F.lit(0)
-                ),
-                F.lit(SPAN_STRIDE),
-            )
-        ).alias("start"),
-        "text",
-    ).select(
-        "doc_id",
-        F.col("start").cast("bigint").alias("start"),
-        F.expr(
-            SPARK_H60.format(
-                x=f"substring(text, cast(start as int), {SPAN_W})"
-            )
-        ).alias("h"),
-    )
+    spans = _span_rows(load_table(spark, sf_dir, "documents"))
     # Multi-consumer (dup-set aggregate + per-doc join): persist the
     # hashed span rows so the explode+md5 pass runs once.
     from pyspark import StorageLevel
@@ -1088,4 +1100,136 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_occurrences").alias("n_dup_spans"),
             nb.alias("first_dup_start"),
         )
+    )
+
+
+# -- substring-dedup scrubber (the consumer stage) --------------------------
+#
+# Lee et al. don't stop at REPORTING duplicated spans — they cut them
+# from the corpus. The cut rule here is the deterministic version of
+# theirs: for every duplicated window hash, the globally FIRST
+# occurrence (min doc_id, then min start — a total order, so both
+# engines agree) is canonical and survives; every other occurrence's
+# [start, start+W) character range is removed from its document.
+# Overlapping cut ranges within a doc merge naturally.
+#
+# 100 TB shape: the same span-hash shuffle as the reporter, one
+# row_number window over identical-span buckets (bounded bucket sizes
+# — same skew profile as the duplicate-set aggregate), one
+# groupBy(doc_id) to gather each doc's cut list (≤ len/stride entries),
+# then a purely LOCAL per-doc fold (JVM higher-order `aggregate`, no
+# Python) that rebuilds the kept text in one pass with a cursor.
+# Nothing is all-pairs; document bodies shuffle once (the cut-list
+# join). The oracle replays the cut per-character (NOT EXISTS over cut
+# ranges) — O(total chars) is fine at oracle scale and obviously
+# correct, while the engine path stays O(cuts) per doc.
+
+_SCRUB_ORACLE = f"""
+WITH {_SPANS_CTE},
+dup AS (
+  SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+occ AS (
+  SELECT s.doc_id, s.start,
+         row_number() OVER (PARTITION BY s.h ORDER BY s.doc_id, s.start)
+           AS rn
+  FROM spans s JOIN dup USING (h)
+),
+cuts AS (SELECT doc_id, start FROM occ WHERE rn > 1),
+cut_docs AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut_spans
+  FROM cuts GROUP BY doc_id
+),
+chars AS (
+  SELECT d.doc_id, CAST(p AS BIGINT) AS p,
+         substring(d.text, CAST(p AS INT), 1) AS ch
+  FROM documents d JOIN cut_docs cd ON d.doc_id = cd.doc_id,
+       LATERAL (SELECT unnest(range(1, length(d.text) + 1)) AS p) g
+),
+scrub AS (
+  SELECT c.doc_id,
+         COALESCE(string_agg(CASE WHEN NOT EXISTS (
+             SELECT 1 FROM cuts k
+             WHERE k.doc_id = c.doc_id
+               AND c.p >= k.start AND c.p < k.start + {SPAN_W}
+           ) THEN c.ch END, '' ORDER BY c.p), '') AS stext
+  FROM chars c GROUP BY c.doc_id
+)
+SELECT s.doc_id,
+       CAST(length(d.text) AS BIGINT) AS orig_len,
+       cd.n_cut_spans,
+       CAST(length(s.stext) AS BIGINT) AS scrub_len,
+       {DUCK_H60.format(x="s.stext")} AS scrub_h
+FROM scrub s
+JOIN documents d ON d.doc_id = s.doc_id
+JOIN cut_docs cd ON cd.doc_id = s.doc_id
+"""
+
+# The per-doc cut fold: cut_starts is the doc's sorted cut list; the
+# accumulator carries (kept-text-so-far, cursor). A cut whose end is
+# already behind the cursor is fully absorbed by an earlier overlap;
+# otherwise append the gap [cursor, start) and advance the cursor past
+# the cut. The finisher appends the tail. All JVM (whole-stage
+# higher-order function), no Python, no extra shuffle.
+_SCRUB_FOLD = f"""
+aggregate(
+  cut_starts,
+  named_struct('txt', cast('' as string), 'cur', cast(1 as bigint)),
+  (acc, s) -> if(
+    s + {SPAN_W} <= acc.cur,
+    acc,
+    named_struct(
+      'txt', concat(acc.txt,
+                    substring(text, cast(acc.cur as int),
+                              cast(greatest(s - acc.cur,
+                                            cast(0 as bigint)) as int))),
+      'cur', greatest(acc.cur, s + {SPAN_W}))),
+  acc -> concat(acc.txt,
+                substring(text, cast(acc.cur as int), length(text)))
+)"""
+
+
+@query(
+    "dedup_substring_scrub",
+    oracle=_SCRUB_ORACLE,
+    tags=("dedup", "substring", "scrub", "documents"),
+    exported=False,  # driver-visible via facets2.dedup_extended
+)
+def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup SCRUBBER (see section comment): emits, per
+    affected document, the original length, the number of cut spans,
+    and the scrubbed text's length + portable md5-h60 hash — the hash
+    pins the exact output corpus byte-for-byte against the DuckDB
+    replay, not just its statistics."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = _span_rows(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    dup_h = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    occ = spans.join(dup_h, "h")
+    win = W.partitionBy("h").orderBy("doc_id", "start")
+    cuts = (
+        occ.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "start")
+    )
+    per_doc = cuts.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("start")).alias("cut_starts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cut_spans"),
+    )
+    joined = docs.select("doc_id", "text").join(per_doc, "doc_id")
+    return joined.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("orig_len"),
+        "n_cut_spans",
+        F.expr(_SCRUB_FOLD).alias("stext"),
+    ).select(
+        "doc_id",
+        "orig_len",
+        "n_cut_spans",
+        F.length("stext").cast("bigint").alias("scrub_len"),
+        F.expr(SPARK_H60.format(x="stext")).alias("scrub_h"),
     )

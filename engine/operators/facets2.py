@@ -1174,11 +1174,16 @@ UNION ALL
 SELECT 'sub_' || facet, id, {_NB}, {_NV}, n_spans, n_dup_spans,
        first_dup_start, {_ND}, CAST(NULL AS INTEGER)
 FROM ({_oracle('dedup_substring_spans')}) ss
+UNION ALL
+SELECT 'scrub', doc_id, scrub_h, {_NV}, orig_len, n_cut_spans,
+       scrub_len, {_ND}, CAST(NULL AS INTEGER)
+FROM ({_oracle('dedup_substring_scrub')}) sc
 """,
-    tags=("dedup", "incremental", "fingerprint", "coverage", "substring"),
+    tags=("dedup", "incremental", "fingerprint", "coverage", "substring",
+          "scrub"),
 )
 def dedup_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The remaining dedup strategies, federated (five facets):
+    """The remaining dedup strategies, federated (six facets):
     `incremental` (new-batch-vs-corpus dedup: exact sha tier + MinHash
     band tier — doc_b = matched corpus doc), `fp_pairs` (winnowing
     fingerprint candidate pairs with >= 5 shared fingerprints),
@@ -1187,7 +1192,10 @@ def dedup_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-5 span-level substring dedup's two facets as `sub_doc`
     (per-doc cut list: n1/n2/n3 = spans / duplicated spans / first dup
     offset) and `sub_span` (top-20 boilerplate spans: doc_a = span
-    hash, n1/n2 = distinct docs / occurrences)."""
+    hash, n1/n2 = distinct docs / occurrences), plus the round-6
+    `scrub` consumer stage (doc_b = md5-h60 of the scrubbed text —
+    pins the output corpus byte-for-byte; n1/n2/n3 = original length /
+    cut spans / scrubbed length)."""
     di = dedup.dedup_incremental(spark, sf_dir).select(
         F.lit("incremental").alias("facet"),
         F.col("doc_id").alias("doc_a"),
@@ -1232,7 +1240,18 @@ def dedup_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd().alias("x"),
         _ni().alias("flag"),
     )
-    return di.unionAll(fp).unionAll(cd).unionAll(ss)
+    sc = dedup.dedup_substring_scrub(spark, sf_dir).select(
+        F.lit("scrub").alias("facet"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("scrub_h").alias("doc_b"),
+        _nv().alias("kind"),
+        F.col("orig_len").alias("n1"),
+        F.col("n_cut_spans").alias("n2"),
+        F.col("scrub_len").alias("n3"),
+        _nd().alias("x"),
+        _ni().alias("flag"),
+    )
+    return di.unionAll(fp).unionAll(cd).unionAll(ss).unionAll(sc)
 
 
 @query(
