@@ -57,6 +57,17 @@ def test_oracle_result_types_are_fetch_safe(duck, name):
     )
 
 
+def test_gate_reports_timestamptz_as_one_token():
+    """A session-tz oracle must fail with ONE clear verdict token
+    (TIMESTAMPTZ), not a misleading WITH/TIME/ZONE shard list — and the
+    type is deliberately fetch-UNSAFE (the driver hashes raw fetched
+    values; a tz-aware datetime hashes differently from Spark's naive
+    session-local timestamp): oracles must CAST to plain TIMESTAMP."""
+    assert unsafe_type_tokens("TIMESTAMP WITH TIME ZONE") == ["TIMESTAMPTZ"]
+    assert unsafe_type_tokens("TIMESTAMP WITH TIME ZONE[]") == ["TIMESTAMPTZ"]
+    assert unsafe_type_tokens("TIMESTAMP") == []
+
+
 def test_gate_would_catch_the_mix_funnel_regression(duck):
     """Self-test: the exact r2-r4 failure shape — an un-CAST
     sum(CASE...) promoted across a UNION ALL — must be flagged."""
