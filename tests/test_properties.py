@@ -354,3 +354,36 @@ def test_percentile_bit_identical_to_duckdb_quantile_cont(spark, vals, p):
         "SELECT quantile_cont(v, ?) FROM (SELECT unnest(?) AS v)", [p, vals]
     ).fetchone()[0]
     assert struct.pack("d", s) == struct.pack("d", d), (vals, p, s, d)
+
+
+_scrub_text = st.text(
+    alphabet="abcX ", min_size=0, max_size=130
+)
+_scrub_starts = st.lists(
+    st.integers(min_value=1, max_value=120), min_size=0, max_size=8
+)
+
+
+@given(text=_scrub_text, starts=_scrub_starts)
+@_prop_settings
+def test_scrub_fold_equals_range_removal(spark, text, starts):
+    """The substring-scrubber's JVM cursor fold (dedup._SCRUB_FOLD)
+    must equal the obvious definition — remove the UNION of the
+    [s, s+W) character ranges, clipped to the text — on arbitrary
+    texts and arbitrary (overlapping, adjacent, duplicated,
+    past-the-end) sorted cut lists, not just the in-domain cut lists
+    the pipeline produces.  The DuckDB oracle pins fixture behavior;
+    this pins the fold's merge logic itself, with shrinking."""
+    from engine.operators.dedup import SPAN_W, _SCRUB_FOLD
+
+    starts = sorted(starts)
+    cut = [False] * len(text)
+    for s in starts:
+        for p in range(s - 1, min(s - 1 + SPAN_W, len(text))):
+            cut[p] = True
+    want = "".join(ch for ch, c in zip(text, cut) if not c)
+
+    row = spark.createDataFrame(
+        [(text, starts)], "text string, cut_starts array<bigint>"
+    ).select(F.expr(_SCRUB_FOLD).alias("stext")).collect()[0]
+    assert row["stext"] == want, (text, starts, row["stext"], want)
