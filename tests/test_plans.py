@@ -226,3 +226,52 @@ def test_eager_subplans_within_exchange_budget(spark):
     for tag, (lo, hi) in facet_budgets.items():
         assert tag in got, (tag, sorted(got))
         assert lo <= got[tag]["X"] <= hi, (tag, got[tag])
+
+
+def test_runtime_bloom_filter_prunes_selective_dim_join(spark):
+    """100 TB lever, proven live: Spark's runtime bloom-filter join
+    pruning (on by default in our sessions) injects a
+    bloom_filter_agg/might_contain pair into a selective dim->fact
+    shuffle join, cutting fact rows BEFORE the shuffle. At fixture
+    scale it never fires (application side must scan >10 GiB — the
+    correct default), so this test lowers the thresholds to prove the
+    engine's join shapes are bloom-prunable: no manual hint, no UDF
+    gatekeeping, nothing in our plans blocks the injection at real
+    scale."""
+    from pyspark.sql import functions as F
+
+    from engine.io import load_table
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join: bloom pruning targets the non-broadcast
+        # case (a broadcast build side already prunes at the probe).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        part = load_table(spark, SF_SMOKE, "part").filter(
+            F.col("p_type").startswith("PROMO") & (F.col("p_size") == 1)
+        )
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        j = li.join(part, li.l_partkey == part.p_partkey).agg(
+            F.sum("l_extendedprice").alias("s")
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt, opt[:2000]
+        assert "might_contain" in opt, opt[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
