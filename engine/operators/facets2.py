@@ -586,6 +586,7 @@ from engine.operators import (  # noqa: F401,E402
     relational3,
     rerank,
     similarity,
+    skew,
     textstats,
     windows,
 )
@@ -924,17 +925,26 @@ UNION ALL
 SELECT 'quantile', source, doc_id, {_NB}, {_NB}, {_NB}, {_NB},
        quality, pct_rank, {_ND}
 FROM ({_oracle('quality_quantile_filter')}) qf
+UNION ALL
+SELECT 'skew', facet, {_NB}, n_rows, n_keys, top1_cnt, maxpart_load,
+       CAST(top1_bp AS DOUBLE), CAST(imb_bp AS DOUBLE), {_ND}
+FROM ({_oracle('shuffle_skew_profile')}) sk
 """,
     tags=("analytics", "evaluation", "quality", "audit"),
 )
 def eval_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Evaluation and data-quality operators, federated (three
+    """Evaluation and data-quality operators, federated (four
     facets): `langid` (confusion-matrix metrics for the stopword
     language-ID heuristic: n1..n4 = tp/fp/fn/support, x1..x3 =
     precision/recall/F1), `dq` (Deequ-style completeness/validity/
     uniqueness/FK-orphan metric table: key = check, n1 = value),
     `quantile` (per-source top-quartile selection by quality score:
-    x1 = quality, x2 = deterministic percent rank)."""
+    x1 = quality, x2 = deterministic percent rank), plus the round-6
+    `skew` join-key diagnostics (key = table.column, n1..n4 = rows /
+    distinct keys / hottest-key count / heaviest simulated reducer
+    load, x1/x2 = hottest-key share and max-partition imbalance in
+    basis points — integer-grid values cast to the facet's double
+    slots, so the cast is exact)."""
     le = textstats.langid_eval(spark, sf_dir).select(
         F.lit("langid").alias("facet"),
         F.col("cls").alias("key"),
@@ -971,7 +981,19 @@ def eval_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pct_rank").alias("x2"),
         _nd().alias("x3"),
     )
-    return le.unionAll(dq).unionAll(qf)
+    sk = skew.shuffle_skew_profile(spark, sf_dir).select(
+        F.lit("skew").alias("facet"),
+        F.col("facet").alias("key"),
+        _nb().alias("doc_id"),
+        F.col("n_rows").alias("n1"),
+        F.col("n_keys").alias("n2"),
+        F.col("top1_cnt").alias("n3"),
+        F.col("maxpart_load").alias("n4"),
+        F.col("top1_bp").cast("double").alias("x1"),
+        F.col("imb_bp").cast("double").alias("x2"),
+        _nd().alias("x3"),
+    )
+    return le.unionAll(dq).unionAll(qf).unionAll(sk)
 
 
 @query(

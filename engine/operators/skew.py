@@ -180,3 +180,130 @@ def skew_salted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=_SALTS,
         salt_source="event_id",
     )
+
+
+# -- shuffle-skew diagnostic profiler ---------------------------------------
+#
+# The complement of the salting machinery above: before deciding to
+# salt (or to raise spark.sql.adaptive skew thresholds), a 100 TB
+# operator wants MEASUREMENTS — how concentrated is this join key, and
+# how unbalanced would a hash shuffle over it actually be?  The profile
+# costs one map-side-combined key-count shuffle per (table, key) — the
+# same key movement as the aggregation being diagnosed, but carrying
+# only (key, count) pairs — then a P-row reduction; output is O(1) per
+# facet.  At full corpus scale you would point it at a hash-predicate
+# sample of the fact table (the estimates are ratios, so sampling
+# commutes); the plan shape is identical.
+#
+# The simulated reducer id uses the engine-portable md5-derived h60
+# hash, NOT Spark's internal Murmur3, so the oracle reproduces the
+# exact partition loads: the point is the MEASUREMENT contract (same
+# skew verdict from both engines), and any uniform hash family gives
+# the same imbalance statistics for a given key distribution.
+
+from engine.functions.hashing import DUCK_H60, SPARK_H60  # noqa: E402
+
+SKEW_PROFILE_PARTS = 32
+# (table, key column) pairs profiled: the engine's own join/agg keys,
+# spanning near-uniform (l_partkey, o_custkey, user_id) and
+# pathologically concentrated (event_type: 5 values; source: 4).
+SKEW_PROFILE_KEYS = (
+    ("lineitem", "l_partkey"),
+    ("orders", "o_custkey"),
+    ("events", "event_type"),
+    ("events", "user_id"),
+    ("documents", "source"),
+)
+
+
+def _skew_facet_oracle(table: str, col: str) -> str:
+    p = SKEW_PROFILE_PARTS
+    h = DUCK_H60.format(x="k")
+    return f"""
+SELECT '{table}.{col}' AS facet, n_rows, n_keys, top1_cnt, maxpart_load,
+       parts_used,
+       CAST((20000 * top1_cnt + n_rows) // (2 * n_rows) AS BIGINT)
+         AS top1_bp,
+       CAST((20000 * maxpart_load * {p} + n_rows) // (2 * n_rows)
+            AS BIGINT) AS imb_bp
+FROM (
+  SELECT CAST(sum(load) AS BIGINT) AS n_rows,
+         CAST(sum(nk) AS BIGINT) AS n_keys,
+         CAST(max(mx) AS BIGINT) AS top1_cnt,
+         CAST(max(load) AS BIGINT) AS maxpart_load,
+         CAST(count(*) AS BIGINT) AS parts_used
+  FROM (
+    SELECT {h} % {p} AS part,
+           CAST(sum(cnt) AS BIGINT) AS load,
+           count(*) AS nk,
+           max(cnt) AS mx
+    FROM (
+      SELECT COALESCE(CAST({col} AS VARCHAR), '') AS k, count(*) AS cnt
+      FROM {table} GROUP BY 1
+    ) kc
+    GROUP BY 1
+  ) pl
+) s
+"""
+
+
+@query(
+    "shuffle_skew_profile",
+    oracle="\nUNION ALL\n".join(
+        _skew_facet_oracle(t, c) for t, c in SKEW_PROFILE_KEYS
+    ),
+    tags=("skew", "audit", "diagnostics"),
+    exported=False,  # driver-visible via facets2.eval_quality_audit
+)
+def shuffle_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics, one row per profiled (table, key):
+    total rows, distinct keys, hottest-key count, the heaviest
+    simulated reducer's load at {P} hash partitions, partitions
+    actually hit, and two basis-point ratios — `top1_bp` (hottest key's
+    row share) and `imb_bp` (max-partition load vs the perfect-balance
+    ideal: 10000 = balanced, {P}x10000 = everything on one reducer).
+    Integer-DIV basis points on a BIGINT grid; no float reaches the
+    output.  See the section comment for the scale contract."""
+    p = SKEW_PROFILE_PARTS
+    out = None
+    for table, col in SKEW_PROFILE_KEYS:
+        rows = load_table(spark, sf_dir, table).select(
+            F.coalesce(F.col(col).cast("string"), F.lit("")).alias("k")
+        )
+        kc = rows.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+        pl = (
+            kc.select(
+                "cnt",
+                F.expr(f"({SPARK_H60.format(x='k')}) % {p}").alias("part"),
+            )
+            .groupBy("part")
+            .agg(
+                F.sum("cnt").alias("load"),
+                F.count(F.lit(1)).alias("nk"),
+                F.max("cnt").alias("mx"),
+            )
+        )
+        st = pl.agg(
+            F.sum("load").cast("bigint").alias("n_rows"),
+            F.sum("nk").cast("bigint").alias("n_keys"),
+            F.max("mx").cast("bigint").alias("top1_cnt"),
+            F.max("load").cast("bigint").alias("maxpart_load"),
+            F.count(F.lit(1)).cast("bigint").alias("parts_used"),
+        ).select(
+            F.lit(f"{table}.{col}").alias("facet"),
+            "n_rows",
+            "n_keys",
+            "top1_cnt",
+            "maxpart_load",
+            "parts_used",
+            F.expr("(20000 * top1_cnt + n_rows) DIV (2 * n_rows)")
+            .cast("bigint")
+            .alias("top1_bp"),
+            F.expr(
+                f"(20000 * maxpart_load * {p} + n_rows) DIV (2 * n_rows)"
+            )
+            .cast("bigint")
+            .alias("imb_bp"),
+        )
+        out = st if out is None else out.unionAll(st)
+    return out
