@@ -780,25 +780,34 @@ def q13_q18_order_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_split_samplers",
     oracle=f"""
 SELECT 'split' AS facet, split AS grp, {_NB} AS doc_id, n_docs AS n,
-       total_chars AS n2
+       total_chars AS n2, {_NB} AS n3
 FROM ({_oracle('pipeline_train_val_test_split')}) sp
 UNION ALL
-SELECT facet, grp, doc_id, n, {_NB}
+SELECT facet, grp, doc_id, n, {_NB}, {_NB}
 FROM ({_oracle('pipeline_samplers')}) sa
+UNION ALL
+SELECT 'lsplit_' || facet, key, {_NB}, n1, n2, n3
+FROM ({_oracle('pipeline_leakage_safe_split')}) ls
 """,
     tags=("pipeline", "split", "sampling", "documents"),
 )
 def pipeline_split_samplers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic selection primitives, merged: `split` (90/5/5
-    train/val/test via salted hash buckets — n/n2 = docs/chars) plus
-    the sampler facets (`stratified`: per-language rate sampling;
-    `reservoir`: per-source A-Res top-k rows)."""
+    train/val/test via salted hash buckets — n/n2 = docs/chars), the
+    sampler facets (`stratified`: per-language rate sampling;
+    `reservoir`: per-source A-Res top-k rows), and the round-6
+    dedup-aware split (`lsplit_split`: per-split docs / distinct
+    near-dup clusters / chars under the canonical-id bucket;
+    `lsplit_audit`: multi-doc clusters spanning >1 split under the
+    naive doc_id bucket vs the canonical bucket — the canonical row is
+    structurally 0, computed end-to-end)."""
     sp = pipeline.pipeline_train_val_test_split(spark, sf_dir).select(
         F.lit("split").alias("facet"),
         F.col("split").alias("grp"),
         _nb().alias("doc_id"),
         F.col("n_docs").alias("n"),
         F.col("total_chars").alias("n2"),
+        _nb().alias("n3"),
     )
     sa = pipeline.pipeline_samplers(spark, sf_dir).select(
         "facet",
@@ -806,8 +815,17 @@ def pipeline_split_samplers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n",
         _nb().alias("n2"),
+        _nb().alias("n3"),
     )
-    return sp.unionAll(sa)
+    ls = pipeline.pipeline_leakage_safe_split(spark, sf_dir).select(
+        F.concat(F.lit("lsplit_"), F.col("facet")).alias("facet"),
+        F.col("key").alias("grp"),
+        _nb().alias("doc_id"),
+        F.col("n1").alias("n"),
+        F.col("n2").alias("n2"),
+        F.col("n3").alias("n3"),
+    )
+    return sp.unionAll(sa).unionAll(ls)
 
 
 @query(

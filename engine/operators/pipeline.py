@@ -1181,3 +1181,163 @@ def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sampled"
         ),
     )
+
+
+# -- leakage-safe (dedup-aware) train/val/test split ------------------------
+#
+# Hash-splitting by doc_id leaks: two near-duplicate documents hash to
+# different buckets, so a test document's twin sits in train and the
+# eval is contaminated from inside the corpus (distinct from
+# pipeline_decontam_pack, which handles EXTERNAL benchmark overlap).
+# The fix is to split by the near-dup cluster's canonical id — every
+# member of a cluster inherits the canonical's bucket, so a cluster can
+# never span splits.  This query emits both the cluster-keyed split
+# stats and the audit that proves the property: the number of
+# multi-doc clusters spanning >1 split under the naive doc_id bucket
+# (the leak being fixed, nonzero whenever clusters exist) and under
+# the canonical bucket (structurally zero — computed, not asserted).
+#
+# 100 TB shape: the cluster map is the MinHash-LSH + min-label
+# iteration already used by dedup_exact_components (bucketed candidate
+# generation, diameter-bounded label rounds); everything after it is
+# one left join against that (small: clustered docs only) map plus two
+# grouped aggregates.  The split predicate itself stays a pushed-down
+# hash filter exactly like the doc_id version — assignment costs zero
+# shuffles at training-shard-write time.
+
+_CANON_BUCKET_SPARK = (
+    SPARK_H60.format(x="concat('split:', cast(canon as string))") + " % 100"
+)
+_CANON_BUCKET_DUCK = (
+    DUCK_H60.format(x="'split:' || CAST(canon AS VARCHAR)") + " % 100"
+)
+
+
+from engine.operators.dedup import _COMPONENTS_ORACLE  # noqa: E402
+
+_LS_CCASE = (
+    f"CASE WHEN {_CANON_BUCKET_DUCK} < {TEST_PCT} THEN 'test' "
+    f"WHEN {_CANON_BUCKET_DUCK} < {TEST_PCT + VAL_PCT} THEN 'val' "
+    f"ELSE 'train' END"
+)
+_LS_NCASE = (
+    f"CASE WHEN {_SPLIT_BUCKET_DUCK} < {TEST_PCT} THEN 'test' "
+    f"WHEN {_SPLIT_BUCKET_DUCK} < {TEST_PCT + VAL_PCT} THEN 'val' "
+    f"ELSE 'train' END"
+)
+_LEAKAGE_SPLIT_ORACLE = f"""
+WITH canon_map AS (
+  SELECT d.doc_id, d.n_chars,
+         COALESCE(cc.canonical_id, d.doc_id) AS canon
+  FROM documents d
+  LEFT JOIN ({_COMPONENTS_ORACLE.strip()}) cc ON cc.doc_id = d.doc_id
+),
+splits AS (
+  SELECT doc_id, n_chars, canon,
+         {_LS_CCASE} AS csplit,
+         {_LS_NCASE} AS nsplit
+  FROM canon_map
+),
+groups AS (
+  SELECT canon, count(*) AS n_members,
+         count(DISTINCT csplit) AS n_csplits,
+         count(DISTINCT nsplit) AS n_nsplits
+  FROM splits GROUP BY canon HAVING count(*) >= 2
+)
+SELECT 'split' AS facet, csplit AS key, count(*) AS n1,
+       count(DISTINCT canon) AS n2, CAST(sum(n_chars) AS BIGINT) AS n3
+FROM splits GROUP BY csplit
+UNION ALL
+SELECT 'audit', 'clusters_spanning_naive',
+       CAST(COALESCE(sum(CASE WHEN n_nsplits > 1 THEN 1 ELSE 0 END), 0)
+            AS BIGINT),
+       count(*), CAST(NULL AS BIGINT)
+FROM groups
+UNION ALL
+SELECT 'audit', 'clusters_spanning_canonical',
+       CAST(COALESCE(sum(CASE WHEN n_csplits > 1 THEN 1 ELSE 0 END), 0)
+            AS BIGINT),
+       count(*), CAST(NULL AS BIGINT)
+FROM groups
+"""
+
+
+@query(
+    "pipeline_leakage_safe_split",
+    oracle=_LEAKAGE_SPLIT_ORACLE,
+    tags=("pipeline", "split", "dedup", "documents"),
+    exported=False,  # driver-visible via facets2.pipeline_split_samplers
+)
+def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware 90/5/5 split (see section comment): `split` facet =
+    per-split docs / distinct clusters / total chars under the
+    canonical-id bucket; `audit` facet = multi-doc clusters spanning
+    >1 split under the naive doc_id bucket (n1 = spanning, n2 = all
+    multi-doc clusters) and under the canonical bucket (always 0,
+    computed end-to-end)."""
+    from pyspark import StorageLevel
+
+    from engine.operators import dedup as _dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    comp = _dedup.dedup_canonical_components(spark, sf_dir)
+    canon = (
+        docs.join(comp, "doc_id", "left")
+        .withColumn("canon", F.coalesce("canonical_id", "doc_id"))
+        .select("doc_id", "n_chars", "canon")
+    )
+    cbucket = F.expr(_CANON_BUCKET_SPARK)
+    nbucket = F.expr(_SPLIT_BUCKET_SPARK)
+
+    def _case(b):
+        return (
+            F.when(b < TEST_PCT, "test")
+            .when(b < TEST_PCT + VAL_PCT, "val")
+            .otherwise("train")
+        )
+
+    splits = canon.select(
+        "doc_id",
+        "n_chars",
+        "canon",
+        _case(cbucket).alias("csplit"),
+        _case(nbucket).alias("nsplit"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    per_split = splits.groupBy("csplit").agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.countDistinct("canon").alias("n2"),
+        F.sum("n_chars").cast("bigint").alias("n3"),
+    ).select(F.lit("split").alias("facet"), F.col("csplit").alias("key"), "n1", "n2", "n3")
+    groups = (
+        splits.groupBy("canon")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("csplit").alias("n_csplits"),
+            F.countDistinct("nsplit").alias("n_nsplits"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    audit = groups.agg(
+        F.coalesce(
+            F.sum((F.col("n_nsplits") > 1).cast("bigint")), F.lit(0)
+        ).alias("spn"),
+        F.coalesce(
+            F.sum((F.col("n_csplits") > 1).cast("bigint")), F.lit(0)
+        ).alias("spc"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+    )
+    a1 = audit.select(
+        F.lit("audit").alias("facet"),
+        F.lit("clusters_spanning_naive").alias("key"),
+        F.col("spn").alias("n1"),
+        F.col("n_groups").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+    )
+    a2 = audit.select(
+        F.lit("audit").alias("facet"),
+        F.lit("clusters_spanning_canonical").alias("key"),
+        F.col("spc").alias("n1"),
+        F.col("n_groups").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+    )
+    return per_split.unionAll(a1).unionAll(a2)
