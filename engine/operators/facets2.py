@@ -1311,19 +1311,27 @@ UNION ALL
 SELECT 'tmix', source, {_NB}, w_grid, rate_bp, n_docs, n_sampled,
        {_ND}, {_NI}
 FROM ({_oracle('pipeline_temperature_mix')}) tm
+UNION ALL
+SELECT 'lenbuck', bucket, {_NB}, n_docs, sum_tokens, padded, waste_bp,
+       {_ND}, {_NI}
+FROM ({_oracle('pipeline_length_buckets')}) lb
 """,
-    tags=("pipeline", "lm", "budget", "ordering", "mixing"),
+    tags=("pipeline", "lm", "budget", "ordering", "mixing", "batching"),
 )
 def pipeline_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The remaining pipeline-assembly operators, federated (four
+    """The remaining pipeline-assembly operators, federated (five
     facets): `lm` (CCNet-style corpus-bigram LM scoring — n2 = grid
     log-prob sum, flag = surprising-doc), `budget` (quality-greedy
     per-source token-budget admission: n1/n2 = tokens/cumulative),
     `epoch` (deterministic per-epoch training order: seq = epoch,
-    pos = position from the range-partition global numbering), and the
+    pos = position from the range-partition global numbering), the
     round-5 `tmix` (UniMax/GPT-3-style sqrt-temperature source mixing:
     key = source, seq/pos = integer-grid weight / basis-point keep
-    rate, n1/n2 = natural / sampled doc counts)."""
+    rate, n1/n2 = natural / sampled doc counts), and the round-6
+    `lenbuck` (sequence-length bucketing with padding-waste
+    accounting: key = power-of-two bucket or 'global' baseline,
+    seq/pos = docs / real tokens, n1/n2 = padded slots / waste in
+    basis points)."""
     lm = pipeline.pipeline_lm_likelihood(spark, sf_dir).select(
         F.lit("lm").alias("facet"),
         _nv().alias("key"),
@@ -1368,4 +1376,15 @@ def pipeline_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nd().alias("x"),
         _ni().alias("flag"),
     )
-    return lm.unionAll(tb).unionAll(eo).unionAll(tm)
+    lb = pipeline.pipeline_length_buckets(spark, sf_dir).select(
+        F.lit("lenbuck").alias("facet"),
+        F.col("bucket").alias("key"),
+        _nb().alias("doc_id"),
+        F.col("n_docs").alias("seq"),
+        F.col("sum_tokens").alias("pos"),
+        F.col("padded").alias("n1"),
+        F.col("waste_bp").alias("n2"),
+        _nd().alias("x"),
+        _ni().alias("flag"),
+    )
+    return lm.unionAll(tb).unionAll(eo).unionAll(tm).unionAll(lb)

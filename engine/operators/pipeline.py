@@ -1341,3 +1341,122 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n3"),
     )
     return per_split.unionAll(a1).unionAll(a2)
+
+
+# -- sequence-length bucketing (padding-waste accounting) -------------------
+#
+# Training batches pad every sequence to the longest in the batch;
+# batching docs of similar length (seq-len bucketing) is the standard
+# fix.  This operator assigns every document to a power-of-two token
+# bucket and accounts the padding cost: per bucket, docs / real tokens
+# / padded slots / waste in basis points — plus the `global` baseline
+# (pad everything to the corpus max) whose waste_bp is the number that
+# justifies bucketing.  The bucket ladder is a fixed integer CASE (no
+# float log2 — a boundary count must never depend on IEEE rounding);
+# documents longer than the ladder land in a single overflow bucket
+# and should have been chunked upstream (CHUNK_TOKENS).
+#
+# 100 TB shape: one scan computing n_tokens, one map-side-combined
+# groupBy over <= 10 bucket keys, one O(1) global aggregate — the scan
+# is the cost, exactly like a count.
+
+LEN_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+LEN_OVERFLOW = 1 << 20
+
+_LB_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN n_tokens <= {b} THEN {b}" for b in LEN_BUCKETS
+    )
+    + f" ELSE {LEN_OVERFLOW} END"
+)
+
+_LB_NTOK_DUCK = (
+    "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)"
+)
+
+
+@query(
+    "pipeline_length_buckets",
+    oracle=f"""
+WITH toks AS (
+  SELECT {_LB_NTOK_DUCK} AS n_tokens FROM documents
+),
+bucketed AS (
+  SELECT n_tokens, CAST({_LB_CASE_SQL} AS BIGINT) AS bucket FROM toks
+),
+per_bucket AS (
+  SELECT bucket, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+  FROM bucketed GROUP BY bucket
+)
+SELECT CAST(bucket AS VARCHAR) AS bucket, n_docs, sum_tokens,
+       CAST(n_docs * bucket - sum_tokens AS BIGINT) AS padded,
+       CAST((20000 * (n_docs * bucket - sum_tokens) + n_docs * bucket)
+            // (2 * n_docs * bucket) AS BIGINT) AS waste_bp
+FROM per_bucket
+UNION ALL
+SELECT 'global', CAST(count(*) AS BIGINT), CAST(sum(n_tokens) AS BIGINT),
+       CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT),
+       CAST((20000 * (count(*) * max(n_tokens) - sum(n_tokens))
+             + count(*) * max(n_tokens))
+            // (2 * count(*) * max(n_tokens)) AS BIGINT)
+FROM toks
+""",
+    tags=("pipeline", "batching", "documents"),
+    exported=False,  # driver-visible via facets2.pipeline_extended
+)
+def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing with padding-waste accounting (see
+    section comment): one row per power-of-two token bucket (n_docs,
+    real tokens, padded slots, waste_bp on the integer basis-point
+    grid) plus the `global` pad-to-corpus-max baseline row."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    bucketed = toks.withColumn(
+        "bucket", F.expr(_LB_CASE_SQL).cast("bigint")
+    )
+    per_bucket = (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+        .select(
+            F.col("bucket").cast("string").alias("bucket"),
+            "n_docs",
+            "sum_tokens",
+            (F.col("n_docs") * F.col("bucket") - F.col("sum_tokens"))
+            .cast("bigint")
+            .alias("padded"),
+            F.expr(
+                "(20000 * (n_docs * bucket - sum_tokens) + n_docs * bucket)"
+                " DIV (2 * n_docs * bucket)"
+            )
+            .cast("bigint")
+            .alias("waste_bp"),
+        )
+    )
+    glob = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tok"),
+    ).select(
+        F.lit("global").alias("bucket"),
+        "n_docs",
+        "sum_tokens",
+        (F.col("n_docs") * F.col("max_tok") - F.col("sum_tokens"))
+        .cast("bigint")
+        .alias("padded"),
+        F.expr(
+            "(20000 * (n_docs * max_tok - sum_tokens) + n_docs * max_tok)"
+            " DIV (2 * n_docs * max_tok)"
+        )
+        .cast("bigint")
+        .alias("waste_bp"),
+    )
+    return per_bucket.unionAll(glob)
