@@ -526,18 +526,27 @@ UNION ALL
 SELECT 'vp_pairs', view_id, user_id, {_NV}, view_ts, purchase_ts,
        purchase_id, purchase_value
 FROM ({_oracle('streaming_view_purchase_pairs')}) vp
+UNION ALL
+SELECT 'inc_dedup', doc_id, {_NB}, kind, {_NT}, {_NT}, duplicate_of,
+       {_ND}
+FROM ({_oracle('streaming_incremental_dedup')}) sid
 """,
     tags=("streaming", "join", "stream-stream", "window", "dedup", "events"),
 )
 def streaming_enriched_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merged streaming surface (four facets, each a bounded
+    """Merged streaming surface (five facets, each a bounded
     availableNow run pinned against batch SQL): `enriched`
     (stream-static broadcast dimension join — event/user ids, key =
     nation, x = value), `tumbling` (watermarked daily counts + value
-    sums), `dedup` (watermark-bounded dropDuplicates counts), and the
+    sums), `dedup` (watermark-bounded dropDuplicates counts), the
     round-5 `vp_pairs` (watermarked STREAM-STREAM inner join:
     event_id = view, n = matched purchase id, day/t2 = view/purchase
-    event times, x = purchase value)."""
+    event times, x = purchase value), and the round-6 `inc_dedup`
+    (dedup-at-ingestion: the new-document stream checked against the
+    static corpus index via stream-static hash and MinHash-band joins
+    with row-local HOF signatures — event_id = arriving doc, key =
+    tier, n = lowest matching corpus doc; equals the batch
+    dedup_incremental bit-for-bit)."""
     en = streaming_queries.streaming_enriched_purchase_rows(spark, sf_dir).select(
         F.lit("enriched").alias("facet"),
         "event_id",
@@ -558,6 +567,16 @@ def streaming_enriched_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "x",
     )
+    sid = streaming_queries.streaming_incremental_dedup(spark, sf_dir).select(
+        F.lit("inc_dedup").alias("facet"),
+        F.col("doc_id").alias("event_id"),
+        _nb().alias("user_id"),
+        F.col("kind").alias("key"),
+        _nt().alias("day"),
+        _nt().alias("t2"),
+        F.col("duplicate_of").alias("n"),
+        _nd().alias("x"),
+    )
     vp = streaming_queries.streaming_view_purchase_pairs(spark, sf_dir).select(
         F.lit("vp_pairs").alias("facet"),
         F.col("view_id").alias("event_id"),
@@ -568,7 +587,7 @@ def streaming_enriched_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_id").alias("n"),
         F.col("purchase_value").alias("x"),
     )
-    return en.unionAll(wc).unionAll(vp)
+    return en.unionAll(wc).unionAll(vp).unionAll(sid)
 
 
 # ---------------------------------------------------------------------------

@@ -228,3 +228,109 @@ def streaming_view_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_available_now(
         streaming_view_purchase_join(ev), _sink("t_vp_pairs")
     )
+
+
+# -- streaming incremental dedup (dedup at ingestion time) ------------------
+
+from engine.operators.dedup import (  # noqa: E402
+    INC_MOD,
+    MINHASH_K,
+    _minhash_tables,
+)
+from engine.operators.textstats import SPARK_H60, ngram_idx  # noqa: E402
+from engine.registry import _REGISTRY  # noqa: E402
+from engine.streaming.docs import read_document_stream  # noqa: E402
+
+# Row-local MinHash: the batch pipeline computes signatures as K
+# min-aggregates over an exploded shingle stream (one doc_id shuffle);
+# a STREAM cannot aggregate before its stateful sink stage, so the
+# streaming twin computes the identical signature with nested
+# higher-order functions — array_min over transform — entirely within
+# the row. Same shingle definition (word-3-shingles of split(lower)),
+# same per-family hash (h60 of 'i|shingle'), same band pairing
+# (md5 of minhash slots b and b+8), so band signatures are
+# bit-identical to the batch index they join against.
+_STREAM_SH = (
+    f"transform({ngram_idx(3)},"
+    " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),"
+    " element_at(t, i + 2)))"
+)
+_STREAM_SIG = (
+    f"transform(sequence(0, {MINHASH_K - 1}),"
+    " hi -> array_min(transform(sh, s -> "
+    + SPARK_H60.format(x="concat(cast(hi as string), '|', s)")
+    + ")))"
+)
+_STREAM_BANDS = (
+    f"transform(sequence(0, {MINHASH_K // 2 - 1}),"
+    " b -> named_struct('band', b, 'sig',"
+    f" md5(concat_ws(',', cast(sig_arr[b] as string),"
+    f" cast(sig_arr[b + {MINHASH_K // 2}] as string)))))"
+)
+
+
+@query(
+    "streaming_incremental_dedup",
+    # The oracle IS dedup_incremental's: on bounded input the final
+    # complete-mode streaming result must equal the batch operator
+    # exactly — the strongest claim a streaming twin can make.
+    oracle=_REGISTRY["dedup_incremental"].oracle,
+    tags=("streaming", "dedup", "incremental", "documents"),
+    exported=False,
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup at ingestion: the NEW-document stream is checked against
+    the static corpus index as it arrives — tier `exact` joins the
+    incoming sha256 against the corpus content-hash table, tier
+    `near_band` explodes the row-local MinHash band signatures (see
+    section comment) and joins the corpus band index. Both joins are
+    STREAM-STATIC (zero streaming state); the only stateful stage is
+    the final min-per-(doc, tier) aggregate, bounded by the number of
+    flagged arrivals. At 100 TB the corpus index lives in a store
+    keyed exactly like these DataFrames (content hash / band sig);
+    cost per arriving doc is its band-bucket collisions, never a
+    corpus scan."""
+    from engine.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = (
+        F.expr(SPARK_H60.format(x="concat('inc:', cast(doc_id as string))"))
+        % INC_MOD
+        == 0
+    )
+    corp = docs.filter(~is_new)
+    corp_hash = corp.select(
+        F.sha2("text", 256).alias("content_hash"),
+        F.col("doc_id").alias("old_id"),
+    )
+    _, corp_bands_full = _minhash_tables(corp)
+    corp_bands = corp_bands_full.select(
+        F.col("doc_id").alias("old_id"), "band", "sig"
+    )
+
+    stream = read_document_stream(spark, sf_dir).filter(is_new)
+    s_exact = (
+        stream.select("doc_id", F.sha2("text", 256).alias("content_hash"))
+        .join(corp_hash, "content_hash")
+        .select("doc_id", F.lit("exact").alias("kind"), "old_id")
+    )
+    s_near = (
+        stream.select(
+            "doc_id", F.split(F.lower("text"), " ").alias("t")
+        )
+        .select("doc_id", F.expr(_STREAM_SH).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.expr(_STREAM_SIG).alias("sig_arr"))
+        .select("doc_id", F.explode(F.expr(_STREAM_BANDS)).alias("bs"))
+        .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        .join(corp_bands, ["band", "sig"])
+        .filter(F.col("doc_id") != F.col("old_id"))
+        .select("doc_id", F.lit("near_band").alias("kind"), "old_id")
+    )
+    flagged = s_exact.unionAll(s_near)
+    agg = flagged.groupBy("doc_id", "kind").agg(
+        F.min("old_id").cast("bigint").alias("duplicate_of")
+    )
+    return run_available_now(
+        agg, _sink("inc_dedup"), output_mode="complete"
+    ).select("doc_id", "kind", "duplicate_of")

@@ -523,3 +523,22 @@ def test_event_stream_reads_directory_layout_fixture(spark, tmp_path):
         output_mode="complete",
     ).collect()[0][0]
     assert got == 500
+
+
+def test_document_stream_reads_directory_layout_fixture(spark, tmp_path):
+    """Same contract for the documents source (round-6): a
+    directory-layout documents.parquet must stream every row, not
+    silently zero under the single-file pathGlobFilter."""
+    from engine.streaming.docs import read_document_stream
+    from engine.streaming.events import run_available_now
+
+    sf = str(tmp_path)
+    load_table(spark, SF_SMOKE, "documents").limit(40).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    got = run_available_now(
+        read_document_stream(spark, sf).groupBy().count(),
+        "d_dirlayout",
+        output_mode="complete",
+    ).collect()[0][0]
+    assert got == 40
