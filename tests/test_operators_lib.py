@@ -407,3 +407,15 @@ def test_crossdoc_coverage_exact_dups_are_fully_covered(spark, tmp_path):
     assert cov[1]["coverage_frac"] == 1.0 and cov[1]["dup_heavy"] == 1
     assert cov[2]["coverage_frac"] == 0.0 and cov[2]["dup_heavy"] == 0
     assert cov[2]["dup_gram_occurrences"] == 0
+
+
+def test_length_bucket_ladder_covers_fixture(spark):
+    """The seq-len bucket ladder must cover the fixture corpus — a doc
+    landing in the overflow bucket means the ladder drifted out from
+    under the data (the oracle would still match, silently)."""
+    from engine.operators.pipeline import LEN_OVERFLOW, pipeline_length_buckets
+
+    rows = pipeline_length_buckets(spark, SF_SMOKE).collect()
+    buckets = {r["bucket"] for r in rows}
+    assert str(LEN_OVERFLOW) not in buckets, sorted(buckets)
+    assert "global" in buckets

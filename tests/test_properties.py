@@ -387,3 +387,35 @@ def test_scrub_fold_equals_range_removal(spark, text, starts):
         [(text, starts)], "text string, cut_starts array<bigint>"
     ).select(F.expr(_SCRUB_FOLD).alias("stext")).collect()[0]
     assert row["stext"] == want, (text, starts, row["stext"], want)
+
+
+_mh_text = st.text(alphabet="ab c", min_size=0, max_size=80)
+
+
+@given(texts=st.lists(_mh_text, min_size=1, max_size=4))
+@_prop_settings
+def test_streaming_hof_minhash_equals_batch_signature(spark, texts):
+    """The streaming row-local MinHash (nested array_min-over-transform,
+    streaming_queries._STREAM_SIG) must equal the batch signature
+    (exploded shingles -> groupBy min, dedup._minhash_tables) on
+    arbitrary texts — the bit-identity that lets the stream join the
+    batch-built band index. Docs with no 3-shingles produce no batch
+    signature and are filtered on the stream side; both absences must
+    coincide."""
+    from engine.operators.dedup import _minhash_tables
+    from engine.operators.streaming_queries import _STREAM_SH, _STREAM_SIG
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    batch_sig, _ = _minhash_tables(docs)
+    want = {r["doc_id"]: list(r["sig_arr"]) for r in batch_sig.collect()}
+    got_rows = (
+        docs.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+        .select("doc_id", F.expr(_STREAM_SH).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.expr(_STREAM_SIG).alias("sig_arr"))
+        .collect()
+    )
+    got = {r["doc_id"]: list(r["sig_arr"]) for r in got_rows}
+    assert got == want, (texts, got, want)
