@@ -383,16 +383,14 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def synth_png(width: int, height: int, channels: int, value: int) -> bytes:
-    """A real, minimal PNG: 8-bit, constant pixel ``value``, scanline
-    filters cycling ALL FIVE spec types (None/Sub/Up/Average/Paeth) so
-    a decoder must actually de-filter every branch — encoded
-    generically from the raw rows, not via per-filter shortcuts, so
-    this stays an independent encode of whatever parse_png inverts.
-    Constant pixels keep every decoded quantity closed-form for the
-    DuckDB oracle (the filter choice never changes decoded values)
-    while the byte stream remains a spec-conformant PNG (PIL opens
-    these when installed)."""
+def _png_encode(rows: list, width: int, channels: int) -> bytes:
+    """Generic PNG encode of raw scanlines (list of row_len byte rows):
+    8-bit, scanline filters cycling ALL FIVE spec types
+    (None/Sub/Up/Average/Paeth) so a decoder must actually de-filter
+    every branch — encoded from the raw rows, not via per-filter
+    shortcuts, so this stays an independent encode of whatever
+    parse_png inverts. The byte stream is a spec-conformant PNG (PIL
+    opens these when installed)."""
     import struct
     import zlib
 
@@ -400,8 +398,7 @@ def synth_png(width: int, height: int, channels: int, value: int) -> bytes:
     row_len = width * channels
     stream = bytearray()
     prior = bytes(row_len)
-    raw = bytes([value]) * row_len  # every row is the same constant row
-    for r in range(height):
+    for r, raw in enumerate(rows):
         ft = r % 5
         stream.append(ft)
         for i in range(row_len):
@@ -423,7 +420,7 @@ def synth_png(width: int, height: int, channels: int, value: int) -> bytes:
             stream.append((raw[i] - pred) & 0xFF)
         prior = raw
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, _PNG_COLOR_TYPE[channels], 0, 0, 0
+        ">IIBBBBB", width, len(rows), 8, _PNG_COLOR_TYPE[channels], 0, 0, 0
     )
     return (
         PNG_SIG
@@ -433,6 +430,33 @@ def synth_png(width: int, height: int, channels: int, value: int) -> bytes:
     )
 
 
+def synth_png(width: int, height: int, channels: int, value: int) -> bytes:
+    """A real, minimal PNG with constant pixel ``value`` (see
+    _png_encode for the filter-cycling encode). Constant pixels keep
+    every decoded quantity closed-form for the DuckDB oracle (the
+    filter choice never changes decoded values)."""
+    raw = bytes([value]) * (width * channels)
+    return _png_encode([raw] * height, width, channels)
+
+
+def synth_png_gradient(
+    width: int, height: int, channels: int, base: int
+) -> bytes:
+    """A real PNG whose pixel value at (row r, pixel column c) is
+    ``(base + r + c) & 0xFF`` in every channel — a 2-D gradient, so a
+    downstream resize's SAMPLED positions (both axes) are verifiable
+    against closed forms, unlike the constant image where any index
+    mapping sums identically."""
+    rows = [
+        bytes(
+            (base + r + (i // channels)) & 0xFF
+            for i in range(width * channels)
+        )
+        for r in range(height)
+    ]
+    return _png_encode(rows, width, channels)
+
+
 def parse_png(payload: bytes) -> tuple[int, int, int, int, int]:
     """Pure-stdlib PNG decode: returns (width, height, channels,
     n_raw_bytes, pixel_sum) from a full structural parse — signature,
@@ -440,6 +464,18 @@ def parse_png(payload: bytes) -> tuple[int, int, int, int, int]:
     (all five filter types, byte-exact Paeth). 8-bit non-interlaced
     gray/gray+alpha/RGB/RGBA; raises ValueError on anything else or on
     any corruption."""
+    width, height, channels, n_raw, rows = parse_png_pixels(payload)
+    return width, height, channels, n_raw, sum(sum(r) for r in rows)
+
+
+def parse_png_pixels(
+    payload: bytes,
+) -> tuple[int, int, int, int, list]:
+    """The pixel-returning core of parse_png: same structural parse
+    and de-filter, returning (width, height, channels, n_raw_bytes,
+    rows) where rows is the list of de-filtered scanline bytearrays —
+    the input a pixel-level consumer (resize, crop, feature extract)
+    actually needs."""
     import struct
     import zlib
 
@@ -489,7 +525,7 @@ def parse_png(payload: bytes) -> tuple[int, int, int, int, int]:
         raise ValueError("IDAT length != H*(1+W*C)")
     bpp = channels
     prior = bytearray(row_len)
-    pix_sum = 0
+    rows = []
     for r in range(height):
         base = r * (1 + row_len)
         ft = stream[base]
@@ -514,9 +550,31 @@ def parse_png(payload: bytes) -> tuple[int, int, int, int, int]:
             else:
                 raise ValueError(f"bad filter type {ft} in row {r}")
             raw[i] = (line[i] + pred) & 0xFF
-        pix_sum += sum(raw)
+        rows.append(raw)
         prior = raw
-    return width, height, channels, len(stream), pix_sum
+    return width, height, channels, len(stream), rows
+
+
+def resize_nearest(
+    rows: list, width: int, channels: int, out_w: int, out_h: int
+) -> list:
+    """Nearest-neighbor resize of de-filtered scanlines: output pixel
+    (r, c) samples source pixel ((r*H) // out_h, (c*W) // out_w) — the
+    floor-grid mapping, integer-exact so both engines (and the DuckDB
+    closed-form oracle) agree on exactly which source pixels survive.
+    Returns out_h rows of out_w*channels bytes."""
+    height = len(rows)
+    out = []
+    for r in range(out_h):
+        src = rows[(r * height) // out_h]
+        orow = bytearray(out_w * channels)
+        for c in range(out_w):
+            sc = (c * width) // out_w
+            orow[c * channels : (c + 1) * channels] = src[
+                sc * channels : (sc + 1) * channels
+            ]
+        out.append(orow)
+    return out
 
 
 PNG_PROBE_SCHEMA = T.StructType(
@@ -606,6 +664,122 @@ def multimodal_png_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_probe(load_table(spark, sf_dir, "documents"))
 
 
+# -- pixel-level nearest-neighbor resize probe ------------------------------
+
+RSZ_OUT = 8  # fixed output grid; small enough that corners + sums pin it
+
+RSZ_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pix_sum", T.LongType()),
+        T.StructField("rs_sum", T.LongType()),
+        T.StructField("px_first", T.LongType()),
+        T.StructField("px_last", T.LongType()),
+    ]
+)
+
+_RSZ_ORACLE = f"""
+WITH pmeta AS (
+  SELECT doc_id, {_H_CK} AS h
+  FROM documents WHERE doc_id % {PNG_SAMPLE_MOD} = 0
+), pd AS (
+  SELECT doc_id,
+         CAST(h % 64 + 1 AS INT) AS width,
+         CAST((h // 64) % 64 + 1 AS INT) AS height,
+         CAST(CASE h % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT)
+           AS channels,
+         h % 256 AS v
+  FROM pmeta
+), sums AS (
+  SELECT p.doc_id,
+         CAST(p.channels * sum((p.v + r.r + c.c) % 256) AS BIGINT)
+           AS pix_sum
+  FROM pd p,
+       LATERAL (SELECT unnest(range(0, p.height)) AS r) r,
+       LATERAL (SELECT unnest(range(0, p.width)) AS c) c
+  GROUP BY p.doc_id, p.channels
+), rsums AS (
+  SELECT p.doc_id,
+         CAST(p.channels
+              * sum((p.v + (g.r * p.height) // {RSZ_OUT}
+                     + (g2.c * p.width) // {RSZ_OUT}) % 256) AS BIGINT)
+           AS rs_sum
+  FROM pd p,
+       LATERAL (SELECT unnest(range(0, {RSZ_OUT})) AS r) g,
+       LATERAL (SELECT unnest(range(0, {RSZ_OUT})) AS c) g2
+  GROUP BY p.doc_id, p.channels
+)
+SELECT pd.doc_id, width, height, channels, s.pix_sum, rs.rs_sum,
+       CAST(v AS BIGINT) AS px_first,
+       CAST((v + ({RSZ_OUT - 1} * height) // {RSZ_OUT}
+             + ({RSZ_OUT - 1} * width) // {RSZ_OUT}) % 256 AS BIGINT)
+         AS px_last
+FROM pd
+JOIN sums s ON s.doc_id = pd.doc_id
+JOIN rsums rs ON rs.doc_id = pd.doc_id
+"""
+
+
+@query(
+    "multimodal_resize_probe",
+    oracle=_RSZ_ORACLE,
+    tags=("multimodal", "pandas_udf", "image", "resize"),
+    exported=False,  # driver-visible via the multimodal_facets rszpix facet
+)
+def multimodal_resize_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level resize probe: synthesize a 2-D GRADIENT PNG per
+    sampled doc (value at (r, c) = (base + r + c) & 0xFF — unlike the
+    constant probe image, a wrong index mapping changes the sums),
+    decode it with the stdlib parser, nearest-neighbor-resize the
+    de-filtered pixels to {RSZ_OUT}x{RSZ_OUT} on the integer floor
+    grid, and report full-image and resized pixel sums plus the two
+    resized corner pixels — every output recomputed from closed forms
+    by the oracle, so a mapping bug on EITHER axis is a value
+    mismatch. Same Arrow-batched mapInPandas shape as the decode
+    probes; at 100 TB the per-doc work is the image decode itself."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib as _hl
+
+        import pandas as pd
+
+        chans = (1, 3, 4)
+        out = RSZ_OUT
+        for pdf in it:
+            rows_out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                checksum = _hl.md5(text.encode("utf-8")).hexdigest()
+                h = int(_hl.md5(checksum.encode("utf-8")).hexdigest()[:15], 16)
+                payload = synth_png_gradient(
+                    h % 64 + 1, (h // 64) % 64 + 1, chans[h % 3], h % 256
+                )
+                w, hgt, c, _n_raw, rows = parse_png_pixels(payload)
+                rs = resize_nearest(rows, w, c, out, out)
+                rows_out.append(
+                    (
+                        int(doc_id),
+                        w,
+                        hgt,
+                        c,
+                        sum(sum(r) for r in rows),
+                        sum(sum(r) for r in rs),
+                        int(rs[0][0]),
+                        int(rs[-1][-1]),
+                    )
+                )
+            yield pd.DataFrame(rows_out, columns=[f.name for f in RSZ_PROBE_SCHEMA])
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") % PNG_SAMPLE_MOD == 0)
+        .select("doc_id", "text")
+        .mapInPandas(batches, schema=RSZ_PROBE_SCHEMA)
+    )
+
+
 # -- consolidated registry query -------------------------------------------
 
 
@@ -658,6 +832,10 @@ UNION ALL
 SELECT 'png', doc_id, CAST(NULL AS INT), n_raw, CAST(NULL AS VARCHAR),
        width, height, channels, pix_sum
 FROM ({_PNG_ORACLE}) pp
+UNION ALL
+SELECT 'rszpix', doc_id, CAST(NULL AS INT), pix_sum, CAST(NULL AS VARCHAR),
+       width, height, channels, rs_sum
+FROM ({_RSZ_ORACLE}) rz
 """,
     tags=("multimodal", "pandas_udf", "frames", "resize"),
 )
@@ -681,7 +859,11 @@ def multimodal_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     - `png`:    REAL PNG bytes, synthesized then decoded back with the
                 pure-stdlib parser (CRC walk + inflate + de-filter;
                 n_bytes = raw stream length, d1/d2/d3 = decoded
-                W/H/channels, n2 = decoded pixel sum).
+                W/H/channels, n2 = decoded pixel sum);
+    - `rszpix`: round-6 PIXEL-level nearest-neighbor resize of decoded
+                2-D GRADIENT PNGs (n_bytes = full pixel sum, n2 =
+                resized-to-8x8 pixel sum — closed-form oracle on both
+                axes' floor-grid index mapping).
 
     The oracle recomputes every facet in pure SQL, pinning the whole
     Python/Arrow round trip byte-for-byte. Zero shuffle: every facet is
@@ -769,8 +951,26 @@ def multimodal_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("channels").alias("d3"),
         F.col("pix_sum").alias("n2"),
     )
+    # `rszpix`: pixel-level nearest-neighbor resize of decoded GRADIENT
+    # PNGs — see the _RSZ_ORACLE section comment.
+    rp = multimodal_resize_probe(spark, sf_dir).select(
+        F.lit("rszpix").alias("facet"),
+        "doc_id",
+        null_i.alias("idx"),
+        F.col("pix_sum").alias("n_bytes"),
+        F.lit(None).cast("string").alias("checksum"),
+        F.col("width").alias("d1"),
+        F.col("height").alias("d2"),
+        F.col("channels").alias("d3"),
+        F.col("rs_sum").alias("n2"),
+    )
     return (
-        m.unionAll(fr).unionAll(rz).unionAll(au).unionAll(wv).unionAll(pg)
+        m.unionAll(fr)
+        .unionAll(rz)
+        .unionAll(au)
+        .unionAll(wv)
+        .unionAll(pg)
+        .unionAll(rp)
     )
 
 

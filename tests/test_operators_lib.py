@@ -419,3 +419,32 @@ def test_length_bucket_ladder_covers_fixture(spark):
     buckets = {r["bucket"] for r in rows}
     assert str(LEN_OVERFLOW) not in buckets, sorted(buckets)
     assert "global" in buckets
+
+
+def test_resize_nearest_identity_and_mapping():
+    """resize_nearest must be the identity at equal dims, replicate a
+    1x1 source everywhere, and follow the floor-grid mapping on a
+    known asymmetric case (downscale 4x2 -> 2x2 RGB picks rows 0,1 and
+    cols 0,2)."""
+    from engine.operators.multimodal import (
+        parse_png_pixels,
+        resize_nearest,
+        synth_png_gradient,
+    )
+
+    payload = synth_png_gradient(4, 2, 3, 10)
+    w, h, c, _, rows = parse_png_pixels(payload)
+    assert (w, h, c) == (4, 2, 3)
+    # identity
+    same = resize_nearest(rows, w, c, 4, 2)
+    assert [bytes(r) for r in same] == [bytes(r) for r in rows]
+    # 1x1 replication
+    one = resize_nearest([rows[0][:c]], 1, c, 3, 3)
+    assert all(bytes(r) == bytes(rows[0][:c]) * 3 for r in one)
+    # floor-grid downscale: out (r, c') samples src ((r*2)//2, (c'*4)//2)
+    down = resize_nearest(rows, w, c, 2, 2)
+    want = [
+        bytes(rows[0][0:3] + rows[0][6:9]),
+        bytes(rows[1][0:3] + rows[1][6:9]),
+    ]
+    assert [bytes(r) for r in down] == want
