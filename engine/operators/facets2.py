@@ -437,16 +437,24 @@ FROM ({_oracle('multi_grain_pivot')}) mg
 UNION ALL
 SELECT facet, k, {_NV}, n, x1, x2, x3, x4, x5, {_NB}, {_NB}, {_NB}
 FROM ({_oracle('distribution_stats')}) ds
+UNION ALL
+SELECT 'incr', strftime(day, '%Y-%m-%d'), event_type, n_events,
+       sum_value, avg_value, min_value, max_value, {_ND},
+       n_base, n_delta, {_NB}
+FROM ({_oracle('rollup_incremental_merge')}) ir
 """,
     tags=("relational", "grouping-sets", "statistics", "histogram"),
 )
 def grains_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merged multi-grain + distribution surface (six facets):
+    """Merged multi-grain + distribution surface (seven facets):
     `grouping_sets`/`cube`/`rollup`/`pivot` from multi_grain_pivot
     (k1/k2 = grain keys, n = count, x1 = measure, p1..p3 = pivoted
-    priority counts) and `stats`/`histogram` from distribution_stats
+    priority counts), `stats`/`histogram` from distribution_stats
     (k1 = flag/bucket, x1..x5 = the five statistics or bucket
-    bounds)."""
+    bounds), and the round-6 `incr` incremental-rollup merge
+    (k1/k2 = day/event_type, n = merged count, x1..x4 =
+    sum/avg/min/max, p1/p2 = base/delta contributions — the hash
+    pins incremental-merge ≡ full-recompute end-to-end)."""
     mg = facets.multi_grain_pivot(spark, sf_dir).select(
         "facet",
         "k1",
@@ -475,7 +483,21 @@ def grains_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nb().alias("p2"),
         _nb().alias("p3"),
     )
-    return mg.unionAll(ds)
+    ir = rangejoin.rollup_incremental_merge(spark, sf_dir).select(
+        F.lit("incr").alias("facet"),
+        F.date_format("day", "yyyy-MM-dd").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.col("n_events").alias("n"),
+        F.col("sum_value").alias("x1"),
+        F.col("avg_value").alias("x2"),
+        F.col("min_value").alias("x3"),
+        F.col("max_value").alias("x4"),
+        _nd().alias("x5"),
+        F.col("n_base").alias("p1"),
+        F.col("n_delta").alias("p2"),
+        _nb().alias("p3"),
+    )
+    return mg.unionAll(ds).unionAll(ir)
 
 
 @query(
@@ -599,6 +621,7 @@ from engine.operators import (  # noqa: F401,E402
     clustering,
     multimodal,
     pipeline,
+    rangejoin,
     recsys,
     relational,
     relational2,

@@ -410,3 +410,26 @@ def test_pagerank_core_empty_graph(spark):
     out = pagerank_core(empty)
     assert out.columns == ["item", "out_deg", "pr9"]
     assert out.count() == 0
+
+
+def test_incremental_rollup_merge_identity_and_collisions(spark):
+    """The incremental merge's two invariants beyond the oracle hash:
+    (1) the batch split is a partition — n_base + n_delta == n_events
+    on every key; (2) the late-arrival sample forces genuine key
+    COLLISIONS (keys with both batches contributing), so the merge is
+    exercised as a re-aggregation, not a disjoint append."""
+    from engine.operators.rangejoin import rollup_incremental_merge
+
+    out = rollup_incremental_merge(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows, "merge produced no rollup rows"
+    assert all(r["n_base"] + r["n_delta"] == r["n_events"] for r in rows)
+    collided = [r for r in rows if r["n_base"] > 0 and r["n_delta"] > 0]
+    assert collided, (
+        "no key saw both base and delta rows — the merge path "
+        "degenerated to a disjoint append and re-aggregation is untested"
+    )
+    # both pure-base keys (old days, no late rows) and pure-delta keys
+    # (the last-7-day window) should also exist at this corpus shape
+    assert any(r["n_delta"] == 0 for r in rows)
+    assert any(r["n_base"] == 0 for r in rows)

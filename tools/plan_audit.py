@@ -73,7 +73,7 @@ NESTED_LOOP_OK = {
     "pipeline_mix_funnel",  # source_mix 1-row total broadcast
     # round-3 federations inheriting whitelisted components' bounded
     # broadcasts (same O(1)-row / bounded-set sides as the components)
-    "grains_distribution_stats",  # stats + histogram 1-row broadcasts
+    "grains_distribution_stats",  # stats/histogram/incr-cutoff 1-row broadcasts
     "scalar_setops_facets",  # minmax_by 1-row argmax broadcast
     "bpe_pipeline",  # bpe 1-row argmax merge-pair broadcasts
     "q10_q22_customer_value",  # q22 1-row scalar avg broadcast
