@@ -49,6 +49,7 @@ NESTED_LOOP_OK = {
     "tfidf_top_terms",  # 1-row corpus-size broadcast
     "pipeline_source_mix",  # 1-row sampled-total broadcast
     "pipeline_temperature_mix",  # 1-row weight-normalizer broadcast
+    "rollup_incremental_merge",  # 1-row 7-day-cutoff scalar broadcast
     "approx_heavy_hitters",  # 1-row total-N broadcast vs 20 hitters
     "embedding_kmeans",  # K=8 broadcast centroids × corpus (Lloyd pass)
     "semantic_dedup",  # same bounded centroid broadcast per iteration
