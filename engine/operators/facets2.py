@@ -442,19 +442,27 @@ SELECT 'incr', strftime(day, '%Y-%m-%d'), event_type, n_events,
        sum_value, avg_value, min_value, max_value, {_ND},
        n_base, n_delta, {_NB}
 FROM ({_oracle('rollup_incremental_merge')}) ir
+UNION ALL
+SELECT 'upsert', strftime(day, '%Y-%m-%d'), event_type, n_new,
+       sum_old, sum_new, avg_new, {_ND}, {_ND},
+       n_old, n_added, {_NB}
+FROM ({_oracle('rollup_upsert_cells')}) uc
 """,
     tags=("relational", "grouping-sets", "statistics", "histogram"),
 )
 def grains_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merged multi-grain + distribution surface (seven facets):
+    """Merged multi-grain + distribution surface (eight facets):
     `grouping_sets`/`cube`/`rollup`/`pivot` from multi_grain_pivot
     (k1/k2 = grain keys, n = count, x1 = measure, p1..p3 = pivoted
     priority counts), `stats`/`histogram` from distribution_stats
     (k1 = flag/bucket, x1..x5 = the five statistics or bucket
-    bounds), and the round-6 `incr` incremental-rollup merge
+    bounds), the round-6 `incr` incremental-rollup merge
     (k1/k2 = day/event_type, n = merged count, x1..x4 =
     sum/avg/min/max, p1/p2 = base/delta contributions — the hash
-    pins incremental-merge ≡ full-recompute end-to-end)."""
+    pins incremental-merge ≡ full-recompute end-to-end), and its
+    `upsert` write-back changeset (only delta-touched cells:
+    n = merged count, x1/x2/x3 = sum before/sum after/avg after,
+    p1/p2 = old/added counts; sum_old NULL marks brand-new cells)."""
     mg = facets.multi_grain_pivot(spark, sf_dir).select(
         "facet",
         "k1",
@@ -497,7 +505,21 @@ def grains_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_delta").alias("p2"),
         _nb().alias("p3"),
     )
-    return mg.unionAll(ds).unionAll(ir)
+    uc = rangejoin.rollup_upsert_cells(spark, sf_dir).select(
+        F.lit("upsert").alias("facet"),
+        F.date_format("day", "yyyy-MM-dd").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.col("n_new").alias("n"),
+        F.col("sum_old").alias("x1"),
+        F.col("sum_new").alias("x2"),
+        F.col("avg_new").alias("x3"),
+        _nd().alias("x4"),
+        _nd().alias("x5"),
+        F.col("n_old").alias("p1"),
+        F.col("n_added").alias("p2"),
+        _nb().alias("p3"),
+    )
+    return mg.unionAll(ds).unionAll(ir).unionAll(uc)
 
 
 @query(

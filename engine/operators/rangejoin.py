@@ -260,7 +260,36 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_INCR_ORACLE = """
+def _incr_lab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared batch labeling for the incremental-rollup pair: per event
+    the (day, event_type) rollup key, the grid-quantized value, and the
+    arrival-batch flag — delta = last 7 event-days OR a deterministic
+    10% late-arrival h60 sample (so delta keys collide with base keys).
+    The 7-day cutoff is a 1-row scalar broadcast."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    cut = ev.agg(
+        F.expr("date_trunc('day', max(ts)) - INTERVAL 7 DAY").alias("cutoff")
+    )
+    qv = F.floor(F.col("value") * F.lit(VALUE_Q) + F.lit(0.5)).cast("bigint")
+    late = (
+        F.expr(SPARK_H60.format(x="cast(event_id as string)")) % 10 == 0
+    )
+    return ev.join(F.broadcast(cut)).select(
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+        qv.alias("qv"),
+        ((F.date_trunc("day", "ts") >= F.col("cutoff")) | late).alias(
+            "is_delta"
+        ),
+    )
+
+
+# Shared batch-labeling CTE for the incremental-rollup pair: day/type
+# keys, grid-quantized value, and the arrival-batch flag (last 7
+# event-days plus a deterministic 10% late-arrival sample).
+_INCR_LAB_SQL = """
 WITH cut AS (
   SELECT date_trunc('day', max(ts)) - INTERVAL 7 DAY AS cutoff FROM events
 ),
@@ -270,6 +299,12 @@ lab AS (
          (date_trunc('day', ts) >= cutoff OR ({h60} % 10 = 0)) AS is_delta
   FROM events, cut
 )
+""".format(
+    q=VALUE_Q,
+    h60=DUCK_H60.format(x="CAST(event_id AS VARCHAR)"),
+)
+
+_INCR_ORACLE = _INCR_LAB_SQL + """
 SELECT CAST(day AS TIMESTAMP) AS day, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CASE WHEN is_delta THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
@@ -280,8 +315,6 @@ SELECT CAST(day AS TIMESTAMP) AS day, event_type,
        {max2} AS max_value
 FROM lab GROUP BY day, event_type
 """.format(
-    q=VALUE_Q,
-    h60=DUCK_H60.format(x="CAST(event_id AS VARCHAR)"),
     sum2=duck_round_he(
         f"CAST(sum(qv) AS DOUBLE) / CAST({VALUE_Q!r} AS DOUBLE)", 2
     ),
@@ -331,24 +364,7 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     7-day cutoff is a 1-row scalar broadcast (never a driver round
     trip). Absent from the reference (SURVEY §2.3 — no incremental
     state at all; every reference job recomputes its full input)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "event_type", "value"
-    )
-    cut = ev.agg(
-        F.expr("date_trunc('day', max(ts)) - INTERVAL 7 DAY").alias("cutoff")
-    )
-    qv = F.floor(F.col("value") * F.lit(VALUE_Q) + F.lit(0.5)).cast("bigint")
-    late = (
-        F.expr(SPARK_H60.format(x="cast(event_id as string)")) % 10 == 0
-    )
-    lab = ev.join(F.broadcast(cut)).select(
-        F.date_trunc("day", "ts").alias("day"),
-        "event_type",
-        qv.alias("qv"),
-        ((F.date_trunc("day", "ts") >= F.col("cutoff")) | late).alias(
-            "is_delta"
-        ),
-    )
+    lab = _incr_lab(spark, sf_dir)
 
     def partials(df: DataFrame, is_delta: bool) -> DataFrame:
         agg = df.groupBy("day", "event_type").agg(
@@ -389,4 +405,107 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_he(F.col("mx").cast("double") / F.lit(VALUE_Q), 2).alias(
             "max_value"
         ),
+    )
+
+
+_UPSERT_ORACLE = _INCR_LAB_SQL + """
+, base AS (
+  SELECT day, event_type, CAST(count(*) AS BIGINT) AS n_old,
+         CAST(sum(qv) AS BIGINT) AS q_old
+  FROM lab WHERE NOT is_delta GROUP BY day, event_type
+),
+delta AS (
+  SELECT day, event_type, CAST(count(*) AS BIGINT) AS n_added,
+         CAST(sum(qv) AS BIGINT) AS q_add
+  FROM lab WHERE is_delta GROUP BY day, event_type
+)
+SELECT CAST(d.day AS TIMESTAMP) AS day, d.event_type,
+       CAST(coalesce(b.n_old, 0) AS BIGINT) AS n_old,
+       d.n_added,
+       CAST(coalesce(b.n_old, 0) + d.n_added AS BIGINT) AS n_new,
+       {sum_old} AS sum_old,
+       {sum_new} AS sum_new,
+       {avg_new} AS avg_new
+FROM delta d LEFT JOIN base b
+  ON d.day = b.day AND d.event_type = b.event_type
+""".format(
+    sum_old=duck_round_he(
+        f"CAST(b.q_old AS DOUBLE) / CAST({VALUE_Q!r} AS DOUBLE)", 2
+    ),
+    sum_new=duck_round_he(
+        f"CAST(coalesce(b.q_old, 0) + d.q_add AS DOUBLE)"
+        f" / CAST({VALUE_Q!r} AS DOUBLE)",
+        2,
+    ),
+    avg_new=duck_round_he(
+        f"CAST(coalesce(b.q_old, 0) + d.q_add AS DOUBLE)"
+        f" / CAST({VALUE_Q!r} AS DOUBLE)"
+        f" / (coalesce(b.n_old, 0) + d.n_added)",
+        4,
+    ),
+)
+
+
+@query(
+    "rollup_upsert_cells",
+    oracle=_UPSERT_ORACLE,
+    tags=("rollup", "events", "timeseries", "incremental", "upsert"),
+    exported=False,  # driver-visible via facets2.grains_distribution_stats
+)
+def rollup_upsert_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-back half of incremental rollup maintenance: the
+    MINIMAL upsert changeset — only cells the delta batch touched,
+    each with its before (base-only) and after (merged) values. This
+    is what a MERGE INTO against the stored rollup would apply: at
+    100 TB you rewrite the changed cells (or the partitions holding
+    them), never the whole rollup — `rollup_incremental_merge` proves
+    the merged VALUES equal a full recompute; this operator proves
+    the WRITE SET is correctly scoped and carries the right
+    before/after pair.
+
+    Shape: delta partials LEFT-join base partials on the rollup key —
+    both sides are rollup-sized (days × event types), so the join is
+    tiny relative to the raw scans that produce it, and brand-new
+    cells (no base row) surface with n_old = 0 / sum_old = NULL
+    rather than being silently dropped (an inner join here would
+    lose exactly the cells an append-only refresh creates). The
+    DuckDB oracle replays the same split + join from raw; the hash
+    pins both the scoping (no untouched cell leaks into the
+    changeset) and the merged values per cell."""
+    lab = _incr_lab(spark, sf_dir)
+    base = (
+        lab.filter(~F.col("is_delta"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_old"),
+            F.sum("qv").cast("bigint").alias("q_old"),
+        )
+    )
+    delta = (
+        lab.filter(F.col("is_delta"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_added"),
+            F.sum("qv").cast("bigint").alias("q_add"),
+        )
+    )
+    joined = delta.join(base, ["day", "event_type"], "left")
+    n_old = F.coalesce(F.col("n_old"), F.lit(0)).cast("bigint")
+    q_new = (F.coalesce(F.col("q_old"), F.lit(0)) + F.col("q_add")).cast(
+        "bigint"
+    )
+    n_new = (n_old + F.col("n_added")).cast("bigint")
+    return joined.select(
+        "day",
+        "event_type",
+        n_old.alias("n_old"),
+        F.col("n_added").cast("bigint").alias("n_added"),
+        n_new.alias("n_new"),
+        round_he(F.col("q_old").cast("double") / F.lit(VALUE_Q), 2).alias(
+            "sum_old"
+        ),
+        round_he(q_new.cast("double") / F.lit(VALUE_Q), 2).alias("sum_new"),
+        round_he(
+            q_new.cast("double") / F.lit(VALUE_Q) / n_new, 4
+        ).alias("avg_new"),
     )

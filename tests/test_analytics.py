@@ -433,3 +433,33 @@ def test_incremental_rollup_merge_identity_and_collisions(spark):
     # (the last-7-day window) should also exist at this corpus shape
     assert any(r["n_delta"] == 0 for r in rows)
     assert any(r["n_base"] == 0 for r in rows)
+
+
+def test_rollup_upsert_changeset_scoped_and_consistent(spark):
+    """The upsert changeset must be exactly the delta-touched subset of
+    the merged rollup: same keys as merge rows with n_delta > 0, same
+    before/after counts, and brand-new cells (n_old == 0) marked with a
+    NULL sum_old rather than a fabricated zero."""
+    from engine.operators.rangejoin import (
+        rollup_incremental_merge,
+        rollup_upsert_cells,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    merge = {
+        (r["day"], r["event_type"]): r
+        for r in rollup_incremental_merge(spark, sf).collect()
+    }
+    ups = rollup_upsert_cells(spark, sf).collect()
+    assert ups, "empty changeset"
+    touched = {k for k, r in merge.items() if r["n_delta"] > 0}
+    assert {(r["day"], r["event_type"]) for r in ups} == touched
+    for r in ups:
+        m = merge[(r["day"], r["event_type"])]
+        assert r["n_old"] == m["n_base"]
+        assert r["n_added"] == m["n_delta"]
+        assert r["n_new"] == m["n_events"]
+        assert r["sum_new"] == m["sum_value"]
+        assert r["avg_new"] == m["avg_value"]
+        if r["n_old"] == 0:
+            assert r["sum_old"] is None

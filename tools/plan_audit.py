@@ -50,6 +50,7 @@ NESTED_LOOP_OK = {
     "pipeline_source_mix",  # 1-row sampled-total broadcast
     "pipeline_temperature_mix",  # 1-row weight-normalizer broadcast
     "rollup_incremental_merge",  # 1-row 7-day-cutoff scalar broadcast
+    "rollup_upsert_cells",  # same 1-row cutoff broadcast (shared _incr_lab)
     "approx_heavy_hitters",  # 1-row total-N broadcast vs 20 hitters
     "embedding_kmeans",  # K=8 broadcast centroids × corpus (Lloyd pass)
     "semantic_dedup",  # same bounded centroid broadcast per iteration
