@@ -31,7 +31,6 @@ from pyspark.sql import functions as F
 from engine.functions.hashing import DUCK_H60, SPARK_H60
 from engine.functions.rounding import (
     VALUE_Q,
-    duck_qsum_rounded,
     duck_round_he,
     qsum_rounded,
     round_he,
