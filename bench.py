@@ -20,6 +20,52 @@ from engine.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _calibration(spark) -> dict:
+    """Hardware anchor (VERDICT r6 #2): two fixed-work probes recorded
+    alongside every bench run so cross-round deltas can be read as
+    query_time ÷ calibration instead of re-litigating "regression or
+    host?" per round (r6's driver bench ran a uniform 1.44× r5 on
+    byte-unchanged binaries — pure host drift).
+
+    (a) cpu_md5_sec — 200k chained MD5 digests on ONE core, pure
+        deterministic CPU work, no allocation growth, no I/O. Tracks
+        effective single-core speed (clock + steal + thermal state).
+    (b) spark_fixed_job_sec — a canonical tiny Spark job: 2M-row
+        range → modulo-keyed groupBy sum (one shuffle) → noop sink,
+        fixed partitioning, zero data dependence. Tracks the whole
+        JVM/scheduler/shuffle path at the bench's parallelism.
+
+    Median of 5 each, run AFTER the JVM warm-up loop for the same
+    reason the headliners are."""
+    import hashlib
+
+    def med(times: list[float]) -> float:
+        return round(sorted(times)[len(times) // 2], 4)
+
+    cpu = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        h = b"spark-graft-calibration-seed"
+        for _ in range(200_000):
+            h = hashlib.md5(h).digest()
+        cpu.append(time.perf_counter() - t0)
+
+    job = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 2_000_000, 1, 32)
+            .selectExpr("id % 1000 AS k", "id AS v")
+            .groupBy("k")
+            .sum("v")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        job.append(time.perf_counter() - t0)
+    return {"cpu_md5_sec": med(cpu), "spark_fixed_job_sec": med(job)}
+
+
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
     try:
@@ -48,6 +94,8 @@ def main() -> None:
             except Exception:
                 pass
     load_table(spark, SF_DIR, "lineitem").count()
+    calibration = _calibration(spark)
+    print(f"# calibration: {calibration}", file=sys.stderr)
 
     # Median of 5 runs per query: single-sample walltimes swing ±20%
     # with machine load, which reads as phantom regressions across
@@ -84,6 +132,7 @@ def main() -> None:
                 "queries": per_query,
                 "runs_per_query": N_RUNS,
                 "agg": "median",
+                "calibration": calibration,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

@@ -33,7 +33,7 @@ from engine.functions.hashing import DUCK_H60, SPARK_H60
 from engine.functions.rounding import duck_qsum_rounded, qsum_rounded
 from engine.io import load_table
 from engine.operators.globalrank import topk_per_group
-from engine.plans import record_iteration_plan
+from engine.plans import audited_checkpoint, record_iteration_plan
 from engine.registry import query
 
 SAMPLE_K = 20
@@ -459,8 +459,7 @@ def pagerank_core(
         out = pr.select(
             "item", F.col("d").alias("out_deg"), F.col("pr").alias("pr9")
         )
-        record_iteration_plan("pagerank_chain", out)
-        out = out.localCheckpoint()
+        out = audited_checkpoint("pagerank_chain", out)
     # The checkpoint is the only live result: drop the iteration
     # caches so long-lived sessions (the 145-query oracle gate) don't
     # accumulate dead edge-list-sized blocks per invocation.
@@ -681,8 +680,7 @@ def triangle_core(
     )
     with ctx:
         plan, caches = _triangle_core_plan(pairs)
-        record_iteration_plan("triangle_chain", plan)
-        out = plan.localCheckpoint()
+        out = audited_checkpoint("triangle_chain", plan)
     # The checkpoint is the only live result: drop the internal
     # deg/orientation caches so repeated invocations in a long-lived
     # session don't accumulate dead blocks.
@@ -1200,8 +1198,7 @@ def kcore_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor edges are cut with localCheckpoint per round (multiple
     consumers: the next round's degree + both semi-joins)."""
     pairs = copurchase_pairs(spark, sf_dir)
-    record_iteration_plan("copurchase_pairs_pre", pairs)
-    return kcore_core(pairs.localCheckpoint())
+    return kcore_core(audited_checkpoint("copurchase_pairs_pre", pairs))
 
 
 def kcore_core(
@@ -1249,7 +1246,9 @@ def kcore_core(
         else static_planning(pairs.sparkSession, shuffle_partitions=nparts)
     )
     with ctx:
-        edges = pairs.repartition(nparts, "lo").localCheckpoint()
+        edges = audited_checkpoint(
+            "kcore_edges_pre", pairs.repartition(nparts, "lo")
+        )
         prev = edges
         for _ in range(KCORE_ROUNDS):
             deg = (
@@ -1266,8 +1265,7 @@ def kcore_core(
                 .select("lo", "hi")
             )
             # One peel round, pre-checkpoint (armed-only no-op).
-            record_iteration_plan("kcore_round", nxt)
-            edges = nxt.localCheckpoint()
+            edges = audited_checkpoint("kcore_round", nxt)
         cnt_last = edges.agg(F.count(F.lit(1)).alias("_c_last"))
         cnt_prev = prev.agg(F.count(F.lit(1)).alias("_c_prev"))
         out = (
@@ -1281,4 +1279,7 @@ def kcore_core(
             .withColumn("converged", F.col("_c_last") == F.col("_c_prev"))
             .drop("_c_last", "_c_prev")
         )
-        return out.localCheckpoint()
+        # The return cut is the leaf every CONSUMER plan scans — it
+        # must carry its own capture tag (id-matched, round 7), the
+        # per-round tags live below it.
+        return audited_checkpoint("kcore_out_pre", out)

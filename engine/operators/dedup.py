@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from engine.functions.rounding import duck_round_he, round_he
 from engine.io import load_table
-from engine.plans import record_iteration_plan
+from engine.plans import audited_checkpoint, record_iteration_plan
 from engine.registry import query
 from engine.operators.textstats import DUCK_H60, SPARK_H60, ngram_idx
 
@@ -134,8 +134,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = max(1, min(conf_parts, -(-n_docs // 1000)))
     with static_planning(spark, shuffle_partitions=width):
         plan, caches = _dedup_ngram_jaccard_plan(spark, sf_dir)
-        record_iteration_plan("ngram_jaccard_pre", plan)
-        out = plan.localCheckpoint()
+        out = audited_checkpoint("ngram_jaccard_pre", plan)
     for c in caches:
         c.unpersist(False)
     return out
@@ -522,8 +521,7 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
         ).select(F.col("dst").alias("node"), "lbl")
         nxt = labels.union(prop).groupBy("node").agg(F.min("lbl").alias("lbl"))
         # One propagation round, pre-checkpoint (armed-only no-op).
-        record_iteration_plan("components_round", nxt)
-        labels = nxt.localCheckpoint()
+        labels = audited_checkpoint("components_round", nxt)
         # Labels only ever decrease: an unchanged sum ⇔ a fixpoint.
         cur_sum = labels.agg(F.sum("lbl")).first()[0]
         if cur_sum == prev_sum:

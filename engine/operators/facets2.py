@@ -33,7 +33,7 @@ from engine.operators import (  # noqa: F401
     facets,
     streaming_queries,
 )
-from engine.plans import record_iteration_plan
+from engine.plans import audited_checkpoint, record_iteration_plan
 from engine.registry import _REGISTRY, query
 
 def _oracle(name: str) -> str:
@@ -1186,8 +1186,7 @@ def embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = max(1, min(conf_parts, -(-emb_n // 8192)))
     with static_planning(spark, shuffle_partitions=width):
         plan = _embedding_suite_plan(spark, sf_dir)
-        record_iteration_plan("embedding_suite_pre", plan)
-        return plan.localCheckpoint()
+        return audited_checkpoint("embedding_suite_pre", plan)
 
 
 def _embedding_suite_plan(spark: SparkSession, sf_dir: str) -> DataFrame:

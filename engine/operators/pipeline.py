@@ -29,7 +29,7 @@ from pyspark.sql import Window as W
 from engine.functions.hashing import DUCK_H60, SPARK_H60
 from engine.functions.rounding import duck_round_he, round_he
 from engine.io import load_table
-from engine.plans import record_iteration_plan
+from engine.plans import audited_checkpoint, record_iteration_plan
 from engine.registry import query
 from engine.operators.textstats import _QQ_QUALITY_DUCK, ngram_idx
 
@@ -749,8 +749,7 @@ def pipeline_decontam_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = max(1, min(conf_parts, -(-n_docs // 1000)))
     with static_planning(spark, shuffle_partitions=width):
         plan, caches = _pipeline_decontam_pack_plan(spark, sf_dir)
-        record_iteration_plan("decontam_pack_pre", plan)
-        out = plan.localCheckpoint()
+        out = audited_checkpoint("decontam_pack_pre", plan)
     for c in caches:
         c.unpersist(False)
     return out
@@ -1400,7 +1399,8 @@ SELECT 'global', CAST(count(*) AS BIGINT), CAST(sum(n_tokens) AS BIGINT),
        CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT),
        CAST((20000 * (count(*) * max(n_tokens) - sum(n_tokens))
              + count(*) * max(n_tokens))
-            // (2 * count(*) * max(n_tokens)) AS BIGINT)
+            // (2 * greatest(count(*), 1)
+                  * greatest(coalesce(max(n_tokens), 0), 1)) AS BIGINT)
 FROM toks
 """,
     tags=("pipeline", "batching", "documents"),
@@ -1452,9 +1452,14 @@ def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_docs") * F.col("max_tok") - F.col("sum_tokens"))
         .cast("bigint")
         .alias("padded"),
+        # Denominator guarded: an all-empty corpus has max_tok = 0 (and
+        # an empty table has n_docs = 0 / max_tok NULL) — padding waste
+        # is then 0 by definition, not a divide-by-zero (ANSI error in
+        # Spark, hard error in DuckDB).  Per-bucket rows need no guard:
+        # bucket >= 16 always.
         F.expr(
             "(20000 * (n_docs * max_tok - sum_tokens) + n_docs * max_tok)"
-            " DIV (2 * n_docs * max_tok)"
+            " DIV (2 * greatest(n_docs, 1) * greatest(coalesce(max_tok, 0), 1))"
         )
         .cast("bigint")
         .alias("waste_bp"),

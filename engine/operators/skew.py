@@ -89,12 +89,27 @@ def salted_agg(
 
     ``aggs`` maps output column → (input column, agg), where agg is one
     of ``sum`` / ``count`` / ``min`` / ``max`` — the algebraic
-    aggregates that re-combine losslessly (count re-combines as sum).
+    aggregates that re-combine losslessly (count re-combines as sum) —
+    or ``count_distinct`` (round 7, VERDICT r6 #5): EXACT distinct
+    counting through the explicit two-phase dedup chain
+    (key, salt, value) dedup → (key, value) dedup → algebraic count.
+
+    Why count_distinct needs its own chain: a single
+    ``groupBy(key).agg(countDistinct(v))`` on a hot key builds the
+    whole key's value SET on one reducer. The chain never does —
+    phase 1 dedups within (key, salt) buckets (hot keys spread over S
+    reducers, duplicate-heavy data collapses early), phase 2's
+    (key, value) shuffle is inherently value-spread, and the final
+    per-key count is algebraic (map-side partial). NULL values are
+    excluded to match ``count(DISTINCT v)`` semantics; a key whose
+    values are all NULL reports 0 via the left join + coalesce.
+
     Salt defaults to a hash of all columns (varies within a key).
     """
     salt_col = _salt(df, n_salts, salt_source)
     phase1_exprs = []
     phase2_exprs = []
+    distinct_aggs: list[tuple[str, str]] = []  # (out, value col)
     for out, (col, agg) in aggs.items():
         if agg == "count":
             phase1_exprs.append(F.count(col).alias(out))
@@ -102,12 +117,38 @@ def salted_agg(
         elif agg in ("sum", "min", "max"):
             phase1_exprs.append(getattr(F, agg)(col).alias(out))
             phase2_exprs.append(getattr(F, agg)(out).alias(out))
+        elif agg == "count_distinct":
+            distinct_aggs.append((out, col))
         else:
             raise ValueError(f"non-algebraic agg {agg!r} cannot be salted")
-    partial = df.withColumn("__salt", salt_col).groupBy(key, "__salt").agg(
-        *phase1_exprs
-    )
-    return partial.groupBy(key).agg(*phase2_exprs)
+    if not phase1_exprs and not distinct_aggs:
+        raise ValueError("salted_agg: empty aggs")
+    salted = df.withColumn("__salt", salt_col)
+    if phase1_exprs:
+        partial = salted.groupBy(key, "__salt").agg(*phase1_exprs)
+        base = partial.groupBy(key).agg(*phase2_exprs)
+    else:
+        # Distinct-only call: the key universe must come from the input
+        # (the NULL-filtered pair chain drops all-NULL-value keys, but
+        # groupBy().agg(countDistinct) reports them as 0). A plain key
+        # distinct is skew-safe: map-side partial dedup collapses each
+        # hot key to one row per task before the shuffle.
+        base = df.select(key).distinct()
+    for out, col in distinct_aggs:
+        pairs = (
+            salted.filter(F.col(col).isNotNull())
+            .select(key, "__salt", col)
+            .distinct()  # phase 1: (key, salt, value) dedup
+            .select(key, col)
+            .distinct()  # phase 2: (key, value) dedup across salts
+        )
+        dcnt = pairs.groupBy(key).agg(
+            F.count(F.lit(1)).cast("bigint").alias(out)
+        )
+        base = base.join(dcnt, key, "left").withColumn(
+            out, F.coalesce(F.col(out), F.lit(0).cast("bigint"))
+        )
+    return base
 
 
 # -- registry query ---------------------------------------------------------
@@ -136,7 +177,8 @@ WITH w(event_type, weight) AS (VALUES
 SELECT e.event_type,
        count(*) AS n_events,
        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT) * weight) AS BIGINT)
-         AS weighted_cents
+         AS weighted_cents,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
 FROM events e JOIN w USING (event_type)
 GROUP BY e.event_type
 """,
@@ -149,7 +191,12 @@ def skew_salted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact table on single reducers. `salted_join` spreads each hot key
     over 8 salt buckets (the dim side replicates 8×, visible as the
     explode in the plan); `salted_agg` then two-phase-aggregates on
-    (key, salt) before re-combining per key.
+    (key, salt) before re-combining per key — including the
+    NON-algebraic exact distinct-user count `n_users` through the
+    (key, salt, value) → (key, value) → count dedup chain (round 7;
+    see `salted_agg`'s docstring for why hot keys never build a value
+    set on one reducer). The salt width is profile-drivable:
+    `recommend_n_salts(shuffle_skew_profile's imb_bp)` below.
 
     Values are aggregated as integer cents × integer weights, so the
     two-phase sum is order-independent and bit-equal to the oracle's
@@ -157,6 +204,7 @@ def skew_salted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
+        "user_id",
         (
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
         ).alias("cents"),
@@ -176,6 +224,7 @@ def skew_salted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             # event would silently put the two engines off by one.
             "n_events": ("event_id", "count"),
             "weighted_cents": ("wcents", "sum"),
+            "n_users": ("user_id", "count_distinct"),
         },
         n_salts=_SALTS,
         salt_source="event_id",
@@ -264,46 +313,92 @@ def shuffle_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ideal: 10000 = balanced, {P}x10000 = everything on one reducer).
     Integer-DIV basis points on a BIGINT grid; no float reaches the
     output.  See the section comment for the scale contract."""
-    p = SKEW_PROFILE_PARTS
     out = None
     for table, col in SKEW_PROFILE_KEYS:
         rows = load_table(spark, sf_dir, table).select(
             F.coalesce(F.col(col).cast("string"), F.lit("")).alias("k")
         )
-        kc = rows.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
-        pl = (
-            kc.select(
-                "cnt",
-                F.expr(f"({SPARK_H60.format(x='k')}) % {p}").alias("part"),
-            )
-            .groupBy("part")
-            .agg(
-                F.sum("cnt").alias("load"),
-                F.count(F.lit(1)).alias("nk"),
-                F.max("cnt").alias("mx"),
-            )
-        )
-        st = pl.agg(
-            F.sum("load").cast("bigint").alias("n_rows"),
-            F.sum("nk").cast("bigint").alias("n_keys"),
-            F.max("mx").cast("bigint").alias("top1_cnt"),
-            F.max("load").cast("bigint").alias("maxpart_load"),
-            F.count(F.lit(1)).cast("bigint").alias("parts_used"),
-        ).select(
-            F.lit(f"{table}.{col}").alias("facet"),
-            "n_rows",
-            "n_keys",
-            "top1_cnt",
-            "maxpart_load",
-            "parts_used",
-            F.expr("(20000 * top1_cnt + n_rows) DIV (2 * n_rows)")
-            .cast("bigint")
-            .alias("top1_bp"),
-            F.expr(
-                f"(20000 * maxpart_load * {p} + n_rows) DIV (2 * n_rows)"
-            )
-            .cast("bigint")
-            .alias("imb_bp"),
-        )
+        st = profile_key(rows, f"{table}.{col}")
         out = st if out is None else out.unionAll(st)
     return out
+
+
+def profile_key(rows: DataFrame, label: str) -> DataFrame:
+    """One skew-profile row for a DataFrame with a single string key
+    column ``k`` (see `shuffle_skew_profile` for column meanings).
+    Factored out (round 7) so tests and ad-hoc tuning can profile ANY
+    key expression — e.g. the post-salt composite key — with the exact
+    measurement the registered profiler uses."""
+    p = SKEW_PROFILE_PARTS
+    kc = rows.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    pl = (
+        kc.select(
+            "cnt",
+            F.expr(f"({SPARK_H60.format(x='k')}) % {p}").alias("part"),
+        )
+        .groupBy("part")
+        .agg(
+            F.sum("cnt").alias("load"),
+            F.count(F.lit(1)).alias("nk"),
+            F.max("cnt").alias("mx"),
+        )
+    )
+    return pl.agg(
+        F.sum("load").cast("bigint").alias("n_rows"),
+        F.sum("nk").cast("bigint").alias("n_keys"),
+        F.max("mx").cast("bigint").alias("top1_cnt"),
+        F.max("load").cast("bigint").alias("maxpart_load"),
+        F.count(F.lit(1)).cast("bigint").alias("parts_used"),
+    ).select(
+        F.lit(label).alias("facet"),
+        "n_rows",
+        "n_keys",
+        "top1_cnt",
+        "maxpart_load",
+        "parts_used",
+        F.expr("(20000 * top1_cnt + n_rows) DIV (2 * n_rows)")
+        .cast("bigint")
+        .alias("top1_bp"),
+        F.expr(f"(20000 * maxpart_load * {p} + n_rows) DIV (2 * n_rows)")
+        .cast("bigint")
+        .alias("imb_bp"),
+    )
+
+
+# -- profile-driven salt sizing (round 7, VERDICT r6 #6) ---------------------
+
+SALT_TARGET_IMB_BP = 15000  # accept a max-partition load of 1.5x ideal
+MAX_SALTS = 64
+
+
+def recommend_n_salts(
+    imb_bp: int,
+    target_bp: int = SALT_TARGET_IMB_BP,
+    max_salts: int = MAX_SALTS,
+) -> int:
+    """Salt width from a measured `shuffle_skew_profile` imbalance.
+
+    Model: with imbalance ratio r = imb_bp/10000 (max-partition load vs
+    the perfect-balance ideal), splitting every key S ways spreads the
+    dominant key's excess over S reducers, so the expected post-salt
+    max load is ~ideal x (1 + (r-1)/S). Solving for load <= t gives
+    S >= (r-1)/(t-1); all-integer on the bp grid:
+
+        S = ceil((imb_bp - 10000) / (target_bp - 10000))
+
+    clamped to [1, max_salts]. The bound is deliberate: S multiplies
+    the replicated dim side of `salted_join` and the phase-1 group
+    count of `salted_agg`, so an extreme profile should cap out rather
+    than explode the plan (the cap is visible to callers — if r/S is
+    still too hot at the cap, the key needs a different strategy, e.g.
+    isolating the hot key on its own path). Hash placement variance
+    means the ACHIEVED post-salt imbalance sits above the model's
+    expectation (composite keys still collide in partitions) — callers
+    verifying with `profile_key` should compare against the model with
+    that slack, which is what the pytest invariant does."""
+    if target_bp <= 10000:
+        raise ValueError("target_bp must exceed 10000 (the balanced ideal)")
+    if imb_bp <= target_bp:
+        return 1
+    need = -(-(imb_bp - 10000) // (target_bp - 10000))
+    return max(1, min(int(need), max_salts))

@@ -3,6 +3,8 @@
 optimal (pushdown reached the scan, dims broadcast, no cartesian)."""
 
 from engine.plans.inspect import (
+    audited_checkpoint,
+    captured_rdd_ids,
     executed_exchange_ids,
     formatted_plan,
     has_broadcast_hash_join,
@@ -15,6 +17,8 @@ from engine.plans.inspect import (
 )
 
 __all__ = [
+    "audited_checkpoint",
+    "captured_rdd_ids",
     "executed_exchange_ids",
     "formatted_plan",
     "has_broadcast_hash_join",

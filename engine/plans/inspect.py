@@ -86,36 +86,45 @@ def n_executed_exchanges(df: DataFrame) -> int:
 _RDD_LEAF_RE = re.compile(r"MapPartitionsRDD\[(\d+)\] at (\w+) at ")
 
 
-def rdd_leaf_classes(plan: str, captured: set) -> list[str]:
+def rdd_leaf_classes(plan: str, captured_rdd_ids: set) -> list[str]:
     """Classify every ExistingRDD leaf in a formatted plan string:
     'local' (bounded createDataFrame input), 'audited' (an eager
-    checkpoint whose pre-checkpoint plan was captured under a tag
-    during this query's construction), or 'blind' (unaudited hidden
-    work — a regression the plan gate must fail).
+    checkpoint whose pre-checkpoint plan was captured — the leaf's RDD
+    id appears in ``captured_rdd_ids``, see ``audited_checkpoint`` /
+    ``captured_rdd_ids``), or 'blind' (unaudited hidden work — a
+    regression the plan gate must fail).
 
-    Checkpoint leaves are matched against the capture-tag COUNT, not
-    just non-emptiness: a plan with more DISTINCT checkpoint RDDs than
-    recorded tags has at least one checkpoint whose pre-checkpoint
-    plan nobody captured — exactly the hidden subplan this gate exists
-    to catch — so the surplus leaves classify 'blind'. Leaves are
-    deduped by RDD id first (the same checkpointed DataFrame referenced
-    twice in one plan — self-join, union-with-self — is one audit
-    obligation, not two)."""
+    Checkpoint leaves are matched to capture sites INDIVIDUALLY by RDD
+    id (round 7): the earlier count-only pairing let surplus tags
+    recorded on checkpoint-free subplans mask one genuinely uncaptured
+    checkpoint elsewhere in the same plan. The same checkpointed
+    DataFrame referenced twice in one plan (self-join,
+    union-with-self) carries the same RDD id, so it is one audit
+    obligation matched once."""
     classes = []
-    ckpt_class: dict[str, str] = {}
     for m in _RDD_LEAF_RE.finditer(plan):
         rdd_id, producer = m.group(1), m.group(2)
         if producer == "applySchemaToPythonRDD":
             classes.append("local")
         elif producer == "localCheckpoint":
-            if rdd_id not in ckpt_class:
-                ckpt_class[rdd_id] = (
-                    "audited" if len(ckpt_class) < len(captured) else "blind"
-                )
-            classes.append(ckpt_class[rdd_id])
+            classes.append(
+                "audited" if rdd_id in captured_rdd_ids else "blind"
+            )
         else:
             classes.append("blind")
     return classes
+
+
+def captured_rdd_ids(sink: dict) -> set[str]:
+    """The checkpoint RDD ids recorded by ``audited_checkpoint`` across
+    every tag in an (armed-run) capture sink — the set
+    ``rdd_leaf_classes`` matches leaves against. Tags recorded via bare
+    ``record_iteration_plan`` (informational captures on subplans that
+    are never themselves checkpointed) contribute nothing, by design."""
+    out: set[str] = set()
+    for entry in sink.values():
+        out.update(entry.get("rdd_ids", ()))
+    return out
 
 
 # -- iteration-subplan capture ----------------------------------------------
@@ -152,3 +161,24 @@ def record_iteration_plan(tag: str, df: DataFrame) -> None:
             "X": len(re.findall(r"\(\d+\) Exchange\b", plan)),
             "BC": plan.count("BroadcastExchange"),
         }
+
+
+def audited_checkpoint(tag: str, df: DataFrame) -> DataFrame:
+    """Record `df`'s pre-checkpoint exchange counts under `tag`, cut
+    lineage with an eager localCheckpoint, and — when the sink is armed
+    — append the resulting checkpoint RDD id to the tag's entry so
+    ``rdd_leaf_classes`` can match each ExistingRDD leaf to its capture
+    site INDIVIDUALLY. Loop bodies calling this every round accumulate
+    one id per round under the same tag (the counts record round 1
+    only; the final plan references the last round's checkpoint).
+    Disarmed this is exactly ``record_iteration_plan`` (a no-op) +
+    ``localCheckpoint`` — production plans pay nothing extra."""
+    record_iteration_plan(tag, df)
+    out = df.localCheckpoint()
+    if ITERATION_PLAN_SINK is not None:
+        m = _RDD_LEAF_RE.search(formatted_plan(out))
+        if m and m.group(2) == "localCheckpoint":
+            ITERATION_PLAN_SINK.setdefault(tag, {}).setdefault(
+                "rdd_ids", []
+            ).append(m.group(1))
+    return out

@@ -146,28 +146,41 @@ def _dir_bytes_driver(base: str, files: list) -> dict:
     return out
 
 
-def _dir_bytes_distributed(spark: SparkSession, base: str, files: list) -> dict:
-    """The scale-safe listing pass: the driver ships only PATH STRINGS;
-    executors open the footers (the per-file open+parse that dominates
-    at millions of files) and emit (directory, bytes) partials, which
-    one tiny aggregate reduces to a |directories|-row result. The
-    collect is bounded by the directory count, never the file count."""
+def _dir_bytes_distributed(spark: SparkSession, base: str) -> dict:
+    """The scale-safe listing pass: the LISTING ITSELF runs through
+    Spark's binaryFile source (path metadata only — `content` is never
+    in the required schema, so no file data is read, and past
+    `spark.sql.sources.parallelPartitionDiscoveryThreshold` directories
+    the listing RPCs themselves run as a distributed job), so the
+    driver never materializes a per-file Python list. Executors open
+    the footers (the per-file open+parse that dominates at millions of
+    files) and emit (directory, bytes) partials, which one tiny
+    aggregate reduces to a |directories|-row result. The collect is
+    bounded by the directory count, never the file count."""
     import pandas as pd
 
     from pyspark.sql import functions as F
 
-    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    n_slices = max(1, min(len(files) // 64 + 1, conf_parts))
-    paths_df = spark.createDataFrame(
-        [(str(f),) for f in files], "p string"
-    ).repartition(n_slices)
+    paths_df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(base)
+        .select(F.col("path").alias("p"))
+    )
 
     def scan(batches):
+        from urllib.parse import unquote, urlparse
+
         for batch in batches:
             part: dict[str, int] = {}
             for p in batch["p"]:
-                rel = Path(p).relative_to(base).parent.as_posix()
-                part[rel] = part.get(rel, 0) + _file_footer_bytes(p)
+                # binaryFile yields Hadoop URIs (file:/…, possibly
+                # percent-encoded); footer reads need the raw FS path.
+                u = urlparse(p)
+                local = unquote(u.path) if u.scheme else p
+                rel = Path(local).relative_to(base).parent.as_posix()
+                part[rel] = part.get(rel, 0) + _file_footer_bytes(local)
             yield pd.DataFrame(
                 {"d": list(part.keys()), "b": list(part.values())}
             )
@@ -234,16 +247,23 @@ def compact_parquet(
 
     df = spark.read.parquet(path)
     pcols = _hive_partition_cols(path)
-    # One listing walk feeds everything: total data bytes (global file
+    # The listing feeds everything: total data bytes (global file
     # count) and per-partition-directory data bytes (salt widths) —
     # from the parquet FOOTERS, a true metadata-only pass with zero
-    # data scan. The name walk itself stays on the driver (cheap: no
-    # file opens); the per-file footer OPEN+PARSE — the cost that
-    # explodes at millions of files — moves to executors past the
-    # threshold, reduced to a |directories|-row aggregate.
-    files = list(Path(path).rglob("*.parquet"))
-    if len(files) > max_driver_files:
-        dir_bytes = _dir_bytes_distributed(spark, path, files)
+    # data scan. The driver walks names only up to the threshold (the
+    # rglob short-circuits — it never accumulates a million-entry
+    # list); past it, BOTH the listing and the per-file footer
+    # OPEN+PARSE — the costs that explode at millions of files — run
+    # through Spark, reduced to a |directories|-row aggregate.
+    files: list = []
+    over_threshold = False
+    for f in Path(path).rglob("*.parquet"):
+        files.append(f)
+        if len(files) > max_driver_files:
+            over_threshold = True
+            break
+    if over_threshold:
+        dir_bytes = _dir_bytes_distributed(spark, path)
     else:
         dir_bytes = _dir_bytes_driver(path, files)
     total_bytes = sum(dir_bytes.values())

@@ -421,6 +421,36 @@ def test_length_bucket_ladder_covers_fixture(spark):
     assert "global" in buckets
 
 
+def test_length_buckets_all_empty_corpus_is_defined(spark, tmp_path):
+    """An all-whitespace corpus has max_tok = 0; the global row's
+    waste_bp denominator is guarded (greatest/coalesce) so the result
+    is a defined 0, not a divide-by-zero (ANSI error in Spark, hard
+    error in the DuckDB oracle)."""
+    import duckdb
+
+    from engine.operators.pipeline import pipeline_length_buckets
+    from engine.registry import all_queries_including_library
+
+    rows = [(i, "   ", "en", "synth", 3) for i in range(4)]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["bucket"]: r for r in pipeline_length_buckets(spark, str(tmp_path)).collect()
+    }
+    assert got["global"]["waste_bp"] == 0
+    assert got["global"]["padded"] == 0
+    # The oracle survives the same corpus (same guard in SQL).
+    sql = all_queries_including_library()["pipeline_length_buckets"].oracle
+    con = duckdb.connect()
+    glob = str(tmp_path / "documents.parquet" / "*.parquet")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')"
+    )
+    orc = {r[0]: r for r in con.execute(sql).fetchall()}
+    assert orc["global"][4] == 0
+
+
 def test_resize_nearest_identity_and_mapping():
     """resize_nearest must be the identity at equal dims, replicate a
     1x1 source everywhere, and follow the floor-grid mapping on a

@@ -145,7 +145,9 @@ def test_iteration_subplans_within_exchange_budget(spark):
         "pagerank_round1",
         "pagerank_chain",
         "triangle_chain",
+        "kcore_edges_pre",
         "kcore_round",
+        "kcore_out_pre",
         "components_round",
     }, got
     # pagerank: setup (edge repartition + degree build) + round 1.
@@ -337,3 +339,29 @@ def test_aqe_splits_skewed_join_partition_at_runtime(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_rdd_leaf_classes_match_by_id_not_count():
+    """Round-7 closure of the ADVICE r6 pairing hole: checkpoint leaves
+    are matched to capture sites by RDD id, so a surplus tag recorded
+    on a checkpoint-free subplan can no longer mask a genuinely
+    uncaptured checkpoint elsewhere in the same plan."""
+    from engine.plans import captured_rdd_ids, rdd_leaf_classes
+
+    plan = (
+        "Scan ExistingRDD MapPartitionsRDD[7] at localCheckpoint at X\n"
+        "Scan ExistingRDD MapPartitionsRDD[9] at localCheckpoint at Y\n"
+        "Scan ExistingRDD MapPartitionsRDD[3] at applySchemaToPythonRDD at Z\n"
+        "Scan ExistingRDD MapPartitionsRDD[7] at localCheckpoint at X\n"
+    )
+    # Two tags recorded, but only RDD 7 was actually checkpointed under
+    # a capture; the informational tag carries no rdd_ids. Count-based
+    # pairing would have called BOTH checkpoint leaves audited.
+    sink = {
+        "real_ckpt": {"X": 2, "BC": 0, "rdd_ids": ["7"]},
+        "informational": {"X": 5, "BC": 1},
+    }
+    ids = captured_rdd_ids(sink)
+    assert ids == {"7"}
+    got = rdd_leaf_classes(plan, ids)
+    assert got == ["audited", "blind", "local", "audited"], got

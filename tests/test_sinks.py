@@ -178,7 +178,12 @@ def test_compact_parquet_encoded_partition_value_still_salts(spark, tmp_path):
     hot_bytes = sum(
         os.path.getsize(f) for f in glob.glob(f"{hot_dirs[0]}/*.parquet")
     )
-    compact_parquet(spark, out, target_file_bytes=max(hot_bytes // 4, 1))
+    # max_driver_files=0 routes the byte-gather through the binaryFile
+    # listing, whose URIs percent-encode the space — so this also pins
+    # the distributed path's unquote (and '+' must NOT form-decode).
+    compact_parquet(
+        spark, out, target_file_bytes=max(hot_bytes // 4, 1), max_driver_files=0
+    )
     hot_files = len(glob.glob(f"{glob.glob(f'{out}/bkt=hot*')[0]}/*.parquet"))
     assert hot_files > 1  # decoded join key: the hot dir still fans out
     back = spark.read.parquet(out)
@@ -217,7 +222,7 @@ def test_compact_parquet_distributed_footer_listing(spark, tmp_path):
     assert len(files) > 8
 
     a = _dir_bytes_driver(out, files)
-    b = _dir_bytes_distributed(spark, out, files)
+    b = _dir_bytes_distributed(spark, out)
     assert a == b  # identical widths follow from identical bytes
 
     hot_bytes = sum(

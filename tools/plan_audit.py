@@ -106,7 +106,9 @@ def audit(name: str, fn) -> list[str]:
     plan_inspect.ITERATION_PLAN_SINK = {}
     try:
         df = fn(spark, SF_DIR)
-        captured = set(plan_inspect.ITERATION_PLAN_SINK)
+        captured = plan_inspect.captured_rdd_ids(
+            plan_inspect.ITERATION_PLAN_SINK
+        )
     except Exception as exc:  # pragma: no cover
         return [f"build failed: {exc}"]
     finally:
