@@ -414,6 +414,70 @@ def upsert_parquet(
     return n_rows
 
 
+def apply_changeset_partitioned(
+    spark: SparkSession,
+    path: str,
+    partition_by: list[str],
+    key_cols: list[str],
+    changeset: DataFrame,
+) -> int:
+    """Apply an upsert CHANGESET to a partitioned parquet table — the
+    MERGE INTO application half of incremental rollup maintenance
+    (``rollup_upsert_cells`` computes the minimal write set; this
+    writes it). Each changeset row (already in the STORED schema,
+    keyed by ``key_cols``) updates its existing cell or inserts a new
+    one; ONLY partitions holding a changed key are rewritten, every
+    other partition's files stay byte-untouched. Returns the number of
+    partitions rewritten.
+
+    Plan: the changeset's partition values (bounded by the changeset,
+    which is bounded by cells-the-delta-touched) prune the base scan to
+    the affected partitions; survivors (affected-partition rows whose
+    key is NOT in the changeset) union the changeset rows and
+    republish via dynamic partition overwrite. At 100 TB a daily
+    refresh therefore rewrites the handful of partitions with arrivals
+    — never the rollup. Re-applying the same changeset rewrites the
+    same partitions to the same contents (idempotent).
+
+    Durability follows ``delete_keys_partitioned``: the merged rows are
+    STAGED to a sibling directory before the target is touched, so the
+    overwrite never races its own input and a mid-write failure leaves
+    the original table intact.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    touched = changeset.select(*partition_by).distinct().collect()
+    if not touched:
+        return 0
+    base = spark.read.parquet(path)
+    pred = None
+    for row in touched:
+        clause = None
+        for c in partition_by:
+            # eqNullSafe: a NULL-valued partition must still be
+            # selected (plain == yields NULL and its old cell rows
+            # would duplicate against the changeset's replacements).
+            p = F.col(c).eqNullSafe(F.lit(row[c]))
+            clause = p if clause is None else (clause & p)
+        pred = clause if pred is None else (pred | clause)
+    survivors = base.filter(pred).join(
+        F.broadcast(changeset.select(*key_cols).distinct()),
+        key_cols,
+        "left_anti",
+    )
+    merged = survivors.unionByName(changeset.select(*base.columns))
+    staging = path.rstrip("/") + ".__merge_staging__"
+    try:
+        merged.write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+        overwrite_partitions_dynamic(staged, path, partition_by)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return len(touched)
+
+
 def overwrite_partitions_dynamic(
     df: DataFrame, path: str, partition_by: list[str]
 ) -> None:
