@@ -44,6 +44,7 @@ _OPERATOR_MODULES = (
     "engine.operators.recsys",
     "engine.operators.analytics",
     "engine.operators.facets2",
+    "engine.operators.corpus_build",
 )
 
 
