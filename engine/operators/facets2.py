@@ -574,6 +574,10 @@ UNION ALL
 SELECT 'inc_dedup', doc_id, {_NB}, kind, {_NT}, {_NT}, duplicate_of,
        {_ND}
 FROM ({_oracle('streaming_incremental_dedup')}) sid
+UNION ALL
+SELECT 'late', n_total, n_stream, event_type, day, {_NT}, n_dropped_late,
+       {_ND}
+FROM ({_oracle('streaming_late_data_audit')}) la
 """,
     tags=("streaming", "join", "stream-stream", "window", "dedup", "events"),
 )
@@ -590,7 +594,12 @@ def streaming_enriched_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     static corpus index via stream-static hash and MinHash-band joins
     with row-local HOF signatures — event_id = arriving doc, key =
     tier, n = lowest matching corpus doc; equals the batch
-    dedup_incremental bit-for-bit)."""
+    dedup_incremental bit-for-bit), and the round-7 `late` (late-data
+    accounting over the two-trigger replay: event_id = raw total,
+    user_id = count the watermarked UPDATE-mode aggregate retained,
+    n = silently dropped-late rows, key/day = the cell — the oracle
+    replays the watermark rule: dropped iff window end <= max(on-time
+    ts) - delay)."""
     en = streaming_queries.streaming_enriched_purchase_rows(spark, sf_dir).select(
         F.lit("enriched").alias("facet"),
         "event_id",
@@ -631,7 +640,17 @@ def streaming_enriched_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_id").alias("n"),
         F.col("purchase_value").alias("x"),
     )
-    return en.unionAll(wc).unionAll(vp).unionAll(sid)
+    la = streaming_queries.streaming_late_data_audit(spark, sf_dir).select(
+        F.lit("late").alias("facet"),
+        F.col("n_total").alias("event_id"),
+        F.col("n_stream").alias("user_id"),
+        F.col("event_type").alias("key"),
+        "day",
+        _nt().alias("t2"),
+        F.col("n_dropped_late").alias("n"),
+        _nd().alias("x"),
+    )
+    return en.unionAll(wc).unionAll(vp).unionAll(sid).unionAll(la)
 
 
 # ---------------------------------------------------------------------------

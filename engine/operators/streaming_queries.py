@@ -238,6 +238,7 @@ from engine.operators.dedup import (  # noqa: E402
     _minhash_tables,
 )
 from engine.operators.textstats import SPARK_H60, ngram_idx  # noqa: E402
+from engine.functions.hashing import DUCK_H60  # noqa: E402
 from engine.registry import _REGISTRY  # noqa: E402
 from engine.streaming.docs import read_document_stream  # noqa: E402
 
@@ -334,3 +335,166 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         agg, _sink("inc_dedup"), output_mode="complete"
     ).select("doc_id", "kind", "duplicate_of")
+
+
+# -- late-data accounting (the watermark discipline, measured) ---------------
+#
+# Watermarked aggregates drop late rows SILENTLY (Spark semantics): a
+# row arriving after the watermark passed its window's end never
+# reaches the state store and nothing in the output says so. This
+# operator pins that discipline the way streaming_incremental_dedup
+# pinned ingestion dedup: a deterministic replay — the on-time events
+# as trigger 1, then an injected late batch (drawn from ALL days, so
+# genuinely-stale and still-open windows both occur) as trigger 2 —
+# runs through a watermarked daily aggregate in UPDATE mode, and the
+# audit reports per (day, event_type): total raw events, events the
+# stream actually counted, and the dropped-late difference. The oracle
+# replays the exact watermark rule in SQL: after trigger 1 the
+# watermark is max(on-time ts) - delay, and a late row is dropped iff
+# its day-window END <= that watermark.
+#
+# The two arrivals are SEPARATE availableNow runs over one shared
+# checkpoint — measured on this Spark: the watermark persists and
+# advances ACROSS runs (trigger boundaries), but batches inside a
+# single availableNow run all plan with the run-initial watermark, so
+# a single run (even with maxFilesPerTrigger=1) drops nothing. Two
+# runs model a real deployment's triggers exactly; the drop was
+# verified live (numRowsDroppedByWatermark fires in run 2). Complete
+# mode would retain all state and also drop nothing — update mode is
+# load-bearing.
+#
+# 100 TB shape: the replay is a test harness (production reads the
+# real arrival order); the audit itself is two map-side-combined
+# aggregates joined on the bounded (days x types) key set. The
+# collected update stream is bounded by that same key set (one update
+# row per changed key per trigger), so the driver-side gather is
+# O(days x types), never O(events).
+
+LATE_MOD = 10
+LATE_DELAY = "1 hour"
+
+_LATE_DUCK = (
+    DUCK_H60.format(x="'late:' || CAST(event_id AS VARCHAR)")
+    + f" % {LATE_MOD} = 0"
+)
+
+_LATE_AUDIT_ORACLE = f"""
+WITH lab AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+         ({_LATE_DUCK}) AS is_late
+  FROM events
+),
+wm AS (
+  SELECT max(ts) - INTERVAL 1 HOUR AS w FROM lab WHERE NOT is_late
+),
+kept AS (
+  SELECT date_trunc('day', ts) AS day, event_type
+  FROM lab CROSS JOIN wm
+  WHERE NOT is_late
+     OR date_trunc('day', ts) + INTERVAL 1 DAY > w
+),
+s AS (
+  SELECT day, event_type, CAST(count(*) AS BIGINT) AS n_stream
+  FROM kept GROUP BY day, event_type
+),
+b AS (
+  SELECT date_trunc('day', ts) AS day, event_type,
+         CAST(count(*) AS BIGINT) AS n_total
+  FROM lab GROUP BY day, event_type
+)
+SELECT CAST(b.day AS TIMESTAMP) AS day, b.event_type, b.n_total,
+       CAST(COALESCE(s.n_stream, 0) AS BIGINT) AS n_stream,
+       CAST(b.n_total - COALESCE(s.n_stream, 0) AS BIGINT)
+         AS n_dropped_late
+FROM b LEFT JOIN s ON b.day = s.day AND b.event_type = s.event_type
+"""
+
+
+@query(
+    "streaming_late_data_audit",
+    oracle=_LATE_AUDIT_ORACLE,
+    tags=("streaming", "watermark", "late-data", "events"),
+    exported=False,  # driver-visible via facets2.streaming_enriched_windows
+)
+def streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data accounting (section comment): per (day, event_type),
+    the raw total, the count the watermarked streaming aggregate
+    actually retained over the two-trigger replay, and the silently
+    dropped-late difference. Rows in still-open windows survive the
+    late trigger; rows in windows the watermark already closed do not —
+    the oracle derives both from the watermark rule."""
+    import os
+    import shutil
+    import tempfile
+
+    from engine.io import load_table
+    from engine.streaming.events import build_late_replay
+
+    replay = build_late_replay(spark, sf_dir, late_mod=LATE_MOD)
+    live = replay + ".live"
+    shutil.rmtree(live, ignore_errors=True)
+    os.makedirs(live)
+    schema = spark.read.parquet(replay).schema
+    ckpt = tempfile.mkdtemp(prefix="late-audit-ckpt-")
+    # One update row per changed (day, type) key per trigger — bounded
+    # by the key set, see the section comment.
+    updates: list = []
+
+    def _run_trigger() -> None:
+        agg = (
+            spark.readStream.schema(schema)
+            .parquet(live)
+            .withWatermark("ts", LATE_DELAY)
+            .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").alias("day"), "event_type", "n")
+        )
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, _b: updates.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        for i in range(2):  # trigger 1: on-time; trigger 2: late
+            shutil.copy(
+                os.path.join(replay, f"batch{i}.parquet"),
+                os.path.join(live, f"batch{i}.parquet"),
+            )
+            _run_trigger()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(live, ignore_errors=True)
+
+    # Counts only grow, so the final value per key is the max update.
+    n_stream = (
+        spark.createDataFrame(
+            [(r.day, r.event_type, r.n) for r in updates],
+            "day timestamp, event_type string, n bigint",
+        )
+        .groupBy("day", "event_type")
+        .agg(F.max("n").cast("bigint").alias("n_stream"))
+    )
+    totals = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    )
+    return totals.join(n_stream, ["day", "event_type"], "left").select(
+        "day",
+        "event_type",
+        "n_total",
+        F.coalesce(F.col("n_stream"), F.lit(0).cast("bigint")).alias(
+            "n_stream"
+        ),
+        (F.col("n_total") - F.coalesce(F.col("n_stream"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_dropped_late"),
+    )

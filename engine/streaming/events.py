@@ -720,3 +720,51 @@ def write_stream_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def build_late_replay(
+    spark: SparkSession, sf_dir: str, late_mod: int = 10
+) -> str:
+    """Materialize a deterministic TWO-BATCH replay of the events table
+    for late-data experiments: batch file 0 holds the on-time events,
+    batch file 1 the injected late arrivals (the h60 'late:' sample,
+    1/late_mod of the corpus, drawn from ALL days so genuinely-stale
+    and still-open windows both occur). File mtimes are pinned far
+    apart so the file stream source (oldest-first) always feeds the
+    on-time file as micro-batch 1 — which advances the watermark — and
+    the late file as micro-batch 2, where the watermark rule bites.
+    Returns the replay directory (rebuilt on every call; contents are a
+    pure function of the fixture)."""
+    import glob
+    import os
+    import shutil
+
+    from engine.functions.hashing import SPARK_H60
+    from engine.io import load_table
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_late_replay",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    is_late = (
+        F.expr(SPARK_H60.format(x="concat('late:', cast(event_id as string))"))
+        % late_mod
+        == 0
+    )
+    staging = out + ".__staging__"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    for i, part in enumerate((ev.filter(~is_late), ev.filter(is_late))):
+        tmp = os.path.join(staging, f"w{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (src,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = os.path.join(staging, f"batch{i}.parquet")
+        os.rename(src, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_000_000 * (i + 1), 1_000_000 * (i + 1)))
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    os.rename(staging, out)
+    return out
