@@ -54,6 +54,7 @@ from pyspark.sql import Window as W
 
 from engine.functions.hashing import DUCK_H60, SPARK_H60
 from engine.io import load_table
+from engine.plans import record_iteration_plan
 from engine.registry import query
 
 # Stage fragments are IMPORTED from the operators whose oracles proved
@@ -285,6 +286,11 @@ def build_corpus(spark: SparkSession, sf_dir: str, out: str | None = None) -> st
         # trips.
         with static_planning(spark, shuffle_partitions=width):
             rows, caches = _corpus_build_rows(spark, sf_dir)
+            # The returned query plan is just scan(published)+agg; the
+            # BUILD plan below is where a shuffle regression would
+            # hide — record it for the armed-audit budget test
+            # (armed-only no-op in production).
+            record_iteration_plan("corpus_build_pre", rows)
             rows.write.mode("overwrite").partitionBy("split").parquet(
                 staging
             )

@@ -365,3 +365,28 @@ def test_rdd_leaf_classes_match_by_id_not_count():
     assert ids == {"7"}
     got = rdd_leaf_classes(plan, ids)
     assert got == ["audited", "blind", "local", "audited"], got
+
+
+def test_corpus_build_subplan_within_exchange_budget(spark):
+    """The capstone's RETURNED plan is scan(published)+agg; the BUILD
+    plan (scrub/dedup/mix/pack -> sink) is where a shuffle regression
+    would hide. Arm the capture hook, run the build, and budget the
+    pre-write exchange count (measured at sf0.001 ±slack; lower bound
+    proves the capture matched a real plan)."""
+    from engine.plans import inspect as plan_inspect
+
+    assert plan_inspect.ITERATION_PLAN_SINK is None
+    spark.catalog.clearCache()
+    plan_inspect.ITERATION_PLAN_SINK = {}
+    try:
+        _df(spark, "corpus_build_e2e")
+        got = dict(plan_inspect.ITERATION_PLAN_SINK)
+    finally:
+        plan_inspect.ITERATION_PLAN_SINK = None
+        spark.catalog.clearCache()
+    assert "corpus_build_pre" in got, sorted(got)
+    # Measured 17 at sf0.001: span/gram/content-hash shuffles, the
+    # component rounds' lineage under the persisted caches, the mix
+    # rate aggregate, and the (split, bucket) pack window. Well under
+    # the ~40 regime a lost cache re-expansion would produce.
+    assert 8 <= got["corpus_build_pre"]["X"] <= 26, got["corpus_build_pre"]
