@@ -14,13 +14,15 @@ actually runs (VERDICT r6 #1):
                                 no cluster can span splits)
       → temperature mix        (sqrt-weight per-source subsampling,
                                 rates measured on the surviving corpus)
-      → pack                   (concat-and-split positions within
-                                (split, bucket) streams)
+      → length-bucket + pack   (power-of-two seq-len ladder written
+                                into the artifact; concat-and-split
+                                positions within (split, bucket)
+                                streams)
       → WRITE                  (parquet partitioned by split, staged +
                                 atomic rename publish)
       → RE-READ + summarize    (per split: docs, tokens, packed
-                                sequences, order-independent h60 corpus
-                                hash)
+                                sequences, length buckets hit,
+                                order-independent h60 corpus hash)
 
 The returned DataFrame is computed from the RE-READ files, never the
 in-memory lineage — so the driver's value hash pins the whole chain
@@ -71,6 +73,7 @@ from engine.operators.dedup import (  # noqa: E402
 from engine.operators.pipeline import (  # noqa: E402
     _DECON_EVAL_DUCK,
     _DECON_EVAL_SPARK,
+    _LB_CASE_SQL,
     DECON_NGRAM,
     PACK_BUCKETS,
     PACK_CTX,
@@ -234,8 +237,11 @@ def _corpus_build_rows(spark: SparkSession, sf_dir: str):
         .drop("rate_bp")
     )
 
-    # 6. pack — concat-and-split positions (pipeline.py:341) within
-    # independent (split, bucket) streams.
+    # 6. length-bucket + pack — the power-of-two seq-len ladder
+    # (pipeline.py's pipeline_length_buckets CASE, written into the
+    # artifact for the trainer's batcher) and concat-and-split
+    # positions (pipeline.py:341) within independent (split, bucket)
+    # streams.
     packed = mixed.select(
         "split",
         F.expr(_PACK_B_SPARK).cast("bigint").alias("bucket"),
@@ -243,7 +249,7 @@ def _corpus_build_rows(spark: SparkSession, sf_dir: str):
         "source",
         F.size(F.split("stext", " ")).cast("bigint").alias("n_tokens"),
         "stext",
-    )
+    ).withColumn("len_bucket", F.expr(_LB_CASE_SQL).cast("bigint"))
     pw = (
         W.partitionBy("split", "bucket")
         .orderBy("doc_id")
@@ -256,6 +262,7 @@ def _corpus_build_rows(spark: SparkSession, sf_dir: str):
         "doc_id",
         "source",
         "n_tokens",
+        "len_bucket",
         (cum / PACK_CTX).cast("bigint").alias("seq_id"),
         (cum % PACK_CTX).cast("bigint").alias("seq_offset"),
         "stext",
@@ -392,11 +399,14 @@ packed AS (
          CAST(len(string_split(stext, ' ')) AS BIGINT) AS n_tokens, stext
   FROM mixed
 ),
+lb AS (
+  SELECT *, CAST({_LB_CASE_SQL} AS BIGINT) AS len_bucket FROM packed
+),
 pos AS (
   SELECT *,
          CAST(COALESCE(sum(n_tokens) OVER w, 0) // {PACK_CTX} AS BIGINT)
            AS seq_id
-  FROM packed
+  FROM lb
   WINDOW w AS (PARTITION BY split, bucket ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 )
@@ -404,6 +414,7 @@ SELECT split,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
        CAST(count(DISTINCT bucket || ':' || seq_id) AS BIGINT) AS n_seqs,
+       CAST(count(DISTINCT len_bucket) AS BIGINT) AS n_len_buckets,
        CAST(bit_xor({_DOC_H_DUCK}) AS BIGINT) AS corpus_h
 FROM pos GROUP BY split
 """
@@ -416,10 +427,11 @@ FROM pos GROUP BY split
 )
 def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-build capstone (module docstring): RUNS the full
-    scrub → dedup → decontaminate → split → mix → pack lineage, WRITES
-    the corpus to disk via the atomic-rename publish, then RE-READS the
-    published files and returns the per-split summary (docs, tokens,
-    packed sequences, bit_xor'd h60 corpus hash). The summary is
+    scrub → dedup → decontaminate → split → mix → length-bucket → pack
+    lineage, WRITES the corpus to disk via the atomic-rename publish,
+    then RE-READS the published files and returns the per-split summary
+    (docs, tokens, packed sequences, length buckets hit, bit_xor'd h60
+    corpus hash). The summary is
     computed from the files, so the driver's value hash pins the whole
     chain through the sink against the oracle's raw-table replay of the
     identical composition. Deliberately side-effecting — the artifact
@@ -433,5 +445,6 @@ def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.concat_ws(":", "bucket", "seq_id"))
         .cast("bigint")
         .alias("n_seqs"),
+        F.countDistinct("len_bucket").cast("bigint").alias("n_len_buckets"),
         F.expr(f"bit_xor({_DOC_H_SPARK})").cast("bigint").alias("corpus_h"),
     )

@@ -529,6 +529,11 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
         prev_sum = cur_sum
     else:  # pragma: no cover - CC_MAX_ROUNDS >> any real diameter
         raise RuntimeError("connected components did not converge")
+    # The checkpointed labels are the only live result: drop the edge
+    # cache so long-lived sessions don't accumulate dead blocks (and a
+    # leftover InMemoryRelation can't splice this build's lineage into
+    # a LATER query's audited plan).
+    edges.unpersist(False)
     return labels
 
 

@@ -27,6 +27,7 @@ def _summary_from_files_duckdb(out: str):
         SELECT split, CAST(count(*) AS BIGINT),
                CAST(sum(n_tokens) AS BIGINT),
                CAST(count(DISTINCT bucket || ':' || seq_id) AS BIGINT),
+               CAST(count(DISTINCT len_bucket) AS BIGINT),
                CAST(bit_xor({_DOC_H_DUCK}) AS BIGINT)
         FROM read_parquet('{out}/split=*/*.parquet', hive_partitioning=1)
         GROUP BY split
@@ -38,7 +39,7 @@ def _summary_from_files_duckdb(out: str):
 def test_corpus_build_publishes_and_hash_pins_files(spark, tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_CORPUS_OUT", str(tmp_path / "corpus"))
     summary = {
-        r.split: (r.n_docs, r.n_tokens, r.n_seqs, r.corpus_h)
+        r.split: (r.n_docs, r.n_tokens, r.n_seqs, r.n_len_buckets, r.corpus_h)
         for r in corpus_build_e2e(spark, SF_SMOKE).collect()
     }
     assert summary and "train" in summary
@@ -54,7 +55,7 @@ def test_corpus_build_publishes_and_hash_pins_files(spark, tmp_path, monkeypatch
     # republish is idempotent and atomic (old corpus replaced, summary
     # identical)
     again = {
-        r.split: (r.n_docs, r.n_tokens, r.n_seqs, r.corpus_h)
+        r.split: (r.n_docs, r.n_tokens, r.n_seqs, r.n_len_buckets, r.corpus_h)
         for r in corpus_build_e2e(spark, SF_SMOKE).collect()
     }
     assert again == summary
@@ -107,6 +108,15 @@ def test_corpus_build_stage_drop_rules_hold(spark, tmp_path):
         F.size(F.split("stext", " ")).cast("bigint") != F.col("n_tokens")
     ).count()
     assert bad == 0
+    # length-bucket ladder: the written len_bucket is the smallest
+    # power-of-two rung >= n_tokens (overflow rung excepted)
+    from engine.operators.pipeline import LEN_BUCKETS, LEN_OVERFLOW
+
+    for r in corpus.select("n_tokens", "len_bucket").collect():
+        want = next(
+            (b for b in LEN_BUCKETS if r.n_tokens <= b), LEN_OVERFLOW
+        )
+        assert r.len_bucket == want, (r.n_tokens, r.len_bucket)
     for r in corpus.select("split", "bucket", "doc_id", "n_tokens",
                            "seq_id", "seq_offset").collect():
         assert 0 <= r.seq_offset < PACK_CTX

@@ -99,6 +99,13 @@ def audit(name: str, fn) -> list[str]:
 
     spark = get_spark("plan-audit")
     findings: list[str] = []
+    # Deterministic baseline: the audit must classify THIS query's own
+    # plan. A leftover cache from an earlier test/query can splice an
+    # InMemoryTableScan whose cached subtree embeds ANOTHER query's
+    # localCheckpoint leaf — an RDD id no capture in this audit's sink
+    # recorded, which the (round-7) id-matched classifier rightly calls
+    # blind. Same rule as test_plans' budget tests.
+    spark.catalog.clearCache()
     # Arm a per-query capture sink: eager operators record their
     # pre-checkpoint plans while fn() builds, so checkpoint RDD leaves
     # can be verified as AUDITED below (vs a blind spot).
