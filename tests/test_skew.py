@@ -141,3 +141,42 @@ def test_profile_driven_salting_rebalances_hot_key(spark):
     assert recommend_n_salts(SALT_TARGET_IMB_BP) == 1
     assert recommend_n_salts(10**9) == 64
     assert recommend_n_salts(20000, target_bp=15000) == 2
+
+
+def test_salted_collect_set_matches_plain_sorted(spark):
+    """collect_set through the salted two-phase chain returns the
+    distinct value set as a SORTED array (deterministic under retry,
+    unlike raw collect_set ordering) — equal to sorted(collect_set)
+    per key, with all-NULL keys reporting an empty array."""
+    rows = [
+        ("a", 3), ("a", 1), ("a", 1), ("a", None),
+        ("b", 7),
+        ("c", None),
+    ]
+    df = spark.createDataFrame(rows, "k string, v int")
+    plain = {
+        r.k: sorted(r.s)
+        for r in df.groupBy("k").agg(F.collect_set("v").alias("s")).collect()
+    }
+    got = {
+        r.k: list(r.s)
+        for r in salted_agg(
+            df, "k", {"s": ("v", "collect_set")}, n_salts=4
+        ).collect()
+    }
+    assert got == plain
+    assert got["c"] == []
+
+    # mixes with algebraic + count_distinct in one call
+    mixed = salted_agg(
+        df,
+        "k",
+        {
+            "n": ("k", "count"),
+            "nd": ("v", "count_distinct"),
+            "s": ("v", "collect_set"),
+        },
+        n_salts=4,
+    ).collect()
+    for r in mixed:
+        assert r.nd == len(r.s)
