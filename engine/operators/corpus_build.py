@@ -448,3 +448,177 @@ def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("len_bucket").cast("bigint").alias("n_len_buckets"),
         F.expr(f"bit_xor({_DOC_H_SPARK})").cast("bigint").alias("corpus_h"),
     )
+
+
+# -- incremental corpus refresh (composition #2) -----------------------------
+#
+# The capstone above BUILDS a corpus; production then RUNS FOREVER in
+# refresh mode: today's crawl arrives, is deduped against the STORED
+# corpus only (never corpus x corpus), and the survivors are appended
+# through the partition-scoped merge sink — cost proportional to the
+# arrival batch, never the corpus. This operator is that loop, one
+# iteration, end-to-end through disk:
+#
+#   base corpus (the ~80% h60 'inc:' slice) -> WRITE (partitioned by
+#   source, staged + atomic rename) -> arrivals gated by
+#   dedup_incremental's two tiers (exact sha256 vs the stored content
+#   hashes; MinHash band collision vs the stored band index) ->
+#   survivors appended via apply_changeset_partitioned (only touched
+#   source partitions rewritten) -> RE-READ -> per-source summary.
+#
+# The summary's total_after/corpus_h come from the REFRESHED STORED
+# table, so the driver hash pins the arrival gate AND the merge write
+# path; the oracle replays the identical composition from raw, the
+# dedup tier reusing dedup_incremental's proven oracle verbatim.
+#
+# 100 TB shape: the gate joins shuffle 32-byte digests and band
+# signatures (O(corpus count) keys, built once — at scale the stored
+# corpus keeps its hash/band index as tables and the batch probes
+# them); the append rewrites only partitions with arrivals. Re-running
+# the refresh re-applies the same changeset onto the same base —
+# idempotent by the merge sink's semantics.
+
+from engine.registry import _REGISTRY  # noqa: E402
+from engine.operators.dedup import INC_MOD, dedup_incremental  # noqa: E402
+
+_IS_NEW_SPARK = (
+    SPARK_H60.format(x="concat('inc:', cast(doc_id as string))")
+    + f" % {INC_MOD} = 0"
+)
+_IS_NEW_DUCK = (
+    DUCK_H60.format(x="'inc:' || CAST(doc_id AS VARCHAR)")
+    + f" % {INC_MOD} = 0"
+)
+_ROW_H_SPARK = SPARK_H60.format(
+    x="concat('doc:', cast(doc_id as string), ':', text)"
+)
+_ROW_H_DUCK = DUCK_H60.format(
+    x="'doc:' || CAST(doc_id AS VARCHAR) || ':' || text"
+)
+
+_REFRESH_ORACLE = f"""
+WITH dup AS (
+  SELECT DISTINCT doc_id
+  FROM ({{inc_oracle}}) di
+),
+lab AS (
+  SELECT doc_id, source, text, ({_IS_NEW_DUCK}) AS is_new FROM documents
+),
+b AS (
+  SELECT source,
+         CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+         CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_arrived
+  FROM lab GROUP BY source
+),
+d AS (
+  SELECT l.source, CAST(count(*) AS BIGINT) AS n_dropped
+  FROM dup JOIN lab l USING (doc_id) GROUP BY l.source
+),
+fin AS (
+  SELECT source, doc_id, text FROM lab WHERE NOT is_new
+  UNION ALL
+  SELECT source, doc_id, text FROM lab
+  WHERE is_new AND doc_id NOT IN (SELECT doc_id FROM dup)
+),
+f AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS total_after,
+         CAST(bit_xor({_ROW_H_DUCK}) AS BIGINT) AS corpus_h
+  FROM fin GROUP BY source
+)
+SELECT b.source, b.n_base, b.n_arrived,
+       CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(b.n_arrived - COALESCE(d.n_dropped, 0) AS BIGINT)
+         AS n_appended,
+       f.total_after, f.corpus_h
+FROM b LEFT JOIN d USING (source) JOIN f USING (source)
+"""
+
+
+@query(
+    "corpus_refresh_incremental",
+    oracle=_REFRESH_ORACLE.format(
+        inc_oracle=_REGISTRY["dedup_incremental"].oracle.strip()
+    ),
+    tags=("pipeline", "capstone", "dedup", "incremental", "sink", "documents"),
+)
+def corpus_refresh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One iteration of the production refresh loop (section comment):
+    publish the base corpus, gate the arrival batch against it with
+    dedup_incremental's two tiers, append the survivors through the
+    partition-scoped merge sink, re-read the STORED table, and return
+    per source: base docs, arrivals, duplicate-dropped, appended,
+    total after refresh, and the bit_xor'd h60 hash of the stored
+    rows. Side-effecting by design; re-runs republish and re-apply
+    idempotently."""
+    from engine.sinks import _publish_via_rename, apply_changeset_partitioned
+
+    store = corpus_out_dir(sf_dir) + "_refresh"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    is_new = F.expr(_IS_NEW_SPARK)
+
+    def corpus_rows(df: DataFrame) -> DataFrame:
+        return df.select(
+            "source",
+            "doc_id",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+            F.expr(_ROW_H_SPARK).cast("bigint").alias("h"),
+        )
+
+    os.makedirs(os.path.dirname(store) or ".", exist_ok=True)
+    staging = tempfile.mkdtemp(
+        prefix="refresh-", dir=os.path.dirname(store) or "."
+    )
+    try:
+        corpus_rows(docs.filter(~is_new)).write.mode(
+            "overwrite"
+        ).partitionBy("source").parquet(staging)
+        _publish_via_rename(staging, store, "refresh")
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+    dup = dedup_incremental(spark, sf_dir).select("doc_id").distinct()
+    appended = corpus_rows(
+        docs.filter(is_new).join(dup, "doc_id", "left_anti")
+    )
+    apply_changeset_partitioned(
+        spark, store, ["source"], ["source", "doc_id"], appended
+    )
+
+    refreshed = spark.read.parquet(store)
+    f = refreshed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_after"),
+        F.expr("bit_xor(h)").cast("bigint").alias("corpus_h"),
+    )
+    b = docs.groupBy("source").agg(
+        F.sum((~is_new).cast("bigint")).cast("bigint").alias("n_base"),
+        F.sum(is_new.cast("bigint")).cast("bigint").alias("n_arrived"),
+    )
+    d = (
+        dup.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dropped"))
+    )
+    return (
+        b.join(d, "source", "left")
+        .withColumn(
+            "n_dropped",
+            F.coalesce(F.col("n_dropped"), F.lit(0).cast("bigint")),
+        )
+        .withColumn(
+            "n_appended",
+            (F.col("n_arrived") - F.col("n_dropped")).cast("bigint"),
+        )
+        .join(f, "source")
+        .select(
+            "source",
+            "n_base",
+            "n_arrived",
+            "n_dropped",
+            "n_appended",
+            "total_after",
+            "corpus_h",
+        )
+    )

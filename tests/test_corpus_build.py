@@ -131,3 +131,56 @@ def test_corpus_build_stage_drop_rules_hold(spark, tmp_path):
         for r in sorted(rows, key=lambda r: r.doc_id):
             assert (r.seq_id, r.seq_offset) == (cum // PACK_CTX, cum % PACK_CTX)
             cum += r.n_tokens
+
+
+def test_corpus_refresh_stored_table_and_idempotence(spark, tmp_path, monkeypatch):
+    """The refresh loop on disk: the refreshed STORED table must equal
+    base ∪ non-duplicate arrivals exactly (row sets, not just counts),
+    duplicates must never land, and re-running the whole refresh
+    republishes the identical table."""
+    from engine.operators.corpus_build import (
+        corpus_out_dir,
+        corpus_refresh_incremental,
+    )
+    from engine.operators.dedup import INC_MOD, dedup_incremental
+    from engine.functions.hashing import SPARK_H60
+
+    monkeypatch.setenv("SPARK_GRAFT_CORPUS_OUT", str(tmp_path / "c"))
+    summary = {
+        r.source: (r.n_base, r.n_arrived, r.n_dropped, r.n_appended,
+                   r.total_after, r.corpus_h)
+        for r in corpus_refresh_incremental(spark, SF_SMOKE).collect()
+    }
+    assert summary
+    for s, (n_base, n_arrived, n_dropped, n_appended, total, _h) in summary.items():
+        assert n_appended == n_arrived - n_dropped
+        assert total == n_base + n_appended
+    assert sum(v[2] for v in summary.values()) > 0  # gate actually dropped
+
+    from engine.io import load_table
+
+    store = corpus_out_dir(SF_SMOKE) + "_refresh"
+    stored_ids = {
+        r.doc_id for r in spark.read.parquet(store).select("doc_id").collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents")
+    is_new = (
+        F.expr(SPARK_H60.format(x="concat('inc:', cast(doc_id as string))"))
+        % INC_MOD
+        == 0
+    )
+    base_ids = {r.doc_id for r in docs.filter(~is_new).select("doc_id").collect()}
+    new_ids = {r.doc_id for r in docs.filter(is_new).select("doc_id").collect()}
+    dup_ids = {
+        r.doc_id for r in dedup_incremental(spark, SF_SMOKE).select("doc_id").collect()
+    }
+    assert stored_ids == base_ids | (new_ids - dup_ids)
+    assert not (dup_ids & stored_ids & new_ids)  # no flagged arrival landed
+
+    # idempotent: the whole refresh re-runs to the same summary
+    again = {
+        r.source: (r.n_base, r.n_arrived, r.n_dropped, r.n_appended,
+                   r.total_after, r.corpus_h)
+        for r in corpus_refresh_incremental(spark, SF_SMOKE).collect()
+    }
+    assert again == summary
