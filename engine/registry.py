@@ -45,6 +45,7 @@ _OPERATOR_MODULES = (
     "engine.operators.analytics",
     "engine.operators.facets2",
     "engine.operators.corpus_build",
+    "engine.operators.versioning",
 )
 
 
