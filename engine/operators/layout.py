@@ -1,0 +1,269 @@
+"""Multi-dimensional data layout — Z-order (Morton-curve) clustering
+and the file-skipping audit that justifies it.
+
+At 100 TB the cheapest query is the one that never reads the file:
+parquet footers carry per-column min/max, so the engine skips any file
+whose stats exclude the predicate. A table written in arrival (or
+single-key) order clusters ONE dimension — predicates on any other
+column prune nothing. Z-ordering interleaves the bits of two grid-
+normalized keys so every file covers a small rectangle of the key
+space, and predicates on EITHER dimension (or both) skip most files.
+This module provides:
+
+* ``morton_z`` / grid normalization — pure JVM expressions (a 16-round
+  ``aggregate`` HOF over bit shifts; no Python in the hot path).
+* ``zorder_write`` — the real writer: range-partition by the z-value
+  and sort within partitions, producing parquet whose ROW-GROUP
+  statistics are tight rectangles (proven physically in
+  tests/test_layout.py via pyarrow footer metadata).
+* ``layout_zorder_skipping`` — the oracled audit: simulate the two
+  layouts' file boundaries with deterministic equal-width cuts
+  (exactly what ``repartitionByRange`` approximates), compute each
+  file's min/max rectangle, and count file hits for a 16-probe
+  workload that mixes orderkey-selective and partkey-selective range
+  scans. The audit is pure relational arithmetic, so DuckDB replays
+  it bit-for-bit — the z-order advantage is a VERIFIED number, not a
+  claim.
+
+100 TB shape: the audit scans two integer columns of the fact table
+(footer-pruned), computes z per row with JVM bit math, and aggregates
+to |layouts|×|files| rows; the probe join is a 16-row broadcast
+against that bounded file-stats table. The writer adds one range
+shuffle — the same cost as any clustered write — and nothing
+downstream pays it again.
+
+Reference parity note: the reference engine has no storage layout
+layer (it reads whole text files); this is Layer-B capability per
+SURVEY.md §6 (scan efficiency at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.io import load_table
+from engine.registry import query
+
+GRID_BITS = 16  # per-dimension grid resolution (65536 cells)
+GRID = 1 << GRID_BITS
+N_FILES = 64  # simulated file count for the audit
+N_PROBES = 16  # 8 x-selective + 8 y-selective range probes
+_PROBE_W = 4096  # probe box width on its selective dimension
+_PROBE_STRIDE = GRID // 8
+
+
+def _grid_expr(col: str, lo: str, hi: str, div: str = "DIV") -> str:
+    """Normalize ``col`` into [0, GRID) over the closed value range
+    [lo, hi] — same integer arithmetic in both engines (all operands
+    non-negative, so Spark's truncating DIV and DuckDB's floor //
+    agree). ``div`` is the dialect's integer-division operator."""
+    return f"(({col} - {lo}) * {GRID}) {div} (({hi} - {lo}) + 1)"
+
+
+# Morton interleave: z = Σ_i  gx_i·2^(2i) + gy_i·2^(2i+1). The Spark
+# form is a fold over sequence(0,15) — whole-stage-codegen'd, no UDF.
+MORTON_SPARK = (
+    f"aggregate(sequence(0, {GRID_BITS - 1}), cast(0 as bigint),"
+    " (acc, i) -> acc + shiftleft(shiftright(gx, i) & 1, 2*i)"
+    " + shiftleft(shiftright(gy, i) & 1, 2*i+1))"
+)
+MORTON_DUCK = (
+    f"CAST(list_sum(list_transform(range(0, {GRID_BITS}),"
+    " i -> (((gx >> i) & 1) << (2*i)) + (((gy >> i) & 1) << (2*i+1))))"
+    " AS BIGINT)"
+)
+
+
+def with_zorder(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Append grid coordinates (gx, gy) and the Morton z-value for two
+    integer columns. Bounds come from a 1-row min/max aggregate
+    broadcast against the table (bounded at any scale; in production
+    the bounds are catalog statistics and this join folds away)."""
+    bounds = df.agg(
+        F.min(x_col).cast("bigint").alias("minx"),
+        F.max(x_col).cast("bigint").alias("maxx"),
+        F.min(y_col).cast("bigint").alias("miny"),
+        F.max(y_col).cast("bigint").alias("maxy"),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))  # 1-row bounds broadcast
+        .withColumn(
+            "gx",
+            F.expr(_grid_expr(x_col, "minx", "maxx")).cast("bigint"),
+        )
+        .withColumn(
+            "gy",
+            F.expr(_grid_expr(y_col, "miny", "maxy")).cast("bigint"),
+        )
+        .withColumn("z", F.expr(MORTON_SPARK).cast("bigint"))
+        .drop("minx", "maxx", "miny", "maxy")
+    )
+
+
+def zorder_write(
+    df: DataFrame, x_col: str, y_col: str, path: str, n_files: int
+) -> None:
+    """Write ``df`` z-ordered on (x_col, y_col): range-partition by the
+    Morton value into ``n_files`` output tasks and sort within each, so
+    every written file's (x_col, y_col) footer stats form a tight
+    rectangle. One range shuffle — the standard clustered-write cost."""
+    (
+        with_zorder(df, x_col, y_col)
+        .repartitionByRange(n_files, "z")
+        .sortWithinPartitions("z")
+        .drop("gx", "gy", "z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+# -- the oracled skipping audit ----------------------------------------------
+
+_PROBES_SQL = f"""
+SELECT CAST(i AS BIGINT) AS probe_id,
+       CAST(CASE WHEN i < 8 THEN i * {_PROBE_STRIDE} ELSE 0 END AS BIGINT)
+         AS xlo,
+       CAST(CASE WHEN i < 8 THEN i * {_PROBE_STRIDE} + {_PROBE_W - 1}
+                 ELSE {GRID - 1} END AS BIGINT) AS xhi,
+       CAST(CASE WHEN i < 8 THEN 0
+                 ELSE (i - 8) * {_PROBE_STRIDE} END AS BIGINT) AS ylo,
+       CAST(CASE WHEN i < 8 THEN {GRID - 1}
+                 ELSE (i - 8) * {_PROBE_STRIDE} + {_PROBE_W - 1} END AS BIGINT)
+         AS yhi
+"""
+
+
+def _probes(spark: SparkSession) -> DataFrame:
+    """The 16-probe workload: 8 narrow x-range scans (full y) and 8
+    narrow y-range scans (full x) — the mixed-predicate pattern a
+    single-key layout cannot serve. Mirrors _PROBES_SQL exactly."""
+    return spark.range(N_PROBES).selectExpr(
+        "cast(id as bigint) as probe_id",
+        f"cast(case when id < 8 then id * {_PROBE_STRIDE} else 0 end"
+        " as bigint) as xlo",
+        f"cast(case when id < 8 then id * {_PROBE_STRIDE} + {_PROBE_W - 1}"
+        f" else {GRID - 1} end as bigint) as xhi",
+        f"cast(case when id < 8 then 0 else (id - 8) * {_PROBE_STRIDE} end"
+        " as bigint) as ylo",
+        f"cast(case when id < 8 then {GRID - 1}"
+        f" else (id - 8) * {_PROBE_STRIDE} + {_PROBE_W - 1} end"
+        " as bigint) as yhi",
+    )
+
+
+_SKIP_ORACLE = f"""
+WITH bounds AS (
+  SELECT CAST(min(l_orderkey) AS BIGINT) AS minx,
+         CAST(max(l_orderkey) AS BIGINT) AS maxx,
+         CAST(min(l_partkey) AS BIGINT) AS miny,
+         CAST(max(l_partkey) AS BIGINT) AS maxy
+  FROM lineitem
+),
+g AS (
+  SELECT CAST({_grid_expr('l_orderkey', 'minx', 'maxx', '//')} AS BIGINT) AS gx,
+         CAST({_grid_expr('l_partkey', 'miny', 'maxy', '//')} AS BIGINT) AS gy
+  FROM lineitem CROSS JOIN bounds
+),
+zed AS (
+  SELECT gx, gy, {MORTON_DUCK} AS z FROM g
+),
+assigned AS (
+  SELECT gx, gy, layout,
+         CASE layout
+           WHEN 'linear' THEN (gx * {N_FILES}) // {GRID}
+           ELSE (z * {N_FILES}) // {1 << (2 * GRID_BITS)}
+         END AS file_id
+  FROM zed CROSS JOIN (VALUES ('linear'), ('zorder')) l(layout)
+),
+fstats AS (
+  SELECT layout, file_id,
+         CAST(min(gx) AS BIGINT) AS fx_lo, CAST(max(gx) AS BIGINT) AS fx_hi,
+         CAST(min(gy) AS BIGINT) AS fy_lo, CAST(max(gy) AS BIGINT) AS fy_hi,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM assigned GROUP BY layout, file_id
+),
+probes AS ({_PROBES_SQL} FROM range(0, {N_PROBES}) r(i)),
+hits AS (
+  SELECT f.layout,
+         CAST(count(*) AS BIGINT) AS files_hit,
+         CAST(sum(f.n_rows) AS BIGINT) AS rows_hit
+  FROM fstats f JOIN probes p
+    ON f.fx_lo <= p.xhi AND f.fx_hi >= p.xlo
+   AND f.fy_lo <= p.yhi AND f.fy_hi >= p.ylo
+  GROUP BY f.layout
+)
+SELECT s.layout,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(s.n_rows) AS BIGINT) AS n_rows,
+       COALESCE(any_value(h.files_hit), 0) AS files_hit,
+       COALESCE(any_value(h.rows_hit), 0) AS rows_hit
+FROM fstats s LEFT JOIN hits h ON h.layout = s.layout
+GROUP BY s.layout
+"""
+
+
+@query(
+    "layout_zorder_skipping",
+    oracle=_SKIP_ORACLE,
+    tags=("layout", "scale", "lineitem", "zorder"),
+)
+def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The file-skipping audit (module docstring): grid lineitem's
+    (l_orderkey, l_partkey) to 16 bits each, Morton-interleave, assign
+    rows to {N_FILES} simulated files under (a) linear orderkey layout
+    and (b) z-order layout, and count, over the 16 mixed-dimension
+    range probes, how many files (and rows inside them) each layout
+    must scan. Per layout: file count, total rows, probe file hits,
+    probe row hits — z-order's lower hit counts are the verified
+    data-skipping win."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    zed = with_zorder(li, "l_orderkey", "l_partkey")
+    assigned = zed.select(
+        "gx",
+        "gy",
+        F.expr(
+            f"stack(2, 'linear', (gx * {N_FILES}) DIV {GRID},"
+            f" 'zorder', (z * {N_FILES}) DIV {1 << (2 * GRID_BITS)})"
+        ).alias("layout", "file_id"),
+    )
+    fstats = assigned.groupBy("layout", "file_id").agg(
+        F.min("gx").cast("bigint").alias("fx_lo"),
+        F.max("gx").cast("bigint").alias("fx_hi"),
+        F.min("gy").cast("bigint").alias("fy_lo"),
+        F.max("gy").cast("bigint").alias("fy_hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    probes = _probes(spark)
+    hits = (
+        fstats.join(
+            F.broadcast(probes),  # 16-row probe workload broadcast
+            (F.col("fx_lo") <= F.col("xhi"))
+            & (F.col("fx_hi") >= F.col("xlo"))
+            & (F.col("fy_lo") <= F.col("yhi"))
+            & (F.col("fy_hi") >= F.col("ylo")),
+        )
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("files_hit"),
+            F.sum("n_rows").cast("bigint").alias("rows_hit"),
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        fstats.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+        )
+        .join(hits, "layout", "left")
+        .select(
+            "layout",
+            "n_files",
+            "n_rows",
+            F.coalesce("files_hit", zero).alias("files_hit"),
+            F.coalesce("rows_hit", zero).alias("rows_hit"),
+        )
+    )

@@ -46,6 +46,7 @@ _OPERATOR_MODULES = (
     "engine.operators.facets2",
     "engine.operators.corpus_build",
     "engine.operators.versioning",
+    "engine.operators.layout",
 )
 
 
