@@ -261,3 +261,206 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     out1 = _publish_snapshot(spark, _snapshot_rows(v1), base + "_v1")
     out2 = _publish_snapshot(spark, _snapshot_rows(v2), base + "_v2")
     return snapshot_diff(spark, out1, out2)
+
+
+# -- streaming refresh (the continuous form of the refresh loop) -------------
+#
+# `corpus_refresh_incremental` (corpus_build.py) proves ONE batch
+# iteration of the production loop; real ingestion is a STREAM of
+# arrival batches. This operator runs that: the arrival slice lands as
+# parquet files in a landing zone, a file-source stream delivers them
+# as separate triggers (two availableNow runs over a shared checkpoint,
+# the late-data audit's proven multi-trigger harness), and each
+# micro-batch's foreachBatch gates its documents against the STORED
+# corpus (exact content-hash tier) and appends the survivors through
+# the partition-scoped merge sink. The final stored table must be
+# IDENTICAL to the batch rule no matter how the arrivals were cut into
+# micro-batches — the oracle states that batch rule relationally
+# (winner per content hash = first batch, then lowest doc_id; winners
+# colliding with the base corpus drop), so the driver's hash match IS
+# the exactly-once/ordering proof for the streaming write path.
+#
+# 100 TB shape: per micro-batch the gate joins the batch against the
+# stored table's content-hash column only (narrow scan — text never
+# read back); the append rewrites only source partitions with
+# survivors; streaming state is ZERO (the store itself is the dedup
+# state, which is what makes the loop restartable — a crashed worker
+# re-gates against the store, not against lost in-memory state).
+
+_BATCH_NO_SPARK = (
+    SPARK_H60.format(x="concat('b:', cast(doc_id as string))") + " % 2"
+)
+_BATCH_NO_DUCK = DUCK_H60.format(x="'b:' || CAST(doc_id AS VARCHAR)") + " % 2"
+
+def _stream_refresh_oracle() -> str:
+    from engine.operators.corpus_build import _IS_NEW_DUCK, _ROW_H_DUCK
+
+    return f"""
+WITH lab AS (
+  SELECT source, doc_id, text, ({_IS_NEW_DUCK}) AS is_new,
+         {_BATCH_NO_DUCK} AS batch_no
+  FROM documents
+),
+base AS (SELECT source, doc_id, text FROM lab WHERE NOT is_new),
+bh AS (SELECT DISTINCT sha256(text) AS ch FROM base),
+arr AS (
+  SELECT source, doc_id, text, batch_no, sha256(text) AS ch
+  FROM lab WHERE is_new
+),
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY ch ORDER BY batch_no, doc_id)
+           AS rn
+  FROM arr
+),
+keep AS (
+  SELECT source, doc_id, text FROM win
+  WHERE rn = 1 AND ch NOT IN (SELECT ch FROM bh)
+),
+fin AS (SELECT * FROM base UNION ALL SELECT * FROM keep)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(bit_xor({_ROW_H_DUCK}) AS BIGINT) AS corpus_h
+FROM fin GROUP BY source
+"""
+
+
+def _land_batch(df: DataFrame, land: str, name: str) -> None:
+    """Materialize one arrival batch as a SINGLE parquet file inside
+    the landing zone (a real pipeline's upstream writer does this) —
+    single-file so trigger boundaries are exactly batch boundaries."""
+    import glob as _glob
+
+    tmp = tempfile.mkdtemp(prefix="land-stage-")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(land, name))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _corpus_store_rows(df: DataFrame) -> DataFrame:
+    """The stored schema: content hash kept so later gates scan it
+    instead of re-reading text."""
+    from engine.operators.corpus_build import _ROW_H_SPARK
+
+    return df.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.sha2("text", 256).alias("content_hash"),
+        F.expr(_ROW_H_SPARK).cast("bigint").alias("h"),
+    )
+
+
+def run_stream_refresh(
+    spark: SparkSession,
+    base_docs: DataFrame,
+    arrival_batches: list[DataFrame],
+    store: str,
+) -> DataFrame:
+    """The streaming refresh core (section comment), parameterized so
+    tests can drive it with crafted duplicates: publish ``base_docs``
+    as the stored corpus, land each ``arrival_batches`` element as one
+    file-source trigger (sequential availableNow runs over a shared
+    checkpoint), gate every micro-batch inside foreachBatch against the
+    stored content hashes (intra-batch winner = lowest doc_id), append
+    survivors via the partition-scoped merge sink, and return the
+    re-read store's per-source (n_docs, corpus_h). All inputs carry
+    (source, doc_id, text)."""
+    from pyspark.sql import Window as W
+
+    from engine.sinks import _publish_via_rename, apply_changeset_partitioned
+
+    os.makedirs(os.path.dirname(store) or ".", exist_ok=True)
+    staging = tempfile.mkdtemp(
+        prefix="srefresh-", dir=os.path.dirname(store) or "."
+    )
+    try:
+        _corpus_store_rows(base_docs).write.mode(
+            "overwrite"
+        ).partitionBy("source").parquet(staging)
+        _publish_via_rename(staging, store, "srefresh")
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+    schema = base_docs.select("source", "doc_id", "text").schema
+
+    def gate_and_append(batch_df: DataFrame, _batch_id: int) -> None:
+        rows = _corpus_store_rows(batch_df)
+        w = W.partitionBy("content_hash").orderBy("doc_id")
+        winners = (
+            rows.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        stored = spark.read.parquet(store).select("content_hash").distinct()
+        survivors = winners.join(stored, "content_hash", "left_anti").select(
+            "source", "doc_id", "n_tokens", "content_hash", "h"
+        )
+        apply_changeset_partitioned(
+            spark, store, ["source"], ["source", "doc_id"], survivors
+        )
+
+    land = tempfile.mkdtemp(prefix="srefresh-land-")
+    ckpt = tempfile.mkdtemp(prefix="srefresh-ckpt-")
+    try:
+        for i, batch in enumerate(arrival_batches):
+            _land_batch(
+                batch.select("source", "doc_id", "text"),
+                land,
+                f"b{i}.parquet",
+            )
+            q = (
+                spark.readStream.schema(schema)
+                .parquet(land)
+                .writeStream.foreachBatch(gate_and_append)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    return (
+        spark.read.parquet(store)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("bit_xor(h)").cast("bigint").alias("corpus_h"),
+        )
+    )
+
+
+@query(
+    "streaming_refresh_upsert",
+    oracle=_stream_refresh_oracle(),
+    tags=("streaming", "capstone", "incremental", "sink", "documents"),
+)
+def streaming_refresh_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refresh loop as a STREAM (section comment): publish the base
+    corpus (the non-'inc:' slice of documents), deliver the arrival
+    slice as two file-source triggers cut by the 'b:'-keyed hash, gate
+    each micro-batch inside foreachBatch against the stored content
+    hashes, append survivors via the partition-scoped merge sink, then
+    re-read the store and return per source (n_docs, xor'd h60 corpus
+    hash). The oracle replays the order-independent batch rule (winner
+    per content hash = first batch then lowest doc_id, base collisions
+    drop), so the hash match proves micro-batch cuts don't change the
+    stored corpus. Side-effecting by design; re-runs republish the
+    base and replay both triggers from a fresh checkpoint."""
+    from engine.operators.corpus_build import _IS_NEW_SPARK, corpus_out_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text"
+    )
+    is_new = F.expr(_IS_NEW_SPARK)
+    batch_no = F.expr(_BATCH_NO_SPARK).cast("bigint")
+    return run_stream_refresh(
+        spark,
+        docs.filter(~is_new),
+        [docs.filter(is_new & (batch_no == i)) for i in (0, 1)],
+        corpus_out_dir(sf_dir) + "_stream_refresh",
+    )

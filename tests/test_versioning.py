@@ -127,3 +127,98 @@ def test_snapshot_diff_helper_classifies_all_four_statuses(spark, tmp_path):
     # doc 3 (7 tokens) left, doc 4 (2) arrived, doc 2 went 5 -> 6
     assert row.tok_delta == (2 - 7) + (6 - 5)
     assert row.diff_h != 0
+
+
+def test_streaming_refresh_store_is_batch_equivalent(spark, tmp_path, monkeypatch):
+    """The streamed store must be recomputable by an independent engine
+    from the written files, the gate must actually drop duplicate
+    arrivals, and a re-run (fresh checkpoint, republished base) must
+    converge to the same store."""
+    import duckdb as _duck
+
+    from engine.operators.corpus_build import _IS_NEW_DUCK
+    from engine.operators.versioning import streaming_refresh_upsert
+    from tests.conftest import SF_SMOKE as _SF
+
+    monkeypatch.setenv("SPARK_GRAFT_CORPUS_OUT", str(tmp_path / "corpus"))
+    got = {
+        r.source: (r.n_docs, r.corpus_h)
+        for r in streaming_refresh_upsert(spark, _SF).collect()
+    }
+    store = str(
+        tmp_path
+        / "corpus"
+        / (os.path.basename(_SF.rstrip("/")) + "_stream_refresh")
+    )
+    con = _duck.connect()
+    from_files = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"""SELECT source, CAST(count(*) AS BIGINT),
+                       CAST(bit_xor(h) AS BIGINT)
+                FROM read_parquet('{store}/source=*/*.parquet',
+                                  hive_partitioning=1) GROUP BY source"""
+        ).fetchall()
+    }
+    assert from_files == got
+    # arrivals were appended: stored > base (the fixture has no exact
+    # duplicate texts, so the drop path is pinned by the crafted-dup
+    # test below and the gate's no-op here is the CORRECT gate result)
+    n_base = con.execute(
+        f"""SELECT CAST(count(*) AS BIGINT)
+            FROM read_parquet('{_SF}/documents.parquet')
+            WHERE NOT ({_IS_NEW_DUCK})"""
+    ).fetchone()[0]
+    assert sum(v[0] for v in got.values()) > n_base
+    # convergent re-run
+    got2 = {
+        r.source: (r.n_docs, r.corpus_h)
+        for r in streaming_refresh_upsert(spark, _SF).collect()
+    }
+    assert got2 == got
+
+
+def test_stream_refresh_gate_drops_crafted_duplicates(spark, tmp_path):
+    """Every gate path on crafted data: an arrival duplicating the BASE
+    drops; two arrivals duplicating each other IN one batch keep the
+    lowest doc_id; an arrival duplicating an earlier BATCH's survivor
+    drops; fresh content appends. The final store is checked row-for-
+    row, and must equal what a single-batch run produces (micro-batch
+    cuts don't change the corpus)."""
+    from engine.operators.versioning import run_stream_refresh
+
+    base = spark.createDataFrame(
+        [("s", 1, "alpha"), ("s", 2, "beta")],
+        "source string, doc_id long, text string",
+    )
+    batch0 = spark.createDataFrame(
+        [
+            ("s", 10, "alpha"),   # dup of base        -> drop
+            ("s", 12, "gamma"),   # intra-batch dup... -> keep (min id)
+            ("s", 11, "gamma"),   # ...of this winner  -> keep 11, drop 12
+            ("s", 13, "delta"),   # fresh              -> keep
+        ],
+        "source string, doc_id long, text string",
+    )
+    batch1 = spark.createDataFrame(
+        [
+            ("s", 20, "gamma"),   # dup of batch0 survivor -> drop
+            ("s", 21, "epsilon"), # fresh                  -> keep
+        ],
+        "source string, doc_id long, text string",
+    )
+    store = str(tmp_path / "store2b")
+    run_stream_refresh(spark, base, [batch0, batch1], store).collect()
+    kept = sorted(
+        (r.doc_id, r.content_hash is not None)
+        for r in spark.read.parquet(store).collect()
+    )
+    assert [k for k, _ in kept] == [1, 2, 11, 13, 21]
+
+    # cut-invariance: one batch holding all six arrivals ends the same
+    store1 = str(tmp_path / "store1b")
+    run_stream_refresh(
+        spark, base, [batch0.unionByName(batch1)], store1
+    ).collect()
+    ids1 = sorted(r.doc_id for r in spark.read.parquet(store1).collect())
+    assert ids1 == [k for k, _ in kept]
