@@ -390,3 +390,69 @@ def test_corpus_build_subplan_within_exchange_budget(spark):
     # rate aggregate, and the (split, bucket) pack window. Well under
     # the ~40 regime a lost cache re-expansion would produce.
     assert 8 <= got["corpus_build_pre"]["X"] <= 26, got["corpus_build_pre"]
+
+
+def test_catalog_stats_flip_join_strategy_to_broadcast(spark, tmp_path):
+    """Third live plan-machinery proof (after runtime bloom pruning and
+    AQE skew split): cost-based optimization from CATALOG STATISTICS.
+    A dimension whose FILES are large (padded column, uncompressed)
+    but whose filtered rows are few is exactly the case file-size
+    estimation gets wrong at 100 TB: without stats the planner sees
+    the multi-MB scan and shuffle-joins; after ANALYZE TABLE ... FOR
+    ALL COLUMNS, CBO's rowCount x equality-selectivity (1/ndv)
+    estimate collapses under the broadcast threshold and the SAME
+    query plans a BroadcastHashJoin. Nothing in our
+    session configuration blocks statistics-driven planning."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.cbo.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    # pad must be per-row DISTINCT: a constant pad dictionary-encodes
+    # to nothing and the on-disk dim would be small even uncompressed
+    dim = spark.range(5000).selectExpr(
+        "id as k",
+        "cast(id % 200 as int) as cat",
+        "repeat(md5(cast(id as string)), 60) as pad",
+    )
+    # incompressible-ish column keeps the fact's FILE above the
+    # broadcast threshold (sequential longs alone compress under it)
+    fact = spark.range(200_000).selectExpr(
+        "id as k", "id % 100 as v", "md5(cast(id as string)) as tag"
+    )
+    try:
+        dim.write.mode("overwrite").option(
+            "compression", "none"
+        ).option("path", str(tmp_path / "cbo_dim")).saveAsTable("cbo_dim")
+        fact.write.mode("overwrite").option(
+            "path", str(tmp_path / "cbo_fact")
+        ).saveAsTable("cbo_fact")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(512 * 1024)
+        )
+
+        def q():
+            # no projection: size-only estimation would otherwise scale
+            # the file size by the projected-width ratio; the proof is
+            # about FILTER selectivity, which only statistics provide
+            d = spark.table("cbo_dim").filter(F.col("cat") == 7)
+            return spark.table("cbo_fact").join(d, "k")
+
+        # without stats: size-only estimation passes the dim's ~10 MB
+        # file size through the filter untouched -> over the 1 MB
+        # threshold -> shuffle join
+        before = formatted_plan(q())
+        assert "BroadcastHashJoin" not in before, before[:2000]
+        spark.sql("ANALYZE TABLE cbo_dim COMPUTE STATISTICS FOR ALL COLUMNS")
+        after = formatted_plan(q())
+        assert "BroadcastHashJoin" in after, after[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS cbo_dim")
+        spark.sql("DROP TABLE IF EXISTS cbo_fact")
