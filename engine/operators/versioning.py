@@ -230,6 +230,29 @@ FROM j GROUP BY source
 """
 
 
+def publish_versions(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Publish the two deterministic snapshot versions (v1/v2 slice
+    definitions above) and return their paths — shared by the row-level
+    diff and the term-level drift so both always compare the SAME
+    published artifacts. Idempotent: re-runs republish atomically."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text"
+    )
+    v1 = docs.filter(F.expr(_IN_V1_SPARK))
+    v2 = docs.filter(F.expr(_IN_V2_SPARK)).select(
+        "source",
+        "doc_id",
+        F.when(F.expr(_IS_REV_SPARK), F.concat("text", F.lit(" [rev2]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    base = corpus_out_dir(sf_dir)
+    return (
+        _publish_snapshot(spark, _snapshot_rows(v1), base + "_v1"),
+        _publish_snapshot(spark, _snapshot_rows(v2), base + "_v2"),
+    )
+
+
 @query(
     "corpus_snapshot_diff",
     oracle=_DIFF_ORACLE,
@@ -246,21 +269,116 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trips plus the diff join against the oracle's raw-table
     replay. Side-effecting by design; re-runs republish both versions
     atomically."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "source", "doc_id", "text"
-    )
-    v1 = docs.filter(F.expr(_IN_V1_SPARK))
-    v2 = docs.filter(F.expr(_IN_V2_SPARK)).select(
-        "source",
-        "doc_id",
-        F.when(F.expr(_IS_REV_SPARK), F.concat("text", F.lit(" [rev2]")))
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    base = corpus_out_dir(sf_dir)
-    out1 = _publish_snapshot(spark, _snapshot_rows(v1), base + "_v1")
-    out2 = _publish_snapshot(spark, _snapshot_rows(v2), base + "_v2")
+    out1, out2 = publish_versions(spark, sf_dir)
     return snapshot_diff(spark, out1, out2)
+
+
+# -- term-level drift between versions ----------------------------------------
+#
+# The row-level diff says WHICH documents moved; the question a data
+# owner asks next is WHAT moved — did the vocabulary shift, did one
+# source's content change character between versions? This operator
+# answers at term granularity: per (source, term), occurrences in v1
+# vs v2 of the published snapshots and the signed delta, keeping the
+# top-DRIFT_K absolute movers per source (deterministic tie-break on
+# the term). Computed from the RE-READ files of both versions (the
+# versioning layer's discipline); the oracle replays the slice
+# definitions from raw.
+#
+# 100 TB shape: one pass over each version's text producing
+# map-side-combined (source, term) partial counts — the shuffle
+# carries distinct (source, term) keys, never token instances; the
+# v1/v2 join is on those bounded keys; top-K per source is a window
+# over the already-aggregated key set. Vocabulary, not corpus, drives
+# every post-scan cardinality.
+
+DRIFT_K = 10
+
+
+def _term_counts(df: DataFrame) -> DataFrame:
+    return (
+        df.select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("term")
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+_DRIFT_ORACLE = f"""
+WITH v1 AS (
+  SELECT source, doc_id, text FROM documents WHERE {_IN_V1_DUCK}
+),
+v2 AS (
+  SELECT source, doc_id,
+         CASE WHEN {_IS_REV_DUCK} THEN text || ' [rev2]' ELSE text END AS text
+  FROM documents WHERE {_IN_V2_DUCK}
+),
+t1 AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM v1
+),
+t2 AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM v2
+),
+c1 AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n1
+       FROM t1 GROUP BY source, term),
+c2 AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n2
+       FROM t2 GROUP BY source, term),
+j AS (
+  SELECT COALESCE(c1.source, c2.source) AS source,
+         COALESCE(c1.term, c2.term) AS term,
+         COALESCE(c1.n1, 0) AS n_v1, COALESCE(c2.n2, 0) AS n_v2
+  FROM c1 FULL JOIN c2 ON c1.source = c2.source AND c1.term = c2.term
+),
+d AS (
+  SELECT source, term, n_v1, n_v2, n_v2 - n_v1 AS delta,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY abs(n_v2 - n_v1) DESC, term) AS rnk
+  FROM j WHERE n_v2 <> n_v1
+)
+SELECT source, CAST(rnk AS BIGINT) AS rnk, term, n_v1, n_v2,
+       CAST(delta AS BIGINT) AS delta
+FROM d WHERE rnk <= {DRIFT_K}
+"""
+
+
+@query(
+    "snapshot_term_drift",
+    oracle=_DRIFT_ORACLE,
+    tags=("pipeline", "versioning", "textstats", "documents"),
+)
+def snapshot_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-level drift between the two published snapshot versions
+    (section comment): per source, the top-{DRIFT_K} absolute movers —
+    term, occurrences in v1 and v2, signed delta, rank (ties broken on
+    the term). Reads the PUBLISHED files of both versions, so the
+    driver hash pins the sink round-trip and the vocabulary
+    comparison together."""
+    out1, out2 = publish_versions(spark, sf_dir)
+    c1 = _term_counts(spark.read.parquet(out1)).withColumnRenamed("n", "n1")
+    c2 = _term_counts(spark.read.parquet(out2)).withColumnRenamed("n", "n2")
+    zero = F.lit(0).cast("bigint")
+    j = (
+        c1.join(c2, ["source", "term"], "full_outer")
+        .select(
+            "source",
+            "term",
+            F.coalesce("n1", zero).alias("n_v1"),
+            F.coalesce("n2", zero).alias("n_v2"),
+        )
+        .filter(F.col("n_v1") != F.col("n_v2"))
+        .withColumn("delta", (F.col("n_v2") - F.col("n_v1")).cast("bigint"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(
+        F.abs(F.col("delta")).desc(), F.col("term")
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= DRIFT_K)
+        .select("source", "rnk", "term", "n_v1", "n_v2", "delta")
+    )
 
 
 # -- streaming refresh (the continuous form of the refresh loop) -------------

@@ -222,3 +222,23 @@ def test_stream_refresh_gate_drops_crafted_duplicates(spark, tmp_path):
     ).collect()
     ids1 = sorted(r.doc_id for r in spark.read.parquet(store1).collect())
     assert ids1 == [k for k, _ in kept]
+
+
+def test_term_drift_detects_injected_revision(spark, tmp_path, monkeypatch):
+    """The drift must surface the deterministic revision marker as a
+    pure gainer (n_v1 = 0) wherever revised docs exist, and respect the
+    per-source top-K contract."""
+    from collections import Counter
+
+    from engine.operators.versioning import DRIFT_K, snapshot_term_drift
+
+    monkeypatch.setenv("SPARK_GRAFT_CORPUS_OUT", str(tmp_path / "corpus"))
+    rows = snapshot_term_drift(spark, SF_SMOKE).collect()
+    assert rows
+    per_source = Counter(r.source for r in rows)
+    assert max(per_source.values()) <= DRIFT_K
+    gains = [r for r in rows if r.term == "[rev2]"]
+    assert gains  # the v2 revision marker is a top mover somewhere
+    for r in gains:
+        assert r.n_v1 == 0 and r.n_v2 > 0 and r.delta == r.n_v2
+    assert all(1 <= r.rnk <= DRIFT_K for r in rows)
