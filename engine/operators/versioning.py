@@ -582,3 +582,128 @@ def streaming_refresh_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         [docs.filter(is_new & (batch_no == i)) for i in (0, 1)],
         corpus_out_dir(sf_dir) + "_stream_refresh",
     )
+
+
+# -- time travel over the versioned store --------------------------------------
+#
+# The snapshot diff compares two REPLACEMENT publishes; the versioned
+# store (engine/versioned_store.py) keeps every version readable —
+# copy-on-write manifests, Delta/Iceberg's core idea in a page of
+# code. This operator runs the lifecycle and PROVES time travel: commit
+# the base corpus as v1, commit an upsert (the exact-gate survivors of
+# the arrival slice) as v2, then read BOTH versions back — v1 through
+# its manifest AFTER v2 landed — and summarize each per source. The
+# oracle replays v1 (the base slice) and v2 (base ∪ gate winners)
+# relationally; matching hashes for BOTH versions in one result is the
+# proof that committing v2 did not disturb v1's files.
+#
+# 100 TB shape: the upsert rewrites only touched partitions (new files;
+# old entries carried forward in the manifest), reads prune files
+# catalog-side from the manifest, and vacuum — the only deletion — is
+# explicit and enumerated. Store recreated per run so the version
+# numbers (and therefore the result) are deterministic.
+
+_TT_ORACLE = f"""
+WITH lab AS (
+  SELECT source, doc_id, text,
+         ({{is_new}}) AS is_new
+  FROM documents
+),
+base AS (SELECT source, doc_id, text FROM lab WHERE NOT is_new),
+bh AS (SELECT DISTINCT sha256(text) AS ch FROM base),
+arr AS (
+  SELECT source, doc_id, text, sha256(text) AS ch FROM lab WHERE is_new
+),
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY ch ORDER BY doc_id) AS rn
+  FROM arr
+),
+keep AS (
+  SELECT source, doc_id, text FROM win
+  WHERE rn = 1 AND ch NOT IN (SELECT ch FROM bh)
+),
+v1 AS (SELECT * FROM base),
+v2 AS (SELECT * FROM base UNION ALL SELECT * FROM keep),
+u AS (
+  SELECT CAST(1 AS BIGINT) AS version, source, doc_id, text FROM v1
+  UNION ALL
+  SELECT CAST(2 AS BIGINT) AS version, source, doc_id, text FROM v2
+)
+SELECT version, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(bit_xor({{row_h}}) AS BIGINT) AS corpus_h
+FROM u GROUP BY version, source
+"""
+
+
+def _tt_oracle() -> str:
+    from engine.operators.corpus_build import _IS_NEW_DUCK, _ROW_H_DUCK
+
+    return _TT_ORACLE.format(is_new=_IS_NEW_DUCK, row_h=_ROW_H_DUCK)
+
+
+@query(
+    "corpus_time_travel",
+    oracle=_tt_oracle(),
+    tags=("pipeline", "versioning", "sink", "time-travel", "documents"),
+)
+def corpus_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-store lifecycle with time travel (section comment):
+    commit base as v1, upsert the gated arrivals as v2 (copy-on-write —
+    only touched partitions get new files), then read BOTH pinned
+    versions through their manifests and return per (version, source)
+    the doc count and xor'd h60 corpus hash. v1's summary is computed
+    AFTER v2 landed, so a match on both versions proves old snapshots
+    survive new commits. Store is recreated per run (deterministic
+    version numbers); side-effecting by design."""
+    from pyspark.sql import Window as W
+
+    from engine.operators.corpus_build import _IS_NEW_SPARK, corpus_out_dir
+    from engine.versioned_store import (
+        commit_overwrite,
+        commit_upsert,
+        read_version,
+    )
+
+    store = corpus_out_dir(sf_dir) + "_vstore"
+    shutil.rmtree(store, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text"
+    )
+    is_new = F.expr(_IS_NEW_SPARK)
+    base_rows = _corpus_store_rows(docs.filter(~is_new))
+    v1 = commit_overwrite(base_rows, store, "source")
+
+    arr = _corpus_store_rows(docs.filter(is_new))
+    w = W.partitionBy("content_hash").orderBy("doc_id")
+    winners = (
+        arr.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    base_hashes = read_version(spark, store, v1).select(
+        "content_hash"
+    ).distinct()
+    changeset = winners.join(base_hashes, "content_hash", "left_anti").select(
+        "source", "doc_id", "n_tokens", "content_hash", "h"
+    )
+    v2 = commit_upsert(spark, store, changeset, ["source", "doc_id"])
+
+    out: DataFrame | None = None
+    for v in (v1, v2):
+        s = (
+            read_version(spark, store, v)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.expr("bit_xor(h)").cast("bigint").alias("corpus_h"),
+            )
+            .select(
+                F.lit(v).cast("bigint").alias("version"),
+                "source",
+                "n_docs",
+                "corpus_h",
+            )
+        )
+        out = s if out is None else out.unionByName(s)
+    return out

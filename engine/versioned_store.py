@@ -1,0 +1,269 @@
+"""A minimal versioned parquet store — manifest-pinned snapshots with
+time travel and vacuum (the operational floor under the versioning
+layer in ``engine/operators/versioning.py``).
+
+``_publish_via_rename`` gives atomic REPLACEMENT: readers see the old
+corpus or the new one, but the old one is gone the moment the rename
+lands. Production corpus management needs the previous versions to
+stay READABLE (diff a candidate against what trained last month, roll
+back a bad refresh, reproduce an old run) without paying full storage
+per version. The standard answer — Delta/Iceberg's core idea — is
+copy-on-write at FILE granularity with a manifest per version:
+
+    store/
+      data/v00001-....parquet     immutable data files, never rewritten
+      _manifests/v00001.json      the exact file set (plus the file's
+      _manifests/v00002.json      partition value and row count)
+      _manifests/CURRENT          latest version number (tmp + rename)
+
+* ``commit_overwrite`` — a full snapshot: new files + a manifest
+  listing only them.
+* ``commit_upsert`` — the merge path: ONLY partitions holding a
+  changed key get new files; the new manifest carries the untouched
+  partitions' OLD file entries forward (copy-on-write), so version
+  n+1 costs the touched partitions, not the table.
+* ``read_version`` — any manifest is a complete, immutable snapshot;
+  an optional partition filter prunes FILES from the manifest before
+  Spark ever lists anything.
+* ``vacuum`` — deletes data files no retained manifest references
+  (the only destructive operation, and it names what it removed).
+
+Single-writer by design (commits race on CURRENT); a real multi-writer
+deployment uses a transactional catalog for exactly this reason —
+documented, not hidden. Manifests list file paths on the driver: at
+100 TB that is O(files) metadata (what Delta holds in its log and
+Iceberg chunks into avro manifests); the data plane — scan, shuffle,
+write — stays fully distributed, and the per-file partition values in
+the manifest give catalog-side partition pruning with zero listing
+RPCs.
+
+Reference parity note: the reference engine has no storage versioning
+(SURVEY.md §2.3); Layer-B capability per §6's production-pipeline
+mandate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFESTS = "_manifests"
+_DATA = "data"
+
+
+def _mdir(store: str) -> str:
+    return os.path.join(store, _MANIFESTS)
+
+
+def _manifest_path(store: str, version: int) -> str:
+    return os.path.join(_mdir(store), f"v{version:05d}.json")
+
+
+def current_version(store: str) -> int:
+    """Latest committed version, 0 if the store is empty/new."""
+    cur = os.path.join(_mdir(store), "CURRENT")
+    if not os.path.exists(cur):
+        return 0
+    with open(cur, encoding="utf-8") as f:
+        return int(f.read().strip())
+
+
+def versions(store: str) -> list[int]:
+    """All retained versions, ascending (vacuum may have dropped the
+    oldest manifests along with their unshared files)."""
+    if not os.path.isdir(_mdir(store)):
+        return []
+    return sorted(
+        int(name[1:6])
+        for name in os.listdir(_mdir(store))
+        if name.startswith("v") and name.endswith(".json")
+    )
+
+
+def _read_manifest(store: str, version: int) -> dict:
+    with open(_manifest_path(store, version), encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _write_manifest_and_current(store: str, manifest: dict) -> None:
+    """Manifest first, CURRENT last, both via tmp + atomic rename — a
+    reader that sees the new CURRENT is guaranteed the manifest (and
+    the immutable files it lists) already exist."""
+    os.makedirs(_mdir(store), exist_ok=True)
+    for name, payload in (
+        (f"v{manifest['version']:05d}.json", json.dumps(manifest, indent=1)),
+        ("CURRENT", str(manifest["version"])),
+    ):
+        fd, tmp = tempfile.mkstemp(dir=_mdir(store))
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(payload)
+        os.rename(tmp, os.path.join(_mdir(store), name))
+
+
+def _stage_files(
+    df: DataFrame, store: str, version: int, partition_col: str
+) -> list[dict]:
+    """Write ``df`` partitioned by ``partition_col`` to a staging dir,
+    then move each part file into data/ under a version-unique name.
+    Returns the new manifest entries ({file, partition, n_rows})."""
+    os.makedirs(os.path.join(store, _DATA), exist_ok=True)
+    staging = tempfile.mkdtemp(prefix="vstore-", dir=store)
+    entries: list[dict] = []
+    try:
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+        spark = df.sparkSession
+        # per-file row counts from the footers of the staged write —
+        # a |files|-row metadata aggregate, no data re-read
+        counts = {
+            os.path.relpath(r["file"], staging): r["n"]
+            for r in spark.read.parquet(staging)
+            .groupBy(
+                F.input_file_name().alias("uri"), F.col(partition_col)
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .selectExpr("replace(uri, 'file://', '') as file", "n")
+            .collect()
+        }
+        for part_dir in sorted(os.listdir(staging)):
+            full = os.path.join(staging, part_dir)
+            if not (os.path.isdir(full) and "=" in part_dir):
+                continue
+            pval = part_dir.split("=", 1)[1]
+            for i, part in enumerate(sorted(os.listdir(full))):
+                if not part.endswith(".parquet"):
+                    continue
+                name = f"v{version:05d}-{uuid.uuid4().hex[:8]}-{i:04d}.parquet"
+                src = os.path.join(full, part)
+                n_rows = counts.get(os.path.join(part_dir, part), 0)
+                os.rename(src, os.path.join(store, _DATA, name))
+                entries.append(
+                    {"file": name, "partition": pval, "n_rows": n_rows}
+                )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return entries
+
+
+def commit_overwrite(
+    df: DataFrame, store: str, partition_col: str
+) -> int:
+    """Commit a full snapshot as the next version. Previous versions'
+    files are untouched and stay readable via their manifests."""
+    os.makedirs(store, exist_ok=True)
+    version = current_version(store) + 1
+    entries = _stage_files(df, store, version, partition_col)
+    _write_manifest_and_current(
+        store,
+        {"version": version, "partition_col": partition_col, "files": entries},
+    )
+    return version
+
+
+def commit_upsert(
+    spark: SparkSession,
+    store: str,
+    changeset: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """Copy-on-write MERGE as the next version: partitions holding a
+    changed key are rewritten (survivors + changeset) into NEW files;
+    every untouched partition's manifest entries carry over verbatim.
+    The previous version keeps reading its own (immutable) files."""
+    prev_v = current_version(store)
+    prev = _read_manifest(store, prev_v)
+    pcol = prev["partition_col"]
+    touched = {
+        str(r[pcol]) for r in changeset.select(pcol).distinct().collect()
+    }
+    keep = [e for e in prev["files"] if e["partition"] not in touched]
+    old_touched = [e for e in prev["files"] if e["partition"] in touched]
+    version = prev_v + 1
+    merged = changeset
+    if old_touched:
+        # through read_version so the partition column (absent from the
+        # data files; it lived in the staging directory name) is
+        # restored before the merge
+        base = read_version(
+            spark, store, prev_v, partition_values=sorted(touched)
+        )
+        survivors = base.join(
+            F.broadcast(changeset.select(*key_cols).distinct()),
+            key_cols,
+            "left_anti",
+        )
+        merged = survivors.unionByName(changeset.select(*base.columns))
+    new_entries = _stage_files(merged, store, version, pcol)
+    _write_manifest_and_current(
+        store,
+        {
+            "version": version,
+            "partition_col": pcol,
+            "files": keep + new_entries,
+        },
+    )
+    return version
+
+
+def read_version(
+    spark: SparkSession,
+    store: str,
+    version: int | None = None,
+    partition_values: list[str] | None = None,
+) -> DataFrame:
+    """Read a pinned snapshot (default: latest). ``partition_values``
+    prunes files from the MANIFEST — catalog-side pruning, no
+    filesystem listing. The partition column is restored from the
+    manifest entries (data files don't carry it; it lived in the
+    directory name at write time)."""
+    version = version if version is not None else current_version(store)
+    man = _read_manifest(store, version)
+    pcol = man["partition_col"]
+    entries = man["files"]
+    if partition_values is not None:
+        wanted = set(map(str, partition_values))
+        entries = [e for e in entries if e["partition"] in wanted]
+    by_part: dict[str, list[str]] = {}
+    for e in entries:
+        by_part.setdefault(e["partition"], []).append(
+            os.path.join(store, _DATA, e["file"])
+        )
+    out: DataFrame | None = None
+    for pval, paths in sorted(by_part.items()):
+        part_df = spark.read.parquet(*paths).withColumn(pcol, F.lit(pval))
+        out = part_df if out is None else out.unionByName(part_df)
+    if out is None:
+        raise ValueError(
+            f"version {version} has no files"
+            + (f" for partitions {sorted(wanted)}" if partition_values else "")
+        )
+    return out
+
+
+def vacuum(store: str, keep_latest: int = 2) -> list[str]:
+    """Drop manifests older than the newest ``keep_latest`` versions
+    and delete data files no retained manifest references. Returns the
+    deleted file names (the destructive act is enumerated, not
+    silent)."""
+    vs = versions(store)
+    retained = set(vs[-keep_latest:]) if keep_latest > 0 else set()
+    live = {
+        e["file"]
+        for v in retained
+        for e in _read_manifest(store, v)["files"]
+    }
+    removed: list[str] = []
+    for v in vs:
+        if v not in retained:
+            os.remove(_manifest_path(store, v))
+    data_dir = os.path.join(store, _DATA)
+    for name in sorted(os.listdir(data_dir)):
+        if name.endswith(".parquet") and name not in live:
+            os.remove(os.path.join(data_dir, name))
+            removed.append(name)
+    return removed

@@ -242,3 +242,69 @@ def test_term_drift_detects_injected_revision(spark, tmp_path, monkeypatch):
     for r in gains:
         assert r.n_v1 == 0 and r.n_v2 > 0 and r.delta == r.n_v2
     assert all(1 <= r.rnk <= DRIFT_K for r in rows)
+
+
+def test_versioned_store_time_travel_pruning_and_vacuum(spark, tmp_path):
+    """The manifest store's lifecycle on crafted data: v1 stays
+    byte-identical after v2's upsert lands (time travel); reads prune
+    files catalog-side from the manifest; vacuum removes exactly the
+    files only retired versions reference and v2 survives it."""
+    import os as _os
+
+    from engine.versioned_store import (
+        commit_overwrite,
+        commit_upsert,
+        current_version,
+        read_version,
+        vacuum,
+        versions,
+    )
+
+    store = str(tmp_path / "vstore")
+    v1_rows = [("a", 1, "x"), ("a", 2, "y"), ("b", 3, "z")]
+    df = spark.createDataFrame(v1_rows, "part string, k long, v string")
+    v1 = commit_overwrite(df, store, "part")
+    assert (v1, current_version(store)) == (1, 1)
+
+    # upsert: update k=1, insert k=4, both in partition 'a'; 'b' untouched
+    chg = spark.createDataFrame(
+        [("a", 1, "x2"), ("a", 4, "w")], "part string, k long, v string"
+    )
+    v2 = commit_upsert(spark, store, chg, ["part", "k"])
+    assert versions(store) == [1, 2]
+
+    # time travel: v1 still reads its original contents AFTER v2
+    got_v1 = sorted(tuple(r) for r in read_version(spark, store, v1).collect())
+    assert got_v1 == sorted((k, v, p) for p, k, v in v1_rows)
+    got_v2 = sorted(tuple(r) for r in read_version(spark, store, v2).collect())
+    assert got_v2 == sorted(
+        [(1, "x2", "a"), (2, "y", "a"), (4, "w", "a"), (3, "z", "b")]
+    )
+
+    # copy-on-write: partition 'b' carries the SAME file forward
+    import json as _json
+
+    m1 = _json.load(open(f"{store}/_manifests/v00001.json"))
+    m2 = _json.load(open(f"{store}/_manifests/v00002.json"))
+    b1 = {e["file"] for e in m1["files"] if e["partition"] == "b"}
+    b2 = {e["file"] for e in m2["files"] if e["partition"] == "b"}
+    assert b1 == b2 and b1
+    a2 = {e["file"] for e in m2["files"] if e["partition"] == "a"}
+    assert not (a2 & {e["file"] for e in m1["files"]})  # 'a' rewritten
+
+    # catalog-side pruning: only partition-b files reach the reader
+    only_b = read_version(spark, store, v2, partition_values=["b"])
+    assert sorted(tuple(r) for r in only_b.collect()) == [(3, "z", "b")]
+
+    # vacuum keeps v2 only: v1's manifest and its unshared files go
+    removed = vacuum(store, keep_latest=1)
+    assert versions(store) == [2]
+    live = {e["file"] for e in m2["files"]}
+    assert set(removed).isdisjoint(live) and removed
+    on_disk = set(_os.listdir(f"{store}/data"))
+    assert live <= on_disk and not (set(removed) & on_disk)
+    # and v2 still reads completely
+    assert (
+        sorted(tuple(r) for r in read_version(spark, store, 2).collect())
+        == got_v2
+    )
