@@ -267,3 +267,23 @@ def vacuum(store: str, keep_latest: int = 2) -> list[str]:
             os.remove(os.path.join(data_dir, name))
             removed.append(name)
     return removed
+
+
+def rollback(store: str, to_version: int) -> int:
+    """Promote an old snapshot as the NEXT version (never by rewinding
+    CURRENT — history stays append-only, so the bad version remains
+    inspectable and vacuum's retention math stays monotonic). The new
+    manifest shares every file with ``to_version``: a rollback costs
+    one JSON write, zero data movement."""
+    man = _read_manifest(store, to_version)  # raises if vacuumed away
+    version = current_version(store) + 1
+    _write_manifest_and_current(
+        store,
+        {
+            "version": version,
+            "partition_col": man["partition_col"],
+            "files": man["files"],
+            "rolled_back_from": to_version,
+        },
+    )
+    return version

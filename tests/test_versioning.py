@@ -308,3 +308,38 @@ def test_versioned_store_time_travel_pruning_and_vacuum(spark, tmp_path):
         sorted(tuple(r) for r in read_version(spark, store, 2).collect())
         == got_v2
     )
+
+
+def test_versioned_store_rollback_is_a_zero_copy_commit(spark, tmp_path):
+    """Rolling back promotes the old file set as a NEW version: same
+    contents as the target, no data files written, history intact."""
+    import json as _json
+    import os as _os
+
+    from engine.versioned_store import (
+        commit_overwrite,
+        commit_upsert,
+        read_version,
+        rollback,
+        versions,
+    )
+
+    store = str(tmp_path / "vstore_rb")
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y")], "part string, k long, v string"
+    )
+    commit_overwrite(df, store, "part")
+    bad = spark.createDataFrame([("a", 1, "CORRUPT")], "part string, k long, v string")
+    commit_upsert(spark, store, bad, ["part", "k"])
+
+    files_before = set(_os.listdir(f"{store}/data"))
+    v3 = rollback(store, 1)
+    assert v3 == 3 and versions(store) == [1, 2, 3]
+    assert set(_os.listdir(f"{store}/data")) == files_before  # zero-copy
+    m1 = _json.load(open(f"{store}/_manifests/v00001.json"))
+    m3 = _json.load(open(f"{store}/_manifests/v00003.json"))
+    assert {e["file"] for e in m3["files"]} == {e["file"] for e in m1["files"]}
+    assert m3["rolled_back_from"] == 1
+    # latest now reads the pre-corruption contents
+    got = sorted(tuple(r) for r in read_version(spark, store).collect())
+    assert got == [(1, "x", "a"), (2, "y", "b")]
