@@ -49,6 +49,7 @@ import os
 import shutil
 import tempfile
 import uuid
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -134,7 +135,11 @@ def _stage_files(
             full = os.path.join(staging, part_dir)
             if not (os.path.isdir(full) and "=" in part_dir):
                 continue
-            pval = part_dir.split("=", 1)[1]
+            # directory names carry Hive-escaped values (%20 for a
+            # space, %3D for '=', ...); the manifest stores the RAW
+            # value so upsert's touched-set and read_version's column
+            # restoration compare against real data values
+            pval = unquote(part_dir.split("=", 1)[1])
             for i, part in enumerate(sorted(os.listdir(full))):
                 if not part.endswith(".parquet"):
                     continue

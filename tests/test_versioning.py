@@ -343,3 +343,32 @@ def test_versioned_store_rollback_is_a_zero_copy_commit(spark, tmp_path):
     # latest now reads the pre-corruption contents
     got = sorted(tuple(r) for r in read_version(spark, store).collect())
     assert got == [(1, "x", "a"), (2, "y", "b")]
+
+
+def test_versioned_store_handles_escaped_partition_values(spark, tmp_path):
+    """Hive-escaped partition directory names (space -> %20) must round
+    back to RAW values in the manifest, or upsert's touched-set match
+    and read_version's column restoration silently miss."""
+    from engine.versioned_store import (
+        commit_overwrite,
+        commit_upsert,
+        read_version,
+    )
+
+    store = str(tmp_path / "vstore_esc")
+    df = spark.createDataFrame(
+        [("web crawl", 1, "x"), ("books", 2, "y")],
+        "part string, k long, v string",
+    )
+    commit_overwrite(df, store, "part")
+    got = sorted(tuple(r) for r in read_version(spark, store).collect())
+    assert got == [(1, "x", "web crawl"), (2, "y", "books")]
+    # upsert into the escaped partition must match it as touched
+    chg = spark.createDataFrame(
+        [("web crawl", 1, "x2")], "part string, k long, v string"
+    )
+    v2 = commit_upsert(spark, store, chg, ["part", "k"])
+    got2 = sorted(tuple(r) for r in read_version(spark, store, v2).collect())
+    assert got2 == [(1, "x2", "web crawl"), (2, "y", "books")]
+    pruned = read_version(spark, store, v2, partition_values=["web crawl"])
+    assert [tuple(r) for r in pruned.collect()] == [(1, "x2", "web crawl")]
