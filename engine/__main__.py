@@ -123,6 +123,45 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_vstore(args: argparse.Namespace) -> int:
+    """Operate the versioned store (engine/versioned_store.py) — the
+    admin half of the versioning layer: inspect versions, pin-read a
+    snapshot, roll back, vacuum."""
+    from engine import versioned_store as vs
+
+    if args.action == "versions":
+        cur = vs.current_version(args.store)
+        for v in vs.versions(args.store):
+            man = vs._read_manifest(args.store, v)
+            rows = sum(e["n_rows"] for e in man["files"])
+            mark = " (current)" if v == cur else ""
+            rb = (
+                f" rolled_back_from=v{man['rolled_back_from']}"
+                if "rolled_back_from" in man
+                else ""
+            )
+            print(f"v{v:05d}: {len(man['files'])} files, {rows} rows{rb}{mark}")
+        return 0
+    if args.action == "read":
+        df = vs.read_version(_spark(), args.store, args.version)
+        df.show(args.limit, truncate=False)
+        return 0
+    if args.action == "rollback":
+        if args.version is None:
+            print("rollback requires --version", file=sys.stderr)
+            return 2
+        v = vs.rollback(args.store, args.version)
+        print(f"rolled back to v{args.version:05d} as v{v:05d}")
+        return 0
+    if args.action == "vacuum":
+        removed = vs.vacuum(args.store, keep_latest=args.keep)
+        for name in removed:
+            print(f"removed {name}")
+        print(f"{len(removed)} files removed, kept latest {args.keep}")
+        return 0
+    return 2
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="python -m engine")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -165,6 +204,14 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--limit", type=int, default=20)
     q.add_argument("--explain", action="store_true")
     q.set_defaults(fn=cmd_query)
+
+    v = sub.add_parser("vstore", help="operate a versioned parquet store")
+    v.add_argument("action", choices=("versions", "read", "rollback", "vacuum"))
+    v.add_argument("store")
+    v.add_argument("--version", type=int, default=None)
+    v.add_argument("--keep", type=int, default=2, help="vacuum retention")
+    v.add_argument("--limit", type=int, default=20)
+    v.set_defaults(fn=cmd_vstore)
 
     args = ap.parse_args(argv)
     return args.fn(args)

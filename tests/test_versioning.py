@@ -372,3 +372,26 @@ def test_versioned_store_handles_escaped_partition_values(spark, tmp_path):
     assert got2 == [(1, "x2", "web crawl"), (2, "y", "books")]
     pruned = read_version(spark, store, v2, partition_values=["web crawl"])
     assert [tuple(r) for r in pruned.collect()] == [(1, "x2", "web crawl")]
+
+
+def test_vstore_cli_versions_rollback_vacuum(spark, tmp_path, capsys):
+    """The admin CLI drives the same store functions end-to-end."""
+    from engine.__main__ import main as cli
+    from engine.versioned_store import commit_overwrite, commit_upsert
+
+    store = str(tmp_path / "vstore_cli")
+    df = spark.createDataFrame([("a", 1, "x")], "part string, k long, v string")
+    commit_overwrite(df, store, "part")
+    commit_upsert(
+        spark,
+        store,
+        spark.createDataFrame([("a", 1, "y")], "part string, k long, v string"),
+        ["part", "k"],
+    )
+    assert cli(["vstore", "versions", store]) == 0
+    out = capsys.readouterr().out
+    assert "v00001" in out and "v00002: " in out and "(current)" in out
+    assert cli(["vstore", "rollback", store, "--version", "1"]) == 0
+    assert cli(["vstore", "vacuum", store, "--keep", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "kept latest 1" in out
