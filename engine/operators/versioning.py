@@ -122,23 +122,24 @@ def snapshot_diff(spark: SparkSession, path_a: str, path_b: str) -> DataFrame:
     (source, doc_id, n_tokens, h) from each side — document bodies are
     pruned at the scan — and shuffles one full-outer hash join on
     doc_id."""
-    a = (
-        spark.read.parquet(path_a)
-        .select(
-            F.col("doc_id"),
-            F.col("source").alias("a_src"),
-            F.col("n_tokens").alias("a_tok"),
-            F.col("h").alias("a_h"),
-        )
+    return diff_frames(spark.read.parquet(path_a), spark.read.parquet(path_b))
+
+
+def diff_frames(a_rows: DataFrame, b_rows: DataFrame) -> DataFrame:
+    """The diff core over two already-loaded sides (each carrying
+    source, doc_id, n_tokens, h) — shared by the path-level
+    snapshot_diff and the manifest-aware version_diff."""
+    a = a_rows.select(
+        F.col("doc_id"),
+        F.col("source").alias("a_src"),
+        F.col("n_tokens").alias("a_tok"),
+        F.col("h").alias("a_h"),
     )
-    b = (
-        spark.read.parquet(path_b)
-        .select(
-            F.col("doc_id"),
-            F.col("source").alias("b_src"),
-            F.col("n_tokens").alias("b_tok"),
-            F.col("h").alias("b_h"),
-        )
+    b = b_rows.select(
+        F.col("doc_id"),
+        F.col("source").alias("b_src"),
+        F.col("n_tokens").alias("b_tok"),
+        F.col("h").alias("b_h"),
     )
     j = a.join(b, "doc_id", "full_outer").select(
         "doc_id",

@@ -292,3 +292,123 @@ def rollback(store: str, to_version: int) -> int:
         },
     )
     return version
+
+
+def _entries_df(
+    spark: SparkSession, store: str, entries: list[dict], pcol: str
+) -> DataFrame | None:
+    """Load a manifest entry subset with the partition column restored
+    (None for an empty subset)."""
+    by_part: dict[str, list[str]] = {}
+    for e in entries:
+        by_part.setdefault(e["partition"], []).append(
+            os.path.join(store, _DATA, e["file"])
+        )
+    out: DataFrame | None = None
+    for pval, paths in sorted(by_part.items()):
+        part_df = spark.read.parquet(*paths).withColumn(pcol, F.lit(pval))
+        out = part_df if out is None else out.unionByName(part_df)
+    return out
+
+
+def version_diff(
+    spark: SparkSession, store: str, va: int, vb: int
+) -> DataFrame:
+    """Manifest-aware snapshot diff: per source, docs added / removed /
+    changed / unchanged (plus token delta and delta hash) between two
+    retained versions — READING ONLY the files the versions do NOT
+    share. A file carried forward by copy-on-write contributes
+    identical rows to both sides, so every document in it is
+    'unchanged' by construction (versions are key-unique — the upsert
+    path guarantees a doc_id lives in exactly one file per version);
+    its contribution is added back from the manifest's per-file row
+    counts without opening the file. At 100 TB, diffing a daily
+    refresh against yesterday therefore reads the touched partitions,
+    never the table.
+    """
+    from engine.operators.versioning import diff_frames
+
+    ma, mb = _read_manifest(store, va), _read_manifest(store, vb)
+    pcol = ma["partition_col"]
+    shared = {e["file"] for e in ma["files"]} & {
+        e["file"] for e in mb["files"]
+    }
+    a_only = [e for e in ma["files"] if e["file"] not in shared]
+    b_only = [e for e in mb["files"] if e["file"] not in shared]
+    schema = (
+        "source string, n_added bigint, n_removed bigint, n_changed bigint,"
+        " n_unchanged bigint, tok_delta bigint, diff_h bigint"
+    )
+    a_df = _entries_df(spark, store, a_only, pcol)
+    b_df = _entries_df(spark, store, b_only, pcol)
+    if a_df is None and b_df is None:
+        d = spark.createDataFrame([], schema)
+    else:
+        empty = spark.createDataFrame(
+            [], f"{pcol} string, doc_id long, n_tokens long, h long"
+        )
+        cols = ["source", "doc_id", "n_tokens", "h"]
+        a_df = (a_df if a_df is not None else empty).withColumnRenamed(
+            pcol, "source"
+        ).select(*cols)
+        b_df = (b_df if b_df is not None else empty).withColumnRenamed(
+            pcol, "source"
+        ).select(*cols)
+        d = diff_frames(a_df, b_df)
+    # shared files: all-unchanged, counted from manifest metadata alone
+    shared_counts: dict[str, int] = {}
+    for e in ma["files"]:
+        if e["file"] in shared:
+            shared_counts[e["partition"]] = (
+                shared_counts.get(e["partition"], 0) + e["n_rows"]
+            )
+    if not shared_counts:
+        return d
+    sc = spark.createDataFrame(
+        sorted(shared_counts.items()), "source string, n_shared bigint"
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        d.join(sc, "source", "full_outer")
+        .select(
+            "source",
+            *[
+                F.coalesce(c, zero).alias(c)
+                for c in ("n_added", "n_removed", "n_changed")
+            ],
+            (
+                F.coalesce("n_unchanged", zero)
+                + F.coalesce("n_shared", zero)
+            ).alias("n_unchanged"),
+            F.coalesce("tok_delta", zero).alias("tok_delta"),
+            F.coalesce("diff_h", zero).alias("diff_h"),
+        )
+    )
+
+
+def compact_version(
+    spark: SparkSession, store: str, files_per_partition: int = 1
+) -> int:
+    """Commit a compacted copy of the CURRENT version: same rows, fewer
+    files (the small-file problem is the versioned store's natural
+    failure mode — every upsert adds task-count files to touched
+    partitions). Contents are identical by construction (one
+    repartition by the partition column, no row transformation); the
+    previous version keeps its own files, so compaction is as safe —
+    and as reversible — as any other commit."""
+    prev_v = current_version(store)
+    pcol = _read_manifest(store, prev_v)["partition_col"]
+    df = read_version(spark, store, prev_v)
+    n_parts = max(1, len({e["partition"] for e in
+                          _read_manifest(store, prev_v)["files"]}))
+    compacted = df.repartition(
+        max(1, n_parts * files_per_partition), pcol
+    )
+    version = prev_v + 1
+    entries = _stage_files(compacted, store, version, pcol)
+    _write_manifest_and_current(
+        store,
+        {"version": version, "partition_col": pcol, "files": entries,
+         "compacted_from": prev_v},
+    )
+    return version

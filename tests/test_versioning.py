@@ -395,3 +395,83 @@ def test_vstore_cli_versions_rollback_vacuum(spark, tmp_path, capsys):
     assert cli(["vstore", "vacuum", store, "--keep", "1"]) == 0
     out = capsys.readouterr().out
     assert "kept latest 1" in out
+
+
+def test_version_diff_reads_only_unshared_files_and_matches_naive(
+    spark, tmp_path
+):
+    """The manifest-aware diff must equal the naive full diff AND its
+    scan must touch only the files the two versions do not share (the
+    copy-on-write dividend: diffing a refresh reads the touched
+    partitions, never the table)."""
+    import json as _json
+
+    from engine.operators.versioning import diff_frames
+    from engine.versioned_store import (
+        commit_overwrite,
+        commit_upsert,
+        read_version,
+        version_diff,
+    )
+
+    store = str(tmp_path / "vstore_diff")
+    base = spark.createDataFrame(
+        [("a", 1, 3, 11), ("b", 2, 5, 22), ("c", 3, 7, 33)],
+        "source string, doc_id long, n_tokens long, h long",
+    )
+    commit_overwrite(base, store, "source")
+    chg = spark.createDataFrame(
+        [("a", 1, 4, 99), ("a", 9, 2, 44)],  # update doc 1, insert doc 9
+        "source string, doc_id long, n_tokens long, h long",
+    )
+    commit_upsert(spark, store, chg, ["source", "doc_id"])
+
+    fast = version_diff(spark, store, 1, 2)
+    naive = diff_frames(
+        read_version(spark, store, 1), read_version(spark, store, 2)
+    )
+    as_map = lambda df: {r.source: tuple(r)[1:] for r in df.collect()}  # noqa: E731
+    assert as_map(fast) == as_map(naive)
+    # partitions b and c were untouched -> all-unchanged via manifest
+    m = as_map(fast)
+    assert m["b"] == (0, 0, 0, 1, 0, 0) and m["c"] == (0, 0, 0, 1, 0, 0)
+    assert m["a"][:4] == (1, 0, 1, 0)  # doc 9 added, doc 1 changed
+
+    # the fast diff's scan set is exactly the unshared files
+    m1 = _json.load(open(f"{store}/_manifests/v00001.json"))
+    m2 = _json.load(open(f"{store}/_manifests/v00002.json"))
+    shared = {e["file"] for e in m1["files"]} & {e["file"] for e in m2["files"]}
+    unshared = (
+        {e["file"] for e in m1["files"]} | {e["file"] for e in m2["files"]}
+    ) - shared
+    scanned = {f.rsplit("/", 1)[-1] for f in fast.inputFiles()}
+    assert scanned == unshared
+    assert shared  # and there genuinely was something to skip
+
+
+def test_compact_version_shrinks_files_preserving_contents(spark, tmp_path):
+    from engine.versioned_store import (
+        commit_overwrite,
+        compact_version,
+        read_version,
+        versions,
+    )
+
+    store = str(tmp_path / "vstore_cmp")
+    df = spark.range(2000).selectExpr(
+        "concat('p', id % 3) as part", "id as k", "md5(cast(id as string)) as v"
+    )
+    # a deliberately fragmented first commit (many tasks -> many files)
+    commit_overwrite(df.repartition(16), store, "part")
+    import json as _json
+
+    m1 = _json.load(open(f"{store}/_manifests/v00001.json"))
+    v2 = compact_version(spark, store)
+    m2 = _json.load(open(f"{store}/_manifests/v00002.json"))
+    assert len(m2["files"]) < len(m1["files"])
+    assert m2["compacted_from"] == 1
+    got = lambda v: sorted(  # noqa: E731
+        tuple(r) for r in read_version(spark, store, v).collect()
+    )
+    assert got(1) == got(2)  # identical contents, fewer files
+    assert versions(store) == [1, 2]
