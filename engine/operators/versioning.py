@@ -642,20 +642,13 @@ def _tt_oracle() -> str:
     return _TT_ORACLE.format(is_new=_IS_NEW_DUCK, row_h=_ROW_H_DUCK)
 
 
-@query(
-    "corpus_time_travel",
-    oracle=_tt_oracle(),
-    tags=("pipeline", "versioning", "sink", "time-travel", "documents"),
-)
-def corpus_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Versioned-store lifecycle with time travel (section comment):
-    commit base as v1, upsert the gated arrivals as v2 (copy-on-write —
-    only touched partitions get new files), then read BOTH pinned
-    versions through their manifests and return per (version, source)
-    the doc count and xor'd h60 corpus hash. v1's summary is computed
-    AFTER v2 landed, so a match on both versions proves old snapshots
-    survive new commits. Store is recreated per run (deterministic
-    version numbers); side-effecting by design."""
+def _build_tt_store(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, int, int]:
+    """(Re)build the two-version demonstration store: base as v1, the
+    exact-gated arrival winners upserted as v2. Recreated from scratch
+    so version numbers — and every query over them — are deterministic.
+    Shared by corpus_time_travel and store_version_diff."""
     from pyspark.sql import Window as W
 
     from engine.operators.corpus_build import _IS_NEW_SPARK, corpus_out_dir
@@ -689,7 +682,26 @@ def corpus_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id", "n_tokens", "content_hash", "h"
     )
     v2 = commit_upsert(spark, store, changeset, ["source", "doc_id"])
+    return store, v1, v2
 
+
+@query(
+    "corpus_time_travel",
+    oracle=_tt_oracle(),
+    tags=("pipeline", "versioning", "sink", "time-travel", "documents"),
+)
+def corpus_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-store lifecycle with time travel (section comment):
+    commit base as v1, upsert the gated arrivals as v2 (copy-on-write —
+    only touched partitions get new files), then read BOTH pinned
+    versions through their manifests and return per (version, source)
+    the doc count and xor'd h60 corpus hash. v1's summary is computed
+    AFTER v2 landed, so a match on both versions proves old snapshots
+    survive new commits. Store is recreated per run (deterministic
+    version numbers); side-effecting by design."""
+    from engine.versioned_store import read_version
+
+    store, v1, v2 = _build_tt_store(spark, sf_dir)
     out: DataFrame | None = None
     for v in (v1, v2):
         s = (
@@ -708,3 +720,78 @@ def corpus_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = s if out is None else out.unionByName(s)
     return out
+
+
+# The manifest-aware diff, oracle-pinned: over the two-version store,
+# v1→v2 is pure addition (the upsert appends gate winners; no key is
+# updated or removed), so the oracle states it directly — added =
+# winners per source, unchanged = base count, tok_delta = winners'
+# token sum, diff_h = xor over the added rows. The Spark side computes
+# it through version_diff, whose scan reads ONLY unshared files and
+# back-fills shared-file rows from manifest metadata — a hash match
+# here pins the skip-shared-files shortcut itself, not just the diff
+# arithmetic.
+
+_SVD_ORACLE = """
+WITH lab AS (
+  SELECT source, doc_id, text, ({is_new}) AS is_new FROM documents
+),
+base AS (SELECT source, doc_id, text FROM lab WHERE NOT is_new),
+bh AS (SELECT DISTINCT sha256(text) AS ch FROM base),
+arr AS (
+  SELECT source, doc_id, text, sha256(text) AS ch FROM lab WHERE is_new
+),
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY ch ORDER BY doc_id) AS rn
+  FROM arr
+),
+keep AS (
+  SELECT source, doc_id, text FROM win
+  WHERE rn = 1 AND ch NOT IN (SELECT ch FROM bh)
+),
+k AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_added,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_delta,
+         CAST(bit_xor({added_h}) AS BIGINT) AS diff_h
+  FROM keep GROUP BY source
+),
+b AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_unchanged
+  FROM base GROUP BY source
+)
+SELECT COALESCE(b.source, k.source) AS source,
+       CAST(COALESCE(k.n_added, 0) AS BIGINT) AS n_added,
+       CAST(0 AS BIGINT) AS n_removed,
+       CAST(0 AS BIGINT) AS n_changed,
+       CAST(COALESCE(b.n_unchanged, 0) AS BIGINT) AS n_unchanged,
+       CAST(COALESCE(k.tok_delta, 0) AS BIGINT) AS tok_delta,
+       CAST(COALESCE(k.diff_h, 0) AS BIGINT) AS diff_h
+FROM b FULL JOIN k ON b.source = k.source
+"""
+
+
+def _svd_oracle() -> str:
+    from engine.operators.corpus_build import _IS_NEW_DUCK
+
+    added_h = DUCK_H60.format(
+        x="'diff:added:' || CAST(doc_id AS VARCHAR)"
+    )
+    return _SVD_ORACLE.format(is_new=_IS_NEW_DUCK, added_h=added_h)
+
+
+@query(
+    "store_version_diff",
+    oracle=_svd_oracle(),
+    tags=("pipeline", "versioning", "time-travel", "documents"),
+)
+def store_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest-aware diff over the two-version store (section
+    comment): rebuild the store, then diff v1 against v2 reading ONLY
+    the files the versions do not share (untouched partitions are
+    counted as unchanged from manifest row counts alone). The oracle
+    states the upsert's ground truth relationally, so the driver hash
+    pins the file-skipping shortcut end to end."""
+    from engine.versioned_store import version_diff
+
+    store, v1, v2 = _build_tt_store(spark, sf_dir)
+    return version_diff(spark, store, v1, v2)
