@@ -131,16 +131,29 @@ def cmd_vstore(args: argparse.Namespace) -> int:
 
     if args.action == "versions":
         cur = vs.current_version(args.store)
+        seen: set[str] = set()
         for v in vs.versions(args.store):
             man = vs._read_manifest(args.store, v)
             rows = sum(e["n_rows"] for e in man["files"])
+            size = sum(e.get("bytes", 0) for e in man["files"])
+            # bytes this version added beyond what older versions
+            # already store — the copy-on-write dividend, made visible
+            new_b = sum(
+                e.get("bytes", 0)
+                for e in man["files"]
+                if e["file"] not in seen
+            )
+            seen |= {e["file"] for e in man["files"]}
             mark = " (current)" if v == cur else ""
             rb = (
                 f" rolled_back_from=v{man['rolled_back_from']}"
                 if "rolled_back_from" in man
                 else ""
             )
-            print(f"v{v:05d}: {len(man['files'])} files, {rows} rows{rb}{mark}")
+            print(
+                f"v{v:05d}: {len(man['files'])} files, {rows} rows,"
+                f" {size / 1e6:.2f} MB ({new_b / 1e6:.2f} MB new){rb}{mark}"
+            )
         return 0
     if args.action == "read":
         df = vs.read_version(_spark(), args.store, args.version)

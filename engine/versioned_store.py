@@ -146,9 +146,15 @@ def _stage_files(
                 name = f"v{version:05d}-{uuid.uuid4().hex[:8]}-{i:04d}.parquet"
                 src = os.path.join(full, part)
                 n_rows = counts.get(os.path.join(part_dir, part), 0)
+                n_bytes = os.path.getsize(src)
                 os.rename(src, os.path.join(store, _DATA, name))
                 entries.append(
-                    {"file": name, "partition": pval, "n_rows": n_rows}
+                    {
+                        "file": name,
+                        "partition": pval,
+                        "n_rows": n_rows,
+                        "bytes": n_bytes,
+                    }
                 )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
