@@ -208,7 +208,11 @@ def commit_upsert(
             key_cols,
             "left_anti",
         )
-        merged = survivors.unionByName(changeset.select(*base.columns))
+        # allowMissingColumns = additive schema evolution: a changeset
+        # introducing a new column null-fills the survivors (and a
+        # changeset missing an old column null-fills itself) instead of
+        # silently dropping the evolution
+        merged = survivors.unionByName(changeset, allowMissingColumns=True)
     new_entries = _stage_files(merged, store, version, pcol)
     _write_manifest_and_current(
         store,
@@ -247,7 +251,16 @@ def read_version(
     out: DataFrame | None = None
     for pval, paths in sorted(by_part.items()):
         part_df = spark.read.parquet(*paths).withColumn(pcol, F.lit(pval))
-        out = part_df if out is None else out.unionByName(part_df)
+        # allowMissingColumns: after an additive schema evolution, a
+        # version legitimately mixes evolved rewritten partitions with
+        # carried-forward old-schema partitions — old rows read as null
+        # in the new column (one partition's own files are always
+        # homogeneous: upsert rewrites whole partitions)
+        out = (
+            part_df
+            if out is None
+            else out.unionByName(part_df, allowMissingColumns=True)
+        )
     if out is None:
         raise ValueError(
             f"version {version} has no files"
@@ -313,7 +326,11 @@ def _entries_df(
     out: DataFrame | None = None
     for pval, paths in sorted(by_part.items()):
         part_df = spark.read.parquet(*paths).withColumn(pcol, F.lit(pval))
-        out = part_df if out is None else out.unionByName(part_df)
+        out = (
+            part_df
+            if out is None
+            else out.unionByName(part_df, allowMissingColumns=True)
+        )
     return out
 
 

@@ -475,3 +475,38 @@ def test_compact_version_shrinks_files_preserving_contents(spark, tmp_path):
     )
     assert got(1) == got(2)  # identical contents, fewer files
     assert versions(store) == [1, 2]
+
+
+def test_versioned_store_additive_schema_evolution(spark, tmp_path):
+    """A changeset introducing a new column must evolve the touched
+    partitions (survivors null-filled), leave untouched partitions'
+    files alone (their rows read as null in the new column), and keep
+    the old version's schema old."""
+    from engine.versioned_store import (
+        commit_overwrite,
+        commit_upsert,
+        read_version,
+    )
+
+    store = str(tmp_path / "vstore_evo")
+    v1_df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y"), ("b", 3, "z")],
+        "part string, k long, v string",
+    )
+    commit_overwrite(v1_df, store, "part")
+    chg = spark.createDataFrame(
+        [("a", 1, "x2", 0.9)], "part string, k long, v string, score double"
+    )
+    v2 = commit_upsert(spark, store, chg, ["part", "k"])
+
+    got = {
+        r.k: (r.v, r.score, r.part)
+        for r in read_version(spark, store, v2).collect()
+    }
+    assert got == {
+        1: ("x2", 0.9, "a"),   # upserted, evolved
+        2: ("y", None, "a"),   # survivor in the rewritten partition
+        3: ("z", None, "b"),   # carried-forward old-schema partition
+    }
+    # time travel keeps the OLD schema old
+    assert "score" not in read_version(spark, store, 1).columns
