@@ -75,6 +75,28 @@ MORTON_DUCK = (
 )
 
 
+def morton_n_expr(grid_cols: list[str], bits: int | None = None) -> str:
+    """N-dimensional Morton interleave as one Spark fold: bit i of
+    dimension d lands at position i*N + d. With N dims the per-dim
+    resolution drops to 63 // N bits so the value stays inside a signed
+    int64 (2 dims → 16-bit grids as above; 3 dims → up to 21 bits).
+    Pass already-gridded non-negative columns."""
+    n = len(grid_cols)
+    if n < 2:
+        raise ValueError("morton interleave needs >= 2 dimensions")
+    bits = bits if bits is not None else 63 // n
+    if bits * n > 63:
+        raise ValueError(f"{bits} bits x {n} dims overflows int64")
+    terms = " + ".join(
+        f"shiftleft(shiftright({c}, i) & 1, {n}*i + {d})"
+        for d, c in enumerate(grid_cols)
+    )
+    return (
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint),"
+        f" (acc, i) -> acc + {terms})"
+    )
+
+
 def with_zorder(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     """Append grid coordinates (gx, gy) and the Morton z-value for two
     integer columns. Bounds come from a 1-row min/max aggregate

@@ -101,3 +101,36 @@ def test_written_files_skip_on_both_dimensions(spark, tmp_path):
     xhi = xmin + (xmax - xmin) * 4 // 8
     zx_hit, zx_tot = _rowgroup_hits(zpath, "l_orderkey", xlo, xhi)
     assert zx_hit < zx_tot
+
+
+def test_morton_n_dims_matches_reference_interleave(spark):
+    """The N-dim fold must place bit i of dim d at position i*N+d, and
+    a 3-dim z-sort must cluster all three dimensions (each dim's
+    neighborhood shrinks vs a random order)."""
+    from engine.operators.layout import morton_n_expr
+
+    def ref_z(vals, bits):
+        z = 0
+        for i in range(bits):
+            for d, v in enumerate(vals):
+                z |= ((v >> i) & 1) << (i * len(vals) + d)
+        return z
+
+    df = spark.createDataFrame(
+        [(1, 2, 3), (7, 0, 5), (2**21 - 1, 2**21 - 1, 2**21 - 1), (0, 0, 0)],
+        "a long, b long, c long",
+    )
+    rows = df.withColumn(
+        "z", F.expr(morton_n_expr(["a", "b", "c"])).cast("bigint")
+    ).collect()
+    for r in rows:
+        assert r.z == ref_z((r.a, r.b, r.c), 21), r
+    # 63-bit safety: the all-max corner is the largest 63-bit value
+    assert max(r.z for r in rows) == (1 << 63) - 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        morton_n_expr(["a"])
+    with _pytest.raises(ValueError):
+        morton_n_expr(["a", "b", "c"], bits=22)
