@@ -795,3 +795,171 @@ def store_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store, v1, v2 = _build_tt_store(spark, sf_dir)
     return version_diff(spark, store, v1, v2)
+
+
+# -- streaming ingestion into the versioned store ------------------------------
+#
+# The round's two production themes composed: `streaming_refresh_upsert`
+# proves stream micro-batches can feed a MUTATING store;
+# `corpus_time_travel` proves the store can keep every version
+# readable. This operator runs both at once — an append-only versioned
+# lake fed by a stream: the base corpus commits as v1, then each
+# file-source trigger's foreachBatch gates its documents against the
+# CURRENT version's content hashes and commits the survivors as a NEW
+# version (v2, v3). The result reads ALL THREE versions through their
+# manifests afterward, so the driver hash simultaneously pins (a) the
+# per-trigger gate, (b) the copy-on-write upsert, and (c) that earlier
+# versions remain intact while the stream keeps committing — the
+# queryable-history property a training-data lake actually needs
+# ("which corpus version did run X train on?").
+#
+# Determinism: triggers always commit (an empty survivor set commits a
+# version that carries every file forward), so version numbers — and
+# the oracle's per-version replay — are fixed. 100 TB shape: per
+# trigger, one narrow hash-column scan of the current version + a
+# touched-partition rewrite; history costs manifests, not data copies.
+
+_SVI_ORACLE = """
+WITH lab AS (
+  SELECT source, doc_id, text, ({is_new}) AS is_new,
+         {batch_no} AS batch_no
+  FROM documents
+),
+base AS (SELECT source, doc_id, text FROM lab WHERE NOT is_new),
+bh AS (SELECT DISTINCT sha256(text) AS ch FROM base),
+arr AS (
+  SELECT source, doc_id, text, batch_no, sha256(text) AS ch
+  FROM lab WHERE is_new
+),
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY ch ORDER BY batch_no, doc_id)
+           AS rn
+  FROM arr
+),
+keep AS (
+  SELECT source, doc_id, text, batch_no FROM win
+  WHERE rn = 1 AND ch NOT IN (SELECT ch FROM bh)
+),
+u AS (
+  SELECT CAST(1 AS BIGINT) AS version, source, doc_id, text FROM base
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), source, doc_id, text FROM base
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), source, doc_id, text FROM keep WHERE batch_no = 0
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), source, doc_id, text FROM base
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), source, doc_id, text FROM keep
+)
+SELECT version, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(bit_xor({row_h}) AS BIGINT) AS corpus_h
+FROM u GROUP BY version, source
+"""
+
+
+def _svi_oracle() -> str:
+    from engine.operators.corpus_build import _IS_NEW_DUCK, _ROW_H_DUCK
+
+    return _SVI_ORACLE.format(
+        is_new=_IS_NEW_DUCK, batch_no=_BATCH_NO_DUCK, row_h=_ROW_H_DUCK
+    )
+
+
+@query(
+    "streaming_versioned_ingest",
+    oracle=_svi_oracle(),
+    tags=("streaming", "versioning", "sink", "time-travel", "documents"),
+)
+def streaming_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream → versioned lake (section comment): base commits as v1,
+    each of two file-source triggers gates its micro-batch against the
+    CURRENT version and commits survivors as v2 then v3; afterwards all
+    three versions are read back through their manifests and
+    summarized per (version, source) — doc count and xor'd h60 hash.
+    The oracle replays each version relationally (first-batch-wins
+    winner rule), so one hash match pins the gate, the copy-on-write
+    commits, and intact history together. Side-effecting; store
+    recreated per run for deterministic version numbers."""
+    from pyspark.sql import Window as W
+
+    from engine.operators.corpus_build import _IS_NEW_SPARK, corpus_out_dir
+    from engine.versioned_store import (
+        commit_overwrite,
+        commit_upsert,
+        current_version,
+        read_version,
+    )
+
+    store = corpus_out_dir(sf_dir) + "_vingest"
+    shutil.rmtree(store, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text"
+    )
+    is_new = F.expr(_IS_NEW_SPARK)
+    commit_overwrite(_corpus_store_rows(docs.filter(~is_new)), store, "source")
+
+    arrivals = docs.filter(is_new).withColumn(
+        "batch_no", F.expr(_BATCH_NO_SPARK).cast("bigint")
+    )
+    schema = docs.schema
+
+    def gate_and_commit(batch_df: DataFrame, _batch_id: int) -> None:
+        rows = _corpus_store_rows(batch_df)
+        w = W.partitionBy("content_hash").orderBy("doc_id")
+        winners = (
+            rows.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        stored = (
+            read_version(spark, store, current_version(store))
+            .select("content_hash")
+            .distinct()
+        )
+        survivors = winners.join(stored, "content_hash", "left_anti").select(
+            "source", "doc_id", "n_tokens", "content_hash", "h"
+        )
+        commit_upsert(spark, store, survivors, ["source", "doc_id"])
+
+    land = tempfile.mkdtemp(prefix="vingest-land-")
+    ckpt = tempfile.mkdtemp(prefix="vingest-ckpt-")
+    try:
+        for i in (0, 1):
+            _land_batch(
+                arrivals.filter(F.col("batch_no") == i).drop("batch_no"),
+                land,
+                f"b{i}.parquet",
+            )
+            q = (
+                spark.readStream.schema(schema)
+                .parquet(land)
+                .writeStream.foreachBatch(gate_and_commit)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    out: DataFrame | None = None
+    for v in (1, 2, 3):
+        s = (
+            read_version(spark, store, v)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.expr("bit_xor(h)").cast("bigint").alias("corpus_h"),
+            )
+            .select(
+                F.lit(v).cast("bigint").alias("version"),
+                "source",
+                "n_docs",
+                "corpus_h",
+            )
+        )
+        out = s if out is None else out.unionByName(s)
+    return out

@@ -510,3 +510,37 @@ def test_versioned_store_additive_schema_evolution(spark, tmp_path):
     }
     # time travel keeps the OLD schema old
     assert "score" not in read_version(spark, store, 1).columns
+
+
+def test_streaming_versioned_ingest_keeps_history_readable(
+    spark, tmp_path, monkeypatch
+):
+    """Each trigger must commit a NEW version (v1..v3 retained), doc
+    counts must be monotonic (append-only ingest), v1 must equal the
+    base slice AFTER both commits, and the version column must pin
+    each snapshot distinctly."""
+    from engine.operators.versioning import streaming_versioned_ingest
+    from engine.versioned_store import versions
+
+    monkeypatch.setenv("SPARK_GRAFT_CORPUS_OUT", str(tmp_path / "corpus"))
+    rows = streaming_versioned_ingest(spark, SF_SMOKE).collect()
+    by_v = {}
+    for r in rows:
+        by_v.setdefault(r.version, {})[r.source] = (r.n_docs, r.corpus_h)
+    assert set(by_v) == {1, 2, 3}
+    store = str(
+        tmp_path / "corpus" / (os.path.basename(SF_SMOKE.rstrip("/")) + "_vingest")
+    )
+    assert versions(store) == [1, 2, 3]
+    tot = {v: sum(n for n, _ in d.values()) for v, d in by_v.items()}
+    assert tot[1] < tot[2] <= tot[3]  # monotone append-only ingest
+    # v1 equals the base slice, verified from raw by DuckDB
+    import duckdb as _duck
+
+    from engine.operators.corpus_build import _IS_NEW_DUCK
+
+    n_base = _duck.connect().execute(
+        f"""SELECT count(*) FROM read_parquet('{SF_SMOKE}/documents.parquet')
+            WHERE NOT ({_IS_NEW_DUCK})"""
+    ).fetchone()[0]
+    assert tot[1] == n_base
