@@ -289,3 +289,206 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("rows_hit", zero).alias("rows_hit"),
         )
     )
+
+
+# -- three-dimensional z-order audit -------------------------------------------
+#
+# Real fact tables carry more than two query dimensions (time x entity
+# x category). The N-dim fold (morton_n_expr) covers them; this audit
+# proves the payoff on three: lineitem gridded on (l_orderkey,
+# l_partkey, l_suppkey) at 8 bits each, 64 simulated files, and a
+# 12-probe workload of single-dimension range scans (4 per dimension).
+# A single-key layout serves only its own dimension's probes; the
+# 3-dim z-order serves all three (each file is a ~4x4x4 cube of the
+# key space, so a narrow slab on ANY dimension overlaps one 16-file
+# layer instead of everything). Same oracle discipline as the 2-dim
+# audit: pure relational arithmetic, bit-replayed by DuckDB.
+
+GRID3_BITS = 8
+GRID3 = 1 << GRID3_BITS
+_P3_W = GRID3 // 16
+_P3_STRIDE = GRID3 // 4
+N3_PROBES = 12
+
+MORTON3_DUCK = (
+    f"CAST(list_sum(list_transform(range(0, {GRID3_BITS}),"
+    " i -> (((gx >> i) & 1) << (3*i)) + (((gy >> i) & 1) << (3*i+1))"
+    " + (((gz >> i) & 1) << (3*i+2)))) AS BIGINT)"
+)
+
+
+def _probe3_bounds(dim: int, which: str) -> str:
+    """CASE expression for probe bound ``which`` ('lo'/'hi') of grid
+    dimension ``dim`` — narrow when the probe targets this dimension,
+    full range otherwise. Shared text for both engines."""
+    lo = f"(i % 4) * {_P3_STRIDE}"
+    hi = f"(i % 4) * {_P3_STRIDE} + {_P3_W - 1}"
+    if which == "lo":
+        return f"CASE WHEN i // 4 = {dim} THEN {lo} ELSE 0 END"
+    return f"CASE WHEN i // 4 = {dim} THEN {hi} ELSE {GRID3 - 1} END"
+
+
+_SKIP3_ORACLE = f"""
+WITH bounds AS (
+  SELECT CAST(min(l_orderkey) AS BIGINT) AS minx,
+         CAST(max(l_orderkey) AS BIGINT) AS maxx,
+         CAST(min(l_partkey) AS BIGINT) AS miny,
+         CAST(max(l_partkey) AS BIGINT) AS maxy,
+         CAST(min(l_suppkey) AS BIGINT) AS minz,
+         CAST(max(l_suppkey) AS BIGINT) AS maxz
+  FROM lineitem
+),
+g AS (
+  SELECT
+    CAST((((l_orderkey - minx) * {GRID3}) // ((maxx - minx) + 1)) AS BIGINT) AS gx,
+    CAST((((l_partkey - miny) * {GRID3}) // ((maxy - miny) + 1)) AS BIGINT) AS gy,
+    CAST((((l_suppkey - minz) * {GRID3}) // ((maxz - minz) + 1)) AS BIGINT) AS gz
+  FROM lineitem CROSS JOIN bounds
+),
+zed AS (SELECT gx, gy, gz, {MORTON3_DUCK} AS z FROM g),
+assigned AS (
+  SELECT gx, gy, gz, layout,
+         CASE layout
+           WHEN 'linear' THEN (gx * {N_FILES}) // {GRID3}
+           ELSE (z * {N_FILES}) // {1 << (3 * GRID3_BITS)}
+         END AS file_id
+  FROM zed CROSS JOIN (VALUES ('linear'), ('zorder3')) l(layout)
+),
+fstats AS (
+  SELECT layout, file_id,
+         CAST(min(gx) AS BIGINT) AS fx_lo, CAST(max(gx) AS BIGINT) AS fx_hi,
+         CAST(min(gy) AS BIGINT) AS fy_lo, CAST(max(gy) AS BIGINT) AS fy_hi,
+         CAST(min(gz) AS BIGINT) AS fz_lo, CAST(max(gz) AS BIGINT) AS fz_hi,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM assigned GROUP BY layout, file_id
+),
+probes AS (
+  SELECT CAST(i AS BIGINT) AS probe_id,
+         CAST({_probe3_bounds(0, 'lo')} AS BIGINT) AS xlo,
+         CAST({_probe3_bounds(0, 'hi')} AS BIGINT) AS xhi,
+         CAST({_probe3_bounds(1, 'lo')} AS BIGINT) AS ylo,
+         CAST({_probe3_bounds(1, 'hi')} AS BIGINT) AS yhi,
+         CAST({_probe3_bounds(2, 'lo')} AS BIGINT) AS zlo,
+         CAST({_probe3_bounds(2, 'hi')} AS BIGINT) AS zhi
+  FROM range(0, {N3_PROBES}) r(i)
+),
+hits AS (
+  SELECT f.layout,
+         CAST(count(*) AS BIGINT) AS files_hit,
+         CAST(sum(f.n_rows) AS BIGINT) AS rows_hit
+  FROM fstats f JOIN probes p
+    ON f.fx_lo <= p.xhi AND f.fx_hi >= p.xlo
+   AND f.fy_lo <= p.yhi AND f.fy_hi >= p.ylo
+   AND f.fz_lo <= p.zhi AND f.fz_hi >= p.zlo
+  GROUP BY f.layout
+)
+SELECT s.layout,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(s.n_rows) AS BIGINT) AS n_rows,
+       COALESCE(any_value(h.files_hit), 0) AS files_hit,
+       COALESCE(any_value(h.rows_hit), 0) AS rows_hit
+FROM fstats s LEFT JOIN hits h ON h.layout = s.layout
+GROUP BY s.layout
+"""
+
+
+@query(
+    "layout_zorder3_skipping",
+    oracle=_SKIP3_ORACLE,
+    tags=("layout", "scale", "lineitem", "zorder"),
+)
+def layout_zorder3_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-dimensional skipping audit (section comment): grid
+    lineitem's (l_orderkey, l_partkey, l_suppkey) to 8 bits each,
+    interleave with the N-dim Morton fold, assign rows to 64 simulated
+    files under single-key vs 3-dim z-order layouts, and count file/row
+    hits for 12 single-dimension range probes (4 per dimension). The
+    z-order column serves ALL dimensions' probes; the single-key layout
+    serves only its own."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    bounds = li.agg(
+        F.min("l_orderkey").cast("bigint").alias("minx"),
+        F.max("l_orderkey").cast("bigint").alias("maxx"),
+        F.min("l_partkey").cast("bigint").alias("miny"),
+        F.max("l_partkey").cast("bigint").alias("maxy"),
+        F.min("l_suppkey").cast("bigint").alias("minz"),
+        F.max("l_suppkey").cast("bigint").alias("maxz"),
+    )
+    gexpr = lambda c, lo, hi: (  # noqa: E731
+        f"cast((({c} - {lo}) * {GRID3}) DIV (({hi} - {lo}) + 1) as bigint)"
+    )
+    zed = (
+        li.crossJoin(F.broadcast(bounds))  # 1-row bounds broadcast
+        .selectExpr(
+            gexpr("l_orderkey", "minx", "maxx") + " as gx",
+            gexpr("l_partkey", "miny", "maxy") + " as gy",
+            gexpr("l_suppkey", "minz", "maxz") + " as gz",
+        )
+        .withColumn(
+            "z",
+            F.expr(morton_n_expr(["gx", "gy", "gz"], GRID3_BITS)).cast(
+                "bigint"
+            ),
+        )
+    )
+    assigned = zed.select(
+        "gx",
+        "gy",
+        "gz",
+        F.expr(
+            f"stack(2, 'linear', (gx * {N_FILES}) DIV {GRID3},"
+            f" 'zorder3', (z * {N_FILES}) DIV {1 << (3 * GRID3_BITS)})"
+        ).alias("layout", "file_id"),
+    )
+    fstats = assigned.groupBy("layout", "file_id").agg(
+        F.min("gx").cast("bigint").alias("fx_lo"),
+        F.max("gx").cast("bigint").alias("fx_hi"),
+        F.min("gy").cast("bigint").alias("fy_lo"),
+        F.max("gy").cast("bigint").alias("fy_hi"),
+        F.min("gz").cast("bigint").alias("fz_lo"),
+        F.max("gz").cast("bigint").alias("fz_hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    probes = spark.range(N3_PROBES).selectExpr(
+        "cast(id as bigint) as probe_id",
+        *(
+            f"cast({_probe3_bounds(d, w).replace('i //', 'id DIV').replace('(i %', '(id %')}"
+            f" as bigint) as {axis}{w}"
+            for d, axis in ((0, "x"), (1, "y"), (2, "z"))
+            for w in ("lo", "hi")
+        ),
+    )
+    hits = (
+        fstats.join(
+            F.broadcast(probes),  # 12-row probe workload broadcast
+            (F.col("fx_lo") <= F.col("xhi"))
+            & (F.col("fx_hi") >= F.col("xlo"))
+            & (F.col("fy_lo") <= F.col("yhi"))
+            & (F.col("fy_hi") >= F.col("ylo"))
+            & (F.col("fz_lo") <= F.col("zhi"))
+            & (F.col("fz_hi") >= F.col("zlo")),
+        )
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("files_hit"),
+            F.sum("n_rows").cast("bigint").alias("rows_hit"),
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        fstats.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+        )
+        .join(hits, "layout", "left")
+        .select(
+            "layout",
+            "n_files",
+            "n_rows",
+            F.coalesce("files_hit", zero).alias("files_hit"),
+            F.coalesce("rows_hit", zero).alias("rows_hit"),
+        )
+    )

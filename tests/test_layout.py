@@ -134,3 +134,19 @@ def test_morton_n_dims_matches_reference_interleave(spark):
         morton_n_expr(["a"])
     with _pytest.raises(ValueError):
         morton_n_expr(["a", "b", "c"], bits=22)
+
+
+def test_three_dim_audit_serves_all_dimensions(spark):
+    from engine.operators.layout import layout_zorder3_skipping
+
+    got = {
+        r.layout: r
+        for r in layout_zorder3_skipping(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == {"linear", "zorder3"}
+    lin, zo = got["linear"], got["zorder3"]
+    assert lin.n_rows == zo.n_rows
+    # 12 single-dimension probes: the single-key layout answers only
+    # its own dimension's 4; the 3-dim z-order answers all 12
+    assert zo.files_hit < lin.files_hit
+    assert zo.rows_hit < lin.rows_hit

@@ -78,10 +78,12 @@ NESTED_LOOP_OK = {
     "grains_distribution_stats",  # stats/histogram/incr-cutoff 1-row broadcasts
     "scalar_setops_facets",  # minmax_by 1-row argmax broadcast
     "bpe_pipeline",  # bpe 1-row argmax merge-pair broadcasts
-    # round-7 layout audit: 1-row grid-bounds broadcast + the 16-row
-    # probe-workload broadcast against the |layouts|x|files| (=128 row)
-    # file-stats table — every side bounded by constants at any scale
+    # round-7 layout audits: 1-row grid-bounds broadcast + the 16-row
+    # (12-row for 3-dim) probe-workload broadcast against the
+    # |layouts|x|files| (=128 row) file-stats table — every side
+    # bounded by constants at any scale
     "layout_zorder_skipping",
+    "layout_zorder3_skipping",
     "q10_q22_customer_value",  # q22 1-row scalar avg broadcast
     "corpus_mining",  # heavy-hitters/collocations 1-row total broadcasts
     "recsys_paths",  # rerank query broadcast + 3-row pattern set
