@@ -435,3 +435,53 @@ def compact_version(
          "compacted_from": prev_v},
     )
     return version
+
+
+def commit_delete(
+    spark: SparkSession,
+    store: str,
+    keys: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """Copy-on-write DELETE as the next version: partitions holding a
+    doomed key are rewritten WITHOUT those rows; untouched partitions'
+    entries carry forward; a partition whose every row is deleted
+    disappears from the new manifest. ``keys`` must carry the
+    partition column (targeted deletion at 100 TB starts from the
+    partition, never a table scan).
+
+    Retention caveat, stated not hidden: older RETAINED versions still
+    contain the deleted rows — that is what time travel means. A
+    right-to-be-forgotten purge is therefore commit_delete followed by
+    ``vacuum`` down to versions at or after the delete; copy-on-write
+    makes this precise, because the only files that ever held the key
+    are the rewritten partitions' OLD files, which vacuum removes
+    (untouched partitions' shared files never contained it)."""
+    prev_v = current_version(store)
+    prev = _read_manifest(store, prev_v)
+    pcol = prev["partition_col"]
+    touched = {str(r[pcol]) for r in keys.select(pcol).distinct().collect()}
+    keep = [e for e in prev["files"] if e["partition"] not in touched]
+    old_touched = [e for e in prev["files"] if e["partition"] in touched]
+    version = prev_v + 1
+    new_entries: list[dict] = []
+    if old_touched:
+        base = read_version(
+            spark, store, prev_v, partition_values=sorted(touched)
+        )
+        survivors = base.join(
+            F.broadcast(keys.select(*key_cols).distinct()),
+            key_cols,
+            "left_anti",
+        )
+        new_entries = _stage_files(survivors, store, version, pcol)
+    _write_manifest_and_current(
+        store,
+        {
+            "version": version,
+            "partition_col": pcol,
+            "files": keep + new_entries,
+            "deleted_keys": int(keys.count()),
+        },
+    )
+    return version

@@ -544,3 +544,47 @@ def test_streaming_versioned_ingest_keeps_history_readable(
             WHERE NOT ({_IS_NEW_DUCK})"""
     ).fetchone()[0]
     assert tot[1] == n_base
+
+
+def test_commit_delete_and_purge_forget_a_key_on_disk(spark, tmp_path):
+    """Copy-on-write delete: the new version lacks the key, time travel
+    still sees it, and delete + vacuum PURGES it from disk entirely
+    (an independent engine over every remaining data file finds no
+    trace) while untouched partitions' shared files survive."""
+    import duckdb as _duck
+    import glob as _glob
+    import json as _json
+
+    from engine.versioned_store import (
+        commit_delete,
+        commit_overwrite,
+        read_version,
+        vacuum,
+    )
+
+    store = str(tmp_path / "vstore_del")
+    df = spark.createDataFrame(
+        [("a", 1, "keepme"), ("a", 2, "FORGET"), ("b", 3, "other")],
+        "part string, k long, v string",
+    )
+    commit_overwrite(df, store, "part")
+    doomed = spark.createDataFrame([("a", 2)], "part string, k long")
+    v2 = commit_delete(spark, store, doomed, ["part", "k"])
+
+    assert sorted(r.k for r in read_version(spark, store, v2).collect()) == [1, 3]
+    assert sorted(r.k for r in read_version(spark, store, 1).collect()) == [1, 2, 3]
+    m2 = _json.load(open(f"{store}/_manifests/v00002.json"))
+    assert m2["deleted_keys"] == 1
+
+    # purge: drop v1; the only files that ever held k=2 go with it
+    b_files_before = {
+        e["file"] for e in m2["files"] if e["partition"] == "b"
+    }
+    vacuum(store, keep_latest=1)
+    remaining = _glob.glob(f"{store}/data/*.parquet")
+    assert {f.rsplit("/", 1)[-1] for f in remaining} >= b_files_before
+    con = _duck.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet({remaining!r}) WHERE v = 'FORGET'"
+    ).fetchone()[0]
+    assert n == 0  # no trace of the forgotten row anywhere on disk
