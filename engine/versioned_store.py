@@ -22,15 +22,23 @@ copy-on-write at FILE granularity with a manifest per version:
   changed key get new files; the new manifest carries the untouched
   partitions' OLD file entries forward (copy-on-write), so version
   n+1 costs the touched partitions, not the table.
+* ``commit_delete`` — copy-on-write deletion (the GDPR path); with
+  ``vacuum`` it is a PROVABLE purge, because the only files that ever
+  held the key are the rewritten partitions' old files.
 * ``read_version`` — any manifest is a complete, immutable snapshot;
   an optional partition filter prunes FILES from the manifest before
-  Spark ever lists anything.
+  Spark ever lists anything. Additive schema evolution supported:
+  evolved and carried-forward partitions union with null-fill.
+* ``version_diff`` — diff two versions reading only their unshared
+  files; ``compact_version`` — same rows, fewer files; ``rollback`` —
+  zero-copy promotion of an old file set as a new version.
 * ``vacuum`` — deletes data files no retained manifest references
   (the only destructive operation, and it names what it removed).
 
-Single-writer by design (commits race on CURRENT); a real multi-writer
-deployment uses a transactional catalog for exactly this reason —
-documented, not hidden. Manifests list file paths on the driver: at
+Single-writer by design; as a backstop, a version's manifest is
+claimed by atomic hard link, so racing writers cannot both commit the
+same version — the loser raises CommitConflict (a real multi-writer
+deployment still wants a transactional catalog). Manifests list file paths on the driver: at
 100 TB that is O(files) metadata (what Delta holds in its log and
 Iceberg chunks into avro manifests); the data plane — scan, shuffle,
 write — stays fully distributed, and the per-file partition values in
@@ -92,19 +100,37 @@ def _read_manifest(store: str, version: int) -> dict:
         return json.load(f)
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed this version number first — the losing
+    commit must re-read CURRENT and retry on top of the winner."""
+
+
 def _write_manifest_and_current(store: str, manifest: dict) -> None:
-    """Manifest first, CURRENT last, both via tmp + atomic rename — a
-    reader that sees the new CURRENT is guaranteed the manifest (and
-    the immutable files it lists) already exist."""
+    """Manifest first, CURRENT last — a reader that sees the new
+    CURRENT is guaranteed the manifest (and the immutable files it
+    lists) already exist. The manifest is CLAIMED by atomic hard link
+    (os.link fails if the name exists), so two single-writer-rule
+    violators computing the same next version cannot both win: the
+    loser raises CommitConflict instead of silently overwriting the
+    winner's file list — the optimistic-concurrency check real table
+    formats put in their catalog."""
     os.makedirs(_mdir(store), exist_ok=True)
-    for name, payload in (
-        (f"v{manifest['version']:05d}.json", json.dumps(manifest, indent=1)),
-        ("CURRENT", str(manifest["version"])),
-    ):
-        fd, tmp = tempfile.mkstemp(dir=_mdir(store))
-        with os.fdopen(fd, "w", encoding="utf-8") as f:
-            f.write(payload)
-        os.rename(tmp, os.path.join(_mdir(store), name))
+    mpath = _manifest_path(store, manifest["version"])
+    fd, tmp = tempfile.mkstemp(dir=_mdir(store))
+    with os.fdopen(fd, "w", encoding="utf-8") as f:
+        f.write(json.dumps(manifest, indent=1))
+    try:
+        os.link(tmp, mpath)  # atomic claim: fails iff mpath exists
+    except FileExistsError as exc:
+        raise CommitConflict(
+            f"version {manifest['version']} already committed at {mpath}"
+        ) from exc
+    finally:
+        os.unlink(tmp)
+    fd, tmp = tempfile.mkstemp(dir=_mdir(store))
+    with os.fdopen(fd, "w", encoding="utf-8") as f:
+        f.write(str(manifest["version"]))
+    os.rename(tmp, os.path.join(_mdir(store), "CURRENT"))
 
 
 def _stage_files(

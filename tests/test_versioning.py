@@ -588,3 +588,34 @@ def test_commit_delete_and_purge_forget_a_key_on_disk(spark, tmp_path):
         f"SELECT count(*) FROM read_parquet({remaining!r}) WHERE v = 'FORGET'"
     ).fetchone()[0]
     assert n == 0  # no trace of the forgotten row anywhere on disk
+
+
+def test_commit_conflict_on_racing_version_claim(spark, tmp_path):
+    """Two writers computing the same next version: the second manifest
+    claim must raise CommitConflict, and the winner's store stays
+    intact and readable."""
+    import pytest as _pytest
+
+    from engine.versioned_store import (
+        CommitConflict,
+        _manifest_path,
+        _read_manifest,
+        commit_overwrite,
+        read_version,
+    )
+
+    store = str(tmp_path / "vstore_race")
+    df = spark.createDataFrame([("a", 1, "x")], "part string, k long, v string")
+    commit_overwrite(df, store, "part")
+    # simulate the racing winner: v2's manifest already exists
+    import json as _json
+    import shutil as _shutil
+
+    _shutil.copy(_manifest_path(store, 1), _manifest_path(store, 2))
+    with _pytest.raises(CommitConflict):
+        commit_overwrite(df, store, "part")
+    # winner's v2 untouched; v1 still reads
+    assert _read_manifest(store, 2) == {
+        **_read_manifest(store, 1)
+    }
+    assert [r.k for r in read_version(spark, store, 1).collect()] == [1]
