@@ -144,6 +144,16 @@ def _stage_files(
     entries: list[dict] = []
     try:
         df.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+        # An EMPTY df stages no partition directories at all (found by
+        # the hypothesis commit-history model: a delete that empties
+        # every touched partition) — reading the bare staging dir would
+        # raise UNABLE_TO_INFER_SCHEMA, and the correct manifest
+        # contribution is simply no entries.
+        if not any(
+            "=" in d and os.path.isdir(os.path.join(staging, d))
+            for d in os.listdir(staging)
+        ):
+            return []
         spark = df.sparkSession
         # per-file row counts from the footers of the staged write —
         # a |files|-row metadata aggregate, no data re-read

@@ -419,3 +419,81 @@ def test_streaming_hof_minhash_equals_batch_signature(spark, texts):
     )
     got = {r["doc_id"]: list(r["sig_arr"]) for r in got_rows}
     assert got == want, (texts, got, want)
+
+
+# -- versioned store: random commit sequences vs a pure-Python model ---------
+
+_vs_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["upsert", "delete"]),
+        st.lists(  # keys touched by this op: (partition 0..2, k 0..5)
+            st.tuples(
+                st.integers(min_value=0, max_value=2),
+                st.integers(min_value=0, max_value=5),
+            ),
+            min_size=1,
+            max_size=3,
+            unique=True,
+        ),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(ops=_vs_ops)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_versioned_store_replays_any_commit_history(spark, ops, tmp_path_factory):
+    """Model-based check: an arbitrary sequence of upsert/delete
+    commits must leave EVERY retained version equal to a pure-Python
+    dict replay of its prefix — time travel is correct for all
+    histories, not just the hand-written ones."""
+    from engine.versioned_store import (
+        commit_delete,
+        commit_overwrite,
+        commit_upsert,
+        read_version,
+    )
+
+    store = str(tmp_path_factory.mktemp("vstore_prop") / "s")
+    schema = "part string, k long, v string"
+
+    def val(op_idx, p, k):
+        return f"op{op_idx}:p{p}:k{k}"
+
+    base = [(f"p{p}", k, val(0, p, k)) for p in (0, 1) for k in (0, 1)]
+    commit_overwrite(spark.createDataFrame(base, schema), store, "part")
+    model = {(int(pp[1:]), k): v for pp, k, v in base}
+    history = [dict(model)]
+
+    for i, (kind, keys) in enumerate(ops, start=1):
+        rows = [(f"p{p}", k) for p, k in keys]
+        if kind == "upsert":
+            chg = [(pp, k, val(i, int(pp[1:]), k)) for pp, k in rows]
+            commit_upsert(
+                spark, store, spark.createDataFrame(chg, schema), ["part", "k"]
+            )
+            model.update({(int(pp[1:]), k): v for pp, k, v in chg})
+        else:
+            commit_delete(
+                spark,
+                store,
+                spark.createDataFrame(rows, "part string, k long"),
+                ["part", "k"],
+            )
+            for pp, k in rows:
+                model.pop((int(pp[1:]), k), None)
+        history.append(dict(model))
+
+    for v, snap in enumerate(history, start=1):
+        if not snap:
+            continue  # read_version raises on an all-deleted version
+        got = {
+            (int(r.part[1:]), r.k): r.v
+            for r in read_version(spark, store, v).collect()
+        }
+        assert got == snap, (v, got, snap)
