@@ -497,3 +497,65 @@ def test_versioned_store_replays_any_commit_history(spark, ops, tmp_path_factory
             for r in read_version(spark, store, v).collect()
         }
         assert got == snap, (v, got, snap)
+
+
+# -- snapshot diff: arbitrary version pairs vs a pure-Python diff ------------
+
+_snap = st.dictionaries(
+    st.integers(min_value=0, max_value=9),  # doc_id
+    st.tuples(
+        st.integers(min_value=0, max_value=1),   # source index
+        st.integers(min_value=1, max_value=5),   # n_tokens
+        st.integers(min_value=0, max_value=3),   # content variant -> h
+    ),
+    max_size=8,
+)
+
+
+@given(a=_snap, b=_snap)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_diff_frames_equals_python_diff(spark, a, b):
+    """diff_frames must agree with a dict-based diff on arbitrary
+    snapshot pairs: per-source added/removed/changed/unchanged counts
+    and the token delta (the xor hash is pinned by the oracle gate;
+    here the counting semantics are the target)."""
+    from collections import defaultdict
+
+    from engine.operators.versioning import diff_frames
+
+    schema = "source string, doc_id long, n_tokens long, h long"
+
+    def frame(snap):
+        rows = [
+            (f"s{src}", doc, tok, 1000 + var)
+            for doc, (src, tok, var) in sorted(snap.items())
+        ]
+        return spark.createDataFrame(rows or [("sX", -1, 0, 0)], schema).filter(
+            "doc_id >= 0"
+        )
+
+    got = {
+        r.source: (r.n_added, r.n_removed, r.n_changed, r.n_unchanged, r.tok_delta)
+        for r in diff_frames(frame(a), frame(b)).collect()
+    }
+
+    want = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for doc in set(a) | set(b):
+        ia, ib = a.get(doc), b.get(doc)
+        # source attribution mirrors diff_frames: coalesce(a, b)
+        src = f"s{(ia or ib)[0]}"
+        row = want[src]
+        if ia is None:
+            row[0] += 1
+        elif ib is None:
+            row[1] += 1
+        elif ia[2] != ib[2]:
+            row[2] += 1
+        else:
+            row[3] += 1
+        row[4] += (ib[1] if ib else 0) - (ia[1] if ia else 0)
+    assert got == {s: tuple(v) for s, v in want.items()}
