@@ -115,6 +115,7 @@ JOIN sizes nb ON doc_b = nb.doc_id
 WHERE both_cnt * 1.0 / (na.n + nb.n - both_cnt) >= {JACCARD_THRESHOLD}
 """,
     tags=("dedup", "jaccard", "headline"),
+    exported=False,  # driver-visible as dedup_minhash_prefix's `ngram` facet
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs, shingle-blocked: only

@@ -50,6 +50,10 @@ def _nd():
     return F.lit(None).cast("double")
 
 
+def _nt():
+    return F.lit(None).cast("timestamp")
+
+
 def _nv():
     return F.lit(None).cast("string")
 
@@ -226,31 +230,53 @@ def distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_analytics",
     oracle=f"""
 SELECT 'json_props' AS facet, event_type AS key, {_NB} AS id1, {_NB} AS id2,
+       {_NT} AS ts1, {_NT} AS ts2,
        n_events AS n, avg_k AS x1, min_k AS x2, max_k AS x3
 FROM ({_oracle('events_json_props')}) jp
 UNION ALL
-SELECT 'funnel', {_NV}, n_viewers, n_converted, {_NB},
+SELECT 'funnel', {_NV}, n_viewers, n_converted, {_NT}, {_NT}, {_NB},
        conversion_rate, avg_seconds_to_convert, {_ND}
 FROM ({_oracle('funnel_view_to_purchase')}) fu
 UNION ALL
-SELECT 'zscore', {_NV}, user_id, event_id, {_NB}, z, {_ND}, {_ND}
+SELECT 'zscore', {_NV}, user_id, event_id, {_NT}, {_NT}, {_NB}, z,
+       {_ND}, {_ND}
 FROM ({_oracle('zscore_purchases_grouped')}) zs
+UNION ALL
+SELECT 'asof', {_NV}, purchase_id, user_id,
+       CAST(purchase_ts AS TIMESTAMP), CAST(prev_view_ts AS TIMESTAMP),
+       gap_s, {_ND}, {_ND}, {_ND}
+FROM ({_oracle('asof_purchase_prior_view')}) ao
+UNION ALL
+SELECT 'range', {_NV}, o_orderkey, {_NB}, {_NT}, {_NT}, n_events,
+       sum_value, {_ND}, {_ND}
+FROM ({_oracle('range_join_order_day_events')}) rj
 """,
-    tags=("relational", "events", "json", "funnel", "pandas_udf"),
+    tags=("relational", "events", "json", "funnel", "pandas_udf",
+          "rangejoin", "asof"),
 )
 def events_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-stream analytics, three facets: `json_props` (JSON
-    property extraction + per-type aggregates: n = events, x1/x2/x3 =
-    avg/min/max of the extracted key), `funnel` (view→purchase
-    conversion: id1/id2 = viewers/converted, x1 = rate, x2 = mean
-    seconds to convert), `zscore` (per-user purchase z-scores via
-    grouped applyInPandas — the sanctioned Arrow grouped-map path:
-    id1/id2 = user/event, x1 = z)."""
+    """Event-stream analytics, five facets (the round-8 driver-cap
+    consolidation folded the two temporal-join operators in; each
+    component keeps its own oracle as a library entry): `json_props`
+    (JSON property extraction + per-type aggregates: n = events,
+    x1/x2/x3 = avg/min/max of the extracted key), `funnel`
+    (view→purchase conversion: id1/id2 = viewers/converted, x1 = rate,
+    x2 = mean seconds to convert), `zscore` (per-user purchase
+    z-scores via grouped applyInPandas — the sanctioned Arrow
+    grouped-map path: id1/id2 = user/event, x1 = z), `asof` (each
+    purchase matched to the same user's latest strictly-earlier view —
+    sort-merge within user partitions, no inequality-join explosion:
+    id1/id2 = purchase/user, ts1/ts2 = purchase/view times, n = gap
+    seconds), and `range` (events in each open order's 24 h window via
+    the bucketed-grid equi-join — never a BroadcastNestedLoopJoin:
+    id1 = order, n = event count, x1 = summed value)."""
     jp = relational.events_json_props(spark, sf_dir).select(
         F.lit("json_props").alias("facet"),
         F.col("event_type").alias("key"),
         _nb().alias("id1"),
         _nb().alias("id2"),
+        _nt().alias("ts1"),
+        _nt().alias("ts2"),
         F.col("n_events").alias("n"),
         F.col("avg_k").alias("x1"),
         F.col("min_k").alias("x2"),
@@ -261,6 +287,8 @@ def events_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nv().alias("key"),
         F.col("n_viewers").alias("id1"),
         F.col("n_converted").alias("id2"),
+        _nt().alias("ts1"),
+        _nt().alias("ts2"),
         _nb().alias("n"),
         F.col("conversion_rate").alias("x1"),
         F.col("avg_seconds_to_convert").alias("x2"),
@@ -271,12 +299,38 @@ def events_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nv().alias("key"),
         F.col("user_id").alias("id1"),
         F.col("event_id").alias("id2"),
+        _nt().alias("ts1"),
+        _nt().alias("ts2"),
         _nb().alias("n"),
         F.col("z").alias("x1"),
         _nd().alias("x2"),
         _nd().alias("x3"),
     )
-    return jp.unionAll(fu).unionAll(zs)
+    ao = asof.asof_purchase_prior_view(spark, sf_dir).select(
+        F.lit("asof").alias("facet"),
+        _nv().alias("key"),
+        F.col("purchase_id").alias("id1"),
+        F.col("user_id").alias("id2"),
+        F.col("purchase_ts").alias("ts1"),
+        F.col("prev_view_ts").alias("ts2"),
+        F.col("gap_s").alias("n"),
+        _nd().alias("x1"),
+        _nd().alias("x2"),
+        _nd().alias("x3"),
+    )
+    rj = rangejoin.range_join_order_day_events(spark, sf_dir).select(
+        F.lit("range").alias("facet"),
+        _nv().alias("key"),
+        F.col("o_orderkey").alias("id1"),
+        _nb().alias("id2"),
+        _nt().alias("ts1"),
+        _nt().alias("ts2"),
+        F.col("n_events").alias("n"),
+        F.col("sum_value").alias("x1"),
+        _nd().alias("x2"),
+        _nd().alias("x3"),
+    )
+    return jp.unionAll(fu).unionAll(zs).unionAll(ao).unionAll(rj)
 
 
 @query(
@@ -292,6 +346,7 @@ SELECT 'range', o_orderkey, {_NB}, {_NT}, {_NT}, n_events, sum_value
 FROM ({_oracle('range_join_order_day_events')}) rj
 """,
     tags=("rangejoin", "asof", "events", "join"),
+    exported=False,  # driver-visible via events_analytics' asof/range facets
 )
 def temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The two custom temporal-join operators, federated: `asof` (each

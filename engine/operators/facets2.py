@@ -392,16 +392,21 @@ FROM ({_oracle('dedup_minhash_lsh')}) mh
 UNION ALL
 SELECT 'prefix', id_a, id_b, n_common, n_a, n_b, jaccard6
 FROM ({_oracle('dedup_prefix_filter')}) pf
+UNION ALL
+SELECT 'ngram', doc_a, doc_b, {_NB}, {_NB}, {_NB}, jaccard
+FROM ({_oracle('dedup_ngram_jaccard')}) ng
 """,
-    tags=("dedup", "minhash", "lsh", "prefix-filter"),
+    tags=("dedup", "minhash", "lsh", "prefix-filter", "ngram"),
 )
 def dedup_minhash_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two blocked set-similarity methods, federated: `minhash`
-    (MinHash + 8×2 LSH banding candidates with estimated Jaccard = x)
-    and `prefix` (PPJoin prefix-filtered candidates with exact
-    Jaccard = x and the intersection/set sizes in n_common/n_a/n_b).
-    Both generate candidates from bucket equi-joins — nothing
-    all-pairs."""
+    """Three blocked set-similarity methods, federated: `minhash`
+    (MinHash + 8×2 LSH banding candidates with estimated Jaccard = x),
+    `prefix` (PPJoin prefix-filtered candidates with exact Jaccard = x
+    and the intersection/set sizes in n_common/n_a/n_b), and the
+    round-8 `ngram` facet (shingle-bucketed n-gram candidates with
+    exact Jaccard = x — the headline dedup_ngram_jaccard operator,
+    which keeps its own oracle as a library entry). All three generate
+    candidates from bucket equi-joins — nothing all-pairs."""
     mh = dedup.dedup_minhash_lsh(spark, sf_dir).select(
         F.lit("minhash").alias("facet"),
         "doc_a",
@@ -420,7 +425,16 @@ def dedup_minhash_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         F.col("jaccard6").alias("x"),
     )
-    return mh.unionAll(pf)
+    ng = dedup.dedup_ngram_jaccard(spark, sf_dir).select(
+        F.lit("ngram").alias("facet"),
+        "doc_a",
+        "doc_b",
+        _nb().alias("n_common"),
+        _nb().alias("n_a"),
+        _nb().alias("n_b"),
+        F.col("jaccard").alias("x"),
+    )
+    return mh.unionAll(pf).unionAll(ng)
 
 
 # ---------------------------------------------------------------------------
@@ -578,12 +592,21 @@ UNION ALL
 SELECT 'late', n_total, n_stream, event_type, day, {_NT}, n_dropped_late,
        {_ND}
 FROM ({_oracle('streaming_late_data_audit')}) la
+UNION ALL
+SELECT 'sess', {_NB}, user_id, {_NV},
+       CAST(session_start AS TIMESTAMP), CAST(session_end AS TIMESTAMP),
+       n_events, {_ND}
+FROM ({_oracle('streaming_session_bounds')}) sb
 """,
-    tags=("streaming", "join", "stream-stream", "window", "dedup", "events"),
+    tags=("streaming", "join", "stream-stream", "window", "dedup", "events",
+          "session"),
 )
 def streaming_enriched_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merged streaming surface (five facets, each a bounded
-    availableNow run pinned against batch SQL): `enriched`
+    """Merged streaming surface (six facets, each a bounded
+    availableNow run pinned against batch SQL; round-8 adds `sess` —
+    session-window aggregation via F.session_window with a 30-min gap:
+    user_id, day/t2 = session start/end, n = events in session):
+    `enriched`
     (stream-static broadcast dimension join — event/user ids, key =
     nation, x = value), `tumbling` (watermarked daily counts + value
     sums), `dedup` (watermark-bounded dropDuplicates counts), the
@@ -650,7 +673,19 @@ def streaming_enriched_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dropped_late").alias("n"),
         _nd().alias("x"),
     )
-    return en.unionAll(wc).unionAll(vp).unionAll(sid).unionAll(la)
+    sb = streaming_queries.streaming_session_bounds(spark, sf_dir).select(
+        F.lit("sess").alias("facet"),
+        _nb().alias("event_id"),
+        "user_id",
+        _nv().alias("key"),
+        F.col("session_start").alias("day"),
+        F.col("session_end").alias("t2"),
+        F.col("n_events").alias("n"),
+        _nd().alias("x"),
+    )
+    return (
+        en.unionAll(wc).unionAll(vp).unionAll(sid).unionAll(la).unionAll(sb)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -695,14 +730,22 @@ SELECT 'frames', {_NV}, {_NB}, {_NB}, {_NB}, {_ND},
        event_id, user_id, ts, seq, prev_event_id, running_value,
        mov_avg_7, next_value, first_val, last_val, ts_cume_dist
 FROM ({_oracle('w_frames_navigation')}) wf
+UNION ALL
+SELECT 'sessionize', {_NV}, {_NB}, n_events, duration_s, {_ND},
+       {_NB}, user_id, {_NT}, session_seq, {_NB}, {_ND},
+       {_ND}, {_ND}, {_ND}, {_ND}, {_ND}
+FROM ({_oracle('w_sessionize_events')}) ws
 """,
-    tags=("window", "rank", "navigation", "events"),
+    tags=("window", "rank", "navigation", "events", "sessionize"),
 )
 def w_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The window-function surface, merged: the w_rankings facets
     (per-group top customers / supplier balance ranks — grp/key/rnk/
     rnk2/x unchanged) plus `frames` (the wide one-pass frame-navigation
-    row per purchase: running/moving/leading/first/last/cume_dist)."""
+    row per purchase: running/moving/leading/first/last/cume_dist) and
+    the round-8 `sessionize` facet (batch gap-based sessionization —
+    per (user_id, session_seq=seq): rnk = events in session, rnk2 =
+    session duration in seconds)."""
     wr = windows.w_rankings(spark, sf_dir).select(
         "facet",
         "grp",
@@ -741,7 +784,26 @@ def w_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_val",
         "ts_cume_dist",
     )
-    return wr.unionAll(wf)
+    ws = windows.w_sessionize_events(spark, sf_dir).select(
+        F.lit("sessionize").alias("facet"),
+        _nv().alias("grp"),
+        _nb().alias("key"),
+        F.col("n_events").alias("rnk"),
+        F.col("duration_s").alias("rnk2"),
+        _nd().alias("x"),
+        _nb().alias("event_id"),
+        "user_id",
+        _nt().alias("ts"),
+        F.col("session_seq").alias("seq"),
+        _nb().alias("prev_event_id"),
+        _nd().alias("running_value"),
+        _nd().alias("mov_avg_7"),
+        _nd().alias("next_value"),
+        _nd().alias("first_val"),
+        _nd().alias("last_val"),
+        _nd().alias("ts_cume_dist"),
+    )
+    return wr.unionAll(wf).unionAll(ws)
 
 
 @query(
@@ -932,8 +994,12 @@ UNION ALL
 SELECT 'heavy', token, {_NV}, {_NB}, {_NB}, exact_cnt, {_NB}, {_ND},
        cm_no_underestimate, cm_within_eps
 FROM ({_oracle('approx_heavy_hitters')}) hh
+UNION ALL
+SELECT facet, token, {_NV}, doc_id, rnk, {_NB}, {_NB}, x,
+       {_NBOOL}, {_NBOOL}
+FROM ({_oracle('term_rankings')}) tr
 """,
-    tags=("analytics", "text", "sampling", "sketch", "documents"),
+    tags=("analytics", "text", "sampling", "sketch", "documents", "tfidf"),
 )
 def corpus_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-mining operators, federated (five facets):
@@ -948,7 +1014,10 @@ def corpus_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
                 count, x = lift);
     - `heavy`:  count-min-sketch heavy hitters, self-validating
                 (s1 = token, n1 = exact count, flag1/flag2 = sketch
-                bounds held).
+                bounds held);
+    - `tfidf` / `token_topk` (round-8, from term_rankings): per-doc
+                top-3 TF-IDF terms and corpus-global top-20 tokens
+                (s1 = token, rank, x = score/count).
     """
     ws = analytics.weighted_sample_aes(spark, sf_dir).select(
         F.lit("aes").alias("facet"),
@@ -1010,7 +1079,19 @@ def corpus_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cm_no_underestimate").alias("flag1"),
         F.col("cm_within_eps").alias("flag2"),
     )
-    return ws.unionAll(ip).unionAll(fz).unionAll(cl).unionAll(hh)
+    tr = textstats.term_rankings(spark, sf_dir).select(
+        "facet",
+        F.col("token").alias("s1"),
+        _nv().alias("s2"),
+        "doc_id",
+        F.col("rnk").alias("rank"),
+        _nb().alias("n1"),
+        _nb().alias("n2"),
+        "x",
+        _nbool().alias("flag1"),
+        _nbool().alias("flag2"),
+    )
+    return ws.unionAll(ip).unionAll(fz).unionAll(cl).unionAll(hh).unionAll(tr)
 
 
 @query(
@@ -1030,12 +1111,20 @@ UNION ALL
 SELECT 'skew', facet, {_NB}, n_rows, n_keys, top1_cnt, maxpart_load,
        CAST(top1_bp AS DOUBLE), CAST(imb_bp AS DOUBLE), {_ND}
 FROM ({_oracle('shuffle_skew_profile')}) sk
+UNION ALL
+SELECT 'rep', {_NV}, doc_id, n_tokens, {_NB}, {_NB},
+       CAST(keep AS BIGINT), distinct_token_ratio, top_bigram_frac,
+       dup_trigram_frac
+FROM ({_oracle('text_repetition')}) tr
 """,
-    tags=("analytics", "evaluation", "quality", "audit"),
+    tags=("analytics", "evaluation", "quality", "audit", "textstats"),
 )
 def eval_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Evaluation and data-quality operators, federated (four
-    facets): `langid` (confusion-matrix metrics for the stopword
+    """Evaluation and data-quality operators, federated (five
+    facets; round-8 adds `rep` — the Gopher-style repetition filters
+    from text_repetition: n1 = tokens, n4 = keep flag, x1..x3 =
+    distinct-token ratio / top-bigram fraction / duplicate-trigram
+    fraction): `langid` (confusion-matrix metrics for the stopword
     language-ID heuristic: n1..n4 = tp/fp/fn/support, x1..x3 =
     precision/recall/F1), `dq` (Deequ-style completeness/validity/
     uniqueness/FK-orphan metric table: key = check, n1 = value),
@@ -1094,7 +1183,19 @@ def eval_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("imb_bp").cast("double").alias("x2"),
         _nd().alias("x3"),
     )
-    return le.unionAll(dq).unionAll(qf).unionAll(sk)
+    tr = textstats.text_repetition(spark, sf_dir).select(
+        F.lit("rep").alias("facet"),
+        _nv().alias("key"),
+        "doc_id",
+        F.col("n_tokens").alias("n1"),
+        _nb().alias("n2"),
+        _nb().alias("n3"),
+        F.col("keep").cast("bigint").alias("n4"),
+        F.col("distinct_token_ratio").alias("x1"),
+        F.col("top_bigram_frac").alias("x2"),
+        F.col("dup_trigram_frac").alias("x3"),
+    )
+    return le.unionAll(dq).unionAll(qf).unionAll(sk).unionAll(tr)
 
 
 @query(

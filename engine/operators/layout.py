@@ -225,12 +225,7 @@ GROUP BY s.layout
 """
 
 
-@query(
-    "layout_zorder_skipping",
-    oracle=_SKIP_ORACLE,
-    tags=("layout", "scale", "lineitem", "zorder"),
-)
-def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _zorder2_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The file-skipping audit (module docstring): grid lineitem's
     (l_orderkey, l_partkey) to 16 bits each, Morton-interleave, assign
     rows to {N_FILES} simulated files under (a) linear orderkey layout
@@ -396,6 +391,7 @@ GROUP BY s.layout
     "layout_zorder3_skipping",
     oracle=_SKIP3_ORACLE,
     tags=("layout", "scale", "lineitem", "zorder"),
+    exported=False,  # driver-visible as layout_zorder_skipping's `zo3` facet
 )
 def layout_zorder3_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 3-dimensional skipping audit (section comment): grid
@@ -492,3 +488,45 @@ def layout_zorder3_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("rows_hit", zero).alias("rows_hit"),
         )
     )
+
+
+@query(
+    "layout_zorder_skipping",
+    oracle=f"""
+SELECT 'zo2' AS facet, layout, n_files, n_rows, files_hit, rows_hit
+FROM ({_SKIP_ORACLE}) a2
+UNION ALL
+SELECT 'zo3', layout, n_files, n_rows, files_hit, rows_hit
+FROM ({_SKIP3_ORACLE}) a3
+""",
+    tags=("layout", "scale", "lineitem", "zorder"),
+)
+def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-dimensional layout audits, federated (round-8
+    driver-cap consolidation; the 3-dim component keeps its own oracle
+    as a library entry): `zo2` is the 2-dimensional audit
+    (_zorder2_audit — (l_orderkey, l_partkey) gridded to 16 bits,
+    16 mixed-dimension range probes over 64 simulated files under
+    linear vs z-order layouts) and `zo3` the 3-dimensional one
+    (layout_zorder3_skipping — (l_orderkey, l_partkey, l_suppkey) at
+    8 bits through the generalized Morton fold, 12 single-dimension
+    probes). Per (facet, layout): file count, total rows, probe file
+    hits, probe row hits — z-order's lower hit counts are the verified
+    data-skipping win on BOTH dimensionalities."""
+    a2 = _zorder2_audit(spark, sf_dir).select(
+        F.lit("zo2").alias("facet"),
+        "layout",
+        "n_files",
+        "n_rows",
+        "files_hit",
+        "rows_hit",
+    )
+    a3 = layout_zorder3_skipping(spark, sf_dir).select(
+        F.lit("zo3").alias("facet"),
+        "layout",
+        "n_files",
+        "n_rows",
+        "files_hit",
+        "rows_hit",
+    )
+    return a2.unionAll(a3)

@@ -95,6 +95,7 @@ SELECT user_id,
 FROM sess GROUP BY user_id, session_seq
 """,
     tags=("streaming", "sessionize", "events"),
+    exported=False,  # driver-visible as streaming_enriched_windows' `sess` facet
 )
 def streaming_session_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native `session_window` sessions (30-min gap) as a bounded

@@ -426,6 +426,7 @@ FROM (
 ) topk
 """,
     tags=("textstats", "tfidf", "topk"),
+    exported=False,  # driver-visible via corpus_mining's tfidf/token_topk facets
 )
 def term_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term-importance rankings, two facets: per-document top-3 TF-IDF
@@ -527,6 +528,7 @@ REP_THR_DUP_TRIGRAM = 0.05
         thr_duptg=REP_THR_DUP_TRIGRAM,
     ),
     tags=("textstats", "quality", "repetition"),
+    exported=False,  # driver-visible as eval_quality_audit's `rep` facet
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021,

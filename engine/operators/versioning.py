@@ -254,24 +254,21 @@ def publish_versions(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     )
 
 
-@query(
-    "corpus_snapshot_diff",
-    oracle=_DIFF_ORACLE,
-    tags=("pipeline", "capstone", "versioning", "sink", "documents"),
-)
-def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composition #3 (module docstring): publish corpus snapshots v1
-    and v2 (each staged + atomically renamed, partitioned by source,
-    row hash stored at write time), RE-READ both published versions,
-    and diff them — per source: docs added / removed / changed /
-    unchanged, the signed token delta, and the xor-combined h60 hash
-    over the delta rows. The summary is computed from the re-read
-    files of BOTH versions, so the driver's value hash pins two sink
-    round-trips plus the diff join against the oracle's raw-table
-    replay. Side-effecting by design; re-runs republish both versions
-    atomically."""
-    out1, out2 = publish_versions(spark, sf_dir)
-    return snapshot_diff(spark, out1, out2)
+_NB = "CAST(NULL AS BIGINT)"
+_NV = "CAST(NULL AS VARCHAR)"
+
+
+def _nb():
+    return F.lit(None).cast("bigint")
+
+
+def _nv():
+    return F.lit(None).cast("string")
+
+
+# The exported `corpus_snapshot_diff` (the round-8 federated form
+# carrying both the row-level diff and the term-level drift) is
+# registered below, after the drift section defines its oracle.
 
 
 # -- term-level drift between versions ----------------------------------------
@@ -343,19 +340,11 @@ FROM d WHERE rnk <= {DRIFT_K}
 """
 
 
-@query(
-    "snapshot_term_drift",
-    oracle=_DRIFT_ORACLE,
-    tags=("pipeline", "versioning", "textstats", "documents"),
-)
-def snapshot_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Term-level drift between the two published snapshot versions
-    (section comment): per source, the top-{DRIFT_K} absolute movers —
-    term, occurrences in v1 and v2, signed delta, rank (ties broken on
-    the term). Reads the PUBLISHED files of both versions, so the
-    driver hash pins the sink round-trip and the vocabulary
-    comparison together."""
-    out1, out2 = publish_versions(spark, sf_dir)
+def _term_drift(spark: SparkSession, out1: str, out2: str) -> DataFrame:
+    """The drift core over two already-published snapshot paths —
+    shared by the library `snapshot_term_drift` and the federated
+    exported `corpus_snapshot_diff` (which publishes once and feeds
+    both facets from the same artifacts)."""
     c1 = _term_counts(spark.read.parquet(out1)).withColumnRenamed("n", "n1")
     c2 = _term_counts(spark.read.parquet(out2)).withColumnRenamed("n", "n2")
     zero = F.lit(0).cast("bigint")
@@ -380,6 +369,84 @@ def snapshot_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= DRIFT_K)
         .select("source", "rnk", "term", "n_v1", "n_v2", "delta")
     )
+
+
+@query(
+    "snapshot_term_drift",
+    oracle=_DRIFT_ORACLE,
+    tags=("pipeline", "versioning", "textstats", "documents"),
+    exported=False,  # driver-visible as corpus_snapshot_diff's `drift` facet
+)
+def snapshot_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-level drift between the two published snapshot versions
+    (section comment): per source, the top-{DRIFT_K} absolute movers —
+    term, occurrences in v1 and v2, signed delta, rank (ties broken on
+    the term). Reads the PUBLISHED files of both versions, so the
+    driver hash pins the sink round-trip and the vocabulary
+    comparison together."""
+    out1, out2 = publish_versions(spark, sf_dir)
+    return _term_drift(spark, out1, out2)
+
+
+@query(
+    "corpus_snapshot_diff",
+    oracle=f"""
+SELECT 'diff' AS facet, source, {_NV} AS term, {_NB} AS rnk,
+       n_added AS n1, n_removed AS n2, n_changed AS n3,
+       n_unchanged AS n4, tok_delta, diff_h AS h
+FROM ({_DIFF_ORACLE}) d
+UNION ALL
+SELECT 'drift', source, term, rnk, n_v1, n_v2, {_NB}, {_NB},
+       delta, {_NB}
+FROM ({_DRIFT_ORACLE}) t
+""",
+    tags=("pipeline", "capstone", "versioning", "sink", "documents"),
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition #3 (module docstring), federated with its term-level
+    consumer (round-8 driver-cap consolidation; the drift component
+    keeps its own oracle as a library entry): publish corpus snapshots
+    v1 and v2 ONCE (staged + atomically renamed, partitioned by
+    source, row hash stored at write time), RE-READ both published
+    versions, and report two facets —
+
+    - `diff`:  per source, docs added / removed / changed / unchanged
+               (n1..n4), signed token delta, xor-combined h60 delta
+               hash (h);
+    - `drift`: per source, the top-{DRIFT_K} absolute term-count
+               movers between the versions (term, rnk, n1/n2 = v1/v2
+               occurrences, tok_delta = signed delta).
+
+    Both facets are computed from the SAME re-read published files, so
+    the driver's value hash pins the sink round-trips, the row-level
+    diff join, and the vocabulary comparison together. Side-effecting
+    by design; re-runs republish both versions atomically."""
+    out1, out2 = publish_versions(spark, sf_dir)
+    d = snapshot_diff(spark, out1, out2).select(
+        F.lit("diff").alias("facet"),
+        "source",
+        _nv().alias("term"),
+        _nb().alias("rnk"),
+        F.col("n_added").alias("n1"),
+        F.col("n_removed").alias("n2"),
+        F.col("n_changed").alias("n3"),
+        F.col("n_unchanged").alias("n4"),
+        "tok_delta",
+        F.col("diff_h").alias("h"),
+    )
+    t = _term_drift(spark, out1, out2).select(
+        F.lit("drift").alias("facet"),
+        "source",
+        "term",
+        "rnk",
+        F.col("n_v1").alias("n1"),
+        F.col("n_v2").alias("n2"),
+        _nb().alias("n3"),
+        _nb().alias("n4"),
+        F.col("delta").alias("tok_delta"),
+        _nb().alias("h"),
+    )
+    return d.unionAll(t)
 
 
 # -- streaming refresh (the continuous form of the refresh loop) -------------
@@ -553,12 +620,7 @@ def run_stream_refresh(
     )
 
 
-@query(
-    "streaming_refresh_upsert",
-    oracle=_stream_refresh_oracle(),
-    tags=("streaming", "capstone", "incremental", "sink", "documents"),
-)
-def streaming_refresh_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stream_refresh_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The refresh loop as a STREAM (section comment): publish the base
     corpus (the non-'inc:' slice of documents), deliver the arrival
     slice as two file-source triggers cut by the 'b:'-keyed hash, gate
@@ -685,43 +747,6 @@ def _build_tt_store(
     return store, v1, v2
 
 
-@query(
-    "corpus_time_travel",
-    oracle=_tt_oracle(),
-    tags=("pipeline", "versioning", "sink", "time-travel", "documents"),
-)
-def corpus_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Versioned-store lifecycle with time travel (section comment):
-    commit base as v1, upsert the gated arrivals as v2 (copy-on-write —
-    only touched partitions get new files), then read BOTH pinned
-    versions through their manifests and return per (version, source)
-    the doc count and xor'd h60 corpus hash. v1's summary is computed
-    AFTER v2 landed, so a match on both versions proves old snapshots
-    survive new commits. Store is recreated per run (deterministic
-    version numbers); side-effecting by design."""
-    from engine.versioned_store import read_version
-
-    store, v1, v2 = _build_tt_store(spark, sf_dir)
-    out: DataFrame | None = None
-    for v in (v1, v2):
-        s = (
-            read_version(spark, store, v)
-            .groupBy("source")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-                F.expr("bit_xor(h)").cast("bigint").alias("corpus_h"),
-            )
-            .select(
-                F.lit(v).cast("bigint").alias("version"),
-                "source",
-                "n_docs",
-                "corpus_h",
-            )
-        )
-        out = s if out is None else out.unionByName(s)
-    return out
-
-
 # The manifest-aware diff, oracle-pinned: over the two-version store,
 # v1→v2 is pure addition (the upsert appends gate winners; no key is
 # updated or removed), so the oracle states it directly — added =
@@ -783,6 +808,7 @@ def _svd_oracle() -> str:
     "store_version_diff",
     oracle=_svd_oracle(),
     tags=("pipeline", "versioning", "time-travel", "documents"),
+    exported=False,  # driver-visible as corpus_time_travel's `vdiff` facet
 )
 def store_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The manifest-aware diff over the two-version store (section
@@ -795,6 +821,78 @@ def store_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store, v1, v2 = _build_tt_store(spark, sf_dir)
     return version_diff(spark, store, v1, v2)
+
+
+@query(
+    "corpus_time_travel",
+    oracle=f"""
+SELECT 'travel' AS facet, version, source, n_docs AS n1, {_NB} AS n2,
+       {_NB} AS n3, {_NB} AS n4, {_NB} AS tok_delta, corpus_h AS h
+FROM ({_tt_oracle()}) tt
+UNION ALL
+SELECT 'vdiff', {_NB}, source, n_added, n_removed, n_changed,
+       n_unchanged, tok_delta, diff_h
+FROM ({_svd_oracle()}) vd
+""",
+    tags=("pipeline", "versioning", "sink", "time-travel", "documents"),
+)
+def corpus_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned-store lifecycle, federated (round-8 driver-cap
+    consolidation; each component keeps its own oracle as a library
+    entry): build the two-version store ONCE — base committed as v1,
+    the exact-gated arrival winners upserted as v2 (copy-on-write:
+    only touched partitions get new files) — then report two facets:
+
+    - `travel`: per (version, source), doc count (n1) and xor'd h60
+                corpus hash (h), BOTH versions read through their
+                manifests after v2 landed — the time-travel proof;
+    - `vdiff`:  the manifest-aware v1→v2 diff (n1..n4 = added /
+                removed / changed / unchanged, tok_delta, h = delta
+                hash), whose scan reads ONLY the files the versions do
+                not share.
+
+    One driver hash match therefore pins intact history AND the
+    file-skipping diff shortcut together. Store recreated per run for
+    deterministic version numbers; side-effecting by design."""
+    from engine.versioned_store import version_diff
+
+    store, v1, v2 = _build_tt_store(spark, sf_dir)
+    parts: list[DataFrame] = []
+    for v in (v1, v2):
+        from engine.versioned_store import read_version
+
+        parts.append(
+            read_version(spark, store, v)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.expr("bit_xor(h)").cast("bigint").alias("corpus_h"),
+            )
+            .select(
+                F.lit("travel").alias("facet"),
+                F.lit(v).cast("bigint").alias("version"),
+                "source",
+                F.col("n_docs").alias("n1"),
+                _nb().alias("n2"),
+                _nb().alias("n3"),
+                _nb().alias("n4"),
+                _nb().alias("tok_delta"),
+                F.col("corpus_h").alias("h"),
+            )
+        )
+    vd = version_diff(spark, store, v1, v2).select(
+        F.lit("vdiff").alias("facet"),
+        _nb().alias("version"),
+        "source",
+        F.col("n_added").alias("n1"),
+        F.col("n_removed").alias("n2"),
+        F.col("n_changed").alias("n3"),
+        F.col("n_unchanged").alias("n4"),
+        "tok_delta",
+        F.col("diff_h").alias("h"),
+    )
+    out = parts[0].unionAll(parts[1]).unionAll(vd)
+    return out
 
 
 # -- streaming ingestion into the versioned store ------------------------------
@@ -869,6 +967,7 @@ def _svi_oracle() -> str:
     "streaming_versioned_ingest",
     oracle=_svi_oracle(),
     tags=("streaming", "versioning", "sink", "time-travel", "documents"),
+    exported=False,  # driver-visible as streaming_refresh_upsert's `versioned` facet
 )
 def streaming_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream → versioned lake (section comment): base commits as v1,
@@ -963,3 +1062,49 @@ def streaming_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = s if out is None else out.unionByName(s)
     return out
+
+
+@query(
+    "streaming_refresh_upsert",
+    oracle=f"""
+SELECT 'merge' AS facet, {_NB} AS version, source, n_docs, corpus_h
+FROM ({_stream_refresh_oracle()}) m
+UNION ALL
+SELECT 'versioned', version, source, n_docs, corpus_h
+FROM ({_svi_oracle()}) v
+""",
+    tags=("streaming", "capstone", "versioning", "sink", "documents"),
+)
+def streaming_refresh_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream→store surface, federated (round-8 driver-cap
+    consolidation; each component keeps its own oracle as a library
+    entry): two facets, each a full bounded streaming run —
+
+    - `merge`:     the refresh loop as a stream (_stream_refresh_summary
+                   — foreachBatch gates each micro-batch against the
+                   stored content hashes and appends survivors via the
+                   partition-scoped merge sink; per source n_docs and
+                   the stored rows' xor'd h60 corpus hash);
+    - `versioned`: the same stream feeding the VERSIONED store
+                   (streaming_versioned_ingest — each trigger commits
+                   survivors as a new copy-on-write version; all three
+                   versions read back through their manifests, so
+                   history stays queryable while the stream commits).
+
+    One driver hash match therefore pins both streaming write paths:
+    the in-place partition merge and the append-only versioned lake."""
+    m = _stream_refresh_summary(spark, sf_dir).select(
+        F.lit("merge").alias("facet"),
+        _nb().alias("version"),
+        "source",
+        "n_docs",
+        "corpus_h",
+    )
+    v = streaming_versioned_ingest(spark, sf_dir).select(
+        F.lit("versioned").alias("facet"),
+        "version",
+        "source",
+        "n_docs",
+        "corpus_h",
+    )
+    return m.unionAll(v)

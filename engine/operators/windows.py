@@ -98,6 +98,7 @@ SELECT user_id, session_seq, count(*) AS n_events,
 FROM sess GROUP BY user_id, session_seq
 """,
     tags=("window", "sessionize", "events"),
+    exported=False,  # driver-visible as w_window_suite's `sessionize` facet
 )
 def w_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): the classic

@@ -156,9 +156,20 @@ def _stage_files(
             return []
         spark = df.sparkSession
         # per-file row counts from the footers of the staged write —
-        # a |files|-row metadata aggregate, no data re-read
+        # a |files|-row metadata aggregate, no data re-read.
+        # input_file_name() returns a URI, which percent-encodes the
+        # path a second time (the on-disk Hive-escaped dir
+        # 'source=web%20crawl' arrives as '...web%2520crawl'); unquote
+        # ONCE to recover the on-disk name, else counts.get() below
+        # silently defaults every special-charactered partition's
+        # n_rows to 0 (ADVICE r7: version_diff then under-reports
+        # unchanged rows from manifest metadata).
+        # (decode only the trailing <partition dir>/<file> components so
+        # special characters in the staging path itself cannot skew the
+        # relpath; the key matches os.path.join(part_dir, part) below)
         counts = {
-            os.path.relpath(r["file"], staging): r["n"]
+            os.path.join(*(unquote(c) for c in r["file"].split("/")[-2:])):
+                r["n"]
             for r in spark.read.parquet(staging)
             .groupBy(
                 F.input_file_name().alias("uri"), F.col(partition_col)
@@ -175,7 +186,19 @@ def _stage_files(
             # space, %3D for '=', ...); the manifest stores the RAW
             # value so upsert's touched-set and read_version's column
             # restoration compare against real data values
-            pval = unquote(part_dir.split("=", 1)[1])
+            raw = part_dir.split("=", 1)[1]
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                # A null partition value would round-trip as the
+                # literal marker string (read_version restores the
+                # column from the manifest) and never match upsert's
+                # str()-keyed touched-set — reject it at commit time
+                # instead of corrupting later merges (ADVICE r7).
+                raise ValueError(
+                    f"null values in partition column {partition_col!r}"
+                    " are not supported; filter or fill them before"
+                    " committing"
+                )
+            pval = unquote(raw)
             for i, part in enumerate(sorted(os.listdir(full))):
                 if not part.endswith(".parquet"):
                     continue
@@ -197,6 +220,30 @@ def _stage_files(
     return entries
 
 
+def _columns_ddl(df: DataFrame, partition_col: str) -> str:
+    """DDL for the DATA-FILE schema (partition column excluded — it
+    lives in the manifest entries), stored in every manifest so an
+    empty snapshot (legitimately produced by a delete-everything
+    commit) stays readable as an empty DataFrame."""
+    return ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != partition_col
+    )
+
+
+def _read_prev_manifest(store: str, prev_v: int, op: str) -> dict:
+    """The previous manifest for an incremental commit, with a clear
+    error when the store has never had a base commit (a fresh store
+    used to die with FileNotFoundError for v00000.json — ADVICE r7)."""
+    if prev_v == 0:
+        raise ValueError(
+            f"{op} requires a committed base version; run"
+            " commit_overwrite first (store has no committed version)"
+        )
+    return _read_manifest(store, prev_v)
+
+
 def commit_overwrite(
     df: DataFrame, store: str, partition_col: str
 ) -> int:
@@ -207,7 +254,12 @@ def commit_overwrite(
     entries = _stage_files(df, store, version, partition_col)
     _write_manifest_and_current(
         store,
-        {"version": version, "partition_col": partition_col, "files": entries},
+        {
+            "version": version,
+            "partition_col": partition_col,
+            "columns": _columns_ddl(df, partition_col),
+            "files": entries,
+        },
     )
     return version
 
@@ -221,10 +273,25 @@ def commit_upsert(
     """Copy-on-write MERGE as the next version: partitions holding a
     changed key are rewritten (survivors + changeset) into NEW files;
     every untouched partition's manifest entries carry over verbatim.
-    The previous version keeps reading its own (immutable) files."""
+    The previous version keeps reading its own (immutable) files.
+
+    ``key_cols`` MUST include the partition column: the touched set is
+    computed from the changeset's partition values, so a key whose
+    partition value could change between versions would leave its
+    stale row in the old partition (duplicate keys — exactly the
+    invariant version_diff's shared-file shortcut relies on). With the
+    partition column in the key, a "moved" row is two distinct keys by
+    definition and the invariant holds (ADVICE r7; Delta/Iceberg MERGE
+    instead rewrites the old partition too)."""
     prev_v = current_version(store)
-    prev = _read_manifest(store, prev_v)
+    prev = _read_prev_manifest(store, prev_v, "commit_upsert")
     pcol = prev["partition_col"]
+    if pcol not in key_cols:
+        raise ValueError(
+            f"key_cols {key_cols} must include the partition column"
+            f" {pcol!r}: upsert rewrites only the changeset's"
+            " partitions, so keys must be immutable w.r.t. partition"
+        )
     touched = {
         str(r[pcol]) for r in changeset.select(pcol).distinct().collect()
     }
@@ -255,6 +322,7 @@ def commit_upsert(
         {
             "version": version,
             "partition_col": pcol,
+            "columns": _columns_ddl(merged, pcol),
             "files": keep + new_entries,
         },
     )
@@ -298,8 +366,18 @@ def read_version(
             else out.unionByName(part_df, allowMissingColumns=True)
         )
     if out is None:
+        # A fileless snapshot is VALID history (commit_delete of every
+        # row produces one) — return the empty DataFrame with the
+        # schema the manifest recorded at commit time (ADVICE r7).
+        # Pre-round-8 manifests lack "columns"; distinguish that from
+        # an unknown/vacuumed version with a clear error.
+        ddl = man.get("columns")
+        if ddl is not None:
+            full = (f"{ddl}, {pcol} string") if ddl else f"{pcol} string"
+            return spark.createDataFrame([], full)
         raise ValueError(
-            f"version {version} has no files"
+            f"version {version} is an empty snapshot with no recorded"
+            " schema (manifest predates schema recording)"
             + (f" for partitions {sorted(wanted)}" if partition_values else "")
         )
     return out
@@ -309,9 +387,16 @@ def vacuum(store: str, keep_latest: int = 2) -> list[str]:
     """Drop manifests older than the newest ``keep_latest`` versions
     and delete data files no retained manifest references. Returns the
     deleted file names (the destructive act is enumerated, not
-    silent)."""
+    silent). ``keep_latest`` must be >= 1: retaining zero versions
+    would delete the manifest CURRENT points to and brick every
+    subsequent read (reachable via the CLI's --keep — ADVICE r7)."""
+    if keep_latest < 1:
+        raise ValueError(
+            f"keep_latest must be >= 1 (got {keep_latest}): the CURRENT"
+            " version is always retained"
+        )
     vs = versions(store)
-    retained = set(vs[-keep_latest:]) if keep_latest > 0 else set()
+    retained = set(vs[-keep_latest:])
     live = {
         e["file"]
         for v in retained
@@ -322,6 +407,10 @@ def vacuum(store: str, keep_latest: int = 2) -> list[str]:
         if v not in retained:
             os.remove(_manifest_path(store, v))
     data_dir = os.path.join(store, _DATA)
+    # a store whose only commits were empty snapshots never created
+    # data/ — nothing to delete
+    if not os.path.isdir(data_dir):
+        return removed
     for name in sorted(os.listdir(data_dir)):
         if name.endswith(".parquet") and name not in live:
             os.remove(os.path.join(data_dir, name))
@@ -337,15 +426,15 @@ def rollback(store: str, to_version: int) -> int:
     one JSON write, zero data movement."""
     man = _read_manifest(store, to_version)  # raises if vacuumed away
     version = current_version(store) + 1
-    _write_manifest_and_current(
-        store,
-        {
-            "version": version,
-            "partition_col": man["partition_col"],
-            "files": man["files"],
-            "rolled_back_from": to_version,
-        },
-    )
+    manifest = {
+        "version": version,
+        "partition_col": man["partition_col"],
+        "files": man["files"],
+        "rolled_back_from": to_version,
+    }
+    if man.get("columns") is not None:
+        manifest["columns"] = man["columns"]
+    _write_manifest_and_current(store, manifest)
     return version
 
 
@@ -467,7 +556,8 @@ def compact_version(
     entries = _stage_files(compacted, store, version, pcol)
     _write_manifest_and_current(
         store,
-        {"version": version, "partition_col": pcol, "files": entries,
+        {"version": version, "partition_col": pcol,
+         "columns": _columns_ddl(compacted, pcol), "files": entries,
          "compacted_from": prev_v},
     )
     return version
@@ -494,13 +584,19 @@ def commit_delete(
     are the rewritten partitions' OLD files, which vacuum removes
     (untouched partitions' shared files never contained it)."""
     prev_v = current_version(store)
-    prev = _read_manifest(store, prev_v)
+    prev = _read_prev_manifest(store, prev_v, "commit_delete")
     pcol = prev["partition_col"]
+    if pcol not in key_cols:
+        raise ValueError(
+            f"key_cols {key_cols} must include the partition column"
+            f" {pcol!r}: deletion rewrites only the keys' partitions"
+        )
     touched = {str(r[pcol]) for r in keys.select(pcol).distinct().collect()}
     keep = [e for e in prev["files"] if e["partition"] not in touched]
     old_touched = [e for e in prev["files"] if e["partition"] in touched]
     version = prev_v + 1
     new_entries: list[dict] = []
+    columns = prev.get("columns")
     if old_touched:
         base = read_version(
             spark, store, prev_v, partition_values=sorted(touched)
@@ -510,14 +606,15 @@ def commit_delete(
             key_cols,
             "left_anti",
         )
+        columns = _columns_ddl(survivors, pcol)
         new_entries = _stage_files(survivors, store, version, pcol)
-    _write_manifest_and_current(
-        store,
-        {
-            "version": version,
-            "partition_col": pcol,
-            "files": keep + new_entries,
-            "deleted_keys": int(keys.count()),
-        },
-    )
+    manifest = {
+        "version": version,
+        "partition_col": pcol,
+        "files": keep + new_entries,
+        "deleted_keys": int(keys.count()),
+    }
+    if columns is not None:
+        manifest["columns"] = columns
+    _write_manifest_and_current(store, manifest)
     return version

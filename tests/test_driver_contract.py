@@ -55,7 +55,7 @@ def test_every_exported_query_runs_on_a_plain_session(plain_spark):
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
-    assert len(qs) >= 50
+    assert len(qs) == 50
     failures = {}
     for name, fn in sorted(qs.items()):
         try:
@@ -66,6 +66,30 @@ def test_every_exported_query_runs_on_a_plain_session(plain_spark):
         except Exception as exc:  # noqa: BLE001 - collecting a report
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
     assert not failures, failures
+
+
+def test_exported_surface_matches_manifest():
+    """The round-7 failure class, made structural: the driver's
+    CORRECTNESS file records the first 50 exported names alphabetically,
+    so an exported surface larger than 50 silently evicts rows from the
+    hard correctness signal (round 7 lost wordcount_tokens — the
+    SURVEY §2 W1/W3 reference-parity row — this way). The exported set
+    is therefore pinned to EXACTLY the 50 names in
+    tests/fixtures/exported_queries.txt; adding a query with
+    exported=True without demoting/federating another one fails here,
+    forcing a conscious consolidation decision."""
+    from pathlib import Path
+
+    from engine.registry import all_queries
+
+    manifest = Path(__file__).parent / "fixtures" / "exported_queries.txt"
+    expected = manifest.read_text().split()
+    assert len(expected) == 50, "manifest must list exactly 50 names"
+    actual = sorted(all_queries())
+    assert actual == expected, {
+        "unexpected_exports": sorted(set(actual) - set(expected)),
+        "missing_exports": sorted(set(expected) - set(actual)),
+    }
 
 
 def test_documented_registry_count_matches_registry():

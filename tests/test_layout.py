@@ -42,7 +42,9 @@ def test_morton_matches_textbook_interleave(spark):
 
 def test_audit_shows_zorder_skipping_win(spark):
     got = {
-        r.layout: r for r in layout_zorder_skipping(spark, SF_SMOKE).collect()
+        r.layout: r
+        for r in layout_zorder_skipping(spark, SF_SMOKE).collect()
+        if r.facet == "zo2"
     }
     assert set(got) == {"linear", "zorder"}
     lin, zo = got["linear"], got["zorder"]

@@ -60,11 +60,9 @@ def test_snapshot_diff_publishes_both_versions_and_files_pin_the_diff(
 ):
     monkeypatch.setenv("SPARK_GRAFT_CORPUS_OUT", str(tmp_path / "corpus"))
     got = {
-        r.source: (
-            r.n_added, r.n_removed, r.n_changed, r.n_unchanged,
-            r.tok_delta, r.diff_h,
-        )
+        r.source: (r.n1, r.n2, r.n3, r.n4, r.tok_delta, r.h)
         for r in corpus_snapshot_diff(spark, SF_SMOKE).collect()
+        if r.facet == "diff"
     }
     base = str(
         tmp_path / "corpus" / os.path.basename(SF_SMOKE.rstrip("/"))
@@ -144,6 +142,7 @@ def test_streaming_refresh_store_is_batch_equivalent(spark, tmp_path, monkeypatc
     got = {
         r.source: (r.n_docs, r.corpus_h)
         for r in streaming_refresh_upsert(spark, _SF).collect()
+        if r.facet == "merge"
     }
     store = str(
         tmp_path
@@ -174,6 +173,7 @@ def test_streaming_refresh_store_is_batch_equivalent(spark, tmp_path, monkeypatc
     got2 = {
         r.source: (r.n_docs, r.corpus_h)
         for r in streaming_refresh_upsert(spark, _SF).collect()
+        if r.facet == "merge"
     }
     assert got2 == got
 
@@ -372,6 +372,17 @@ def test_versioned_store_handles_escaped_partition_values(spark, tmp_path):
     assert got2 == [(1, "x2", "web crawl"), (2, "y", "books")]
     pruned = read_version(spark, store, v2, partition_values=["web crawl"])
     assert [tuple(r) for r in pruned.collect()] == [(1, "x2", "web crawl")]
+    # ADVICE r7: the manifest's per-file n_rows must be REAL for
+    # escaped partitions too — input_file_name() URIs re-encode the
+    # on-disk Hive-escaped name, and the old raw-name lookup silently
+    # recorded n_rows=0, under-reporting version_diff's n_unchanged
+    from engine.versioned_store import _read_manifest
+
+    for v in (1, 2):
+        by_part: dict[str, int] = {}
+        for e in _read_manifest(store, v)["files"]:
+            by_part[e["partition"]] = by_part.get(e["partition"], 0) + e["n_rows"]
+        assert by_part == {"web crawl": 1, "books": 1}, (v, by_part)
 
 
 def test_vstore_cli_versions_rollback_vacuum(spark, tmp_path, capsys):
@@ -619,3 +630,74 @@ def test_commit_conflict_on_racing_version_claim(spark, tmp_path):
         **_read_manifest(store, 1)
     }
     assert [r.k for r in read_version(spark, store, 1).collect()] == [1]
+
+
+def test_store_guards_and_empty_snapshot_reads(spark, tmp_path):
+    """The ADVICE r7 hardening pack: a fresh store rejects incremental
+    commits with a clear error, key_cols must include the partition
+    column (keys are immutable w.r.t. partition by contract), null
+    partition values are rejected at commit time, a delete-everything
+    snapshot stays readable as an EMPTY DataFrame (schema recorded in
+    the manifest), and vacuum refuses keep_latest < 1 (which would
+    delete the manifest CURRENT points to)."""
+    import pytest as _pytest
+
+    from engine.versioned_store import (
+        commit_delete,
+        commit_overwrite,
+        commit_upsert,
+        compact_version,
+        read_version,
+        vacuum,
+    )
+
+    store = str(tmp_path / "vstore_guards")
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y")], "part string, k long, v string"
+    )
+    chg = spark.createDataFrame([("a", 1, "x2")], "part string, k long, v string")
+
+    # incremental commits need a base version
+    with _pytest.raises(ValueError, match="no committed version"):
+        commit_upsert(spark, store, chg, ["part", "k"])
+    with _pytest.raises(ValueError, match="no committed version"):
+        commit_delete(spark, store, chg, ["part", "k"])
+
+    # null partition values are rejected at commit, not round-tripped
+    # as the __HIVE_DEFAULT_PARTITION__ literal
+    with_null = spark.createDataFrame(
+        [("a", 1, "x"), (None, 2, "y")], "part string, k long, v string"
+    )
+    with _pytest.raises(ValueError, match="null values in partition"):
+        commit_overwrite(with_null, store + "_null", "part")
+
+    commit_overwrite(df, store, "part")
+    # key_cols must include the partition column
+    with _pytest.raises(ValueError, match="must include the partition"):
+        commit_upsert(spark, store, chg, ["k"])
+    with _pytest.raises(ValueError, match="must include the partition"):
+        commit_delete(spark, store, chg.select("part", "k"), ["k"])
+
+    # delete EVERY row: the fileless snapshot is valid, reads empty
+    # with the recorded schema, and compaction over it works
+    v2 = commit_delete(spark, store, df.select("part", "k"), ["part", "k"])
+    empty = read_version(spark, store, v2)
+    assert empty.count() == 0
+    assert sorted(empty.columns) == ["k", "part", "v"]
+    v3 = compact_version(spark, store)
+    assert read_version(spark, store, v3).count() == 0
+
+    # vacuum guards: keep_latest < 1 refused; CURRENT stays readable
+    with _pytest.raises(ValueError, match="keep_latest must be >= 1"):
+        vacuum(store, keep_latest=0)
+    vacuum(store, keep_latest=1)
+    assert read_version(spark, store).count() == 0
+
+    # a store whose only commit is an empty snapshot never creates
+    # data/ — vacuum must not crash on the missing directory
+    store2 = str(tmp_path / "vstore_empty_only")
+    commit_overwrite(
+        spark.createDataFrame([], "part string, k long"), store2, "part"
+    )
+    assert vacuum(store2, keep_latest=1) == []
+    assert read_version(spark, store2).count() == 0
