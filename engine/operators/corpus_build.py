@@ -459,17 +459,23 @@ def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arrival batch, never the corpus. This operator is that loop, one
 # iteration, end-to-end through disk:
 #
-#   base corpus (the ~80% h60 'inc:' slice) -> WRITE (partitioned by
-#   source, staged + atomic rename) -> arrivals gated by
-#   dedup_incremental's two tiers (exact sha256 vs the stored content
-#   hashes; MinHash band collision vs the stored band index) ->
-#   survivors appended via apply_changeset_partitioned (only touched
-#   source partitions rewritten) -> RE-READ -> per-source summary.
+#   base corpus (the ~80% h60 'inc:' slice) -> COMMIT as v1 of the
+#   versioned store (engine/versioned_store.py; partitioned by source)
+#   -> arrivals gated by dedup_incremental's two tiers (exact sha256
+#   vs the stored content hashes; MinHash band collision vs the stored
+#   band index) -> survivors commit_upsert as v2 (copy-on-write: only
+#   touched source partitions get new files) -> PINNED read of v2 ->
+#   per-source summary.
 #
-# The summary's total_after/corpus_h come from the REFRESHED STORED
-# table, so the driver hash pins the arrival gate AND the merge write
-# path; the oracle replays the identical composition from raw, the
-# dedup tier reusing dedup_incremental's proven oracle verbatim.
+# The summary's total_after/corpus_h come from read_version(store, v2)
+# — a pinned manifest read, not "whatever is on disk" — so the driver
+# hash pins the arrival gate AND the versioned commit path; the oracle
+# replays the identical composition from raw, the dedup tier reusing
+# dedup_incremental's proven oracle verbatim. Because each refresh is
+# a version: v1 remains readable after the refresh (time travel),
+# version_diff(v1, v2) names the batch's exact delta reading only the
+# unshared files, and a bad refresh rolls back with a one-JSON-write
+# rollback (tests/test_corpus_build.py pins hash restoration).
 #
 # 100 TB shape: the gate joins shuffle 32-byte digests and band
 # signatures (O(corpus count) keys, built once — at scale the stored
@@ -543,17 +549,29 @@ FROM b LEFT JOIN d USING (source) JOIN f USING (source)
     tags=("pipeline", "capstone", "dedup", "incremental", "sink", "documents"),
 )
 def corpus_refresh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One iteration of the production refresh loop (section comment):
-    publish the base corpus, gate the arrival batch against it with
-    dedup_incremental's two tiers, append the survivors through the
-    partition-scoped merge sink, re-read the STORED table, and return
-    per source: base docs, arrivals, duplicate-dropped, appended,
-    total after refresh, and the bit_xor'd h60 hash of the stored
-    rows. Side-effecting by design; re-runs republish and re-apply
-    idempotently."""
-    from engine.sinks import _publish_via_rename, apply_changeset_partitioned
+    """One iteration of the production refresh loop (section comment),
+    round 8: run THROUGH the versioned store (VERDICT r7 #3) — the
+    base corpus COMMITS as v1, the gate's survivors commit_upsert as
+    v2 (copy-on-write: only arrival-touched source partitions get new
+    files), and the summary is computed from a PINNED
+    ``read_version(store, v2)`` — so every refresh is a
+    time-travelable version: v1 stays readable after the refresh
+    lands, ``version_diff(v1, v2)`` names exactly what the batch
+    changed, and a bad batch is undone with ``rollback`` (zero data
+    movement; proven in tests/test_corpus_build.py). Returns per
+    source: base docs, arrivals, duplicate-dropped, appended, total
+    after refresh, and the bit_xor'd h60 hash of the v2 rows. The
+    oracle replays the identical composition from raw (the gate CTE is
+    dedup_incremental's proven oracle verbatim). Store recreated per
+    run for deterministic version numbers; side-effecting by design."""
+    from engine.versioned_store import (
+        commit_overwrite,
+        commit_upsert,
+        read_version,
+    )
 
     store = corpus_out_dir(sf_dir) + "_refresh"
+    shutil.rmtree(store, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
@@ -567,27 +585,15 @@ def corpus_refresh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_ROW_H_SPARK).cast("bigint").alias("h"),
         )
 
-    os.makedirs(os.path.dirname(store) or ".", exist_ok=True)
-    staging = tempfile.mkdtemp(
-        prefix="refresh-", dir=os.path.dirname(store) or "."
-    )
-    try:
-        corpus_rows(docs.filter(~is_new)).write.mode(
-            "overwrite"
-        ).partitionBy("source").parquet(staging)
-        _publish_via_rename(staging, store, "refresh")
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+    commit_overwrite(corpus_rows(docs.filter(~is_new)), store, "source")
 
     dup = dedup_incremental(spark, sf_dir).select("doc_id").distinct()
     appended = corpus_rows(
         docs.filter(is_new).join(dup, "doc_id", "left_anti")
     )
-    apply_changeset_partitioned(
-        spark, store, ["source"], ["source", "doc_id"], appended
-    )
+    v2 = commit_upsert(spark, store, appended, ["source", "doc_id"])
 
-    refreshed = spark.read.parquet(store)
+    refreshed = read_version(spark, store, v2)  # pinned, not "latest"
     f = refreshed.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("total_after"),
         F.expr("bit_xor(h)").cast("bigint").alias("corpus_h"),

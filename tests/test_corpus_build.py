@@ -158,10 +158,15 @@ def test_corpus_refresh_stored_table_and_idempotence(spark, tmp_path, monkeypatc
     assert sum(v[2] for v in summary.values()) > 0  # gate actually dropped
 
     from engine.io import load_table
+    from engine.versioned_store import current_version, read_version
 
     store = corpus_out_dir(SF_SMOKE) + "_refresh"
+    # round 8: the refresh commits THROUGH the versioned store — the
+    # refreshed table is version 2 (base = v1, upsert = v2)
+    assert current_version(store) == 2
     stored_ids = {
-        r.doc_id for r in spark.read.parquet(store).select("doc_id").collect()
+        r.doc_id
+        for r in read_version(spark, store, 2).select("doc_id").collect()
     }
     docs = load_table(spark, SF_SMOKE, "documents")
     is_new = (
@@ -184,3 +189,54 @@ def test_corpus_refresh_stored_table_and_idempotence(spark, tmp_path, monkeypatc
         for r in corpus_refresh_incremental(spark, SF_SMOKE).collect()
     }
     assert again == summary
+
+
+def test_refresh_rollback_restores_prior_corpus_hash(spark, tmp_path, monkeypatch):
+    """VERDICT r7 #3's recovery clause: the refresh is a versioned
+    COMMIT, so a bad batch is undone with rollback — the rolled-back
+    version's per-source (count, corpus hash) must equal v1's exactly,
+    v1 must still be readable AFTER the bad refresh landed, and
+    version_diff must name the bad batch as pure addition (what the
+    rollback removed)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from engine.operators.corpus_build import (
+        corpus_out_dir,
+        corpus_refresh_incremental,
+    )
+    from engine.versioned_store import (
+        read_version,
+        rollback,
+        version_diff,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_CORPUS_OUT", str(tmp_path / "c"))
+    corpus_refresh_incremental(spark, SF_SMOKE).collect()
+    store = corpus_out_dir(SF_SMOKE) + "_refresh"
+
+    def summary(v: int):
+        return {
+            r.source: (r.n, r.h)
+            for r in read_version(spark, store, v)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.expr("bit_xor(h)").cast("bigint").alias("h"),
+            )
+            .collect()
+        }
+
+    before = summary(1)
+    bad = summary(2)
+    assert bad != before  # the refresh really changed the corpus
+
+    # treat v2 as a bad batch: one JSON write promotes v1's file set
+    v3 = rollback(store, to_version=1)
+    assert v3 == 3
+    assert summary(v3) == before  # prior corpus hash restored exactly
+    assert summary(2) == bad  # the bad version stays inspectable
+    # the diff between rolled-back and bad names the batch as pure
+    # addition (everything the rollback removed, nothing else)
+    d = {r.source: r for r in version_diff(spark, store, v3, 2).collect()}
+    assert sum(r.n_added for r in d.values()) > 0
+    assert all((r.n_removed, r.n_changed) == (0, 0) for r in d.values())
