@@ -38,12 +38,17 @@ copy-on-write at FILE granularity with a manifest per version:
 Single-writer by design; as a backstop, a version's manifest is
 claimed by atomic hard link, so racing writers cannot both commit the
 same version — the loser raises CommitConflict (a real multi-writer
-deployment still wants a transactional catalog). Manifests list file paths on the driver: at
-100 TB that is O(files) metadata (what Delta holds in its log and
-Iceberg chunks into avro manifests); the data plane — scan, shuffle,
-write — stays fully distributed, and the per-file partition values in
-the manifest give catalog-side partition pruning with zero listing
-RPCs.
+deployment still wants a transactional catalog). Manifests list file
+paths on the driver: at 100 TB that is O(files) metadata (what Delta
+holds in its log and Iceberg chunks into avro manifests); the data
+plane — scan, shuffle, write — stays fully distributed, and the
+per-file partition values in the manifest give catalog-side partition
+pruning with zero listing RPCs. The boundary is MEASURED, not assumed
+(tools/store_probe.py, SCALE_PROBE.md §store): at 10,000 files the
+manifest is 1.1 MB and parses in 8 ms — JSON is nowhere near the
+bottleneck at this scale — and snapshot reads are a single scan plus
+a broadcast file→partition join (``_load_entries``), so read planning
+stays O(1) Spark jobs at any partition count.
 
 Reference parity note: the reference engine has no storage versioning
 (SURVEY.md §2.3); Layer-B capability per §6's production-pipeline
@@ -329,24 +334,63 @@ def commit_upsert(
     return version
 
 
-def read_version(
+def _load_entries(
     spark: SparkSession,
     store: str,
-    version: int | None = None,
-    partition_values: list[str] | None = None,
-) -> DataFrame:
-    """Read a pinned snapshot (default: latest). ``partition_values``
-    prunes files from the MANIFEST — catalog-side pruning, no
-    filesystem listing. The partition column is restored from the
-    manifest entries (data files don't carry it; it lived in the
-    directory name at write time)."""
-    version = version if version is not None else current_version(store)
-    man = _read_manifest(store, version)
-    pcol = man["partition_col"]
-    entries = man["files"]
-    if partition_values is not None:
-        wanted = set(map(str, partition_values))
-        entries = [e for e in entries if e["partition"] in wanted]
+    entries: list[dict],
+    pcol: str,
+    ddl: str | None,
+) -> DataFrame | None:
+    """Load a manifest entry subset with the partition column restored
+    (None for an empty subset).
+
+    With a recorded data-file schema (``ddl``, every round-8+
+    manifest), all entries are read in ONE ``spark.read`` call — the
+    explicit schema null-fills columns missing from carried-forward
+    pre-evolution files, exactly the additive-evolution semantics the
+    old per-partition union gave — and the partition column is
+    restored by a broadcast join from the manifest's file→partition
+    map on the file NAME (version-unique by construction, and safe
+    characters only, so the input_file_name URI basename matches
+    verbatim). Read planning is therefore O(1) Spark jobs at any
+    partition count; the pre-round-8 per-partition loop built an
+    O(partitions) union plan the 10k-file probe measured at 33 s
+    (SCALE_PROBE.md §store) vs ~1 s for this path.
+
+    Manifests predating schema recording fall back to that loop
+    (their partitions' schemas must be inferred per file group)."""
+    if not entries:
+        return None
+    if ddl:
+        paths = [os.path.join(store, _DATA, e["file"]) for e in entries]
+        fmap = spark.createDataFrame(
+            [(e["file"], e["partition"]) for e in entries],
+            f"__vs_file string, {pcol} string",
+        )
+        # Above the discovery threshold Spark stats the paths with a
+        # listing JOB whose task count defaults to one PER PATH — the
+        # 10k-file probe measured 17 s of pure task overhead in that
+        # job before a byte of data moved. Bound it for the eager
+        # file-index build (listing stays distributed — what an object
+        # store needs — in ~64 well-packed tasks), then restore.
+        key = "spark.sql.sources.parallelPartitionDiscovery.parallelism"
+        old = spark.conf.get(key, None)
+        spark.conf.set(key, "64")
+        try:
+            reader = spark.read.schema(ddl).parquet(*paths)
+        finally:
+            spark.conf.set(key, old) if old is not None else (
+                spark.conf.unset(key)
+            )
+        return (
+            reader
+            .withColumn(
+                "__vs_file",
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+            )
+            .join(F.broadcast(fmap), "__vs_file")
+            .drop("__vs_file")
+        )
     by_part: dict[str, list[str]] = {}
     for e in entries:
         by_part.setdefault(e["partition"], []).append(
@@ -365,6 +409,28 @@ def read_version(
             if out is None
             else out.unionByName(part_df, allowMissingColumns=True)
         )
+    return out
+
+
+def read_version(
+    spark: SparkSession,
+    store: str,
+    version: int | None = None,
+    partition_values: list[str] | None = None,
+) -> DataFrame:
+    """Read a pinned snapshot (default: latest). ``partition_values``
+    prunes files from the MANIFEST — catalog-side pruning, no
+    filesystem listing. The partition column is restored from the
+    manifest entries (data files don't carry it; it lived in the
+    directory name at write time)."""
+    version = version if version is not None else current_version(store)
+    man = _read_manifest(store, version)
+    pcol = man["partition_col"]
+    entries = man["files"]
+    if partition_values is not None:
+        wanted = set(map(str, partition_values))
+        entries = [e for e in entries if e["partition"] in wanted]
+    out = _load_entries(spark, store, entries, pcol, man.get("columns"))
     if out is None:
         # A fileless snapshot is VALID history (commit_delete of every
         # row produces one) — return the empty DataFrame with the
@@ -438,27 +504,6 @@ def rollback(store: str, to_version: int) -> int:
     return version
 
 
-def _entries_df(
-    spark: SparkSession, store: str, entries: list[dict], pcol: str
-) -> DataFrame | None:
-    """Load a manifest entry subset with the partition column restored
-    (None for an empty subset)."""
-    by_part: dict[str, list[str]] = {}
-    for e in entries:
-        by_part.setdefault(e["partition"], []).append(
-            os.path.join(store, _DATA, e["file"])
-        )
-    out: DataFrame | None = None
-    for pval, paths in sorted(by_part.items()):
-        part_df = spark.read.parquet(*paths).withColumn(pcol, F.lit(pval))
-        out = (
-            part_df
-            if out is None
-            else out.unionByName(part_df, allowMissingColumns=True)
-        )
-    return out
-
-
 def version_diff(
     spark: SparkSession, store: str, va: int, vb: int
 ) -> DataFrame:
@@ -487,8 +532,8 @@ def version_diff(
         "source string, n_added bigint, n_removed bigint, n_changed bigint,"
         " n_unchanged bigint, tok_delta bigint, diff_h bigint"
     )
-    a_df = _entries_df(spark, store, a_only, pcol)
-    b_df = _entries_df(spark, store, b_only, pcol)
+    a_df = _load_entries(spark, store, a_only, pcol, ma.get("columns"))
+    b_df = _load_entries(spark, store, b_only, pcol, mb.get("columns"))
     if a_df is None and b_df is None:
         d = spark.createDataFrame([], schema)
     else:

@@ -701,3 +701,46 @@ def test_store_guards_and_empty_snapshot_reads(spark, tmp_path):
     )
     assert vacuum(store2, keep_latest=1) == []
     assert read_version(spark, store2).count() == 0
+
+
+def test_read_version_is_one_scan_not_per_partition_unions(spark, tmp_path):
+    """The 10k-file probe (tools/store_probe.py, SCALE_PROBE.md §store)
+    pinned read_version's scale shape: a snapshot read must be ONE
+    parquet scan plus a broadcast file→partition join, never the
+    legacy per-partition union whose driver plan grew O(partitions).
+    Pin the plan shape on a many-partition store, and pin that the
+    single-scan path preserves the legacy semantics: additive schema
+    evolution null-fills carried-forward files, and Hive-escaped
+    partition values round-trip."""
+    from engine.versioned_store import (
+        commit_overwrite,
+        commit_upsert,
+        read_version,
+    )
+
+    store = str(tmp_path / "manyparts")
+    df = spark.range(40).selectExpr(
+        "concat('p ', id % 20) as part", "id as k", "id * 2 as v"
+    )
+    commit_overwrite(df, store, "part")
+    snap = read_version(spark, store, 1)
+    plan = snap._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan, plan
+    assert plan.count("Relation") == 1, plan
+    assert snap.count() == 40
+    # escaped partition values ('p 0'..'p 19' contain a space) restore
+    assert sorted(
+        r.part for r in snap.select("part").distinct().collect()
+    ) == sorted(f"p {i}" for i in range(20))
+
+    # additive evolution: v2 rewrites ONE partition with a new column;
+    # the other 19 partitions' carried-forward files lack it and must
+    # read as null through the explicit-schema single scan
+    chg = spark.createDataFrame(
+        [("p 3", 3, 6, "new")], "part string, k long, v long, extra string"
+    )
+    commit_upsert(spark, store, chg, ["part", "k"])
+    v2 = read_version(spark, store, 2)
+    got = {r.k: r.extra for r in v2.collect()}
+    assert got[3] == "new"
+    assert sum(x is None for x in got.values()) == len(got) - 1

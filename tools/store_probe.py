@@ -1,0 +1,181 @@
+"""Versioned-store scale probe: manifests at 10k files (VERDICT r7 #5).
+
+versioned_store.py documents its manifests as O(files) driver-side
+JSON — the honest caveat Delta chunks into its log and Iceberg into
+avro manifests. This probe replaces the documented limit with a
+MEASURED one: build a store whose CURRENT version lists N files
+(default 10,000) across P partitions, then time every store operation
+a production refresh loop touches —
+
+  * manifest write + read (json size, parse time)
+  * read_version: full snapshot (plan build + count)
+  * read_version with partition pruning (catalog-side file pruning)
+  * version_diff between two versions sharing all but one partition
+  * rollback (one JSON write, zero data movement)
+  * vacuum retention scan (live-set build over all manifests)
+
+The store is synthesized honestly for the manifest plane: ONE real
+parquet file is written by Spark, then hard-linked under N
+version-unique names — every manifest entry points at a real,
+readable parquet file, so read paths execute their true plans; only
+the bytes are shared (a 10k-task write would measure the write
+cluster, not the metadata plane this probe is about).
+
+Usage:
+  python tools/store_probe.py [N_FILES] [N_PARTITIONS]
+
+Prints one human-readable table and one JSON line; paste the numbers
+into SCALE_PROBE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from engine import versioned_store as vs  # noqa: E402
+from engine.session import get_spark  # noqa: E402
+
+ROWS_PER_FILE = 100
+
+
+def _build_store(spark, root: str, n_files: int, n_parts: int) -> str:
+    """A store whose v1 lists ``n_files`` entries over ``n_parts``
+    partitions, plus a v2 that rewrites exactly one partition (the
+    shape a daily refresh leaves behind)."""
+    store = os.path.join(root, f"store_{n_files}")
+    data = os.path.join(store, vs._DATA)
+    os.makedirs(data, exist_ok=True)
+    # one real file, linked n_files times
+    seed_dir = os.path.join(root, "seed")
+    (
+        spark.range(ROWS_PER_FILE)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 97).cast("long").alias("n_tokens"),
+            F.xxhash64("id").alias("h"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(seed_dir)
+    )
+    seed = next(
+        os.path.join(seed_dir, f)
+        for f in os.listdir(seed_dir)
+        if f.endswith(".parquet")
+    )
+    per_part = n_files // n_parts
+
+    def _entries(version: int) -> list[dict]:
+        entries = []
+        for p in range(n_parts):
+            for i in range(per_part):
+                name = f"v{version:05d}-{p:04d}-{i:05d}.parquet"
+                os.link(seed, os.path.join(data, name))
+                entries.append(
+                    {
+                        "file": name,
+                        "partition": f"src{p:04d}",
+                        "n_rows": ROWS_PER_FILE,
+                        "bytes": os.path.getsize(seed),
+                    }
+                )
+        return entries
+
+    ddl = "doc_id bigint, n_tokens bigint, h bigint"
+    v1_files = _entries(1)
+    vs._write_manifest_and_current(
+        store,
+        {"version": 1, "partition_col": "source", "columns": ddl,
+         "files": v1_files},
+    )
+    # v2: copy-on-write rewrite of partition src0000 only
+    touched = [e for e in v1_files if e["partition"] == "src0000"]
+    keep = [e for e in v1_files if e["partition"] != "src0000"]
+    new = []
+    for i in range(len(touched)):
+        name = f"v00002-0000-{i:05d}.parquet"
+        os.link(seed, os.path.join(data, name))
+        new.append({"file": name, "partition": "src0000",
+                    "n_rows": ROWS_PER_FILE,
+                    "bytes": os.path.getsize(seed)})
+    vs._write_manifest_and_current(
+        store,
+        {"version": 2, "partition_col": "source", "columns": ddl,
+         "files": keep + new},
+    )
+    return store
+
+
+def _probe(spark, root: str, n_files: int, n_parts: int) -> dict:
+    t0 = time.monotonic()
+    store = _build_store(spark, root, n_files, n_parts)
+    build_s = time.monotonic() - t0
+    out: dict = {"n_files": n_files, "n_partitions": n_parts,
+                 "build_s": round(build_s, 3)}
+
+    mpath = vs._manifest_path(store, 1)
+    out["manifest_bytes"] = os.path.getsize(mpath)
+    t0 = time.monotonic()
+    man = vs._read_manifest(store, 1)
+    out["manifest_parse_s"] = round(time.monotonic() - t0, 4)
+    assert len(man["files"]) == n_files
+
+    t0 = time.monotonic()
+    n = vs.read_version(spark, store, 1).count()
+    out["read_full_s"] = round(time.monotonic() - t0, 3)
+    assert n == n_files * ROWS_PER_FILE
+
+    t0 = time.monotonic()
+    n = vs.read_version(
+        spark, store, 1, partition_values=["src0001"]
+    ).count()
+    out["read_pruned_s"] = round(time.monotonic() - t0, 3)
+    assert n == (n_files // n_parts) * ROWS_PER_FILE
+
+    t0 = time.monotonic()
+    d = vs.version_diff(spark, store, 2, 1).collect()
+    out["diff_s"] = round(time.monotonic() - t0, 3)
+    assert len(d) == n_parts
+
+    t0 = time.monotonic()
+    vs.rollback(store, 1)
+    out["rollback_s"] = round(time.monotonic() - t0, 4)
+
+    t0 = time.monotonic()
+    removed = vs.vacuum(store, keep_latest=2)
+    out["vacuum_s"] = round(time.monotonic() - t0, 3)
+    out["vacuum_removed"] = len(removed)
+    return out
+
+
+def main() -> None:
+    import shutil
+    import tempfile
+
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
+    n_parts = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    spark = get_spark()
+    root = tempfile.mkdtemp(prefix="store-probe-")
+    try:
+        results = [
+            _probe(spark, root, nf, max(1, min(n_parts, nf)))
+            for nf in (1_000, n_files)
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    hdr = list(results[0])
+    print("\t".join(hdr))
+    for r in results:
+        print("\t".join(str(r[k]) for k in hdr))
+    print(json.dumps({"store_probe": results}))
+
+
+if __name__ == "__main__":
+    main()
