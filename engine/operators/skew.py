@@ -179,67 +179,8 @@ EVENT_WEIGHTS = [
 _SALTS = 8
 
 
-@query(
-    "skew_salted_events",
-    oracle="""
-WITH w(event_type, weight) AS (VALUES
-  ('view', 1), ('click', 2), ('purchase', 10), ('signup', 5), ('error', 0)
-)
-SELECT e.event_type,
-       count(*) AS n_events,
-       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT) * weight) AS BIGINT)
-         AS weighted_cents,
-       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
-FROM events e JOIN w USING (event_type)
-GROUP BY e.event_type
-""",
-    tags=("skew", "join", "events"),
-)
-def skew_salted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deliberately worst-case skewed join + aggregation through the
-    salting machinery: events' join key (event_type) has only 5
-    distinct values, so an unsalted shuffle join would put ~20% of the
-    fact table on single reducers. `salted_join` spreads each hot key
-    over 8 salt buckets (the dim side replicates 8×, visible as the
-    explode in the plan); `salted_agg` then two-phase-aggregates on
-    (key, salt) before re-combining per key — including the
-    NON-algebraic exact distinct-user count `n_users` through the
-    (key, salt, value) → (key, value) → count dedup chain (round 7;
-    see `salted_agg`'s docstring for why hot keys never build a value
-    set on one reducer). The salt width is profile-drivable:
-    `recommend_n_salts(shuffle_skew_profile's imb_bp)` below.
-
-    Values are aggregated as integer cents × integer weights, so the
-    two-phase sum is order-independent and bit-equal to the oracle's
-    single-phase sum (double sums would re-associate differently)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        "user_id",
-        (
-            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
-        ).alias("cents"),
-    )
-    dim = ev.sparkSession.createDataFrame(
-        EVENT_WEIGHTS, "event_type string, weight int"
-    )
-    joined = salted_join(
-        ev, dim, "event_type", n_salts=_SALTS, salt_source="event_id"
-    ).withColumn("wcents", F.col("cents") * F.col("weight"))
-    return salted_agg(
-        joined,
-        "event_type",
-        {
-            # count over the never-NULL key, not wcents: the oracle is
-            # count(*), and F.count(col) skips NULLs — a NULL-valued
-            # event would silently put the two engines off by one.
-            "n_events": ("event_id", "count"),
-            "weighted_cents": ("wcents", "sum"),
-            "n_users": ("user_id", "count_distinct"),
-        },
-        n_salts=_SALTS,
-        salt_source="event_id",
-    )
+# (skew_salted_events is registered at the end of this module: its
+# round-8 salt-sizing facet needs the profiler and recommender below.)
 
 
 # -- shuffle-skew diagnostic profiler ---------------------------------------
@@ -413,3 +354,211 @@ def recommend_n_salts(
         return 1
     need = -(-(imb_bp - 10000) // (target_bp - 10000))
     return max(1, min(int(need), max_salts))
+
+
+# -- the registered skewed-workload query (agg + salt-sizing facets) ---------
+
+
+def _recommend_sql(div: str, imb: str) -> str:
+    """`recommend_n_salts` as a SQL expression, shared text for both
+    engines (``div`` is the dialect's integer division) — the facet
+    below computes the recommendation IN-PLAN, and the pytest pins the
+    SQL form equal to the Python recommender on the profiled value."""
+    t = SALT_TARGET_IMB_BP - 10000
+    return (
+        f"CASE WHEN {imb} <= {SALT_TARGET_IMB_BP} THEN CAST(1 AS BIGINT)"
+        f" ELSE LEAST(CAST({MAX_SALTS} AS BIGINT),"
+        f" ({imb} - 10000 + {t - 1}) {div} {t}) END"
+    )
+
+
+_NBIG = "CAST(NULL AS BIGINT)"
+_P = SKEW_PROFILE_PARTS
+_IMB_DUCK = "CAST((20000 * maxpart * {p} + n_rows) // (2 * n_rows) AS BIGINT)"
+
+_SALTED_EVENTS_ORACLE = f"""
+WITH w(event_type, weight) AS (VALUES
+  ('view', 1), ('click', 2), ('purchase', 10), ('signup', 5), ('error', 0)
+),
+agg AS (
+  SELECT e.event_type,
+         count(*) AS n_events,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT) * weight)
+              AS BIGINT) AS weighted_cents,
+         CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+  FROM events e JOIN w USING (event_type)
+  GROUP BY e.event_type
+),
+kc AS (
+  SELECT COALESCE(CAST(event_type AS VARCHAR), '') AS k, count(*) AS cnt
+  FROM events GROUP BY 1
+),
+pl AS (
+  SELECT {DUCK_H60.format(x='k')} % {_P} AS part,
+         CAST(sum(cnt) AS BIGINT) AS load
+  FROM kc GROUP BY 1
+),
+pre AS (
+  SELECT CAST(sum(load) AS BIGINT) AS n_rows,
+         CAST(max(load) AS BIGINT) AS maxpart
+  FROM pl
+),
+rec AS (
+  SELECT maxpart AS pre_maxpart_load,
+         {_IMB_DUCK.format(p=_P)} AS pre_imb_bp
+  FROM pre
+),
+rec2 AS (
+  SELECT pre_imb_bp, pre_maxpart_load,
+         CAST({_recommend_sql('//', 'pre_imb_bp')} AS BIGINT) AS n_salts
+  FROM rec
+),
+skc AS (
+  SELECT COALESCE(CAST(e.event_type AS VARCHAR), '') || ':' ||
+           CAST(({DUCK_H60.format(x='CAST(event_id AS VARCHAR)')}
+                 % n_salts) AS VARCHAR) AS k,
+         count(*) AS cnt
+  FROM events e CROSS JOIN rec2 GROUP BY 1
+),
+spl AS (
+  SELECT {DUCK_H60.format(x='k')} % {_P} AS part,
+         CAST(sum(cnt) AS BIGINT) AS load
+  FROM skc GROUP BY 1
+),
+post AS (
+  SELECT CAST(sum(load) AS BIGINT) AS n_rows,
+         CAST(max(load) AS BIGINT) AS maxpart
+  FROM spl
+),
+post2 AS (
+  SELECT maxpart AS post_maxpart_load,
+         {_IMB_DUCK.format(p=_P)} AS post_imb_bp
+  FROM post
+)
+SELECT 'agg' AS facet, event_type, n_events, weighted_cents, n_users,
+       {_NBIG} AS n_salts, {_NBIG} AS pre_imb_bp, {_NBIG} AS post_imb_bp,
+       {_NBIG} AS pre_maxpart_load, {_NBIG} AS post_maxpart_load
+FROM agg
+UNION ALL
+SELECT 'salt_sizing', CAST(NULL AS VARCHAR), {_NBIG}, {_NBIG}, {_NBIG},
+       n_salts, pre_imb_bp, post_imb_bp, pre_maxpart_load,
+       post_maxpart_load
+FROM rec2 CROSS JOIN post2
+"""
+
+
+@query(
+    "skew_salted_events",
+    oracle=_SALTED_EVENTS_ORACLE,
+    tags=("skew", "join", "events", "sizing"),
+)
+def skew_salted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately worst-case skewed join + aggregation through the
+    salting machinery, plus the profile-driven sizing proof. Two
+    facets:
+
+    `agg` — events' join key (event_type) has only 5 distinct values,
+    so an unsalted shuffle join would put ~20% of the fact table on
+    single reducers. `salted_join` spreads each hot key over 8 salt
+    buckets (the dim side replicates 8×, visible as the explode in the
+    plan); `salted_agg` then two-phase-aggregates on (key, salt)
+    before re-combining per key — including the NON-algebraic exact
+    distinct-user count `n_users` through the (key, salt, value) →
+    (key, value) → count dedup chain (round 7; see `salted_agg`'s
+    docstring). Values are aggregated as integer cents × integer
+    weights, so the two-phase sum is order-independent and bit-equal
+    to the oracle's single-phase sum.
+
+    `salt_sizing` (round 8, VERDICT r7 #6) — the end-to-end
+    profile→recommend→verify loop, fully in-plan: profile the hot
+    event_type key (`profile_key`; pre_imb_bp ≈ 6.4× the balanced
+    ideal at the fixtures), compute `recommend_n_salts` as a SQL
+    expression on the profiled imbalance (shared formula text,
+    `_recommend_sql`; the 1-row result is broadcast, never collected),
+    salt the key that wide with the engine-portable h60 of event_id
+    (the same uniform-hash family the simulated reducer id uses —
+    xxhash64, the production salt, is not replayable in the oracle and
+    has the same placement statistics), re-profile the composite key,
+    and report pre/post simulated max-partition load and imbalance.
+    The oracle replays the whole loop relationally, so the driver hash
+    pins profile, recommendation and achieved rebalance alike."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        (
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("cents"),
+    )
+    dim = ev.sparkSession.createDataFrame(
+        EVENT_WEIGHTS, "event_type string, weight int"
+    )
+    joined = salted_join(
+        ev, dim, "event_type", n_salts=_SALTS, salt_source="event_id"
+    ).withColumn("wcents", F.col("cents") * F.col("weight"))
+    agg = salted_agg(
+        joined,
+        "event_type",
+        {
+            # count over the never-NULL key, not wcents: the oracle is
+            # count(*), and F.count(col) skips NULLs — a NULL-valued
+            # event would silently put the two engines off by one.
+            "n_events": ("event_id", "count"),
+            "weighted_cents": ("wcents", "sum"),
+            "n_users": ("user_id", "count_distinct"),
+        },
+        n_salts=_SALTS,
+        salt_source="event_id",
+    )
+
+    nb = F.lit(None).cast("bigint")
+    agg_rows = agg.select(
+        F.lit("agg").alias("facet"),
+        "event_type",
+        "n_events",
+        "weighted_cents",
+        "n_users",
+        nb.alias("n_salts"),
+        nb.alias("pre_imb_bp"),
+        nb.alias("post_imb_bp"),
+        nb.alias("pre_maxpart_load"),
+        nb.alias("post_maxpart_load"),
+    )
+
+    keys = ev.select(
+        F.coalesce(F.col("event_type").cast("string"), F.lit("")).alias("k")
+    )
+    rec = profile_key(keys, "pre").select(
+        F.col("imb_bp").alias("pre_imb_bp"),
+        F.col("maxpart_load").alias("pre_maxpart_load"),
+        F.expr(_recommend_sql("DIV", "imb_bp")).cast("bigint").alias(
+            "n_salts"
+        ),
+    )
+    salted_keys = ev.crossJoin(F.broadcast(rec.select("n_salts"))).select(
+        F.concat(
+            F.coalesce(F.col("event_type").cast("string"), F.lit("")),
+            F.lit(":"),
+            F.expr(
+                f"cast(({SPARK_H60.format(x='cast(event_id as string)')})"
+                " % n_salts as string)"
+            ),
+        ).alias("k")
+    )
+    post = profile_key(salted_keys, "post").select(
+        F.col("imb_bp").alias("post_imb_bp"),
+        F.col("maxpart_load").alias("post_maxpart_load"),
+    )
+    sizing = rec.crossJoin(post).select(
+        F.lit("salt_sizing").alias("facet"),
+        F.lit(None).cast("string").alias("event_type"),
+        nb.alias("n_events"),
+        nb.alias("weighted_cents"),
+        nb.alias("n_users"),
+        "n_salts",
+        "pre_imb_bp",
+        "post_imb_bp",
+        "pre_maxpart_load",
+        "post_maxpart_load",
+    )
+    return agg_rows.unionAll(sizing)

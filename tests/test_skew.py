@@ -180,3 +180,39 @@ def test_salted_collect_set_matches_plain_sorted(spark):
     ).collect()
     for r in mixed:
         assert r.nd == len(r.s)
+
+
+def test_salt_sizing_facet_matches_python_recommender(spark):
+    """The salt_sizing facet of skew_salted_events (round 8, VERDICT
+    r7 #6) must be the Python recommender run in-plan: its n_salts
+    equals recommend_n_salts(pre_imb_bp) exactly, the recommendation
+    actually fires on the pathological event_type key (> 1 salt), and
+    the achieved post-salt imbalance improves on the profiled one."""
+    from engine.operators.skew import recommend_n_salts, skew_salted_events
+
+    rows = skew_salted_events(spark, SF_SMOKE).collect()
+    sizing = [r for r in rows if r.facet == "salt_sizing"]
+    assert len(sizing) == 1
+    s = sizing[0]
+    assert s.n_salts == recommend_n_salts(s.pre_imb_bp)
+    assert s.n_salts > 1, s
+    assert s.post_imb_bp < s.pre_imb_bp, s
+    assert s.post_maxpart_load < s.pre_maxpart_load, s
+    # agg facet values unchanged by the facet plumbing: spot-check one
+    # against a plain (unsalted) aggregation
+    agg = {r.event_type: r for r in rows if r.facet == "agg"}
+    from engine.io import load_table
+    from pyspark.sql import functions as F
+
+    plain = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("nu"),
+        )
+        .collect()
+    )
+    for p in plain:
+        assert agg[p.event_type].n_events == p.n
+        assert agg[p.event_type].n_users == p.nu

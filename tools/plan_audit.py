@@ -91,6 +91,13 @@ NESTED_LOOP_OK = {
     "pipeline_extended",  # lm_likelihood 1-row vocab-size broadcast
     "kcore_items",  # two 1-row edge-count scalars (convergence flag)
     "graph_analytics",  # inherits kcore's 1-row convergence scalars
+    # round-8 1-row broadcasts, bounded at any scale:
+    # corpus_build_e2e's zaudit — the (minid, maxid) grid-bounds row
+    # and the 12-row probe workload vs the |splits|x16 footer table;
+    # skew_salted_events' salt_sizing — the 1-row profile-driven
+    # n_salts recommendation broadcast into the salting expression
+    "corpus_build_e2e",
+    "skew_salted_events",
 }
 
 # Queries allowed a global (unpartitioned) window. EMPTY by design:
