@@ -1108,3 +1108,81 @@ def streaming_refresh_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "corpus_h",
     )
     return m.unionAll(v)
+
+
+# -- z-ordered compaction (round 8) -------------------------------------------
+#
+# The store's OPTIMIZE ZORDER: churny upserts leave touched partitions
+# fragmented into task-count files in arrival order — exactly the
+# layout whose footers prune nothing. `compact_version(zorder_cols=…)`
+# rewrites the CURRENT snapshot clustered on a Morton curve over the
+# named columns (engine/versioned_store.py docstring for the
+# mechanics). The query below pins the property that makes clustered
+# compaction SAFE to run automatically: content invariance. Per
+# source, (n_docs, n_tokens, xor'd row hash) computed from a PINNED
+# read of the compacted version must equal the oracle's relational
+# replay of the pre-compaction snapshot — z-ordering may only permute
+# rows across files. The physical clustering win (tight footer
+# rectangles, probe skipping on real pyarrow stats) is pinned by
+# tests/test_versioning.py::test_zorder_compaction_clusters_files.
+
+
+def _zc_oracle() -> str:
+    from engine.operators.corpus_build import _IS_NEW_DUCK, _ROW_H_DUCK
+
+    return f"""
+WITH lab AS (
+  SELECT source, doc_id, text, ({_IS_NEW_DUCK}) AS is_new FROM documents
+),
+base AS (SELECT source, doc_id, text FROM lab WHERE NOT is_new),
+bh AS (SELECT DISTINCT sha256(text) AS ch FROM base),
+arr AS (
+  SELECT source, doc_id, text, sha256(text) AS ch FROM lab WHERE is_new
+),
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY ch ORDER BY doc_id) AS rn
+  FROM arr
+),
+keep AS (
+  SELECT source, doc_id, text FROM win
+  WHERE rn = 1 AND ch NOT IN (SELECT ch FROM bh)
+),
+fin AS (SELECT * FROM base UNION ALL SELECT * FROM keep)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(bit_xor({_ROW_H_DUCK}) AS BIGINT) AS corpus_h
+FROM fin GROUP BY source
+"""
+
+
+@query(
+    "store_zorder_compaction",
+    oracle=_zc_oracle(),
+    tags=("pipeline", "versioning", "layout", "sink", "documents"),
+    exported=False,  # library: compaction invariance, oracled at sf0.001+
+)
+def store_zorder_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ordered compaction invariance (section comment): rebuild the
+    two-version store, compact v2 clustered on (doc_id, n_tokens) as
+    v3, and return the per-source content summary from a PINNED
+    read_version(v3). The oracle replays v2's logical content from the
+    raw table, so a hash match proves the clustered rewrite moved
+    every row and invented none — the safety property that lets a
+    maintenance job run OPTIMIZE ZORDER unattended."""
+    from engine.versioned_store import compact_version, read_version
+
+    store, _v1, v2 = _build_tt_store(spark, sf_dir)
+    v3 = compact_version(
+        spark, store, files_per_partition=2,
+        zorder_cols=["doc_id", "n_tokens"],
+    )
+    assert v3 == v2 + 1
+    return (
+        read_version(spark, store, v3)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("bit_xor(h)").cast("bigint").alias("corpus_h"),
+        )
+    )
