@@ -1186,3 +1186,101 @@ def store_zorder_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(h)").cast("bigint").alias("corpus_h"),
         )
     )
+
+
+# -- manifest-stats data skipping (round 8) -----------------------------------
+#
+# The read-side complement of z-ordered compaction: every commit now
+# records per-file numeric min/max in the manifest (from the staged
+# parquet footers — Delta's data-skipping stats), and
+# `read_version(range_filters=…)` prunes files catalog-side before
+# Spark lists anything, then applies the residual row filter in-plan
+# so the result is exactly the predicate's rows. The query pins the
+# COMPOSED path: z-order-compact the store on (doc_id, n_tokens), then
+# answer a doc_id-range query through the stats-pruned pinned read.
+# The oracle replays the same range over the relational reconstruction
+# of the snapshot — a hash match proves pruning dropped only provably
+# empty files. That the pruning actually bites (most files skipped on
+# the clustered dimension) is pinned by
+# tests/test_versioning.py::test_stats_pruned_read_skips_files.
+
+
+def _spr_oracle() -> str:
+    from engine.operators.corpus_build import _IS_NEW_DUCK, _ROW_H_DUCK
+
+    return f"""
+WITH lab AS (
+  SELECT source, doc_id, text, ({_IS_NEW_DUCK}) AS is_new FROM documents
+),
+base AS (SELECT source, doc_id, text FROM lab WHERE NOT is_new),
+bh AS (SELECT DISTINCT sha256(text) AS ch FROM base),
+arr AS (
+  SELECT source, doc_id, text, sha256(text) AS ch FROM lab WHERE is_new
+),
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY ch ORDER BY doc_id) AS rn
+  FROM arr
+),
+keep AS (
+  SELECT source, doc_id, text FROM win
+  WHERE rn = 1 AND ch NOT IN (SELECT ch FROM bh)
+),
+fin AS (SELECT * FROM base UNION ALL SELECT * FROM keep),
+zb AS (SELECT CAST(min(doc_id) AS BIGINT) AS minid,
+              CAST(max(doc_id) AS BIGINT) AS maxid FROM fin),
+sel AS (
+  SELECT f.* FROM fin f CROSS JOIN zb
+  WHERE f.doc_id <= minid + ((maxid - minid + 1) // 8)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(bit_xor({_ROW_H_DUCK}) AS BIGINT) AS corpus_h
+FROM sel GROUP BY source
+"""
+
+
+@query(
+    "store_stats_pruned_read",
+    oracle=_spr_oracle(),
+    tags=("pipeline", "versioning", "layout", "pruning", "documents"),
+    exported=False,  # library: data-skipping read path, oracled
+)
+def store_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping read through the versioned store (section
+    comment): rebuild the two-version store, z-order-compact on
+    (doc_id, n_tokens), then summarize per source the docs whose
+    doc_id falls in the lowest eighth of the snapshot's id span —
+    answered via ``read_version(range_filters=…)``, which prunes
+    files on the manifest's footer-recorded min/max before the scan
+    and filters residually in-plan. The oracle replays the identical
+    range relationally; the bounds come from the snapshot itself (one
+    1-row min/max read — at 100 TB, a catalog lookup), so both
+    engines derive the probe from shared data, not a constant that
+    could drift from the fixtures."""
+    from engine.versioned_store import (
+        compact_version,
+        read_version,
+    )
+
+    store, _v1, v2 = _build_tt_store(spark, sf_dir)
+    v3 = compact_version(
+        spark, store, files_per_partition=2,
+        zorder_cols=["doc_id", "n_tokens"],
+    )
+    lo, hi = (
+        read_version(spark, store, v3)
+        .agg(F.min("doc_id"), F.max("doc_id"))
+        .collect()[0]
+    )
+    cut = lo + (hi - lo + 1) // 8
+    return (
+        read_version(
+            spark, store, v3, range_filters={"doc_id": (None, cut)}
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("bit_xor(h)").cast("bigint").alias("corpus_h"),
+        )
+    )

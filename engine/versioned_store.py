@@ -138,12 +138,56 @@ def _write_manifest_and_current(store: str, manifest: dict) -> None:
     os.rename(tmp, os.path.join(_mdir(store), "CURRENT"))
 
 
+def _footer_stats(path: str) -> dict:
+    """Per-column [min, max] for top-level NUMERIC columns, read from
+    one staged file's parquet footer — the per-file skipping stats
+    Delta keeps in its log. Numeric only: JSON-safe, total order, no
+    truncation subtleties (string max must round UP when cut — Delta's
+    32-char rule — so strings are deliberately out of scope). A column
+    with no usable min/max in some row group (e.g. all-null) records
+    nothing, which readers treat conservatively (file kept)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict[str, list] = {}
+    for ci in range(md.num_columns):
+        col = md.schema.column(ci)
+        name = col.path  # dotted for nested leaves — excluded below
+        if "." in name or col.physical_type not in (
+            "INT32", "INT64", "FLOAT", "DOUBLE",
+        ):
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if (
+                st is None
+                or not st.has_min_max
+                # logical types (dates, decimals) surface as Python
+                # objects — skip anything that isn't a plain number
+                or not isinstance(st.min, (int, float))
+                or isinstance(st.min, bool)
+            ):
+                lo = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            out[name] = [lo, hi]
+    return out
+
+
 def _stage_files(
     df: DataFrame, store: str, version: int, partition_col: str
 ) -> list[dict]:
     """Write ``df`` partitioned by ``partition_col`` to a staging dir,
     then move each part file into data/ under a version-unique name.
-    Returns the new manifest entries ({file, partition, n_rows})."""
+    Returns the new manifest entries ({file, partition, n_rows, bytes,
+    stats}); ``stats`` carries the numeric columns' per-file min/max
+    (``_footer_stats``) so reads can prune files catalog-side on range
+    predicates. The footer reads are a driver-side O(new files)
+    metadata loop over the files THIS commit staged — the same work a
+    real table format's commit protocol does to populate its log."""
     os.makedirs(os.path.join(store, _DATA), exist_ok=True)
     staging = tempfile.mkdtemp(prefix="vstore-", dir=store)
     entries: list[dict] = []
@@ -211,6 +255,7 @@ def _stage_files(
                 src = os.path.join(full, part)
                 n_rows = counts.get(os.path.join(part_dir, part), 0)
                 n_bytes = os.path.getsize(src)
+                stats = _footer_stats(src)
                 os.rename(src, os.path.join(store, _DATA, name))
                 entries.append(
                     {
@@ -218,6 +263,7 @@ def _stage_files(
                         "partition": pval,
                         "n_rows": n_rows,
                         "bytes": n_bytes,
+                        "stats": stats,
                     }
                 )
     finally:
@@ -412,17 +458,57 @@ def _load_entries(
     return out
 
 
+def _prune_entries(
+    entries: list[dict], range_filters: dict[str, tuple]
+) -> list[dict]:
+    """Manifest-side data skipping: drop entries whose recorded
+    per-file numeric stats PROVE no row can satisfy every
+    ``col: (lo, hi)`` closed-interval filter. Conservative by
+    construction — an entry with no stats for a filtered column (old
+    manifest, non-numeric column, all-null row group) is kept. Bounds
+    of None mean unbounded on that side."""
+    kept = []
+    for e in entries:
+        stats = e.get("stats") or {}
+        admit = True
+        for col, (lo, hi) in range_filters.items():
+            s = stats.get(col)
+            if s is None:
+                continue
+            mn, mx = s
+            if (hi is not None and mn > hi) or (
+                lo is not None and mx < lo
+            ):
+                admit = False
+                break
+        if admit:
+            kept.append(e)
+    return kept
+
+
 def read_version(
     spark: SparkSession,
     store: str,
     version: int | None = None,
     partition_values: list[str] | None = None,
+    range_filters: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Read a pinned snapshot (default: latest). ``partition_values``
     prunes files from the MANIFEST — catalog-side pruning, no
     filesystem listing. The partition column is restored from the
     manifest entries (data files don't carry it; it lived in the
-    directory name at write time)."""
+    directory name at write time).
+
+    ``range_filters`` — ``{col: (lo, hi)}`` closed intervals on
+    numeric columns — is Delta-style DATA SKIPPING: files whose
+    manifest stats (recorded from the parquet footers at commit time)
+    prove emptiness are pruned before Spark lists anything, and the
+    residual row filter is applied in-plan so the result is EXACTLY
+    the rows matching the predicate (never a superset). After a
+    z-ordered ``compact_version`` the surviving-file set is small on
+    any clustered dimension — the two features compose; the composed
+    effect is pinned by the ``store_stats_pruned_read`` oracle and
+    the pruning counts in tests/test_versioning.py."""
     version = version if version is not None else current_version(store)
     man = _read_manifest(store, version)
     pcol = man["partition_col"]
@@ -430,7 +516,15 @@ def read_version(
     if partition_values is not None:
         wanted = set(map(str, partition_values))
         entries = [e for e in entries if e["partition"] in wanted]
+    if range_filters:
+        entries = _prune_entries(entries, range_filters)
     out = _load_entries(spark, store, entries, pcol, man.get("columns"))
+    if out is not None and range_filters:
+        for col, (lo, hi) in range_filters.items():
+            if lo is not None:
+                out = out.filter(F.col(col) >= lo)
+            if hi is not None:
+                out = out.filter(F.col(col) <= hi)
     if out is None:
         # A fileless snapshot is VALID history (commit_delete of every
         # row produces one) — return the empty DataFrame with the

@@ -787,7 +787,12 @@ def test_zorder_compaction_clusters_files(spark, tmp_path):
     before = read_version(spark, store)
     before_rows = sorted(map(tuple, before.collect()))
 
-    fpp = 8
+    # 16 output files: ideal z ranges align to the 16 sub-quadrants of
+    # the (x, y) grid, so the +/-1-file straddle that repartitionByRange's
+    # sampled boundaries can introduce (the sample seed is JVM-object
+    # hashCode, nondeterministic) cannot flip the half-skipped assert
+    # below — at 8 files one straddler sat exactly on the threshold
+    fpp = 16
     v = compact_version(
         spark, store, files_per_partition=fpp, zorder_cols=["x", "y"]
     )
@@ -820,3 +825,76 @@ def test_zorder_compaction_clusters_files(spark, tmp_path):
             1 for r in rects if r[dim] <= phi and r[dim + 1] >= plo
         )
         assert hit <= len(rects) // 2, (dim, hit, rects)
+
+
+def test_stats_pruned_read_skips_files(spark, tmp_path):
+    """Manifest-stats data skipping (round 8): commits record per-file
+    numeric min/max from the staged footers, `_prune_entries` drops
+    only provably empty files, and on a z-order-compacted store a
+    narrow range read through read_version(range_filters=…) must (a)
+    return exactly the predicate's rows and (b) prune most files
+    catalog-side — counted from the manifest, before Spark lists
+    anything. Conservative cases pinned too: a filter on a column
+    with no stats keeps every file."""
+    from engine.versioned_store import (
+        _prune_entries,
+        _read_manifest,
+        commit_overwrite,
+        compact_version,
+        read_version,
+    )
+
+    store = str(tmp_path / "prstore")
+    n = 4000
+    df = spark.range(n).selectExpr(
+        "'p0' as part",
+        "id as x",
+        "(id * 2654435761) % 4096 as y",
+        "concat('s', id) as s",  # string column: no stats recorded
+    )
+    commit_overwrite(df, store, "part")
+    # 16 files for the same reason as test_zorder_compaction_clusters_files:
+    # sub-quadrant-aligned ideal ranges make the half-pruned assert immune
+    # to the one-file boundary straddle repartitionByRange sampling allows
+    v = compact_version(
+        spark, store, files_per_partition=16, zorder_cols=["x", "y"]
+    )
+    man = _read_manifest(store, v)
+    assert all(
+        set(e["stats"]) == {"x", "y"} for e in man["files"]
+    ), "numeric columns only, strings excluded"
+
+    # narrow x range: exact rows, most files pruned
+    lo, hi = 100, 100 + n // 16
+    kept = _prune_entries(man["files"], {"x": (lo, hi)})
+    assert 0 < len(kept) <= len(man["files"]) // 2, (
+        len(kept), len(man["files"])
+    )
+    got = sorted(
+        r.x
+        for r in read_version(
+            spark, store, v, range_filters={"x": (lo, hi)}
+        ).collect()
+    )
+    assert got == list(range(lo, hi + 1))
+
+    # composed with the partition filter and half-open bounds
+    top = read_version(
+        spark, store, v,
+        partition_values=["p0"],
+        range_filters={"x": (n - 10, None)},
+    )
+    assert sorted(r.x for r in top.collect()) == list(range(n - 10, n))
+
+    # a filter on the stats-less string column prunes nothing but
+    # still filters rows exactly
+    kept_s = _prune_entries(man["files"], {"s": ("s1", "s1")})
+    assert len(kept_s) == len(man["files"])
+
+    # an empty range reads as an empty frame, not a crash
+    assert (
+        read_version(
+            spark, store, v, range_filters={"x": (n + 10, n + 20)}
+        ).count()
+        == 0
+    )
