@@ -1284,3 +1284,133 @@ def store_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(h)").cast("bigint").alias("corpus_h"),
         )
     )
+
+
+# -- change data feed (round 8) ------------------------------------------------
+#
+# version_diff answers "how much changed" per source; the change feed
+# answers "WHICH rows, with old and new images" — the read side Delta
+# calls Change Data Feed, and the piece that lets downstream consumers
+# (index refresh, incremental dedup gates, eval-set rebuilds) process
+# a version transition without rescanning the table. The query drives
+# the store through its full mutation vocabulary — v2 upsert-inserts
+# (the gate winners), v3 upsert-updates (a deterministic re-scrub of
+# every 7th base doc appends ' updated' to its text, shifting
+# n_tokens/content_hash/h), v4 deletes (every 11th doc of the v3
+# state) — and returns the concatenated row-level feeds v1→v2, v2→v3,
+# v3→v4. The oracle restates each transition from the raw documents
+# table, so a hash match pins change typing, both update images, and
+# the only-unshared-files read underneath. Carried-forward rows must
+# emit NOTHING — any leak of an unchanged row into the feed breaks
+# the row-count match immediately.
+
+
+def _build_cdf_store(spark: SparkSession, sf_dir: str):
+    """Extend the two-version tt store with an update commit (v3) and
+    a delete commit (v4) so the feed exercises every change type."""
+    from engine.operators.corpus_build import _IS_NEW_SPARK
+    from engine.versioned_store import (
+        commit_delete,
+        commit_upsert,
+        read_version,
+    )
+
+    store, v1, v2 = _build_tt_store(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text"
+    )
+    upd = (
+        docs.filter(~F.expr(_IS_NEW_SPARK))
+        .filter(F.col("doc_id") % 7 == 0)
+        .withColumn("text", F.concat("text", F.lit(" updated")))
+    )
+    v3 = commit_upsert(
+        spark, store, _corpus_store_rows(upd), ["source", "doc_id"]
+    )
+    doomed = (
+        read_version(spark, store, v3)
+        .filter(F.col("doc_id") % 11 == 5)
+        .select("source", "doc_id")
+    )
+    v4 = commit_delete(spark, store, doomed, ["source", "doc_id"])
+    return store, (v1, v2, v3, v4)
+
+
+_CDF_ORACLE = """
+WITH lab AS (
+  SELECT source, doc_id, text, ({is_new}) AS is_new FROM documents
+),
+base AS (SELECT source, doc_id, text FROM lab WHERE NOT is_new),
+bh AS (SELECT DISTINCT sha256(text) AS ch FROM base),
+arr AS (
+  SELECT source, doc_id, text, sha256(text) AS ch FROM lab WHERE is_new
+),
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY ch ORDER BY doc_id) AS rn
+  FROM arr
+),
+keep AS (
+  SELECT source, doc_id, text FROM win
+  WHERE rn = 1 AND ch NOT IN (SELECT ch FROM bh)
+),
+updated AS (
+  SELECT source, doc_id, text || ' updated' AS text
+  FROM base WHERE doc_id % 7 = 0
+),
+v3s AS (
+  SELECT source, doc_id, text FROM base WHERE doc_id % 7 <> 0
+  UNION ALL SELECT source, doc_id, text FROM updated
+  UNION ALL SELECT source, doc_id, text FROM keep
+),
+feed AS (
+  SELECT 'v1v2' AS step, 'insert' AS _change_type, source, doc_id, text
+  FROM keep
+  UNION ALL
+  SELECT 'v2v3', 'update_preimage', source, doc_id, text
+  FROM base WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT 'v2v3', 'update_postimage', source, doc_id, text FROM updated
+  UNION ALL
+  SELECT 'v3v4', 'delete', source, doc_id, text
+  FROM v3s WHERE doc_id % 11 = 5
+)
+SELECT step, _change_type, source, doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       sha256(text) AS content_hash,
+       CAST({row_h} AS BIGINT) AS h
+FROM feed
+"""
+
+
+def _cdf_oracle() -> str:
+    from engine.operators.corpus_build import _IS_NEW_DUCK, _ROW_H_DUCK
+
+    return _CDF_ORACLE.format(is_new=_IS_NEW_DUCK, row_h=_ROW_H_DUCK)
+
+
+@query(
+    "store_change_feed",
+    oracle=_cdf_oracle(),
+    tags=("pipeline", "versioning", "time-travel", "cdc", "documents"),
+    exported=False,  # library: row-level CDC read path, oracled
+)
+def store_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change data feed over the versioned store (section
+    comment): build the four-version store (insert, update, delete
+    commits), then emit table_changes for each transition — every row
+    of every image crosses the driver's value hash, so the oracle
+    match pins change typing, pre/post update images, and that
+    carried-forward files contribute nothing."""
+    from engine.versioned_store import table_changes
+
+    store, (v1, v2, v3, v4) = _build_cdf_store(spark, sf_dir)
+    out = None
+    for a, b in ((v1, v2), (v2, v3), (v3, v4)):
+        f = table_changes(
+            spark, store, a, b, ["source", "doc_id"]
+        ).withColumn("step", F.lit(f"v{a}v{b}"))
+        out = f if out is None else out.unionByName(f)
+    return out.select(
+        "step", "_change_type", "source", "doc_id",
+        "n_tokens", "content_hash", "h",
+    )

@@ -673,6 +673,131 @@ def version_diff(
     )
 
 
+def _unshared_entries(
+    ma: dict, mb: dict
+) -> tuple[list[dict], list[dict]]:
+    """Entries each version holds that the other does not — the only
+    files a diff or change feed ever needs to open (a file shared by
+    both manifests contributes identical rows to both sides)."""
+    shared = {e["file"] for e in ma["files"]} & {
+        e["file"] for e in mb["files"]
+    }
+    return (
+        [e for e in ma["files"] if e["file"] not in shared],
+        [e for e in mb["files"] if e["file"] not in shared],
+    )
+
+
+def table_changes(
+    spark: SparkSession,
+    store: str,
+    va: int,
+    vb: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Row-level change feed between two retained versions — the read
+    side Delta calls Change Data Feed and Iceberg exposes as a
+    changelog scan. Emits the NET changes va→vb, one row per image,
+    with ``_change_type`` in {insert, delete, update_preimage,
+    update_postimage}: a key only in vb is an insert, only in va a
+    delete, in both with different non-key content an update (two
+    rows: the old image then the new). A key whose content is
+    identical on both sides emits nothing — so pure file movement
+    (compaction, z-ordering) produces an EMPTY feed, which is exactly
+    the property an incremental consumer needs (pinned by
+    tests/test_versioning.py::test_table_changes_feed).
+
+    Scale shape: only files the versions do NOT share are opened
+    (``_unshared_entries`` — copy-on-write means that is the touched
+    partitions, never the table), then one full-outer join on the key
+    over those rows. Key-uniqueness per version (enforced by the
+    upsert path) guarantees a key living in a shared file cannot also
+    appear in an unshared one, so skipping shared files loses nothing.
+    Additive schema evolution is handled by null-filling columns
+    missing from the older side."""
+    ma, mb = _read_manifest(store, va), _read_manifest(store, vb)
+    pcol = ma["partition_col"]
+    if pcol not in key_cols:
+        raise ValueError(
+            f"key_cols {key_cols} must include the partition column"
+            f" {pcol!r} (store keys are partition-scoped)"
+        )
+    a_only, b_only = _unshared_entries(ma, mb)
+    a_df = _load_entries(spark, store, a_only, pcol, ma.get("columns"))
+    b_df = _load_entries(spark, store, b_only, pcol, mb.get("columns"))
+    if a_df is None and b_df is None:
+        ddl = mb.get("columns") or ma.get("columns")
+        if ddl is None:
+            raise ValueError(
+                "identical file sets and no recorded schema: cannot"
+                " shape the empty feed (pre-schema-recording store)"
+            )
+        return spark.createDataFrame(
+            [], f"{ddl}, {pcol} string, _change_type string"
+        )
+    if a_df is None:
+        a_df = spark.createDataFrame([], b_df.schema)
+    if b_df is None:
+        b_df = spark.createDataFrame([], a_df.schema)
+    for f in b_df.schema.fields:
+        if f.name not in a_df.columns:
+            a_df = a_df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    for f in a_df.schema.fields:
+        if f.name not in b_df.columns:
+            b_df = b_df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    val_cols = [c for c in b_df.columns if c not in key_cols]
+    old = a_df.select(
+        *key_cols,
+        *[F.col(c).alias(f"__o_{c}") for c in val_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    new = b_df.select(
+        *key_cols,
+        *[F.col(c).alias(f"__n_{c}") for c in val_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    j = old.join(new, key_cols, "full_outer")
+    same = (
+        F.struct(*[F.col(f"__o_{c}") for c in val_cols]).eqNullSafe(
+            F.struct(*[F.col(f"__n_{c}") for c in val_cols])
+        )
+        if val_cols
+        else F.lit(True)  # key-only table: presence IS the content
+    )
+
+    def img(prefix: str, ct: str):
+        return F.struct(
+            *[F.col(f"__{prefix}_{c}").alias(c) for c in val_cols],
+            F.lit(ct).alias("_change_type"),
+        )
+
+    return (
+        j.filter(
+            F.col("__in_old").isNull()
+            | F.col("__in_new").isNull()
+            | ~same
+        )
+        .select(
+            *key_cols,
+            F.explode(
+                F.when(
+                    F.col("__in_old").isNull(), F.array(img("n", "insert"))
+                )
+                .when(
+                    F.col("__in_new").isNull(), F.array(img("o", "delete"))
+                )
+                .otherwise(
+                    F.array(
+                        img("o", "update_preimage"),
+                        img("n", "update_postimage"),
+                    )
+                )
+            ).alias("__c"),
+        )
+        .select(*key_cols, "__c.*")
+    )
+
+
 def compact_version(
     spark: SparkSession,
     store: str,

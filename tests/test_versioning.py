@@ -7,6 +7,7 @@ import glob
 import os
 
 import duckdb
+import pytest
 from pyspark.sql import functions as F
 
 from engine.operators.versioning import (
@@ -898,3 +899,79 @@ def test_stats_pruned_read_skips_files(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_table_changes_feed(spark, tmp_path):
+    """Change data feed (round 8): correct change typing with both
+    update images, carried-forward files excluded from the read
+    (counted via _unshared_entries), an empty feed across pure file
+    movement (compaction), null-safe content comparison, and the
+    guard rails (key must include the partition column; identical
+    versions feed empty)."""
+    from engine.versioned_store import (
+        _read_manifest,
+        _unshared_entries,
+        commit_delete,
+        commit_overwrite,
+        commit_upsert,
+        compact_version,
+        table_changes,
+    )
+
+    store = str(tmp_path / "cdfstore")
+    v1 = commit_overwrite(
+        spark.createDataFrame(
+            [("p0", 1, 10, None), ("p0", 2, 20, "x"), ("p1", 3, 30, "y")],
+            "part string, k int, val int, tag string",
+        ),
+        store,
+        "part",
+    )
+    # touch only p0: update k=1 (null tag -> 'new'), insert k=4,
+    # carry k=2 through the rewrite unchanged
+    v2 = commit_upsert(
+        spark,
+        store,
+        spark.createDataFrame(
+            [("p0", 1, 11, "new"), ("p0", 2, 20, "x"), ("p0", 4, 40, None)],
+            "part string, k int, val int, tag string",
+        ),
+        ["part", "k"],
+    )
+    ma, mb = _read_manifest(store, v1), _read_manifest(store, v2)
+    a_only, b_only = _unshared_entries(ma, mb)
+    assert all(e["partition"] == "p0" for e in a_only + b_only), (
+        "untouched partition p1 must stay shared (never read)"
+    )
+    feed = {
+        (r.k, r._change_type): (r.val, r.tag)
+        for r in table_changes(spark, store, v1, v2, ["part", "k"]).collect()
+    }
+    assert feed == {
+        (1, "update_preimage"): (10, None),
+        (1, "update_postimage"): (11, "new"),
+        (4, "insert"): (40, None),
+    }, feed  # k=2 rewritten identically: no row; k=3 shared: no row
+
+    # deletes typed as deletes, with the deleted image
+    v3 = commit_delete(
+        spark,
+        store,
+        spark.createDataFrame([("p1", 3)], "part string, k int"),
+        ["part", "k"],
+    )
+    d = table_changes(spark, store, v2, v3, ["part", "k"]).collect()
+    assert [(r.k, r._change_type, r.val) for r in d] == [(3, "delete", 30)]
+
+    # pure file movement emits nothing
+    v4 = compact_version(spark, store, files_per_partition=1)
+    assert table_changes(spark, store, v3, v4, ["part", "k"]).count() == 0
+
+    # identical versions: empty frame, schema intact
+    same = table_changes(spark, store, v4, v4, ["part", "k"])
+    assert same.count() == 0
+    assert "_change_type" in same.columns
+
+    # key must include the partition column
+    with pytest.raises(ValueError, match="partition column"):
+        table_changes(spark, store, v1, v2, ["k"])

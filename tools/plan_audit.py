@@ -181,7 +181,11 @@ def audit(name: str, fn) -> list[str]:
 
 
 def main() -> int:
-    specs = all_queries()
+    # default sweep = the exported surface; explicit names may name
+    # library queries too (new operators are audited on landing)
+    from engine.registry import all_queries_including_library
+
+    specs = all_queries_including_library() if sys.argv[1:] else all_queries()
     names = sys.argv[1:] or sorted(specs)
     bad = 0
     for name in names:
