@@ -1414,3 +1414,146 @@ def store_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step", "_change_type", "source", "doc_id",
         "n_tokens", "content_hash", "h",
     )
+
+
+# -- incremental rollup maintenance from the change feed ------------------------
+#
+# WHY a change feed exists: a downstream aggregate (index stats,
+# billing rollup, corpus dashboard) should cost O(churn) to keep
+# current, not O(table) to recompute. This query maintains the
+# per-source rollup (n_docs, n_tokens, xor corpus hash) across the
+# four-version store's full mutation history using ONLY v1's baseline
+# plus the three change feeds — insert/update_postimage images count
+# +1, delete/update_preimage images count -1, and the xor hash is
+# self-inverse so every image just xors in — then emits it next to the
+# DIRECT aggregate of the final version. The oracle replays both
+# facets from their own definitions; they are equal by algebra, so a
+# driver match on both rows pins that feed-based maintenance
+# reproduces the ground truth exactly (the pytest additionally asserts
+# the two facets byte-equal each other).
+#
+# 100 TB shape: in production the baseline is the rollup you already
+# stored (O(groups) rows), so each refresh costs one scan of the FEED
+# (touched partitions only) plus an O(groups) merge — the table is
+# never rescanned. Here the baseline aggregate is computed once from
+# v1 because the query must be self-contained.
+
+_CDF_W = (
+    "CASE WHEN _change_type IN ('insert', 'update_postimage')"
+    " THEN 1 ELSE -1 END"
+)
+
+_CRM_ORACLE = """
+WITH lab AS (
+  SELECT source, doc_id, text, ({is_new}) AS is_new FROM documents
+),
+base AS (SELECT source, doc_id, text FROM lab WHERE NOT is_new),
+bh AS (SELECT DISTINCT sha256(text) AS ch FROM base),
+arr AS (
+  SELECT source, doc_id, text, sha256(text) AS ch FROM lab WHERE is_new
+),
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY ch ORDER BY doc_id) AS rn
+  FROM arr
+),
+keep AS (
+  SELECT source, doc_id, text FROM win
+  WHERE rn = 1 AND ch NOT IN (SELECT ch FROM bh)
+),
+updated AS (
+  SELECT source, doc_id, text || ' updated' AS text
+  FROM base WHERE doc_id % 7 = 0
+),
+v3s AS (
+  SELECT source, doc_id, text FROM base WHERE doc_id % 7 <> 0
+  UNION ALL SELECT source, doc_id, text FROM updated
+  UNION ALL SELECT source, doc_id, text FROM keep
+),
+v4s AS (SELECT * FROM v3s WHERE doc_id % 11 <> 5),
+feed AS (
+  SELECT 'insert' AS _change_type, source, doc_id, text FROM keep
+  UNION ALL
+  SELECT 'update_preimage', source, doc_id, text
+  FROM base WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT 'update_postimage', source, doc_id, text FROM updated
+  UNION ALL
+  SELECT 'delete', source, doc_id, text FROM v3s WHERE doc_id % 11 = 5
+),
+m AS (
+  SELECT source, 1 AS w, doc_id, text FROM base
+  UNION ALL
+  SELECT source, {w} AS w, doc_id, text FROM feed
+),
+facets AS (
+  SELECT 'direct' AS facet, source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(bit_xor({row_h}) AS BIGINT) AS corpus_h
+  FROM v4s GROUP BY source
+  UNION ALL
+  SELECT 'maintained', source, CAST(sum(w) AS BIGINT),
+         CAST(sum(w * len(string_split(text, ' '))) AS BIGINT),
+         CAST(bit_xor({row_h}) AS BIGINT)
+  FROM m GROUP BY source
+)
+SELECT * FROM facets
+"""
+
+
+def _crm_oracle() -> str:
+    from engine.operators.corpus_build import _IS_NEW_DUCK, _ROW_H_DUCK
+
+    return _CRM_ORACLE.format(
+        is_new=_IS_NEW_DUCK, row_h=_ROW_H_DUCK, w=_CDF_W
+    )
+
+
+@query(
+    "store_cdf_rollup",
+    oracle=_crm_oracle(),
+    tags=("pipeline", "versioning", "cdc", "incremental", "documents"),
+    exported=False,  # library: CDC-driven aggregate maintenance, oracled
+)
+def store_cdf_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance from the change feed (section
+    comment): per-source (n_docs, n_tokens, xor corpus hash)
+    maintained as v1's baseline plus signed feed images across
+    v1→v2→v3→v4, emitted next to the direct aggregate of v4 — the
+    driver hash pins that O(churn) maintenance reproduces the
+    recompute exactly."""
+    from engine.versioned_store import read_version, table_changes
+
+    store, (v1, v2, v3, v4) = _build_cdf_store(spark, sf_dir)
+    cols = ("source", "n_tokens", "h")
+    baseline = read_version(spark, store, v1).select(
+        F.lit(1).alias("w"), *cols
+    )
+    feed = None
+    for a, b in ((v1, v2), (v2, v3), (v3, v4)):
+        f = table_changes(spark, store, a, b, ["source", "doc_id"])
+        feed = f if feed is None else feed.unionByName(f)
+    maintained = (
+        baseline.unionByName(
+            feed.select(F.expr(_CDF_W).alias("w"), *cols)
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("w").cast("bigint").alias("n_docs"),
+            F.sum(F.col("w") * F.col("n_tokens"))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.expr("bit_xor(h)").cast("bigint").alias("corpus_h"),
+        )
+        .select(F.lit("maintained").alias("facet"), "*")
+    )
+    direct = (
+        read_version(spark, store, v4)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("bit_xor(h)").cast("bigint").alias("corpus_h"),
+        )
+        .select(F.lit("direct").alias("facet"), "*")
+    )
+    return direct.unionByName(maintained)

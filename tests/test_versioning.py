@@ -975,3 +975,20 @@ def test_table_changes_feed(spark, tmp_path):
     # key must include the partition column
     with pytest.raises(ValueError, match="partition column"):
         table_changes(spark, store, v1, v2, ["k"])
+
+
+def test_cdf_rollup_maintained_equals_direct(spark, monkeypatch, tmp_path):
+    """The feed-maintained rollup must byte-equal the direct recompute
+    of the final version — per source, including the xor corpus hash
+    (the oracle pins each facet against its own relational replay;
+    this pins the two facets against EACH OTHER)."""
+    from engine.operators.versioning import store_cdf_rollup
+    from tests.conftest import SF_SMOKE
+
+    monkeypatch.setenv("SPARK_GRAFT_CORPUS_OUT", str(tmp_path / "corpus"))
+    rows = store_cdf_rollup(spark, SF_SMOKE).collect()
+    facets = {"direct": {}, "maintained": {}}
+    for r in rows:
+        facets[r.facet][r.source] = (r.n_docs, r.n_tokens, r.corpus_h)
+    assert facets["direct"] == facets["maintained"]
+    assert facets["direct"], "empty rollup would vacuously pass"
