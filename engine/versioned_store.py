@@ -138,14 +138,41 @@ def _write_manifest_and_current(store: str, manifest: dict) -> None:
     os.rename(tmp, os.path.join(_mdir(store), "CURRENT"))
 
 
+_STAT_TRUNC = 32  # Delta's stats string-truncation width
+
+
+def _round_up_string(s: str) -> str | None:
+    """A bound >= every string with prefix ``s[:_STAT_TRUNC]`` when
+    ``s`` is longer than the truncation width: cut to the width, then
+    increment the rightmost incrementable character and DROP what
+    follows it (Delta's round-up rule — a prefix alone would round the
+    max DOWN and let pruning wrongly drop files). Skips the surrogate
+    range; returns None when nothing is incrementable (record no stat:
+    readers keep the file)."""
+    if len(s) <= _STAT_TRUNC:
+        return s
+    t = s[:_STAT_TRUNC]
+    for i in range(len(t) - 1, -1, -1):
+        c = ord(t[i])
+        if c < 0x10FFFF:
+            c += 1
+            if 0xD800 <= c <= 0xDFFF:
+                c = 0xE000
+            return t[:i] + chr(c)
+    return None
+
+
 def _footer_stats(path: str) -> dict:
-    """Per-column [min, max] for top-level NUMERIC columns, read from
-    one staged file's parquet footer — the per-file skipping stats
-    Delta keeps in its log. Numeric only: JSON-safe, total order, no
-    truncation subtleties (string max must round UP when cut — Delta's
-    32-char rule — so strings are deliberately out of scope). A column
-    with no usable min/max in some row group (e.g. all-null) records
-    nothing, which readers treat conservatively (file kept)."""
+    """Per-column [min, max] for top-level NUMERIC and STRING columns,
+    read from one staged file's parquet footer — the per-file skipping
+    stats Delta keeps in its log. Strings follow Delta's truncation
+    rule: min is prefix-cut (a prefix is <= the full string, a valid
+    lower bound), max is rounded UP by `_round_up_string`. Python's
+    code-point comparison, parquet's byte comparison and Spark's
+    UTF8String comparison all order UTF-8 identically, so driver-side
+    pruning agrees with the engine. A column with no usable min/max in
+    some row group (e.g. all-null) records nothing, which readers
+    treat conservatively (file kept)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -153,10 +180,14 @@ def _footer_stats(path: str) -> dict:
     for ci in range(md.num_columns):
         col = md.schema.column(ci)
         name = col.path  # dotted for nested leaves — excluded below
-        if "." in name or col.physical_type not in (
-            "INT32", "INT64", "FLOAT", "DOUBLE",
-        ):
+        is_num = col.physical_type in ("INT32", "INT64", "FLOAT", "DOUBLE")
+        is_str = (
+            col.physical_type == "BYTE_ARRAY"
+            and str(col.logical_type.type) == "STRING"
+        )
+        if "." in name or not (is_num or is_str):
             continue
+        want = str if is_str else (int, float)
         lo = hi = None
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(ci).statistics
@@ -164,16 +195,22 @@ def _footer_stats(path: str) -> dict:
                 st is None
                 or not st.has_min_max
                 # logical types (dates, decimals) surface as Python
-                # objects — skip anything that isn't a plain number
-                or not isinstance(st.min, (int, float))
+                # objects — accept only plain numbers / decoded strings
+                or not isinstance(st.min, want)
                 or isinstance(st.min, bool)
             ):
                 lo = None
                 break
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
-        if lo is not None:
-            out[name] = [lo, hi]
+        if lo is None:
+            continue
+        if is_str:
+            lo = lo[:_STAT_TRUNC]
+            hi = _round_up_string(hi)
+            if hi is None:
+                continue
+        out[name] = [lo, hi]
     return out
 
 
@@ -462,11 +499,13 @@ def _prune_entries(
     entries: list[dict], range_filters: dict[str, tuple]
 ) -> list[dict]:
     """Manifest-side data skipping: drop entries whose recorded
-    per-file numeric stats PROVE no row can satisfy every
-    ``col: (lo, hi)`` closed-interval filter. Conservative by
-    construction — an entry with no stats for a filtered column (old
-    manifest, non-numeric column, all-null row group) is kept. Bounds
-    of None mean unbounded on that side."""
+    per-file stats (numeric, or Delta-truncated strings) PROVE no row
+    can satisfy every ``col: (lo, hi)`` closed-interval filter.
+    Conservative by construction — an entry with no stats for a
+    filtered column (old manifest, unsupported type, all-null row
+    group) is kept, and a filter whose bound type cannot be compared
+    with the recorded stat type keeps the file too. Bounds of None
+    mean unbounded on that side."""
     kept = []
     for e in entries:
         stats = e.get("stats") or {}
@@ -476,11 +515,14 @@ def _prune_entries(
             if s is None:
                 continue
             mn, mx = s
-            if (hi is not None and mn > hi) or (
-                lo is not None and mx < lo
-            ):
-                admit = False
-                break
+            try:
+                if (hi is not None and mn > hi) or (
+                    lo is not None and mx < lo
+                ):
+                    admit = False
+                    break
+            except TypeError:  # mismatched bound type: keep the file
+                continue
         if admit:
             kept.append(e)
     return kept

@@ -851,7 +851,7 @@ def test_stats_pruned_read_skips_files(spark, tmp_path):
         "'p0' as part",
         "id as x",
         "(id * 2654435761) % 4096 as y",
-        "concat('s', id) as s",  # string column: no stats recorded
+        "concat('s', lpad(cast(id as string), 6, '0')) as s",
     )
     commit_overwrite(df, store, "part")
     # 16 files for the same reason as test_zorder_compaction_clusters_files:
@@ -862,8 +862,8 @@ def test_stats_pruned_read_skips_files(spark, tmp_path):
     )
     man = _read_manifest(store, v)
     assert all(
-        set(e["stats"]) == {"x", "y"} for e in man["files"]
-    ), "numeric columns only, strings excluded"
+        set(e["stats"]) == {"x", "y", "s"} for e in man["files"]
+    ), "numeric and string columns carry stats"
 
     # narrow x range: exact rows, most files pruned
     lo, hi = 100, 100 + n // 16
@@ -887,10 +887,21 @@ def test_stats_pruned_read_skips_files(spark, tmp_path):
     )
     assert sorted(r.x for r in top.collect()) == list(range(n - 10, n))
 
-    # a filter on the stats-less string column prunes nothing but
-    # still filters rows exactly
-    kept_s = _prune_entries(man["files"], {"s": ("s1", "s1")})
-    assert len(kept_s) == len(man["files"])
+    # string stats prune too: zero-padded s orders like x, so a point
+    # probe keeps few files and rows come back exactly
+    kept_s = _prune_entries(man["files"], {"s": ("s000100", "s000150")})
+    assert 0 < len(kept_s) < len(man["files"])
+    got_s = sorted(
+        r.x
+        for r in read_version(
+            spark, store, v, range_filters={"s": ("s000100", "s000150")}
+        ).collect()
+    )
+    assert got_s == list(range(100, 151))
+    # a numeric bound against the string column's stats cannot be
+    # compared — conservative keep, residual filter still exact
+    kept_t = _prune_entries(man["files"], {"s": (0, 1)})
+    assert len(kept_t) == len(man["files"])
 
     # an empty range reads as an empty frame, not a crash
     assert (
@@ -992,3 +1003,45 @@ def test_cdf_rollup_maintained_equals_direct(spark, monkeypatch, tmp_path):
         facets[r.facet][r.source] = (r.n_docs, r.n_tokens, r.corpus_h)
     assert facets["direct"] == facets["maintained"]
     assert facets["direct"], "empty rollup would vacuously pass"
+
+
+def test_string_stats_truncation_rounds_up(spark, tmp_path):
+    """Delta's 32-char rule: a recorded string max longer than the
+    truncation width must round UP (rightmost incrementable char
+    bumped, tail dropped), so a probe lexically above the stored
+    PREFIX but below the true max never wrongly prunes the file; the
+    min is prefix-cut (a valid lower bound). Pure round-up helper
+    edges pinned too."""
+    from engine.versioned_store import (
+        _STAT_TRUNC,
+        _prune_entries,
+        _read_manifest,
+        _round_up_string,
+        commit_overwrite,
+        read_version,
+    )
+
+    assert _round_up_string("abc") == "abc"  # short: exact
+    long = "a" * _STAT_TRUNC + "zzz"
+    assert _round_up_string(long) == "a" * (_STAT_TRUNC - 1) + "b"
+    assert _round_up_string(chr(0x10FFFF) * 40) is None
+
+    store = str(tmp_path / "trstore")
+    pad = "m" * 40  # every value exceeds the truncation width
+    df = spark.createDataFrame(
+        [("p0", 1, pad + "aaa"), ("p0", 2, pad + "qqq")],
+        "part string, k int, s string",
+    ).coalesce(1)
+    v = commit_overwrite(df, store, "part")
+    (entry,) = _read_manifest(store, v)["files"]
+    lo, hi = entry["stats"]["s"]
+    assert lo == pad[:_STAT_TRUNC] and len(lo) == _STAT_TRUNC
+    assert hi == "m" * (_STAT_TRUNC - 1) + "n", hi  # rounded UP past max
+    # the probe sits above the stored PREFIX but inside the true data:
+    # a rounded-DOWN max ('mmm…m') would wrongly prune this file
+    probe = (pad + "q", pad + "r")
+    assert len(_prune_entries([entry], {"s": probe})) == 1
+    rows = read_version(spark, store, v, range_filters={"s": probe}).collect()
+    assert [r.k for r in rows] == [2]
+    # a probe provably above the rounded-up max still prunes
+    assert _prune_entries([entry], {"s": ("n", None)}) == []
