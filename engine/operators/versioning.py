@@ -823,6 +823,63 @@ def store_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return version_diff(spark, store, v1, v2)
 
 
+_CDF_ORACLE = """
+WITH lab AS (
+  SELECT source, doc_id, text, ({is_new}) AS is_new FROM documents
+),
+base AS (SELECT source, doc_id, text FROM lab WHERE NOT is_new),
+bh AS (SELECT DISTINCT sha256(text) AS ch FROM base),
+arr AS (
+  SELECT source, doc_id, text, sha256(text) AS ch FROM lab WHERE is_new
+),
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY ch ORDER BY doc_id) AS rn
+  FROM arr
+),
+keep AS (
+  SELECT source, doc_id, text FROM win
+  WHERE rn = 1 AND ch NOT IN (SELECT ch FROM bh)
+),
+updated AS (
+  SELECT source, doc_id, text || ' updated' AS text
+  FROM base WHERE doc_id % 7 = 0
+),
+v3s AS (
+  SELECT source, doc_id, text FROM base WHERE doc_id % 7 <> 0
+  UNION ALL SELECT source, doc_id, text FROM updated
+  UNION ALL SELECT source, doc_id, text FROM keep
+),
+feed AS (
+  SELECT 'v1v2' AS step, 'insert' AS _change_type, source, doc_id, text
+  FROM keep
+  UNION ALL
+  SELECT 'v2v3', 'update_preimage', source, doc_id, text
+  FROM base WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT 'v2v3', 'update_postimage', source, doc_id, text FROM updated
+  UNION ALL
+  SELECT 'v3v4', 'delete', source, doc_id, text
+  FROM v3s WHERE doc_id % 11 = 5
+)
+SELECT step, _change_type, source, doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       sha256(text) AS content_hash,
+       CAST({row_h} AS BIGINT) AS h
+FROM feed
+"""
+
+
+def _cdf_oracle() -> str:
+    from engine.operators.corpus_build import _IS_NEW_DUCK, _ROW_H_DUCK
+
+    return _CDF_ORACLE.format(is_new=_IS_NEW_DUCK, row_h=_ROW_H_DUCK)
+
+
+# images that ADD to an aggregate; the complement subtracts
+_CDF_POS = "_change_type IN ('insert', 'update_postimage')"
+_CDF_W = f"CASE WHEN {_CDF_POS} THEN 1 ELSE -1 END"
+
+
 @query(
     "corpus_time_travel",
     oracle=f"""
@@ -833,6 +890,14 @@ UNION ALL
 SELECT 'vdiff', {_NB}, source, n_added, n_removed, n_changed,
        n_unchanged, tok_delta, diff_h
 FROM ({_svd_oracle()}) vd
+UNION ALL
+SELECT 'cdf:' || step || ':' || _change_type, {_NB}, source,
+       CAST(count(*) AS BIGINT), {_NB}, {_NB}, {_NB},
+       CAST(sum(CASE WHEN {_CDF_POS}
+                THEN n_tokens ELSE -n_tokens END) AS BIGINT),
+       CAST(bit_xor(h) AS BIGINT)
+FROM ({_cdf_oracle()}) cf
+GROUP BY step, _change_type, source
 """,
     tags=("pipeline", "versioning", "sink", "time-travel", "documents"),
 )
@@ -851,12 +916,21 @@ def corpus_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 hash), whose scan reads ONLY the files the versions do
                 not share.
 
-    One driver hash match therefore pins intact history AND the
-    file-skipping diff shortcut together. Store recreated per run for
-    deterministic version numbers; side-effecting by design."""
-    from engine.versioned_store import version_diff
+    - `cdf:<step>:<type>`: the row-level change data feed across the
+                FULL four-version mutation history (v3 update-upsert,
+                v4 delete — built by `_build_cdf_store`), aggregated
+                per (transition, change type, source): n1 = images,
+                tok_delta = signed token delta, h = xor over images.
 
-    store, v1, v2 = _build_tt_store(spark, sf_dir)
+    One driver hash match therefore pins intact history, the
+    file-skipping diff shortcut AND change typing with both update
+    images together. The travel facet reads v1/v2 through their
+    manifests after TWO MORE commits landed — a stronger intact-
+    history proof than the two-version form. Store recreated per run
+    for deterministic version numbers; side-effecting by design."""
+    from engine.versioned_store import table_changes, version_diff
+
+    store, (v1, v2, v3, v4) = _build_cdf_store(spark, sf_dir)
     parts: list[DataFrame] = []
     for v in (v1, v2):
         from engine.versioned_store import read_version
@@ -891,7 +965,40 @@ def corpus_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok_delta",
         F.col("diff_h").alias("h"),
     )
-    out = parts[0].unionAll(parts[1]).unionAll(vd)
+    feed = None
+    for a, b in ((v1, v2), (v2, v3), (v3, v4)):
+        f = table_changes(
+            spark, store, a, b, ["source", "doc_id"]
+        ).withColumn("step", F.lit(f"v{a}v{b}"))
+        feed = f if feed is None else feed.unionByName(f)
+    cdf = (
+        feed.groupBy("step", "_change_type", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n1"),
+            F.sum(
+                F.when(F.expr(_CDF_POS), F.col("n_tokens")).otherwise(
+                    -F.col("n_tokens")
+                )
+            )
+            .cast("bigint")
+            .alias("tok_delta"),
+            F.expr("bit_xor(h)").cast("bigint").alias("h"),
+        )
+        .select(
+            F.concat(
+                F.lit("cdf:"), "step", F.lit(":"), "_change_type"
+            ).alias("facet"),
+            _nb().alias("version"),
+            "source",
+            "n1",
+            _nb().alias("n2"),
+            _nb().alias("n3"),
+            _nb().alias("n4"),
+            "tok_delta",
+            "h",
+        )
+    )
+    out = parts[0].unionAll(parts[1]).unionAll(vd).unionAll(cdf)
     return out
 
 
@@ -1336,58 +1443,6 @@ def _build_cdf_store(spark: SparkSession, sf_dir: str):
     return store, (v1, v2, v3, v4)
 
 
-_CDF_ORACLE = """
-WITH lab AS (
-  SELECT source, doc_id, text, ({is_new}) AS is_new FROM documents
-),
-base AS (SELECT source, doc_id, text FROM lab WHERE NOT is_new),
-bh AS (SELECT DISTINCT sha256(text) AS ch FROM base),
-arr AS (
-  SELECT source, doc_id, text, sha256(text) AS ch FROM lab WHERE is_new
-),
-win AS (
-  SELECT *, row_number() OVER (PARTITION BY ch ORDER BY doc_id) AS rn
-  FROM arr
-),
-keep AS (
-  SELECT source, doc_id, text FROM win
-  WHERE rn = 1 AND ch NOT IN (SELECT ch FROM bh)
-),
-updated AS (
-  SELECT source, doc_id, text || ' updated' AS text
-  FROM base WHERE doc_id % 7 = 0
-),
-v3s AS (
-  SELECT source, doc_id, text FROM base WHERE doc_id % 7 <> 0
-  UNION ALL SELECT source, doc_id, text FROM updated
-  UNION ALL SELECT source, doc_id, text FROM keep
-),
-feed AS (
-  SELECT 'v1v2' AS step, 'insert' AS _change_type, source, doc_id, text
-  FROM keep
-  UNION ALL
-  SELECT 'v2v3', 'update_preimage', source, doc_id, text
-  FROM base WHERE doc_id % 7 = 0
-  UNION ALL
-  SELECT 'v2v3', 'update_postimage', source, doc_id, text FROM updated
-  UNION ALL
-  SELECT 'v3v4', 'delete', source, doc_id, text
-  FROM v3s WHERE doc_id % 11 = 5
-)
-SELECT step, _change_type, source, doc_id,
-       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       sha256(text) AS content_hash,
-       CAST({row_h} AS BIGINT) AS h
-FROM feed
-"""
-
-
-def _cdf_oracle() -> str:
-    from engine.operators.corpus_build import _IS_NEW_DUCK, _ROW_H_DUCK
-
-    return _CDF_ORACLE.format(is_new=_IS_NEW_DUCK, row_h=_ROW_H_DUCK)
-
-
 @query(
     "store_change_feed",
     oracle=_cdf_oracle(),
@@ -1437,11 +1492,6 @@ def store_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (touched partitions only) plus an O(groups) merge — the table is
 # never rescanned. Here the baseline aggregate is computed once from
 # v1 because the query must be self-contained.
-
-_CDF_W = (
-    "CASE WHEN _change_type IN ('insert', 'update_postimage')"
-    " THEN 1 ELSE -1 END"
-)
 
 _CRM_ORACLE = """
 WITH lab AS (
