@@ -172,6 +172,32 @@ def cmd_vstore(args: argparse.Namespace) -> int:
             print(f"removed {name}")
         print(f"{len(removed)} files removed, kept latest {args.keep}")
         return 0
+    if args.action == "changes":
+        if args.from_version is None:
+            print("changes requires --from-version", file=sys.stderr)
+            return 2
+        vb = (
+            args.version
+            if args.version is not None
+            else vs.current_version(args.store)
+        )
+        feed = vs.table_changes(
+            _spark(), args.store, args.from_version, vb,
+            args.keys.split(","),
+        )
+        feed.show(args.limit, truncate=False)
+        return 0
+    if args.action == "compact":
+        zcols = args.zorder.split(",") if args.zorder else None
+        v = vs.compact_version(
+            _spark(), args.store,
+            files_per_partition=args.files_per_partition,
+            zorder_cols=zcols,
+        )
+        man = vs._read_manifest(args.store, v)
+        z = f" zorder={zcols}" if zcols else ""
+        print(f"compacted as v{v:05d}: {len(man['files'])} files{z}")
+        return 0
     return 2
 
 
@@ -219,11 +245,33 @@ def main(argv: list[str] | None = None) -> int:
     q.set_defaults(fn=cmd_query)
 
     v = sub.add_parser("vstore", help="operate a versioned parquet store")
-    v.add_argument("action", choices=("versions", "read", "rollback", "vacuum"))
+    v.add_argument(
+        "action",
+        choices=(
+            "versions", "read", "rollback", "vacuum", "changes", "compact",
+        ),
+    )
     v.add_argument("store")
     v.add_argument("--version", type=int, default=None)
     v.add_argument("--keep", type=int, default=2, help="vacuum retention")
     v.add_argument("--limit", type=int, default=20)
+    v.add_argument(
+        "--from-version", type=int, default=None,
+        help="changes: the older version of the feed window",
+    )
+    v.add_argument(
+        "--keys", default="source,doc_id",
+        help="changes: comma-separated key columns (must include the"
+        " partition column)",
+    )
+    v.add_argument(
+        "--files-per-partition", type=int, default=1,
+        help="compact: target files per partition",
+    )
+    v.add_argument(
+        "--zorder", default=None,
+        help="compact: comma-separated numeric columns to z-order by",
+    )
     v.set_defaults(fn=cmd_vstore)
 
     args = ap.parse_args(argv)

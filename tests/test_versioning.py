@@ -403,6 +403,19 @@ def test_vstore_cli_versions_rollback_vacuum(spark, tmp_path, capsys):
     assert cli(["vstore", "versions", store]) == 0
     out = capsys.readouterr().out
     assert "v00001" in out and "v00002: " in out and "(current)" in out
+    # the change feed through the CLI: v1->v2 was one update of k=1
+    assert cli(
+        ["vstore", "changes", store, "--from-version", "1",
+         "--version", "2", "--keys", "part,k"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "update_preimage" in out and "update_postimage" in out
+    # compaction through the CLI (same rows, explicit file target)
+    assert cli(
+        ["vstore", "compact", store, "--files-per-partition", "1"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "compacted as v00003" in out
     assert cli(["vstore", "rollback", store, "--version", "1"]) == 0
     assert cli(["vstore", "vacuum", store, "--keep", "1"]) == 0
     out = capsys.readouterr().out
