@@ -1607,3 +1607,250 @@ def store_cdf_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("direct").alias("facet"), "*")
     )
     return direct.unionByName(maintained)
+
+
+# -- streaming CDC consumption (round 8) ----------------------------------------
+#
+# The batch form (`store_cdf_rollup`) proves feed-maintenance algebra
+# in one plan; this proves it OPERATIONALLY, across triggers, with the
+# maintained state persisted between micro-batches — the
+# Delta-CDF-as-a-stream pattern. Each file-source trigger gates its
+# micro-batch against the CURRENT version and commits survivors;
+# batch 1 additionally carries a re-crawl that UPDATES every 13th
+# base doc (text + ' v2'), so the second feed holds inserts AND both
+# update images. After each commit the trigger reads ONLY
+# table_changes(prev, new) and merges the signed images into the
+# per-source rollup it persisted for the previous version (one
+# O(groups) full-outer merge; xor folds via ^). The result emits the
+# final persisted rollup next to the direct recompute of the final
+# version; the oracle replays the winner rule, the upsert, both feeds
+# and the maintenance arithmetic relationally. At 100 TB each trigger
+# therefore costs the micro-batch gate + touched-partition commit +
+# an O(churn) feed scan — the stored table is never rescanned to keep
+# the rollup current.
+
+_SCR_ORACLE = """
+WITH lab AS (
+  SELECT source, doc_id, text, ({is_new}) AS is_new,
+         {batch_no} AS batch_no
+  FROM documents
+),
+base AS (SELECT source, doc_id, text FROM lab WHERE NOT is_new),
+bh AS (SELECT DISTINCT sha256(text) AS ch FROM base),
+arr AS (
+  SELECT source, doc_id, text, batch_no, sha256(text) AS ch
+  FROM lab WHERE is_new
+),
+w0 AS (
+  SELECT *, row_number() OVER (PARTITION BY ch ORDER BY doc_id) AS rn
+  FROM arr WHERE batch_no = 0
+),
+k0 AS (
+  SELECT source, doc_id, text FROM w0
+  WHERE rn = 1 AND ch NOT IN (SELECT ch FROM bh)
+),
+v2 AS (SELECT * FROM base UNION ALL SELECT * FROM k0),
+v2h AS (SELECT DISTINCT sha256(text) AS ch FROM v2),
+b1 AS (
+  SELECT source, doc_id, text, ch FROM arr WHERE batch_no = 1
+  UNION ALL
+  SELECT source, doc_id, text || ' v2', sha256(text || ' v2')
+  FROM base WHERE doc_id % 13 = 2
+),
+w1 AS (
+  SELECT *, row_number() OVER (PARTITION BY ch ORDER BY doc_id) AS rn
+  FROM b1
+),
+k1 AS (
+  SELECT source, doc_id, text FROM w1
+  WHERE rn = 1 AND ch NOT IN (SELECT ch FROM v2h)
+),
+v3 AS (
+  SELECT * FROM v2 WHERE doc_id NOT IN (SELECT doc_id FROM k1)
+  UNION ALL SELECT * FROM k1
+),
+m AS (
+  SELECT source, 1 AS w, doc_id, text FROM base
+  UNION ALL SELECT source, 1, doc_id, text FROM k0
+  UNION ALL
+  SELECT v2.source, -1, v2.doc_id, v2.text
+  FROM v2 JOIN k1 ON v2.doc_id = k1.doc_id   -- update preimages
+  UNION ALL SELECT source, 1, doc_id, text FROM k1
+),
+facets AS (
+  SELECT 'direct' AS facet, source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(bit_xor({row_h}) AS BIGINT) AS corpus_h
+  FROM v3 GROUP BY source
+  UNION ALL
+  SELECT 'maintained', source, CAST(sum(w) AS BIGINT),
+         CAST(sum(w * len(string_split(text, ' '))) AS BIGINT),
+         CAST(bit_xor({row_h}) AS BIGINT)
+  FROM m GROUP BY source
+)
+SELECT * FROM facets
+"""
+
+
+def _scr_oracle() -> str:
+    from engine.operators.corpus_build import _IS_NEW_DUCK, _ROW_H_DUCK
+
+    return _SCR_ORACLE.format(
+        is_new=_IS_NEW_DUCK, batch_no=_BATCH_NO_DUCK, row_h=_ROW_H_DUCK
+    )
+
+
+def _rollup_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.expr("bit_xor(h)").cast("bigint").alias("corpus_h"),
+    )
+
+
+@query(
+    "streaming_cdf_rollup",
+    oracle=_scr_oracle(),
+    tags=(
+        "streaming", "versioning", "cdc", "incremental", "documents",
+    ),
+    exported=False,  # library: streaming CDC consumption, oracled
+)
+def streaming_cdf_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC consumption (section comment): two triggers gate
+    and commit micro-batches (batch 1 includes re-crawl UPDATES of
+    every 13th base doc), and each trigger maintains the persisted
+    per-source rollup from table_changes(prev, new) alone. Emits the
+    final persisted rollup ('maintained') next to the direct
+    recompute of the final version ('direct'); the oracle replays
+    gate, commits, feeds and maintenance arithmetic relationally."""
+    from pyspark.sql import Window as W
+
+    from engine.operators.corpus_build import _IS_NEW_SPARK, corpus_out_dir
+    from engine.versioned_store import (
+        commit_overwrite,
+        commit_upsert,
+        current_version,
+        read_version,
+        table_changes,
+    )
+
+    store = corpus_out_dir(sf_dir) + "_vcdfroll"
+    shutil.rmtree(store, ignore_errors=True)
+    rollup_dir = store + "_rollup"
+    shutil.rmtree(rollup_dir, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text"
+    )
+    is_new = F.expr(_IS_NEW_SPARK)
+    commit_overwrite(_corpus_store_rows(docs.filter(~is_new)), store, "source")
+    _rollup_agg(read_version(spark, store, 1)).write.parquet(
+        f"{rollup_dir}/v1"
+    )
+
+    arrivals = docs.filter(is_new).withColumn(
+        "batch_no", F.expr(_BATCH_NO_SPARK).cast("bigint")
+    )
+    recrawl = (
+        docs.filter(~is_new)
+        .filter(F.col("doc_id") % 13 == 2)
+        .withColumn("text", F.concat("text", F.lit(" v2")))
+        .withColumn("batch_no", F.lit(1).cast("bigint"))
+    )
+    batches = arrivals.unionByName(recrawl)
+    schema = docs.schema
+
+    def gate_commit_maintain(batch_df: DataFrame, _batch_id: int) -> None:
+        rows = _corpus_store_rows(batch_df)
+        w = W.partitionBy("content_hash").orderBy("doc_id")
+        winners = (
+            rows.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        prev = current_version(store)
+        stored = (
+            read_version(spark, store, prev)
+            .select("content_hash")
+            .distinct()
+        )
+        survivors = winners.join(stored, "content_hash", "left_anti").select(
+            "source", "doc_id", "n_tokens", "content_hash", "h"
+        )
+        new_v = commit_upsert(spark, store, survivors, ["source", "doc_id"])
+        # maintenance: the feed is the ONLY store read; O(groups) merge
+        delta = (
+            table_changes(spark, store, prev, new_v, ["source", "doc_id"])
+            .select(
+                "source",
+                F.when(F.expr(_CDF_POS), F.lit(1))
+                .otherwise(F.lit(-1))
+                .alias("w"),
+                "n_tokens",
+                "h",
+            )
+            .groupBy("source")
+            .agg(
+                F.sum("w").cast("bigint").alias("d_docs"),
+                F.sum(F.col("w") * F.col("n_tokens"))
+                .cast("bigint")
+                .alias("d_tokens"),
+                F.expr("bit_xor(h)").cast("bigint").alias("d_h"),
+            )
+        )
+        zero = F.lit(0).cast("bigint")
+        merged = (
+            spark.read.parquet(f"{rollup_dir}/v{prev}")
+            .join(delta, "source", "full_outer")
+            .select(
+                "source",
+                (F.coalesce("n_docs", zero) + F.coalesce("d_docs", zero))
+                .cast("bigint")
+                .alias("n_docs"),
+                (
+                    F.coalesce("n_tokens", zero)
+                    + F.coalesce("d_tokens", zero)
+                )
+                .cast("bigint")
+                .alias("n_tokens"),
+                F.expr(
+                    "coalesce(corpus_h, 0L) ^ coalesce(d_h, 0L)"
+                )
+                .cast("bigint")
+                .alias("corpus_h"),
+            )
+        )
+        merged.write.parquet(f"{rollup_dir}/v{new_v}")
+
+    land = tempfile.mkdtemp(prefix="vcdfroll-land-")
+    ckpt = tempfile.mkdtemp(prefix="vcdfroll-ckpt-")
+    try:
+        for i in (0, 1):
+            _land_batch(
+                batches.filter(F.col("batch_no") == i).drop("batch_no"),
+                land,
+                f"b{i}.parquet",
+            )
+            q = (
+                spark.readStream.schema(schema)
+                .parquet(land)
+                .writeStream.foreachBatch(gate_commit_maintain)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    final_v = current_version(store)
+    maintained = spark.read.parquet(f"{rollup_dir}/v{final_v}").select(
+        F.lit("maintained").alias("facet"), "*"
+    )
+    direct = _rollup_agg(read_version(spark, store, final_v)).select(
+        F.lit("direct").alias("facet"), "*"
+    )
+    return direct.unionByName(maintained)

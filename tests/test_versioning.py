@@ -1058,3 +1058,40 @@ def test_string_stats_truncation_rounds_up(spark, tmp_path):
     assert [r.k for r in rows] == [2]
     # a probe provably above the rounded-up max still prunes
     assert _prune_entries([entry], {"s": ("n", None)}) == []
+
+
+def test_streaming_cdf_rollup_maintains_across_triggers(
+    spark, tmp_path, monkeypatch
+):
+    """The persisted rollup maintained per trigger from the change
+    feed must equal the direct recompute of the final version, the
+    second trigger's feed must contain real UPDATE images (the
+    re-crawl path), and the per-version rollup files must exist for
+    every committed version (state persisted BETWEEN micro-batches,
+    not recomputed at the end)."""
+    import os as _os
+
+    from engine.operators.corpus_build import corpus_out_dir
+    from engine.operators.versioning import streaming_cdf_rollup
+    from engine.versioned_store import current_version, table_changes
+    from tests.conftest import SF_SMOKE
+
+    monkeypatch.setenv("SPARK_GRAFT_CORPUS_OUT", str(tmp_path / "corpus"))
+    rows = streaming_cdf_rollup(spark, SF_SMOKE).collect()
+    facets = {"direct": {}, "maintained": {}}
+    for r in rows:
+        facets[r.facet][r.source] = (r.n_docs, r.n_tokens, r.corpus_h)
+    assert facets["direct"] == facets["maintained"]
+    assert facets["direct"]
+
+    store = corpus_out_dir(SF_SMOKE) + "_vcdfroll"
+    assert current_version(store) == 3
+    for v in (1, 2, 3):
+        assert _os.path.isdir(f"{store}_rollup/v{v}")
+    types = {
+        r._change_type
+        for r in table_changes(
+            spark, store, 2, 3, ["source", "doc_id"]
+        ).collect()
+    }
+    assert {"insert", "update_preimage", "update_postimage"} <= types
