@@ -1854,3 +1854,73 @@ def streaming_cdf_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("direct").alias("facet"), "*"
     )
     return direct.unionByName(maintained)
+
+
+# -- bloom point-lookup through the store (round 8) -----------------------------
+#
+# The oracled composition for the bloom sidecar: commit the corpus
+# with a content_hash bloom, then answer a batch of point lookups
+# (every doc with doc_id % 1024 == 7 — probe keys a real caller would
+# hold) through read_version(point_filters=…), which prunes files on
+# the sidecar before Spark lists anything and applies exact equality
+# in-plan. The result is the looked-up rows themselves, so ANY bloom
+# false negative (a wrongly pruned file) drops a row and fails the
+# driver's row-count match — the oracle simply selects the probed
+# docs relationally. False positives only admit extra files, never
+# extra rows. That the pruning BITES is pinned separately by
+# tests/test_versioning.py::test_bloom_point_lookup_skips_files.
+
+
+def _sbl_oracle() -> str:
+    from engine.operators.corpus_build import _ROW_H_DUCK
+
+    return f"""
+SELECT source, doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST({_ROW_H_DUCK} AS BIGINT) AS h
+FROM documents WHERE doc_id % 1024 = 7
+ORDER BY doc_id LIMIT 16
+"""
+
+
+@query(
+    "store_bloom_lookup",
+    oracle=_sbl_oracle(),
+    tags=("pipeline", "versioning", "pruning", "bloom", "documents"),
+    exported=False,  # library: bloom point-lookup read path, oracled
+)
+def store_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom point lookups through the versioned store (section
+    comment): commit the corpus bloomed on content_hash, then fetch
+    each probe key via a sidecar-pruned point read; returns the
+    looked-up rows (source, doc_id, n_tokens, h)."""
+    from engine.operators.corpus_build import corpus_out_dir
+    from engine.versioned_store import commit_overwrite, read_version
+
+    store = corpus_out_dir(sf_dir) + "_vbloom"
+    shutil.rmtree(store, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text"
+    )
+    v = commit_overwrite(
+        _corpus_store_rows(docs), store, "source",
+        bloom_cols=["content_hash"],
+    )
+    # the probe keys a caller would hold — bounded DATA-INDEPENDENTLY
+    # (the 16 smallest matching ids): the lookup count is the user's,
+    # not the table's, so the probe must not grow with the corpus
+    probes = [
+        r.ch
+        for r in docs.filter(F.col("doc_id") % 1024 == 7)
+        .orderBy("doc_id")
+        .limit(16)
+        .select(F.sha2("text", 256).alias("ch"))
+        .collect()
+    ]
+    out = None
+    for ch in sorted(probes):
+        hit = read_version(
+            spark, store, v, point_filters={"content_hash": ch}
+        ).select("source", "doc_id", "n_tokens", "h")
+        out = hit if out is None else out.unionByName(hit)
+    return out

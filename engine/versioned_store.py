@@ -333,13 +333,23 @@ def _read_prev_manifest(store: str, prev_v: int, op: str) -> dict:
 
 
 def commit_overwrite(
-    df: DataFrame, store: str, partition_col: str
+    df: DataFrame,
+    store: str,
+    partition_col: str,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 8192,
 ) -> int:
     """Commit a full snapshot as the next version. Previous versions'
-    files are untouched and stay readable via their manifests."""
+    files are untouched and stay readable via their manifests.
+    ``bloom_cols`` (string/integer columns) additionally writes a
+    per-file bloom sidecar for point-lookup file skipping; later
+    incremental commits inherit the config (see the bloom section)."""
     os.makedirs(store, exist_ok=True)
     version = current_version(store) + 1
     entries = _stage_files(df, store, version, partition_col)
+    _maybe_write_blooms(
+        df.sparkSession, store, version, entries, [], bloom_cols, bloom_bits
+    )
     _write_manifest_and_current(
         store,
         {
@@ -405,6 +415,7 @@ def commit_upsert(
         # silently dropping the evolution
         merged = survivors.unionByName(changeset, allowMissingColumns=True)
     new_entries = _stage_files(merged, store, version, pcol)
+    _maybe_write_blooms(spark, store, version, new_entries, keep, None, 0)
     _write_manifest_and_current(
         store,
         {
@@ -528,12 +539,186 @@ def _prune_entries(
     return kept
 
 
+# -- bloom-filter file skipping (point lookups) -------------------------------
+#
+# Range stats answer "could this file hold values in [lo, hi]?"; they
+# are useless for a POINT probe of a high-cardinality, unclustered key
+# (a content hash lands anywhere). The standard answer is a per-file
+# bloom filter kept OUTSIDE the data files — Iceberg's puffin sidecar;
+# parquet's own column blooms (engine/sinks.py) still require opening
+# every footer. Here each version may carry a sidecar
+# (_manifests/bloom-vNNNNN.json — named so the v*.json manifest glob
+# in `versions()` never matches it) mapping file → column → bloom
+# words; `read_version(point_filters=…)` drops files whose bloom
+# proves the probed value absent BEFORE Spark lists anything, then
+# applies the exact equality filter in-plan. Probe positions use the
+# engine's md5-derived h60 on the value's canonical string form, so
+# the Python read path and the JVM build job agree bit-for-bit
+# (bloom columns must therefore be string/integer typed). Blooms are
+# built in ONE distributed pass per column over only the files the
+# commit staged, carried forward verbatim for carried files (files
+# are immutable, so their blooms are too), and inherited: an upsert
+# on a bloomed store keeps the sidecar current without the caller
+# re-asking.
+
+_BLOOM_K = 4
+
+
+def _bloom_path(store: str, version: int) -> str:
+    return os.path.join(_mdir(store), f"bloom-v{version:05d}.json")
+
+
+def _read_bloom_sidecar(store: str, version: int) -> dict | None:
+    try:
+        with open(_bloom_path(store, version), encoding="utf-8") as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _bloom_positions_py(value, bits: int) -> list[int]:
+    from engine.functions.hashing import h60_py
+
+    return [h60_py(f"bf{i}:{value}") % bits for i in range(_BLOOM_K)]
+
+
+def _build_blooms(
+    spark: SparkSession,
+    store: str,
+    entries: list[dict],
+    cols: list[str],
+    bits: int,
+) -> dict:
+    """file → {col: [16-hex-char words]} for the given (just-staged)
+    entries — one distributed pass per column; only O(files × words)
+    rows ever reach the driver."""
+    from engine.functions.hashing import SPARK_H60
+
+    words_n = bits // 64
+    out: dict[str, dict] = {e["file"]: {} for e in entries}
+    if not entries:
+        return out
+    paths = [os.path.join(store, _DATA, e["file"]) for e in entries]
+    df = spark.read.parquet(*paths).withColumn(
+        "__f", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    for c in cols:
+        poses = [
+            "pmod("
+            + SPARK_H60.format(
+                x=f"concat('bf{i}:', cast({c} as string))"
+            )
+            + f", {bits})"
+            for i in range(_BLOOM_K)
+        ]
+        arr = "array(" + ",".join(
+            f"struct(cast(({p} div 64) as int) as w,"
+            f" shiftleft(cast(1 as bigint), cast(({p} % 64) as int)) as m)"
+            for p in poses
+        ) + ")"
+        rows = (
+            df.select("__f", F.explode(F.expr(arr)).alias("e"))
+            .select(
+                "__f",
+                F.col("e.w").alias("w"),
+                F.col("e.m").alias("m"),
+            )
+            .where(F.col("w").isNotNull())  # null values: no bits
+            .groupBy("__f", "w")
+            .agg(F.expr("bit_or(m)").alias("m"))
+            .collect()
+        )
+        acc: dict[str, list[int]] = {e["file"]: [0] * words_n for e in entries}
+        for r in rows:  # Row.__f attr access is blocked for dunders
+            acc[r["__f"]][r["w"]] |= r["m"]
+        for fname, words in acc.items():
+            out[fname][c] = [
+                f"{w & 0xFFFFFFFFFFFFFFFF:016x}" for w in words
+            ]
+    return out
+
+
+def _maybe_write_blooms(
+    spark: SparkSession,
+    store: str,
+    version: int,
+    new_entries: list[dict],
+    carried: list[dict],
+    bloom_cols: list[str] | None,
+    bloom_bits: int,
+) -> None:
+    """Build the version's bloom sidecar: new files get fresh blooms,
+    carried files copy theirs from the previous sidecar. With no
+    explicit ``bloom_cols`` the previous version's bloom config is
+    INHERITED, so incremental commits keep a bloomed store current."""
+    prev = _read_bloom_sidecar(store, version - 1)
+    if bloom_cols is None and prev:
+        bloom_cols, bloom_bits = prev["cols"], prev["bits"]
+    if not bloom_cols:
+        return
+    files = {}
+    if prev:
+        for e in carried:
+            b = prev["files"].get(e["file"])
+            if b:
+                files[e["file"]] = b
+    files.update(
+        _build_blooms(spark, store, new_entries, bloom_cols, bloom_bits)
+    )
+    os.makedirs(_mdir(store), exist_ok=True)  # sidecar lands pre-manifest
+    fd, tmp = tempfile.mkstemp(dir=_mdir(store))
+    with os.fdopen(fd, "w", encoding="utf-8") as f:
+        f.write(
+            json.dumps(
+                {
+                    "bits": bloom_bits,
+                    "k": _BLOOM_K,
+                    "cols": list(bloom_cols),
+                    "files": files,
+                }
+            )
+        )
+    os.rename(tmp, _bloom_path(store, version))
+
+
+def _bloom_prune(
+    entries: list[dict], sidecar: dict | None, point_filters: dict
+) -> list[dict]:
+    """Drop entries whose bloom PROVES the probed value absent for any
+    filter. Conservative: no sidecar / no bloom for a file or column →
+    keep. Null probes are rejected (nulls set no bloom bits, so
+    absence of bits cannot distinguish 'no nulls' from 'unbloomed')."""
+    if any(v is None for v in point_filters.values()):
+        raise ValueError("point_filters values must be non-null")
+    if sidecar is None:
+        return entries
+    bits = sidecar["bits"]
+    kept = []
+    for e in entries:
+        blooms = sidecar["files"].get(e["file"], {})
+        admit = True
+        for col, val in point_filters.items():
+            words = blooms.get(col)
+            if words is None:
+                continue
+            for p in _bloom_positions_py(val, bits):
+                if not (int(words[p // 64], 16) >> (p % 64)) & 1:
+                    admit = False
+                    break
+            if not admit:
+                break
+        if admit:
+            kept.append(e)
+    return kept
+
+
 def read_version(
     spark: SparkSession,
     store: str,
     version: int | None = None,
     partition_values: list[str] | None = None,
     range_filters: dict[str, tuple] | None = None,
+    point_filters: dict | None = None,
 ) -> DataFrame:
     """Read a pinned snapshot (default: latest). ``partition_values``
     prunes files from the MANIFEST — catalog-side pruning, no
@@ -550,7 +735,14 @@ def read_version(
     z-ordered ``compact_version`` the surviving-file set is small on
     any clustered dimension — the two features compose; the composed
     effect is pinned by the ``store_stats_pruned_read`` oracle and
-    the pruning counts in tests/test_versioning.py."""
+    the pruning counts in tests/test_versioning.py.
+
+    ``point_filters`` — ``{col: value}`` equality probes — prunes via
+    the version's bloom sidecar when one exists (see the bloom
+    section above): the point-lookup complement of range stats for
+    high-cardinality unclustered keys. Exact equality is applied
+    in-plan after pruning, so false positives cost only extra files
+    read, never wrong rows."""
     version = version if version is not None else current_version(store)
     man = _read_manifest(store, version)
     pcol = man["partition_col"]
@@ -560,6 +752,10 @@ def read_version(
         entries = [e for e in entries if e["partition"] in wanted]
     if range_filters:
         entries = _prune_entries(entries, range_filters)
+    if point_filters:
+        entries = _bloom_prune(
+            entries, _read_bloom_sidecar(store, version), point_filters
+        )
     out = _load_entries(spark, store, entries, pcol, man.get("columns"))
     if out is not None and range_filters:
         for col, (lo, hi) in range_filters.items():
@@ -567,6 +763,9 @@ def read_version(
                 out = out.filter(F.col(col) >= lo)
             if hi is not None:
                 out = out.filter(F.col(col) <= hi)
+    if out is not None and point_filters:
+        for col, val in point_filters.items():
+            out = out.filter(F.col(col) == val)
     if out is None:
         # A fileless snapshot is VALID history (commit_delete of every
         # row produces one) — return the empty DataFrame with the
@@ -608,6 +807,10 @@ def vacuum(store: str, keep_latest: int = 2) -> list[str]:
     for v in vs:
         if v not in retained:
             os.remove(_manifest_path(store, v))
+            try:  # the version's bloom sidecar goes with its manifest
+                os.remove(_bloom_path(store, v))
+            except FileNotFoundError:
+                pass
     data_dir = os.path.join(store, _DATA)
     # a store whose only commits were empty snapshots never created
     # data/ — nothing to delete
@@ -636,6 +839,12 @@ def rollback(store: str, to_version: int) -> int:
     }
     if man.get("columns") is not None:
         manifest["columns"] = man["columns"]
+    bloom = _read_bloom_sidecar(store, to_version)
+    if bloom is not None:  # same files ⇒ same blooms: one JSON copy
+        fd, tmp = tempfile.mkstemp(dir=_mdir(store))
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(json.dumps(bloom))
+        os.rename(tmp, _bloom_path(store, version))
     _write_manifest_and_current(store, manifest)
     return version
 
@@ -915,6 +1124,7 @@ def compact_version(
         compacted = df.repartition(n_out, pcol)
     version = prev_v + 1
     entries = _stage_files(compacted, store, version, pcol)
+    _maybe_write_blooms(spark, store, version, entries, [], None, 0)
     manifest = {"version": version, "partition_col": pcol,
                 "columns": _columns_ddl(compacted, pcol),
                 "files": entries, "compacted_from": prev_v}
@@ -969,6 +1179,7 @@ def commit_delete(
         )
         columns = _columns_ddl(survivors, pcol)
         new_entries = _stage_files(survivors, store, version, pcol)
+    _maybe_write_blooms(spark, store, version, new_entries, keep, None, 0)
     manifest = {
         "version": version,
         "partition_col": pcol,

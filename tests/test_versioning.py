@@ -1095,3 +1095,101 @@ def test_streaming_cdf_rollup_maintains_across_triggers(
         ).collect()
     }
     assert {"insert", "update_preimage", "update_postimage"} <= types
+
+
+def test_bloom_point_lookup_skips_files(spark, tmp_path):
+    """Bloom-sidecar point-lookup skipping (round 8): commits with
+    bloom_cols write a per-file bloom sidecar; read_version(
+    point_filters=...) prunes files whose bloom proves the value
+    absent and returns exactly the equality's rows. No false
+    negatives across EVERY stored key; upserts inherit the config and
+    carry forward old files' blooms; rollback copies the sidecar;
+    vacuum removes dropped versions' sidecars; null probes rejected."""
+    import os as _os
+
+    from engine.versioned_store import (
+        _bloom_path,
+        _bloom_prune,
+        _read_bloom_sidecar,
+        _read_manifest,
+        commit_overwrite,
+        commit_upsert,
+        read_version,
+        rollback,
+        vacuum,
+    )
+
+    store = str(tmp_path / "blstore")
+    n = 2000
+    df = spark.range(n).selectExpr(
+        "concat('p', id % 4) as part",
+        "id as k",
+        # high-cardinality unclustered string key (the content-hash shape)
+        "md5(concat('key:', cast(id as string))) as ck",
+    )
+    v1 = commit_overwrite(df, store, "part", bloom_cols=["ck"])
+    sc = _read_bloom_sidecar(store, v1)
+    assert sc and sc["cols"] == ["ck"] and sc["bits"] == 8192
+    man = _read_manifest(store, v1)
+    assert set(sc["files"]) == {e["file"] for e in man["files"]}
+
+    # point probe: most files pruned, exactly one row back
+    import hashlib as _hl
+
+    probe = _hl.md5(b"key:137").hexdigest()
+    kept = _bloom_prune(man["files"], sc, {"ck": probe})
+    assert 0 < len(kept) <= max(1, len(man["files"]) // 2), (
+        len(kept), len(man["files"]),
+    )
+    rows = read_version(
+        spark, store, v1, point_filters={"ck": probe}
+    ).collect()
+    assert [(r.k, r.part) for r in rows] == [(137, "p1")]
+
+    # no false negatives: every stored key's bloom admits its own file
+    by_file = {e["file"]: e for e in man["files"]}
+    for r in spark.read.parquet(f"{store}/data").selectExpr("ck").collect():
+        assert _bloom_prune(list(by_file.values()), sc, {"ck": r.ck})
+
+    # absent key: everything pruned, empty frame (schema intact)
+    miss = read_version(
+        spark, store, v1, point_filters={"ck": "0" * 32}
+    )
+    assert miss.count() == 0 and "ck" in miss.columns
+
+    # upsert INHERITS the bloom config; carried files keep their blooms
+    v2 = commit_upsert(
+        spark,
+        store,
+        spark.createDataFrame(
+            [("p0", n + 1, _hl.md5(b"key:new").hexdigest())],
+            "part string, k long, ck string",
+        ),
+        ["part", "k"],
+    )
+    sc2 = _read_bloom_sidecar(store, v2)
+    assert sc2 and sc2["cols"] == ["ck"]
+    man2 = _read_manifest(store, v2)
+    assert set(sc2["files"]) == {e["file"] for e in man2["files"]}
+    carried = {e["file"] for e in man2["files"]} & {
+        e["file"] for e in man["files"]
+    }
+    assert carried and all(
+        sc2["files"][f] == sc["files"][f] for f in carried
+    )
+    got = read_version(
+        spark, store, v2,
+        point_filters={"ck": _hl.md5(b"key:new").hexdigest()},
+    ).collect()
+    assert [r.k for r in got] == [n + 1]
+
+    # rollback copies the sidecar; vacuum drops the losers' sidecars
+    v3 = rollback(store, v1)
+    assert _read_bloom_sidecar(store, v3) == sc
+    vacuum(store, keep_latest=1)
+    assert not _os.path.exists(_bloom_path(store, v1))
+    assert _read_bloom_sidecar(store, v3) == sc
+
+    # null probes rejected
+    with pytest.raises(ValueError, match="non-null"):
+        read_version(spark, store, v3, point_filters={"ck": None})
