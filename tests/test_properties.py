@@ -498,6 +498,36 @@ def test_versioned_store_replays_any_commit_history(spark, ops, tmp_path_factory
         }
         assert got == snap, (v, got, snap)
 
+    # the change feed must equal the model diff for every consecutive
+    # pair AND for the net v1→v_final window (round-8 CDC on arbitrary
+    # histories, not just the hand-written store)
+    from engine.versioned_store import table_changes
+
+    def model_diff(prev, cur):
+        exp = {}
+        for key in prev.keys() | cur.keys():
+            if key not in cur:
+                exp[(key, "delete")] = prev[key]
+            elif key not in prev:
+                exp[(key, "insert")] = cur[key]
+            elif prev[key] != cur[key]:
+                exp[(key, "update_preimage")] = prev[key]
+                exp[(key, "update_postimage")] = cur[key]
+        return exp
+
+    pairs = [(i, i + 1) for i in range(1, len(history))]
+    if len(history) > 2:
+        pairs.append((1, len(history)))  # the net window
+    for va, vb in pairs:
+        got = {
+            ((int(r.part[1:]), r.k), r._change_type): r.v
+            for r in table_changes(
+                spark, store, va, vb, ["part", "k"]
+            ).collect()
+        }
+        exp = model_diff(history[va - 1], history[vb - 1])
+        assert got == exp, (va, vb, got, exp)
+
 
 # -- snapshot diff: arbitrary version pairs vs a pure-Python diff ------------
 
