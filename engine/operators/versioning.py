@@ -524,18 +524,23 @@ def _land_batch(df: DataFrame, land: str, name: str) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _corpus_store_rows(df: DataFrame) -> DataFrame:
+def _corpus_store_rows(df: DataFrame, keep_text: bool = False) -> DataFrame:
     """The stored schema: content hash kept so later gates scan it
-    instead of re-reading text."""
+    instead of re-reading text. ``keep_text`` stores the body too —
+    the shape consumers that derive text features from the CHANGE
+    FEED need (e.g. the incremental MinHash index)."""
     from engine.operators.corpus_build import _ROW_H_SPARK
 
-    return df.select(
-        "source",
-        "doc_id",
+    cols = [
+        F.col("source"),
+        F.col("doc_id"),
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
         F.sha2("text", 256).alias("content_hash"),
         F.expr(_ROW_H_SPARK).cast("bigint").alias("h"),
-    )
+    ]
+    if keep_text:
+        cols.insert(2, F.col("text"))
+    return df.select(*cols)
 
 
 def run_stream_refresh(
@@ -705,12 +710,17 @@ def _tt_oracle() -> str:
 
 
 def _build_tt_store(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    keep_text: bool = False,
+    variant: str = "",
 ) -> tuple[str, int, int]:
     """(Re)build the two-version demonstration store: base as v1, the
     exact-gated arrival winners upserted as v2. Recreated from scratch
     so version numbers — and every query over them — are deterministic.
-    Shared by corpus_time_travel and store_version_diff."""
+    Shared by corpus_time_travel and store_version_diff. ``keep_text``
+    stores the body column too (``variant`` keeps the two schemas in
+    separate store directories)."""
     from pyspark.sql import Window as W
 
     from engine.operators.corpus_build import _IS_NEW_SPARK, corpus_out_dir
@@ -720,17 +730,17 @@ def _build_tt_store(
         read_version,
     )
 
-    store = corpus_out_dir(sf_dir) + "_vstore"
+    store = corpus_out_dir(sf_dir) + "_vstore" + variant
     shutil.rmtree(store, ignore_errors=True)
 
     docs = load_table(spark, sf_dir, "documents").select(
         "source", "doc_id", "text"
     )
     is_new = F.expr(_IS_NEW_SPARK)
-    base_rows = _corpus_store_rows(docs.filter(~is_new))
+    base_rows = _corpus_store_rows(docs.filter(~is_new), keep_text)
     v1 = commit_overwrite(base_rows, store, "source")
 
-    arr = _corpus_store_rows(docs.filter(is_new))
+    arr = _corpus_store_rows(docs.filter(is_new), keep_text)
     w = W.partitionBy("content_hash").orderBy("doc_id")
     winners = (
         arr.withColumn("rn", F.row_number().over(w))
@@ -741,7 +751,7 @@ def _build_tt_store(
         "content_hash"
     ).distinct()
     changeset = winners.join(base_hashes, "content_hash", "left_anti").select(
-        "source", "doc_id", "n_tokens", "content_hash", "h"
+        *base_rows.columns
     )
     v2 = commit_upsert(spark, store, changeset, ["source", "doc_id"])
     return store, v1, v2
@@ -1412,7 +1422,12 @@ def store_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the row-count match immediately.
 
 
-def _build_cdf_store(spark: SparkSession, sf_dir: str):
+def _build_cdf_store(
+    spark: SparkSession,
+    sf_dir: str,
+    keep_text: bool = False,
+    variant: str = "",
+):
     """Extend the two-version tt store with an update commit (v3) and
     a delete commit (v4) so the feed exercises every change type."""
     from engine.operators.corpus_build import _IS_NEW_SPARK
@@ -1422,7 +1437,7 @@ def _build_cdf_store(spark: SparkSession, sf_dir: str):
         read_version,
     )
 
-    store, v1, v2 = _build_tt_store(spark, sf_dir)
+    store, v1, v2 = _build_tt_store(spark, sf_dir, keep_text, variant)
     docs = load_table(spark, sf_dir, "documents").select(
         "source", "doc_id", "text"
     )
@@ -1432,7 +1447,8 @@ def _build_cdf_store(spark: SparkSession, sf_dir: str):
         .withColumn("text", F.concat("text", F.lit(" updated")))
     )
     v3 = commit_upsert(
-        spark, store, _corpus_store_rows(upd), ["source", "doc_id"]
+        spark, store, _corpus_store_rows(upd, keep_text),
+        ["source", "doc_id"],
     )
     doomed = (
         read_version(spark, store, v3)
@@ -1924,3 +1940,223 @@ def store_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("source", "doc_id", "n_tokens", "h")
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+# -- incremental MinHash index maintenance from the change feed ------------------
+#
+# The CDC theme meeting the dedup theme: a production near-dup gate
+# keeps a STORED LSH band index (band, sig, doc_id) so arrivals probe
+# bucket-local candidates instead of rescanning the corpus. When the
+# corpus store mutates, that index must follow — and the change feed
+# is exactly the required input: drop index entries for
+# delete/update_preimage doc_ids, add freshly-computed bands for
+# insert/update_postimage texts (the store carries the body for this
+# consumer). The query maintains a REAL per-version index table
+# across the four-version store's full mutation history and emits its
+# final per-source summary (entries + xor'd entry hash) next to the
+# direct recompute over the final corpus; the oracle replays both
+# from three band chains (base / gate winners / re-scrubbed docs) —
+# a hash match pins minhash banding, feed application and the
+# equality of O(churn) maintenance with the O(corpus) rebuild.
+# At 100 TB each refresh re-bands only the feed's documents — the
+# dominant cost of index maintenance becomes proportional to churn.
+
+_IDX_H = "concat('idx:', cast(doc_id as string), ':', cast(band as string), ':', sig)"
+_IDX_H_DUCK = "'idx:' || CAST(doc_id AS VARCHAR) || ':' || CAST(band AS VARCHAR) || ':' || sig"
+
+
+def _bands_with_source(df: DataFrame) -> DataFrame:
+    """(source, doc_id, band, sig) LSH band index rows for documents
+    (source, doc_id, text) — the dedup module's single-shuffle MinHash
+    (min is duplicate-insensitive, so no shingle distinct), with
+    source carried through the aggregate."""
+    from engine.operators.dedup import MINHASH_K, _spark_shingles
+
+    sh = _spark_shingles(df.select("doc_id", "text"), distinct=False).join(
+        df.select("doc_id", "source"), "doc_id"
+    )
+    mins = [
+        F.min(
+            F.expr(SPARK_H60.format(x=f"concat('{i}', '|', shingle)"))
+        ).alias(f"m{i}")
+        for i in range(MINHASH_K)
+    ]
+    n_bands = MINHASH_K // 2
+    return (
+        sh.groupBy("source", "doc_id")
+        .agg(*mins)
+        .select(
+            "source",
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_bands - 1))
+            ).alias("band"),
+            F.array(*[f"m{i}" for i in range(MINHASH_K)]).alias("sa"),
+        )
+        .withColumn(
+            "sig",
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.expr("cast(sa[band] as string)"),
+                    F.expr(f"cast(sa[band + {n_bands}] as string)"),
+                )
+            ),
+        )
+        .drop("sa")
+    )
+
+
+def _duck_band_chain(name: str, src: str) -> str:
+    """DuckDB twin of `_bands_with_source` over the CTE ``src``
+    (source, doc_id, text) — mirrors dedup.py's _DUCK_MINHASH."""
+    from engine.operators.dedup import MINHASH_K
+
+    h = DUCK_H60.format(x="CAST(h.hi AS VARCHAR) || '|' || shingle")
+    return f"""
+tk_{name} AS (
+  SELECT source, doc_id, string_split(lower(text), ' ') AS t FROM {src}
+),
+sg_{name} AS (
+  SELECT source, doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM tk_{name}
+),
+mh_{name} AS (
+  SELECT source, doc_id, h.hi, min({h}) AS mh
+  FROM sg_{name}
+  CROSS JOIN (SELECT unnest(range(0, {MINHASH_K})) AS hi) h
+  GROUP BY source, doc_id, h.hi
+),
+bd_{name} AS (
+  SELECT source, doc_id, hi % {MINHASH_K // 2} AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY hi)) AS sig
+  FROM mh_{name} GROUP BY source, doc_id, hi % {MINHASH_K // 2}
+)"""
+
+
+def _smi_oracle() -> str:
+    from engine.operators.corpus_build import _IS_NEW_DUCK
+
+    eh = DUCK_H60.format(x=_IDX_H_DUCK)
+    return f"""
+WITH lab AS (
+  SELECT source, doc_id, text, ({_IS_NEW_DUCK}) AS is_new FROM documents
+),
+base AS (SELECT source, doc_id, text FROM lab WHERE NOT is_new),
+bh AS (SELECT DISTINCT sha256(text) AS ch FROM base),
+arr AS (
+  SELECT source, doc_id, text, sha256(text) AS ch FROM lab WHERE is_new
+),
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY ch ORDER BY doc_id) AS rn
+  FROM arr
+),
+keep AS (
+  SELECT source, doc_id, text FROM win
+  WHERE rn = 1 AND ch NOT IN (SELECT ch FROM bh)
+),
+upd AS (
+  SELECT source, doc_id, text || ' updated' AS text
+  FROM base WHERE doc_id % 7 = 0
+),
+{_duck_band_chain("base", "base").lstrip()},
+{_duck_band_chain("keep", "keep").lstrip()},
+{_duck_band_chain("upd", "upd").lstrip()},
+bd_v3 AS (
+  SELECT * FROM bd_base WHERE doc_id % 7 <> 0
+  UNION ALL SELECT * FROM bd_upd
+  UNION ALL SELECT * FROM bd_keep
+),
+m AS (
+  SELECT source, doc_id, band, sig, 1 AS w FROM bd_base
+  UNION ALL SELECT source, doc_id, band, sig, 1 FROM bd_keep
+  UNION ALL
+  SELECT source, doc_id, band, sig, -1 FROM bd_base WHERE doc_id % 7 = 0
+  UNION ALL SELECT source, doc_id, band, sig, 1 FROM bd_upd
+  UNION ALL
+  SELECT source, doc_id, band, sig, -1 FROM bd_v3 WHERE doc_id % 11 = 5
+),
+facets AS (
+  SELECT 'direct' AS facet, source,
+         CAST(count(*) AS BIGINT) AS n_entries,
+         CAST(bit_xor({eh}) AS BIGINT) AS idx_h
+  FROM bd_v3 WHERE doc_id % 11 <> 5 GROUP BY source
+  UNION ALL
+  SELECT 'maintained', source, CAST(sum(w) AS BIGINT),
+         CAST(bit_xor({eh}) AS BIGINT)
+  FROM m GROUP BY source
+)
+SELECT * FROM facets
+"""
+
+
+@query(
+    "store_cdf_minhash_index",
+    oracle=_smi_oracle(),
+    tags=(
+        "pipeline", "versioning", "cdc", "dedup", "minhash",
+        "incremental", "documents",
+    ),
+    exported=False,  # library: CDC-maintained LSH index, oracled
+)
+def store_cdf_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-maintained LSH band index (section comment): build the
+    four-version TEXT-carrying store, materialize the v1 band index,
+    apply each transition's change feed to the STORED index
+    (anti-join out removed doc_ids, append freshly-banded added
+    texts), and emit the final stored index's per-source summary next
+    to the direct recompute over v4."""
+    from engine.operators.corpus_build import corpus_out_dir
+    from engine.versioned_store import read_version, table_changes
+
+    store, (v1, v2, v3, v4) = _build_cdf_store(
+        spark, sf_dir, keep_text=True, variant="_mhidx"
+    )
+    idx_dir = corpus_out_dir(sf_dir) + "_mhidx_index"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    _bands_with_source(
+        read_version(spark, store, v1).select("source", "doc_id", "text")
+    ).write.parquet(f"{idx_dir}/v{v1}")
+    for a, b in ((v1, v2), (v2, v3), (v3, v4)):
+        feed = table_changes(spark, store, a, b, ["source", "doc_id"])
+        removed = (
+            feed.filter(~F.expr(_CDF_POS)).select("doc_id").distinct()
+        )
+        added = feed.filter(F.expr(_CDF_POS)).select(
+            "source", "doc_id", "text"
+        )
+        (
+            spark.read.parquet(f"{idx_dir}/v{a}")
+            .join(removed, "doc_id", "left_anti")
+            .unionByName(_bands_with_source(added))
+            .write.parquet(f"{idx_dir}/v{b}")
+        )
+
+    eh = F.expr(SPARK_H60.format(x=_IDX_H)).cast("bigint")
+
+    def summary(df: DataFrame, facet: str) -> DataFrame:
+        return (
+            df.withColumn("eh", eh)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_entries"),
+                F.expr("bit_xor(eh)").cast("bigint").alias("idx_h"),
+            )
+            .select(F.lit(facet).alias("facet"), "*")
+        )
+
+    direct = summary(
+        _bands_with_source(
+            read_version(spark, store, v4).select(
+                "source", "doc_id", "text"
+            )
+        ),
+        "direct",
+    )
+    maintained = summary(
+        spark.read.parquet(f"{idx_dir}/v{v4}"), "maintained"
+    )
+    return direct.unionByName(maintained)

@@ -1193,3 +1193,34 @@ def test_bloom_point_lookup_skips_files(spark, tmp_path):
     # null probes rejected
     with pytest.raises(ValueError, match="non-null"):
         read_version(spark, store, v3, point_filters={"ck": None})
+
+
+def test_cdf_minhash_index_maintained_equals_rebuild(
+    spark, tmp_path, monkeypatch
+):
+    """The CDC-maintained LSH band index must equal the full rebuild
+    per source (entries + xor'd entry hash), keep one stored index per
+    version, and hold no entries for deleted documents."""
+    from engine.operators.corpus_build import corpus_out_dir
+    from engine.operators.versioning import store_cdf_minhash_index
+    from tests.conftest import SF_SMOKE
+
+    monkeypatch.setenv("SPARK_GRAFT_CORPUS_OUT", str(tmp_path / "corpus"))
+    rows = store_cdf_minhash_index(spark, SF_SMOKE).collect()
+    facets = {"direct": {}, "maintained": {}}
+    for r in rows:
+        facets[r.facet][r.source] = (r.n_entries, r.idx_h)
+    assert facets["direct"] == facets["maintained"]
+    assert facets["direct"]
+
+    idx_dir = corpus_out_dir(SF_SMOKE) + "_mhidx_index"
+    final = spark.read.parquet(f"{idx_dir}/v4")
+    for v in (1, 2, 3):
+        assert spark.read.parquet(f"{idx_dir}/v{v}").count() > 0
+    assert final.filter("doc_id % 11 = 5").count() == 0
+    # updated docs are indexed under their NEW bands only: entry count
+    # per doc is exactly the band count (no stale duplicates)
+    dup = (
+        final.groupBy("doc_id", "band").count().filter("count > 1").count()
+    )
+    assert dup == 0
