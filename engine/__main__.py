@@ -156,8 +156,47 @@ def cmd_vstore(args: argparse.Namespace) -> int:
             )
         return 0
     if args.action == "read":
-        df = vs.read_version(_spark(), args.store, args.version)
+        range_f = {}
+        for spec in args.range or []:
+            col, lo, hi = spec.split(":", 2)
+            range_f[col] = (
+                float(lo) if "." in lo else int(lo) if lo else None,
+                float(hi) if "." in hi else int(hi) if hi else None,
+            )
+        point_f = {}
+        for spec in args.point or []:
+            col, val = spec.split(":", 1)
+            point_f[col] = val
+        df = vs.read_version(
+            _spark(), args.store, args.version,
+            partition_values=args.partitions.split(",")
+            if args.partitions else None,
+            range_filters=range_f or None,
+            point_filters=point_f or None,
+        )
         df.show(args.limit, truncate=False)
+        return 0
+    if args.action == "history":
+        for v in vs.versions(args.store):
+            man = vs._read_manifest(args.store, v)
+            kind = (
+                f"compacted_from=v{man['compacted_from']:05d}"
+                if "compacted_from" in man
+                else f"rolled_back_from=v{man['rolled_back_from']:05d}"
+                if "rolled_back_from" in man
+                else f"delete({man['deleted_keys']} keys)"
+                if "deleted_keys" in man
+                else "commit"
+            )
+            extras = []
+            if man.get("zorder"):
+                extras.append(f"zorder={man['zorder']}")
+            if vs._read_bloom_sidecar(args.store, v):
+                extras.append("bloomed")
+            print(
+                f"v{v:05d}: {kind} — {len(man['files'])} files"
+                + (f" [{', '.join(extras)}]" if extras else "")
+            )
         return 0
     if args.action == "rollback":
         if args.version is None:
@@ -248,7 +287,8 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument(
         "action",
         choices=(
-            "versions", "read", "rollback", "vacuum", "changes", "compact",
+            "versions", "read", "rollback", "vacuum", "changes",
+            "compact", "history",
         ),
     )
     v.add_argument("store")
@@ -271,6 +311,19 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument(
         "--zorder", default=None,
         help="compact: comma-separated numeric columns to z-order by",
+    )
+    v.add_argument(
+        "--partitions", default=None,
+        help="read: comma-separated partition values (manifest pruning)",
+    )
+    v.add_argument(
+        "--range", action="append", default=None,
+        help="read: col:lo:hi numeric range (stats pruning; empty ="
+        " unbounded side), repeatable",
+    )
+    v.add_argument(
+        "--point", action="append", default=None,
+        help="read: col:value point lookup (bloom pruning), repeatable",
     )
     v.set_defaults(fn=cmd_vstore)
 

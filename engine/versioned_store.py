@@ -48,7 +48,12 @@ pruning with zero listing RPCs. The boundary is MEASURED, not assumed
 manifest is 1.1 MB and parses in 8 ms — JSON is nowhere near the
 bottleneck at this scale — and snapshot reads are a single scan plus
 a broadcast file→partition join (``_load_entries``), so read planning
-stays O(1) Spark jobs at any partition count.
+stays O(1) Spark jobs at any partition count. Bloom sidecars are the
+heavier metadata plane (~bits/8 bytes per file per column — ~10 MB at
+10k files with the 8192-bit default): kept OUT of the manifest so
+plain reads never pay for them, loaded only when a point lookup asks;
+a production deployment stores them binary (Iceberg's puffin) rather
+than hex-in-JSON.
 
 Reference parity note: the reference engine has no storage versioning
 (SURVEY.md §2.3); Layer-B capability per §6's production-pipeline

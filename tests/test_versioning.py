@@ -403,6 +403,17 @@ def test_vstore_cli_versions_rollback_vacuum(spark, tmp_path, capsys):
     assert cli(["vstore", "versions", store]) == 0
     out = capsys.readouterr().out
     assert "v00001" in out and "v00002: " in out and "(current)" in out
+    # filtered reads through the CLI: partition + range + point
+    assert cli(
+        ["vstore", "read", store, "--partitions", "a",
+         "--range", "k:1:", "--point", "v:y"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "|y " in out and "|x " not in out
+    # commit lineage through the CLI
+    assert cli(["vstore", "history", store]) == 0
+    out = capsys.readouterr().out
+    assert "v00001: commit" in out and "v00002: commit" in out
     # the change feed through the CLI: v1->v2 was one update of k=1
     assert cli(
         ["vstore", "changes", store, "--from-version", "1",
