@@ -2160,3 +2160,165 @@ def store_cdf_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{idx_dir}/v{v4}"), "maintained"
     )
     return direct.unionByName(maintained)
+
+
+# -- composite-partitioned store (round 8) --------------------------------------
+#
+# The canonical 100 TB layout is a COMPOSITE partition — (event_type,
+# day) for an event stream, (source, dump_date) for a corpus — so the
+# store accepts a partition-column LIST end to end. The oracled query
+# drives the full lifecycle on the events table partitioned by
+# (event_type, day): commit, a correction upsert whose key includes
+# both partition columns, then three facets through the composite
+# machinery — per-type totals from the pinned v2 read, ONE (type,
+# day) cell through tuple partition pruning (files pruned from the
+# manifest before Spark lists anything — at 100 TB this is the "read
+# one day of one event type" query), and the update-only change feed
+# (carried identical rows in rewritten cells must emit nothing). The
+# oracle replays all three relationally; single-column manifests are
+# byte-unchanged (pinned by the unit tests), so every pre-existing
+# store keeps reading.
+
+_SCP_ROW_H = SPARK_H60.format(
+    x="concat('r:', cast(event_id as string), ':',"
+    " cast(user_id as string))"
+)
+_SCP_ROW_H_DUCK = DUCK_H60.format(
+    x="'r:' || CAST(event_id AS VARCHAR) || ':' ||"
+    " CAST(user_id AS VARCHAR)"
+)
+
+_SCP_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, event_id, user_id
+  FROM events
+),
+v2 AS (
+  SELECT event_type, day, event_id,
+         CASE WHEN event_id % 101 = 3 THEN user_id + 1000000000
+              ELSE user_id END AS user_id
+  FROM ev
+),
+et0 AS (SELECT min(event_type) AS et FROM ev),
+d0 AS (
+  SELECT min(day) AS d FROM ev
+  WHERE event_type = (SELECT et FROM et0)
+),
+facets AS (
+  SELECT 'total:' || event_type AS facet,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(bit_xor({_SCP_ROW_H_DUCK}) AS BIGINT) AS h
+  FROM v2 GROUP BY event_type
+  UNION ALL
+  SELECT 'cell', CAST(count(*) AS BIGINT),
+         CAST(bit_xor({_SCP_ROW_H_DUCK}) AS BIGINT)
+  FROM v2
+  WHERE event_type = (SELECT et FROM et0) AND day = (SELECT d FROM d0)
+  UNION ALL
+  SELECT 'feed:update_preimage', CAST(count(*) AS BIGINT),
+         CAST(bit_xor({_SCP_ROW_H_DUCK}) AS BIGINT)
+  FROM ev WHERE event_id % 101 = 3
+  UNION ALL
+  SELECT 'feed:update_postimage', CAST(count(*) AS BIGINT),
+         CAST(bit_xor({_SCP_ROW_H_DUCK}) AS BIGINT)
+  FROM v2 WHERE event_id % 101 = 3
+)
+SELECT * FROM facets
+"""
+
+
+@query(
+    "store_composite_partition",
+    oracle=_SCP_ORACLE,
+    tags=("pipeline", "versioning", "partitioning", "cdc", "events"),
+    exported=False,  # library: composite-partition lifecycle, oracled
+)
+def store_composite_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite (event_type, day) partitioned store lifecycle
+    (section comment): commit, correction upsert, then per-type
+    totals, one tuple-pruned cell, and the update-only change feed."""
+    from engine.operators.corpus_build import corpus_out_dir
+    from engine.versioned_store import (
+        commit_overwrite,
+        commit_upsert,
+        read_version,
+        table_changes,
+    )
+
+    store = corpus_out_dir(sf_dir) + "_vcomposite"
+    shutil.rmtree(store, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_id",
+        "user_id",
+    )
+    v1 = commit_overwrite(ev, store, ["event_type", "day"])
+    chg = ev.filter(F.col("event_id") % 101 == 3).withColumn(
+        "user_id", F.col("user_id") + F.lit(1_000_000_000)
+    )
+    v2 = commit_upsert(
+        spark, store, chg, ["event_type", "day", "event_id"]
+    )
+
+    rh = F.expr(_SCP_ROW_H).cast("bigint")
+
+    def agg(df: DataFrame, facet):
+        return (
+            df.withColumn("rh", rh)
+            .groupBy()
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.expr("bit_xor(rh)").cast("bigint").alias("h"),
+            )
+            .select(facet.alias("facet"), "n", "h")
+        )
+
+    cur = read_version(spark, store, v2)
+    total = (
+        cur.withColumn("rh", rh)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr("bit_xor(rh)").cast("bigint").alias("h"),
+        )
+        .select(
+            F.concat(F.lit("total:"), "event_type").alias("facet"),
+            "n",
+            "h",
+        )
+    )
+    # the "one day of one type" read: tuple pruning from the manifest
+    # (cell choice derived from the data — a bounded 1-row lookup)
+    et0, d0 = (
+        ev.agg(F.min("event_type")).collect()[0][0],
+        None,
+    )
+    d0 = (
+        ev.filter(F.col("event_type") == et0)
+        .agg(F.min("day"))
+        .collect()[0][0]
+    )
+    cell = agg(
+        read_version(
+            spark, store, v2, partition_values=[(et0, d0)]
+        ),
+        F.lit("cell"),
+    )
+    feed = (
+        table_changes(
+            spark, store, v1, v2, ["event_type", "day", "event_id"]
+        )
+        .withColumn("rh", rh)
+        .groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr("bit_xor(rh)").cast("bigint").alias("h"),
+        )
+        .select(
+            F.concat(F.lit("feed:"), "_change_type").alias("facet"),
+            "n",
+            "h",
+        )
+    )
+    return total.unionByName(cell).unionByName(feed)

@@ -219,22 +219,55 @@ def _footer_stats(path: str) -> dict:
     return out
 
 
+# -- multi-column partitioning (round 8) ---------------------------------------
+#
+# The canonical 100 TB layout is a COMPOSITE partition — (source, day)
+# for a corpus, (region, date) for facts — so every commit/read path
+# accepts either one partition column (the original API, manifest
+# format unchanged: string pcol, string partition value) or a list
+# (manifest stores lists). `_norm_pcols` / `_norm_pval` normalize both
+# shapes to lists/tuples internally; the single-column forms are kept
+# byte-identical on disk so every pre-existing store stays readable.
+
+
+def _norm_pcols(pcol) -> list[str]:
+    return [pcol] if isinstance(pcol, str) else list(pcol)
+
+
+def _norm_pval(partition) -> tuple:
+    return (
+        (partition,) if isinstance(partition, str) else tuple(partition)
+    )
+
+
+def _man_pcol(pcols: list[str]):
+    """Manifest form: the bare string for single-column stores (the
+    original format), the list otherwise."""
+    return pcols[0] if len(pcols) == 1 else pcols
+
+
+def _man_pval(pval: tuple):
+    return pval[0] if len(pval) == 1 else list(pval)
+
+
 def _stage_files(
-    df: DataFrame, store: str, version: int, partition_col: str
+    df: DataFrame, store: str, version: int, partition_col
 ) -> list[dict]:
-    """Write ``df`` partitioned by ``partition_col`` to a staging dir,
-    then move each part file into data/ under a version-unique name.
-    Returns the new manifest entries ({file, partition, n_rows, bytes,
+    """Write ``df`` partitioned by ``partition_col`` (one column or a
+    list — composite partitioning) to a staging dir, then move each
+    part file into data/ under a version-unique name. Returns the new
+    manifest entries ({file, partition, n_rows, bytes,
     stats}); ``stats`` carries the numeric columns' per-file min/max
     (``_footer_stats``) so reads can prune files catalog-side on range
     predicates. The footer reads are a driver-side O(new files)
     metadata loop over the files THIS commit staged — the same work a
     real table format's commit protocol does to populate its log."""
+    pcols = _norm_pcols(partition_col)
     os.makedirs(os.path.join(store, _DATA), exist_ok=True)
     staging = tempfile.mkdtemp(prefix="vstore-", dir=store)
     entries: list[dict] = []
     try:
-        df.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+        df.write.mode("overwrite").partitionBy(*pcols).parquet(staging)
         # An EMPTY df stages no partition directories at all (found by
         # the hypothesis commit-history model: a delete that empties
         # every touched partition) — reading the bare staging dir would
@@ -258,38 +291,54 @@ def _stage_files(
         # (decode only the trailing <partition dir>/<file> components so
         # special characters in the staging path itself cannot skew the
         # relpath; the key matches os.path.join(part_dir, part) below)
+        depth = len(pcols)  # partition dirs nest one level per column
         counts = {
-            os.path.join(*(unquote(c) for c in r["file"].split("/")[-2:])):
-                r["n"]
+            os.path.join(
+                *(unquote(c) for c in r["file"].split("/")[-depth - 1:])
+            ): r["n"]
             for r in spark.read.parquet(staging)
             .groupBy(
-                F.input_file_name().alias("uri"), F.col(partition_col)
+                F.input_file_name().alias("uri"),
+                *[F.col(c) for c in pcols],
             )
             .agg(F.count(F.lit(1)).alias("n"))
             .selectExpr("replace(uri, 'file://', '') as file", "n")
             .collect()
         }
-        for part_dir in sorted(os.listdir(staging)):
+
+        def _part_dirs(base: str, level: int, rel: str, vals: tuple):
+            """Yield (relative dir, decoded partition tuple) for every
+            fully-nested partition directory under the staging root."""
+            for d in sorted(os.listdir(base)):
+                full = os.path.join(base, d)
+                if not (os.path.isdir(full) and "=" in d):
+                    continue
+                # directory names carry Hive-escaped values (%20 for a
+                # space, %3D for '=', ...); the manifest stores the RAW
+                # value so upsert's touched-set and read_version's
+                # column restoration compare against real data values
+                raw = d.split("=", 1)[1]
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    # A null partition value would round-trip as the
+                    # literal marker string (read_version restores the
+                    # column from the manifest) and never match
+                    # upsert's str()-keyed touched-set — reject it at
+                    # commit time instead of corrupting later merges
+                    # (ADVICE r7).
+                    raise ValueError(
+                        f"null values in partition column"
+                        f" {pcols[level]!r} are not supported; filter"
+                        " or fill them before committing"
+                    )
+                nrel = os.path.join(rel, d) if rel else d
+                nvals = vals + (unquote(raw),)
+                if level + 1 == depth:
+                    yield nrel, nvals
+                else:
+                    yield from _part_dirs(full, level + 1, nrel, nvals)
+
+        for part_dir, pval in _part_dirs(staging, 0, "", ()):
             full = os.path.join(staging, part_dir)
-            if not (os.path.isdir(full) and "=" in part_dir):
-                continue
-            # directory names carry Hive-escaped values (%20 for a
-            # space, %3D for '=', ...); the manifest stores the RAW
-            # value so upsert's touched-set and read_version's column
-            # restoration compare against real data values
-            raw = part_dir.split("=", 1)[1]
-            if raw == "__HIVE_DEFAULT_PARTITION__":
-                # A null partition value would round-trip as the
-                # literal marker string (read_version restores the
-                # column from the manifest) and never match upsert's
-                # str()-keyed touched-set — reject it at commit time
-                # instead of corrupting later merges (ADVICE r7).
-                raise ValueError(
-                    f"null values in partition column {partition_col!r}"
-                    " are not supported; filter or fill them before"
-                    " committing"
-                )
-            pval = unquote(raw)
             for i, part in enumerate(sorted(os.listdir(full))):
                 if not part.endswith(".parquet"):
                     continue
@@ -302,7 +351,7 @@ def _stage_files(
                 entries.append(
                     {
                         "file": name,
-                        "partition": pval,
+                        "partition": _man_pval(pval),
                         "n_rows": n_rows,
                         "bytes": n_bytes,
                         "stats": stats,
@@ -313,15 +362,16 @@ def _stage_files(
     return entries
 
 
-def _columns_ddl(df: DataFrame, partition_col: str) -> str:
-    """DDL for the DATA-FILE schema (partition column excluded — it
-    lives in the manifest entries), stored in every manifest so an
+def _columns_ddl(df: DataFrame, partition_col) -> str:
+    """DDL for the DATA-FILE schema (partition columns excluded — they
+    live in the manifest entries), stored in every manifest so an
     empty snapshot (legitimately produced by a delete-everything
     commit) stays readable as an empty DataFrame."""
+    pcols = set(_norm_pcols(partition_col))
     return ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in df.schema.fields
-        if f.name != partition_col
+        if f.name not in pcols
     )
 
 
@@ -340,18 +390,21 @@ def _read_prev_manifest(store: str, prev_v: int, op: str) -> dict:
 def commit_overwrite(
     df: DataFrame,
     store: str,
-    partition_col: str,
+    partition_col,
     bloom_cols: list[str] | None = None,
     bloom_bits: int = 8192,
 ) -> int:
     """Commit a full snapshot as the next version. Previous versions'
     files are untouched and stay readable via their manifests.
-    ``bloom_cols`` (string/integer columns) additionally writes a
-    per-file bloom sidecar for point-lookup file skipping; later
-    incremental commits inherit the config (see the bloom section)."""
+    ``partition_col`` may be one column or a list (composite
+    partitioning — the (source, day) layout). ``bloom_cols``
+    (string/integer columns) additionally writes a per-file bloom
+    sidecar for point-lookup file skipping; later incremental commits
+    inherit the config (see the bloom section)."""
+    pcols = _norm_pcols(partition_col)
     os.makedirs(store, exist_ok=True)
     version = current_version(store) + 1
-    entries = _stage_files(df, store, version, partition_col)
+    entries = _stage_files(df, store, version, pcols)
     _maybe_write_blooms(
         df.sparkSession, store, version, entries, [], bloom_cols, bloom_bits
     )
@@ -359,8 +412,8 @@ def commit_overwrite(
         store,
         {
             "version": version,
-            "partition_col": partition_col,
-            "columns": _columns_ddl(df, partition_col),
+            "partition_col": _man_pcol(pcols),
+            "columns": _columns_ddl(df, pcols),
             "files": entries,
         },
     )
@@ -388,24 +441,30 @@ def commit_upsert(
     instead rewrites the old partition too)."""
     prev_v = current_version(store)
     prev = _read_prev_manifest(store, prev_v, "commit_upsert")
-    pcol = prev["partition_col"]
-    if pcol not in key_cols:
+    pcols = _norm_pcols(prev["partition_col"])
+    missing = [c for c in pcols if c not in key_cols]
+    if missing:
         raise ValueError(
-            f"key_cols {key_cols} must include the partition column"
-            f" {pcol!r}: upsert rewrites only the changeset's"
+            f"key_cols {key_cols} must include the partition column(s)"
+            f" {missing}: upsert rewrites only the changeset's"
             " partitions, so keys must be immutable w.r.t. partition"
         )
     touched = {
-        str(r[pcol]) for r in changeset.select(pcol).distinct().collect()
+        tuple(str(r[c]) for c in pcols)
+        for r in changeset.select(*pcols).distinct().collect()
     }
-    keep = [e for e in prev["files"] if e["partition"] not in touched]
-    old_touched = [e for e in prev["files"] if e["partition"] in touched]
+    keep = [
+        e for e in prev["files"] if _norm_pval(e["partition"]) not in touched
+    ]
+    old_touched = [
+        e for e in prev["files"] if _norm_pval(e["partition"]) in touched
+    ]
     version = prev_v + 1
     merged = changeset
     if old_touched:
-        # through read_version so the partition column (absent from the
-        # data files; it lived in the staging directory name) is
-        # restored before the merge
+        # through read_version so the partition columns (absent from
+        # the data files; they lived in the staging directory names)
+        # are restored before the merge
         base = read_version(
             spark, store, prev_v, partition_values=sorted(touched)
         )
@@ -419,14 +478,14 @@ def commit_upsert(
         # changeset missing an old column null-fills itself) instead of
         # silently dropping the evolution
         merged = survivors.unionByName(changeset, allowMissingColumns=True)
-    new_entries = _stage_files(merged, store, version, pcol)
+    new_entries = _stage_files(merged, store, version, pcols)
     _maybe_write_blooms(spark, store, version, new_entries, keep, None, 0)
     _write_manifest_and_current(
         store,
         {
             "version": version,
-            "partition_col": pcol,
-            "columns": _columns_ddl(merged, pcol),
+            "partition_col": _man_pcol(pcols),
+            "columns": _columns_ddl(merged, pcols),
             "files": keep + new_entries,
         },
     )
@@ -437,11 +496,11 @@ def _load_entries(
     spark: SparkSession,
     store: str,
     entries: list[dict],
-    pcol: str,
+    pcol,
     ddl: str | None,
 ) -> DataFrame | None:
-    """Load a manifest entry subset with the partition column restored
-    (None for an empty subset).
+    """Load a manifest entry subset with the partition column(s)
+    restored (None for an empty subset).
 
     With a recorded data-file schema (``ddl``, every round-8+
     manifest), all entries are read in ONE ``spark.read`` call — the
@@ -460,11 +519,16 @@ def _load_entries(
     (their partitions' schemas must be inferred per file group)."""
     if not entries:
         return None
+    pcols = _norm_pcols(pcol)
     if ddl:
         paths = [os.path.join(store, _DATA, e["file"]) for e in entries]
         fmap = spark.createDataFrame(
-            [(e["file"], e["partition"]) for e in entries],
-            f"__vs_file string, {pcol} string",
+            [
+                (e["file"], *_norm_pval(e["partition"]))
+                for e in entries
+            ],
+            "__vs_file string, "
+            + ", ".join(f"{c} string" for c in pcols),
         )
         # Above the discovery threshold Spark stats the paths with a
         # listing JOB whose task count defaults to one PER PATH — the
@@ -490,14 +554,16 @@ def _load_entries(
             .join(F.broadcast(fmap), "__vs_file")
             .drop("__vs_file")
         )
-    by_part: dict[str, list[str]] = {}
+    by_part: dict[tuple, list[str]] = {}
     for e in entries:
-        by_part.setdefault(e["partition"], []).append(
+        by_part.setdefault(_norm_pval(e["partition"]), []).append(
             os.path.join(store, _DATA, e["file"])
         )
     out: DataFrame | None = None
     for pval, paths in sorted(by_part.items()):
-        part_df = spark.read.parquet(*paths).withColumn(pcol, F.lit(pval))
+        part_df = spark.read.parquet(*paths)
+        for c, v in zip(pcols, pval):
+            part_df = part_df.withColumn(c, F.lit(v))
         # allowMissingColumns: after an additive schema evolution, a
         # version legitimately mixes evolved rewritten partitions with
         # carried-forward old-schema partitions — old rows read as null
@@ -751,10 +817,17 @@ def read_version(
     version = version if version is not None else current_version(store)
     man = _read_manifest(store, version)
     pcol = man["partition_col"]
+    pcols = _norm_pcols(pcol)
     entries = man["files"]
     if partition_values is not None:
-        wanted = set(map(str, partition_values))
-        entries = [e for e in entries if e["partition"] in wanted]
+        # single-column: values; composite: value tuples/lists
+        wanted = {
+            (str(pv),) if isinstance(pv, str) else tuple(map(str, pv))
+            for pv in partition_values
+        }
+        entries = [
+            e for e in entries if _norm_pval(e["partition"]) in wanted
+        ]
     if range_filters:
         entries = _prune_entries(entries, range_filters)
     if point_filters:
@@ -779,7 +852,8 @@ def read_version(
         # an unknown/vacuumed version with a clear error.
         ddl = man.get("columns")
         if ddl is not None:
-            full = (f"{ddl}, {pcol} string") if ddl else f"{pcol} string"
+            pddl = ", ".join(f"{c} string" for c in pcols)
+            full = f"{ddl}, {pddl}" if ddl else pddl
             return spark.createDataFrame([], full)
         raise ValueError(
             f"version {version} is an empty snapshot with no recorded"
@@ -873,6 +947,12 @@ def version_diff(
 
     ma, mb = _read_manifest(store, va), _read_manifest(store, vb)
     pcol = ma["partition_col"]
+    if not isinstance(pcol, str):
+        raise ValueError(
+            "version_diff summarizes per single partition column"
+            " (corpus-store shape); use table_changes for composite-"
+            f"partitioned stores (partition_col={pcol})"
+        )
     shared = {e["file"] for e in ma["files"]} & {
         e["file"] for e in mb["files"]
     }
@@ -973,10 +1053,11 @@ def table_changes(
     missing from the older side."""
     ma, mb = _read_manifest(store, va), _read_manifest(store, vb)
     pcol = ma["partition_col"]
-    if pcol not in key_cols:
+    missing = [c for c in _norm_pcols(pcol) if c not in key_cols]
+    if missing:
         raise ValueError(
-            f"key_cols {key_cols} must include the partition column"
-            f" {pcol!r} (store keys are partition-scoped)"
+            f"key_cols {key_cols} must include the partition column(s)"
+            f" {missing} (store keys are partition-scoped)"
         )
     a_only, b_only = _unshared_entries(ma, mb)
     a_df = _load_entries(spark, store, a_only, pcol, ma.get("columns"))
@@ -988,8 +1069,11 @@ def table_changes(
                 "identical file sets and no recorded schema: cannot"
                 " shape the empty feed (pre-schema-recording store)"
             )
+        pddl = ", ".join(
+            f"{c} string" for c in _norm_pcols(pcol)
+        )
         return spark.createDataFrame(
-            [], f"{ddl}, {pcol} string, _change_type string"
+            [], f"{ddl}, {pddl}, _change_type string"
         )
     if a_df is None:
         a_df = spark.createDataFrame([], b_df.schema)
@@ -1082,9 +1166,9 @@ def compact_version(
     z-ordering only permutes rows across files. One range shuffle,
     the standard clustered-write cost."""
     prev_v = current_version(store)
-    pcol = _read_manifest(store, prev_v)["partition_col"]
+    pcols = _norm_pcols(_read_manifest(store, prev_v)["partition_col"])
     df = read_version(spark, store, prev_v)
-    n_parts = max(1, len({e["partition"] for e in
+    n_parts = max(1, len({_norm_pval(e["partition"]) for e in
                           _read_manifest(store, prev_v)["files"]}))
     n_out = max(1, n_parts * files_per_partition)
     if zorder_cols:
@@ -1116,8 +1200,8 @@ def compact_version(
             )
         compacted = (
             g.withColumn("__z", F.expr(morton_n_expr(gcols, bits)))
-            .repartitionByRange(n_out, pcol, "__z")
-            .sortWithinPartitions(pcol, "__z")
+            .repartitionByRange(n_out, *pcols, "__z")
+            .sortWithinPartitions(*pcols, "__z")
             .drop(
                 "__z",
                 *gcols,
@@ -1126,12 +1210,12 @@ def compact_version(
             )
         )
     else:
-        compacted = df.repartition(n_out, pcol)
+        compacted = df.repartition(n_out, *pcols)
     version = prev_v + 1
-    entries = _stage_files(compacted, store, version, pcol)
+    entries = _stage_files(compacted, store, version, pcols)
     _maybe_write_blooms(spark, store, version, entries, [], None, 0)
-    manifest = {"version": version, "partition_col": pcol,
-                "columns": _columns_ddl(compacted, pcol),
+    manifest = {"version": version, "partition_col": _man_pcol(pcols),
+                "columns": _columns_ddl(compacted, pcols),
                 "files": entries, "compacted_from": prev_v}
     if zorder_cols:
         manifest["zorder"] = list(zorder_cols)
@@ -1161,15 +1245,23 @@ def commit_delete(
     (untouched partitions' shared files never contained it)."""
     prev_v = current_version(store)
     prev = _read_prev_manifest(store, prev_v, "commit_delete")
-    pcol = prev["partition_col"]
-    if pcol not in key_cols:
+    pcols = _norm_pcols(prev["partition_col"])
+    missing = [c for c in pcols if c not in key_cols]
+    if missing:
         raise ValueError(
-            f"key_cols {key_cols} must include the partition column"
-            f" {pcol!r}: deletion rewrites only the keys' partitions"
+            f"key_cols {key_cols} must include the partition column(s)"
+            f" {missing}: deletion rewrites only the keys' partitions"
         )
-    touched = {str(r[pcol]) for r in keys.select(pcol).distinct().collect()}
-    keep = [e for e in prev["files"] if e["partition"] not in touched]
-    old_touched = [e for e in prev["files"] if e["partition"] in touched]
+    touched = {
+        tuple(str(r[c]) for c in pcols)
+        for r in keys.select(*pcols).distinct().collect()
+    }
+    keep = [
+        e for e in prev["files"] if _norm_pval(e["partition"]) not in touched
+    ]
+    old_touched = [
+        e for e in prev["files"] if _norm_pval(e["partition"]) in touched
+    ]
     version = prev_v + 1
     new_entries: list[dict] = []
     columns = prev.get("columns")
@@ -1182,12 +1274,12 @@ def commit_delete(
             key_cols,
             "left_anti",
         )
-        columns = _columns_ddl(survivors, pcol)
-        new_entries = _stage_files(survivors, store, version, pcol)
+        columns = _columns_ddl(survivors, pcols)
+        new_entries = _stage_files(survivors, store, version, pcols)
     _maybe_write_blooms(spark, store, version, new_entries, keep, None, 0)
     manifest = {
         "version": version,
-        "partition_col": pcol,
+        "partition_col": _man_pcol(pcols),
         "files": keep + new_entries,
         "deleted_keys": int(keys.count()),
     }

@@ -1235,3 +1235,110 @@ def test_cdf_minhash_index_maintained_equals_rebuild(
         final.groupBy("doc_id", "band").count().filter("count > 1").count()
     )
     assert dup == 0
+
+
+def test_multicolumn_partitioned_store(spark, tmp_path):
+    """Composite partitioning (round 8): a (source, day) store runs
+    the full lifecycle — overwrite, upsert touching ONE cell (other
+    cells' files carry forward), tuple partition_values pruning,
+    stats/point filters composing, the change feed, z-ordered
+    compaction and vacuum — with single-column manifests unchanged
+    (version_diff stays single-col and says so)."""
+    from engine.versioned_store import (
+        _read_manifest,
+        commit_overwrite,
+        commit_upsert,
+        compact_version,
+        read_version,
+        table_changes,
+        vacuum,
+        version_diff,
+    )
+
+    store = str(tmp_path / "mcstore")
+    n = 800
+    df = spark.range(n).selectExpr(
+        "concat('s', id % 2) as source",
+        "concat('d', id % 3) as day",
+        "id as k",
+        "(id * 2654435761) % 4096 as y",
+        "concat('v1:', id) as v",
+    )
+    v1 = commit_overwrite(df, store, ["source", "day"])
+    man = _read_manifest(store, v1)
+    assert man["partition_col"] == ["source", "day"]
+    assert all(
+        isinstance(e["partition"], list) and len(e["partition"]) == 2
+        for e in man["files"]
+    )
+    assert read_version(spark, store, v1).count() == n
+
+    # tuple partition pruning: one cell only
+    cell = read_version(
+        spark, store, v1, partition_values=[("s0", "d1")]
+    )
+    got = {r.k for r in cell.collect()}
+    assert got == {i for i in range(n) if i % 2 == 0 and i % 3 == 1}
+
+    # composed with a range filter on the stats
+    narrow = read_version(
+        spark, store, v1,
+        partition_values=[("s0", "d1")],
+        range_filters={"k": (0, 99)},
+    )
+    assert {r.k for r in narrow.collect()} == {
+        i for i in range(100) if i % 2 == 0 and i % 3 == 1
+    }
+
+    # upsert touching only (s1, d2): every other cell's files carry
+    chg = spark.createDataFrame(
+        [("s1", "d2", 5, 999, "v2:5")],
+        "source string, day string, k long, y long, v string",
+    )
+    v2 = commit_upsert(spark, store, chg, ["source", "day", "k"])
+    man2 = _read_manifest(store, v2)
+    carried = {e["file"] for e in man["files"]} & {
+        e["file"] for e in man2["files"]
+    }
+    untouched = {
+        tuple(e["partition"])
+        for e in man["files"]
+        if e["file"] in carried
+    }
+    assert ("s1", "d2") not in untouched and len(untouched) == 5
+    assert read_version(spark, store, v2).filter(
+        "k = 5"
+    ).collect()[0].v == "v2:5"
+
+    # partition columns must all be in the upsert key
+    with pytest.raises(ValueError, match="partition column"):
+        commit_upsert(spark, store, chg, ["source", "k"])
+
+    # the change feed types the update with both images
+    feed = {
+        (r.k, r._change_type): r.v
+        for r in table_changes(
+            spark, store, v1, v2, ["source", "day", "k"]
+        ).collect()
+    }
+    assert feed == {
+        (5, "update_preimage"): "v1:5",
+        (5, "update_postimage"): "v2:5",
+    }
+
+    # version_diff is the single-column corpus shape: clear error
+    with pytest.raises(ValueError, match="single partition column"):
+        version_diff(spark, store, v1, v2)
+
+    # z-ordered compaction preserves content across composite cells
+    before = sorted(
+        map(tuple, read_version(spark, store, v2).collect())
+    )
+    v3 = compact_version(
+        spark, store, files_per_partition=1, zorder_cols=["k", "y"]
+    )
+    assert sorted(
+        map(tuple, read_version(spark, store, v3).collect())
+    ) == before
+    assert vacuum(store, keep_latest=1) != []
+    assert read_version(spark, store, v3).count() == n
