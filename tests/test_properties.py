@@ -589,3 +589,102 @@ def test_diff_frames_equals_python_diff(spark, a, b):
             row[3] += 1
         row[4] += (ib[1] if ib else 0) - (ia[1] if ia else 0)
     assert got == {s: tuple(v) for s, v in want.items()}
+
+
+@given(ops=_vs_ops)
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_composite_partitioned_store_replays_any_history(
+    spark, ops, tmp_path_factory
+):
+    """The multi-column-partition model twin: the same arbitrary
+    upsert/delete sequences against a (p, q) composite store — every
+    retained version must equal the dict replay and every consecutive
+    feed must equal the model diff. The generated key's partition
+    tuple is (p{a}, q{k%2}), so histories exercise cells that share p
+    but differ in q (exactly what single-column code would conflate)."""
+    from engine.versioned_store import (
+        _read_manifest,
+        commit_delete,
+        commit_overwrite,
+        commit_upsert,
+        read_version,
+        table_changes,
+    )
+
+    store = str(tmp_path_factory.mktemp("vstore_mc_prop") / "s")
+    schema = "p string, q string, k long, v string"
+
+    def key(a, k):
+        return (f"p{a}", f"q{k % 2}", k)
+
+    def val(op_idx, a, k):
+        return f"op{op_idx}:p{a}:k{k}"
+
+    base = [(*key(a, k), val(0, a, k)) for a in (0, 1) for k in (0, 1)]
+    commit_overwrite(spark.createDataFrame(base, schema), store, ["p", "q"])
+    assert _read_manifest(store, 1)["partition_col"] == ["p", "q"]
+    model = {(p, q, k): v for p, q, k, v in base}
+    history = [dict(model)]
+
+    for i, (kind, keys) in enumerate(ops, start=1):
+        if kind == "upsert":
+            chg = [(*key(a, k), val(i, a, k)) for a, k in keys]
+            commit_upsert(
+                spark, store, spark.createDataFrame(chg, schema),
+                ["p", "q", "k"],
+            )
+            model.update({(p, q, k): v for p, q, k, v in chg})
+        else:
+            rows = [key(a, k) for a, k in keys]
+            commit_delete(
+                spark,
+                store,
+                spark.createDataFrame(rows, "p string, q string, k long"),
+                ["p", "q", "k"],
+            )
+            for r in rows:
+                model.pop(r, None)
+        history.append(dict(model))
+
+    for v, snap in enumerate(history, start=1):
+        if not snap:
+            continue
+        got = {
+            (r.p, r.q, r.k): r.v
+            for r in read_version(spark, store, v).collect()
+        }
+        assert got == snap, (v, got, snap)
+        # tuple partition pruning agrees with a model filter
+        cells = sorted({(p, q) for p, q, _ in snap})[:2]
+        got_c = {
+            (r.p, r.q, r.k): r.v
+            for r in read_version(
+                spark, store, v, partition_values=cells
+            ).collect()
+        }
+        assert got_c == {
+            kk: vv for kk, vv in snap.items() if (kk[0], kk[1]) in cells
+        }
+
+    for vb in range(2, len(history) + 1):
+        prev, cur = history[vb - 2], history[vb - 1]
+        exp = {}
+        for kk in prev.keys() | cur.keys():
+            if kk not in cur:
+                exp[(kk, "delete")] = prev[kk]
+            elif kk not in prev:
+                exp[(kk, "insert")] = cur[kk]
+            elif prev[kk] != cur[kk]:
+                exp[(kk, "update_preimage")] = prev[kk]
+                exp[(kk, "update_postimage")] = cur[kk]
+        got = {
+            ((r.p, r.q, r.k), r._change_type): r.v
+            for r in table_changes(
+                spark, store, vb - 1, vb, ["p", "q", "k"]
+            ).collect()
+        }
+        assert got == exp, (vb, got, exp)
