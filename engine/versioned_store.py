@@ -35,10 +35,18 @@ copy-on-write at FILE granularity with a manifest per version:
 * ``vacuum`` — deletes data files no retained manifest references
   (the only destructive operation, and it names what it removed).
 
-Single-writer by design; as a backstop, a version's manifest is
-claimed by atomic hard link, so racing writers cannot both commit the
-same version — the loser raises CommitConflict (a real multi-writer
-deployment still wants a transactional catalog). Manifests list file
+Concurrency: a version's manifest is claimed by atomic hard link, so
+racing writers cannot both commit the same version. By default the
+loser raises CommitConflict (strict single-writer); incremental
+commits may instead opt into optimistic concurrency
+(``max_retries`` > 0): the loser re-reads the claimed history, and if
+every commit that landed since its base touched only DISJOINT
+partitions, re-points its already-staged files at the new head and
+claims again — Delta's logical conflict detection, at the partition
+granularity this store's copy-on-write makes exact. Overlapping
+partitions, concurrent overwrite/compaction, or a concurrent schema
+change still raise (a real multi-writer deployment additionally wants
+a transactional catalog for the claim itself). Manifests list file
 paths on the driver: at 100 TB that is O(files) metadata (what Delta
 holds in its log and Iceberg chunks into avro manifests); the data
 plane — scan, shuffle, write — stays fully distributed, and the
@@ -115,15 +123,15 @@ class CommitConflict(RuntimeError):
     commit must re-read CURRENT and retry on top of the winner."""
 
 
-def _write_manifest_and_current(store: str, manifest: dict) -> None:
-    """Manifest first, CURRENT last — a reader that sees the new
-    CURRENT is guaranteed the manifest (and the immutable files it
-    lists) already exist. The manifest is CLAIMED by atomic hard link
-    (os.link fails if the name exists), so two single-writer-rule
-    violators computing the same next version cannot both win: the
-    loser raises CommitConflict instead of silently overwriting the
-    winner's file list — the optimistic-concurrency check real table
-    formats put in their catalog."""
+def _claim_manifest(store: str, manifest: dict) -> None:
+    """CLAIM a version by atomic hard link (os.link fails if the name
+    exists): two writers computing the same next version cannot both
+    win — the loser raises CommitConflict instead of silently
+    overwriting the winner's file list. This is the optimistic-
+    concurrency check real table formats put in their catalog. The
+    linked file is fully written before the link, so a claimed
+    manifest is immediately readable by racers rebasing on top of
+    it (``versions()`` sees it before CURRENT advances)."""
     os.makedirs(_mdir(store), exist_ok=True)
     mpath = _manifest_path(store, manifest["version"])
     fd, tmp = tempfile.mkstemp(dir=_mdir(store))
@@ -137,10 +145,28 @@ def _write_manifest_and_current(store: str, manifest: dict) -> None:
         ) from exc
     finally:
         os.unlink(tmp)
+
+
+def _advance_current(store: str, version: int) -> None:
+    """Publish the claimed version: CURRENT is written LAST, so a
+    reader that sees the new CURRENT is guaranteed the manifest, the
+    files it lists, and the version's bloom sidecar (written between
+    claim and advance) already exist. Commit order is therefore
+    claim manifest -> write sidecar -> advance CURRENT: the sidecar
+    lands only AFTER its writer won the version claim, so a losing
+    racer can never clobber the winner's sidecar (under the old
+    sidecar-first order, a loser's rename could replace the winner's
+    bloom-vNNNNN.json with blooms for files the winner never
+    committed — wrong pruning drops rows silently)."""
     fd, tmp = tempfile.mkstemp(dir=_mdir(store))
     with os.fdopen(fd, "w", encoding="utf-8") as f:
-        f.write(str(manifest["version"]))
+        f.write(str(version))
     os.rename(tmp, os.path.join(_mdir(store), "CURRENT"))
+
+
+def _write_manifest_and_current(store: str, manifest: dict) -> None:
+    _claim_manifest(store, manifest)
+    _advance_current(store, manifest["version"])
 
 
 _STAT_TRUNC = 32  # Delta's stats string-truncation width
@@ -405,10 +431,7 @@ def commit_overwrite(
     os.makedirs(store, exist_ok=True)
     version = current_version(store) + 1
     entries = _stage_files(df, store, version, pcols)
-    _maybe_write_blooms(
-        df.sparkSession, store, version, entries, [], bloom_cols, bloom_bits
-    )
-    _write_manifest_and_current(
+    _claim_manifest(
         store,
         {
             "version": version,
@@ -417,7 +440,147 @@ def commit_overwrite(
             "files": entries,
         },
     )
+    _maybe_write_blooms(
+        df.sparkSession, store, version, entries, [], bloom_cols, bloom_bits
+    )
+    _advance_current(store, version)
     return version
+
+
+# -- optimistic concurrency (round 8) -------------------------------------------
+#
+# The claim-by-hard-link backstop makes racing commits SAFE (the loser
+# raises instead of clobbering) but not USEFUL: a 100 TB pipeline has
+# many writers appending to disjoint partitions — per-source ingesters,
+# per-day backfills — and failing all but one serializes them through
+# the caller. Delta solves this with logical conflict detection at
+# commit time: the loser re-reads the log, checks whether anything that
+# landed since its base version overlaps what it wrote, and if not,
+# re-points its ALREADY-STAGED files at the new head and claims again.
+# Partition-level granularity is exactly right for this store because
+# every incremental commit rewrites whole partitions: two commits with
+# disjoint touched-partition sets produce byte-identical files in
+# either order, so the rebase is pure manifest surgery — zero data
+# movement, zero recompute.
+
+
+def _changed_partitions(ma: dict, mb: dict) -> set:
+    """Partitions whose FILE SET differs between two manifests — the
+    partitions a commit logically wrote (files added or removed). File
+    names are version-unique, so file-set identity is content
+    identity; a partition carried forward by copy-on-write has
+    identical entries on both sides and never shows up here."""
+    a = {e["file"]: _norm_pval(e["partition"]) for e in ma["files"]}
+    b = {e["file"]: _norm_pval(e["partition"]) for e in mb["files"]}
+    return {p for f, p in a.items() if f not in b} | {
+        p for f, p in b.items() if f not in a
+    }
+
+
+def _rebase_head_or_raise(
+    store: str, base_v: int, base_man: dict, touched: set
+) -> tuple[int, dict]:
+    """After losing a version claim: locate the current head (the
+    highest CLAIMED manifest — a winner between claim and CURRENT
+    advance must still count) and decide whether the prepared commit
+    remains valid on top of it. Safe iff every commit that landed
+    since our base changed only partitions DISJOINT from ours: then
+    the survivors we computed from the base's touched partitions are
+    byte-for-byte what a serial re-run would produce, and the commit
+    re-points at the new head. Anything else — overlapping partitions,
+    a concurrent overwrite or compaction (rewrites every partition), a
+    concurrent schema evolution or repartitioning — raises
+    CommitConflict: there, recomputation is the only correct answer
+    (Delta's ConcurrentAppend/MetadataChanged distinctions)."""
+    claimed = versions(store)
+    head_v = claimed[-1] if claimed else 0
+    try:
+        head = _read_manifest(store, head_v)
+        if head["partition_col"] != base_man["partition_col"]:
+            raise CommitConflict(
+                "concurrent commit changed the partitioning"
+                f" ({base_man['partition_col']} -> {head['partition_col']})"
+            )
+        if head.get("columns") != base_man.get("columns"):
+            raise CommitConflict(
+                "concurrent commit changed the table schema; rebase"
+                " would silently drop the evolved column from reads"
+            )
+        prev = base_man
+        for v in range(base_v + 1, head_v + 1):
+            mv = _read_manifest(store, v)
+            overlap = _changed_partitions(prev, mv) & touched
+            if overlap:
+                raise CommitConflict(
+                    f"version {v} changed partition(s)"
+                    f" {sorted(overlap)} this commit also writes;"
+                    " recompute against the new head and retry"
+                )
+            prev = mv
+    except FileNotFoundError as exc:
+        raise CommitConflict(
+            "an intervening manifest was vacuumed away before the"
+            " conflict check could read it"
+        ) from exc
+    return head_v, head
+
+
+def _publish_incremental(
+    spark: SparkSession,
+    store: str,
+    base_v: int,
+    base_man: dict,
+    touched: set,
+    new_entries: list[dict],
+    columns: str | None,
+    extra: dict,
+    max_retries: int,
+) -> int:
+    """Publish an incremental commit prepared against ``base_v``:
+    carry forward the head's untouched-partition entries, add the
+    staged ones, claim head+1. On a lost claim, rebase (see
+    ``_rebase_head_or_raise``) and retry up to ``max_retries`` times —
+    each retry targets a strictly higher version (the failed claim
+    proves a manifest at that number exists), so the loop always
+    progresses. Staged data files are version-prefixed with the
+    PREPARING attempt's number for provenance; after a rebase the
+    manifest that lists them carries a higher number plus
+    ``rebased_from_base`` (file names are opaque — only the manifest
+    binds files to a version)."""
+    pcols = _norm_pcols(base_man["partition_col"])
+    head_v, head = base_v, base_man
+    retries = 0
+    while True:
+        keep = [
+            e
+            for e in head["files"]
+            if _norm_pval(e["partition"]) not in touched
+        ]
+        manifest = {
+            "version": head_v + 1,
+            "partition_col": _man_pcol(pcols),
+            "files": keep + new_entries,
+            **extra,
+        }
+        if columns is not None:
+            manifest["columns"] = columns
+        if head_v != base_v:
+            manifest["rebased_from_base"] = base_v
+        try:
+            _claim_manifest(store, manifest)
+        except CommitConflict:
+            if retries >= max_retries:
+                raise
+            retries += 1
+            head_v, head = _rebase_head_or_raise(
+                store, base_v, base_man, touched
+            )
+            continue
+        _maybe_write_blooms(
+            spark, store, manifest["version"], new_entries, keep, None, 0
+        )
+        _advance_current(store, manifest["version"])
+        return manifest["version"]
 
 
 def commit_upsert(
@@ -425,6 +588,7 @@ def commit_upsert(
     store: str,
     changeset: DataFrame,
     key_cols: list[str],
+    max_retries: int = 0,
 ) -> int:
     """Copy-on-write MERGE as the next version: partitions holding a
     changed key are rewritten (survivors + changeset) into NEW files;
@@ -438,7 +602,14 @@ def commit_upsert(
     invariant version_diff's shared-file shortcut relies on). With the
     partition column in the key, a "moved" row is two distinct keys by
     definition and the invariant holds (ADVICE r7; Delta/Iceberg MERGE
-    instead rewrites the old partition too)."""
+    instead rewrites the old partition too).
+
+    ``max_retries`` > 0 enables optimistic concurrency: if another
+    writer commits first, this commit rebases onto the new head and
+    retries — succeeding iff every intervening commit touched only
+    DISJOINT partitions (see the concurrency section above), raising
+    CommitConflict otherwise. The default 0 preserves strict
+    single-writer behavior."""
     prev_v = current_version(store)
     prev = _read_prev_manifest(store, prev_v, "commit_upsert")
     pcols = _norm_pcols(prev["partition_col"])
@@ -453,9 +624,6 @@ def commit_upsert(
         tuple(str(r[c]) for c in pcols)
         for r in changeset.select(*pcols).distinct().collect()
     }
-    keep = [
-        e for e in prev["files"] if _norm_pval(e["partition"]) not in touched
-    ]
     old_touched = [
         e for e in prev["files"] if _norm_pval(e["partition"]) in touched
     ]
@@ -479,17 +647,17 @@ def commit_upsert(
         # silently dropping the evolution
         merged = survivors.unionByName(changeset, allowMissingColumns=True)
     new_entries = _stage_files(merged, store, version, pcols)
-    _maybe_write_blooms(spark, store, version, new_entries, keep, None, 0)
-    _write_manifest_and_current(
+    return _publish_incremental(
+        spark,
         store,
-        {
-            "version": version,
-            "partition_col": _man_pcol(pcols),
-            "columns": _columns_ddl(merged, pcols),
-            "files": keep + new_entries,
-        },
+        prev_v,
+        prev,
+        touched,
+        new_entries,
+        _columns_ddl(merged, pcols),
+        {},
+        max_retries,
     )
-    return version
 
 
 def _load_entries(
@@ -918,13 +1086,14 @@ def rollback(store: str, to_version: int) -> int:
     }
     if man.get("columns") is not None:
         manifest["columns"] = man["columns"]
+    _claim_manifest(store, manifest)
     bloom = _read_bloom_sidecar(store, to_version)
     if bloom is not None:  # same files ⇒ same blooms: one JSON copy
         fd, tmp = tempfile.mkstemp(dir=_mdir(store))
         with os.fdopen(fd, "w", encoding="utf-8") as f:
             f.write(json.dumps(bloom))
         os.rename(tmp, _bloom_path(store, version))
-    _write_manifest_and_current(store, manifest)
+    _advance_current(store, version)
     return version
 
 
@@ -1213,13 +1382,14 @@ def compact_version(
         compacted = df.repartition(n_out, *pcols)
     version = prev_v + 1
     entries = _stage_files(compacted, store, version, pcols)
-    _maybe_write_blooms(spark, store, version, entries, [], None, 0)
     manifest = {"version": version, "partition_col": _man_pcol(pcols),
                 "columns": _columns_ddl(compacted, pcols),
                 "files": entries, "compacted_from": prev_v}
     if zorder_cols:
         manifest["zorder"] = list(zorder_cols)
-    _write_manifest_and_current(store, manifest)
+    _claim_manifest(store, manifest)
+    _maybe_write_blooms(spark, store, version, entries, [], None, 0)
+    _advance_current(store, version)
     return version
 
 
@@ -1228,6 +1398,7 @@ def commit_delete(
     store: str,
     keys: DataFrame,
     key_cols: list[str],
+    max_retries: int = 0,
 ) -> int:
     """Copy-on-write DELETE as the next version: partitions holding a
     doomed key are rewritten WITHOUT those rows; untouched partitions'
@@ -1242,7 +1413,10 @@ def commit_delete(
     ``vacuum`` down to versions at or after the delete; copy-on-write
     makes this precise, because the only files that ever held the key
     are the rewritten partitions' OLD files, which vacuum removes
-    (untouched partitions' shared files never contained it)."""
+    (untouched partitions' shared files never contained it).
+
+    ``max_retries`` > 0 enables the same disjoint-partition optimistic
+    rebase as ``commit_upsert`` (see the concurrency section)."""
     prev_v = current_version(store)
     prev = _read_prev_manifest(store, prev_v, "commit_delete")
     pcols = _norm_pcols(prev["partition_col"])
@@ -1256,9 +1430,6 @@ def commit_delete(
         tuple(str(r[c]) for c in pcols)
         for r in keys.select(*pcols).distinct().collect()
     }
-    keep = [
-        e for e in prev["files"] if _norm_pval(e["partition"]) not in touched
-    ]
     old_touched = [
         e for e in prev["files"] if _norm_pval(e["partition"]) in touched
     ]
@@ -1276,14 +1447,14 @@ def commit_delete(
         )
         columns = _columns_ddl(survivors, pcols)
         new_entries = _stage_files(survivors, store, version, pcols)
-    _maybe_write_blooms(spark, store, version, new_entries, keep, None, 0)
-    manifest = {
-        "version": version,
-        "partition_col": _man_pcol(pcols),
-        "files": keep + new_entries,
-        "deleted_keys": int(keys.count()),
-    }
-    if columns is not None:
-        manifest["columns"] = columns
-    _write_manifest_and_current(store, manifest)
-    return version
+    return _publish_incremental(
+        spark,
+        store,
+        prev_v,
+        prev,
+        touched,
+        new_entries,
+        columns,
+        {"deleted_keys": int(keys.count())},
+        max_retries,
+    )

@@ -1342,3 +1342,278 @@ def test_multicolumn_partitioned_store(spark, tmp_path):
     ) == before
     assert vacuum(store, keep_latest=1) != []
     assert read_version(spark, store, v3).count() == n
+
+
+# -- optimistic concurrency (round 8 continuation) -----------------------------
+
+
+def _occ_base(spark, store, bloom=False):
+    from engine.versioned_store import commit_overwrite
+
+    df = spark.createDataFrame(
+        [("a", 1, "a1"), ("a", 2, "a2"), ("b", 3, "b3"), ("c", 4, "c4")],
+        "part string, k long, v string",
+    )
+    commit_overwrite(
+        df, store, "part", bloom_cols=["v"] if bloom else None, bloom_bits=256
+    )
+    return df
+
+
+def _interleave_claim(monkeypatch, winner):
+    """Patch _claim_manifest so the WINNER's commit lands immediately
+    before the patched caller's first claim attempt — a deterministic
+    replay of the classic optimistic-concurrency race (both writers
+    prepared against the same base; the winner publishes first)."""
+    import engine.versioned_store as vs
+
+    real = vs._claim_manifest
+    fired = []
+
+    def hooked(store_, manifest):
+        if not fired:
+            fired.append(1)
+            winner()  # re-enters hooked with fired set -> real claim
+        return real(store_, manifest)
+
+    monkeypatch.setattr(vs, "_claim_manifest", hooked)
+
+
+def test_disjoint_concurrent_upserts_rebase_and_land(
+    spark, monkeypatch, tmp_path
+):
+    """Two writers prepared against v1: A upserts partition 'a', B
+    upserts partition 'b'. A wins the v2 claim; B (max_retries=1)
+    must REBASE — carrying A's new 'a' files forward — and land as v3
+    with both changes applied, zero recompute. Blooms stay current
+    through the rebase (point lookups find every key), and the change
+    feed v1->v3 shows exactly both updates."""
+    import json as _json
+
+    import engine.versioned_store as vs
+
+    store = str(tmp_path / "occ_disjoint")
+    _occ_base(spark, store, bloom=True)
+    chg_a = spark.createDataFrame(
+        [("a", 1, "A1!")], "part string, k long, v string"
+    )
+    chg_b = spark.createDataFrame(
+        [("b", 3, "B3!"), ("b", 5, "B5+")], "part string, k long, v string"
+    )
+    _interleave_claim(
+        monkeypatch,
+        lambda: vs.commit_upsert(spark, store, chg_a, ["part", "k"]),
+    )
+    v = vs.commit_upsert(spark, store, chg_b, ["part", "k"], max_retries=1)
+    assert v == 3 and vs.current_version(store) == 3
+    man = _json.load(open(f"{store}/_manifests/v00003.json"))
+    assert man["rebased_from_base"] == 1
+    got = sorted(
+        tuple(r) for r in vs.read_version(spark, store, 3).collect()
+    )
+    assert got == [
+        (1, "A1!", "a"),
+        (2, "a2", "a"),
+        (3, "B3!", "b"),
+        (4, "c4", "c"),
+        (5, "B5+", "b"),
+    ]
+    # serializability: the rebased history equals the serial order A;B
+    # (and by disjointness B;A) applied to the base
+    feed = vs.table_changes(spark, store, 1, 3, ["part", "k"])
+    typed = sorted(
+        (r.part, r.k, r.v, r._change_type) for r in feed.collect()
+    )
+    assert typed == [
+        ("a", 1, "A1!", "update_postimage"),
+        ("a", 1, "a1", "update_preimage"),
+        ("b", 3, "B3!", "update_postimage"),
+        ("b", 3, "b3", "update_preimage"),
+        ("b", 5, "B5+", "insert"),
+    ]
+    # bloom sidecar carried/rebuilt correctly through the rebase:
+    # every live value is findable via point pruning
+    for val, k in (("A1!", 1), ("B3!", 3), ("B5+", 5), ("c4", 4)):
+        rows = vs.read_version(
+            spark, store, 3, point_filters={"v": val}
+        ).collect()
+        assert [(r.k, r.v) for r in rows] == [(k, val)]
+
+
+def test_overlapping_concurrent_upserts_conflict(
+    spark, monkeypatch, tmp_path
+):
+    """Both writers touch partition 'a': the loser must raise
+    CommitConflict no matter how many retries — rebasing would
+    silently discard the winner's rewrite of the shared partition."""
+    import pytest as _pytest
+
+    import engine.versioned_store as vs
+
+    store = str(tmp_path / "occ_overlap")
+    _occ_base(spark, store)
+    chg_a = spark.createDataFrame(
+        [("a", 1, "A!")], "part string, k long, v string"
+    )
+    chg_b = spark.createDataFrame(
+        [("a", 2, "B!"), ("b", 3, "B3")], "part string, k long, v string"
+    )
+    _interleave_claim(
+        monkeypatch,
+        lambda: vs.commit_upsert(spark, store, chg_a, ["part", "k"]),
+    )
+    with _pytest.raises(vs.CommitConflict, match="changed partition"):
+        vs.commit_upsert(spark, store, chg_b, ["part", "k"], max_retries=5)
+    # the winner's commit is intact and the loser left no manifest
+    assert vs.versions(store) == [1, 2]
+    got = sorted(
+        (r.k, r.v) for r in vs.read_version(spark, store, 2).collect()
+    )
+    assert got == [(1, "A!"), (2, "a2"), (3, "b3"), (4, "c4")]
+
+
+def test_concurrent_compaction_conflicts_with_rebase(
+    spark, monkeypatch, tmp_path
+):
+    """An intervening compaction rewrites EVERY partition's file set,
+    so any concurrent incremental commit must conflict (Delta's
+    OPTIMIZE-vs-MERGE case) rather than resurrect pre-compaction
+    files for its untouched partitions."""
+    import pytest as _pytest
+
+    import engine.versioned_store as vs
+
+    store = str(tmp_path / "occ_compact")
+    _occ_base(spark, store)
+    chg_b = spark.createDataFrame(
+        [("b", 5, "B5")], "part string, k long, v string"
+    )
+    _interleave_claim(monkeypatch, lambda: vs.compact_version(spark, store))
+    with _pytest.raises(vs.CommitConflict, match="changed partition"):
+        vs.commit_upsert(spark, store, chg_b, ["part", "k"], max_retries=3)
+
+
+def test_concurrent_schema_evolution_conflicts_with_rebase(
+    spark, monkeypatch, tmp_path
+):
+    """The winner evolves the schema (new column) on a DISJOINT
+    partition: partition math alone would admit the rebase, but the
+    loser's manifest would record the OLD column set and reads of the
+    head would silently drop the new column — so it must conflict."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    import engine.versioned_store as vs
+
+    store = str(tmp_path / "occ_schema")
+    _occ_base(spark, store)
+    chg_a = spark.createDataFrame(
+        [("a", 1, "A!", 9)], "part string, k long, v string, extra long"
+    )
+    chg_b = spark.createDataFrame(
+        [("b", 3, "B!")], "part string, k long, v string"
+    )
+    _interleave_claim(
+        monkeypatch,
+        lambda: vs.commit_upsert(spark, store, chg_a, ["part", "k"]),
+    )
+    with _pytest.raises(vs.CommitConflict, match="schema"):
+        vs.commit_upsert(spark, store, chg_b, ["part", "k"], max_retries=2)
+    # evolved column survives on the winner's head
+    head = vs.read_version(spark, store, 2)
+    assert [r.extra for r in head.filter(F.col("k") == 1).collect()] == [9]
+
+
+def test_disjoint_concurrent_delete_rebases(spark, monkeypatch, tmp_path):
+    """commit_delete shares the rebase path: a delete of partition 'c'
+    racing an upsert of partition 'a' lands as v3 with both effects."""
+    import engine.versioned_store as vs
+
+    store = str(tmp_path / "occ_delete")
+    _occ_base(spark, store)
+    chg_a = spark.createDataFrame(
+        [("a", 1, "A!")], "part string, k long, v string"
+    )
+    doomed = spark.createDataFrame([("c", 4)], "part string, k long")
+    _interleave_claim(
+        monkeypatch,
+        lambda: vs.commit_upsert(spark, store, chg_a, ["part", "k"]),
+    )
+    v = vs.commit_delete(spark, store, doomed, ["part", "k"], max_retries=1)
+    assert v == 3
+    got = sorted(
+        (r.k, r.v) for r in vs.read_version(spark, store, 3).collect()
+    )
+    assert got == [(1, "A!"), (2, "a2"), (3, "b3")]
+
+
+def test_losing_racer_cannot_clobber_winner_bloom_sidecar(spark, tmp_path):
+    """Commit order is claim -> sidecar -> CURRENT: a loser that never
+    wins the claim must never write the version's bloom sidecar. Under
+    the old sidecar-first order the loser's rename replaced the
+    winner's bloom-v2.json with blooms for files the winner never
+    committed — pruning against them silently drops rows."""
+    import json as _json
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    import engine.versioned_store as vs
+
+    store = str(tmp_path / "occ_bloom_race")
+    df = _occ_base(spark, store, bloom=True)
+    # simulate the winner: v2 claimed with a sentinel sidecar
+    _shutil.copy(
+        vs._manifest_path(store, 1), vs._manifest_path(store, 2)
+    )
+    sentinel = {"bits": 256, "k": 4, "cols": ["v"], "files": {"W": {}}}
+    with open(vs._bloom_path(store, 2), "w", encoding="utf-8") as f:
+        f.write(_json.dumps(sentinel))
+    with _pytest.raises(vs.CommitConflict):
+        vs.commit_overwrite(df, store, "part", bloom_cols=["v"])
+    assert _json.load(open(vs._bloom_path(store, 2))) == sentinel
+
+
+def test_threaded_disjoint_upserts_both_land(spark, tmp_path):
+    """A REAL race: two threads commit disjoint-partition upserts
+    through the same SparkSession with max_retries. Whatever the
+    interleaving, both must land (versions 2 and 3) and the final
+    snapshot must equal the serial application of both changesets."""
+    import threading
+
+    import engine.versioned_store as vs
+
+    store = str(tmp_path / "occ_threads")
+    _occ_base(spark, store)
+    chg = {
+        "A": spark.createDataFrame(
+            [("a", 1, "TA")], "part string, k long, v string"
+        ),
+        "B": spark.createDataFrame(
+            [("b", 3, "TB")], "part string, k long, v string"
+        ),
+    }
+    barrier = threading.Barrier(2)
+    results: dict[str, int | Exception] = {}
+
+    def run(name):
+        try:
+            barrier.wait(timeout=60)
+            results[name] = vs.commit_upsert(
+                spark, store, chg[name], ["part", "k"], max_retries=4
+            )
+        except Exception as exc:  # surface in the main thread
+            results[name] = exc
+
+    ts = [threading.Thread(target=run, args=(n,)) for n in ("A", "B")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert sorted(
+        v for v in results.values() if isinstance(v, int)
+    ) == [2, 3], results
+    got = sorted(
+        (r.k, r.v) for r in vs.read_version(spark, store, 3).collect()
+    )
+    assert got == [(1, "TA"), (2, "a2"), (3, "TB"), (4, "c4")]
