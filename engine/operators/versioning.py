@@ -2322,3 +2322,184 @@ def store_composite_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return total.unionByName(cell).unionByName(feed)
+
+
+# -- concurrent writers: optimistic rebase, driver-visible ----------------------
+#
+# WHY this is a query and not just a pytest: the rebase path rewrites
+# MANIFESTS, and a manifest bug shows up as wrong DATA (stale files
+# carried forward, winner's files dropped). Hashing the post-race
+# snapshot and its change feed against a relational replay pins the
+# end state of the whole protocol — claim, conflict check, carry-
+# forward surgery — not just the code path's exceptions. The race is
+# replayed deterministically by landing writer A inside writer B's
+# first claim attempt (the same interleave the unit and threaded tests
+# use; tests/test_versioning.py adds a true two-thread race and
+# tests/test_properties.py model-checks arbitrary racing pairs).
+#
+# 100 TB shape: per-source ingesters committing to disjoint partitions
+# serialize only through the O(1) manifest claim, never through data
+# recompute — the loser's rebase is manifest surgery over O(files)
+# driver metadata, with zero additional Spark jobs.
+
+_OCC_A_PRED = "source = 'src1' AND doc_id % 3 = 0"
+_OCC_B_UPD_PRED = "source = 'src2' AND doc_id % 3 = 1"
+_OCC_B_NEW_PRED = "source = 'src2' AND doc_id % 3 = 2"
+
+_OCC_ORACLE = f"""
+WITH rows0 AS (
+  SELECT source, doc_id, text FROM documents
+),
+chg_a AS (
+  SELECT source, doc_id, text || ' [a]' AS text
+  FROM rows0 WHERE {_OCC_A_PRED}
+),
+chg_b_upd AS (
+  SELECT source, doc_id, text || ' [b]' AS text
+  FROM rows0 WHERE {_OCC_B_UPD_PRED}
+),
+chg_b_new AS (
+  SELECT source, doc_id + 100000 AS doc_id, text || ' [bnew]' AS text
+  FROM rows0 WHERE {_OCC_B_NEW_PRED}
+),
+final AS (
+  SELECT * FROM rows0
+  WHERE NOT ({_OCC_A_PRED}) AND NOT ({_OCC_B_UPD_PRED})
+  UNION ALL SELECT * FROM chg_a
+  UNION ALL SELECT * FROM chg_b_upd
+  UNION ALL SELECT * FROM chg_b_new
+),
+feed AS (
+  SELECT 'update_preimage' AS t, source, doc_id, text
+  FROM rows0 WHERE ({_OCC_A_PRED}) OR ({_OCC_B_UPD_PRED})
+  UNION ALL SELECT 'update_postimage', source, doc_id, text FROM chg_a
+  UNION ALL SELECT 'update_postimage', source, doc_id, text FROM chg_b_upd
+  UNION ALL SELECT 'insert', source, doc_id, text FROM chg_b_new
+),
+facets AS (
+  SELECT 'final:' || source AS facet, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(bit_xor({{row_h}}) AS BIGINT) AS h
+  FROM final GROUP BY source
+  UNION ALL
+  SELECT 'feed:' || t, CAST(count(*) AS BIGINT),
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT),
+         CAST(bit_xor({{row_h}}) AS BIGINT)
+  FROM feed GROUP BY t
+  UNION ALL
+  SELECT 'meta:versions', CAST(3 AS BIGINT), CAST(1 AS BIGINT),
+         CAST(0 AS BIGINT)
+)
+SELECT * FROM facets
+"""
+
+
+def _occ_oracle() -> str:
+    from engine.operators.corpus_build import _ROW_H_DUCK
+
+    return _OCC_ORACLE.format(row_h=_ROW_H_DUCK)
+
+
+@query(
+    "store_concurrent_writers",
+    oracle=_occ_oracle(),
+    tags=("pipeline", "versioning", "concurrency", "documents"),
+    exported=False,  # library: optimistic-concurrency end state, oracled
+)
+def store_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two writers race the versioned store (section comment): both
+    prepare against v1 — A upserts src1, B upserts + inserts into src2
+    — and A lands first, inside B's claim attempt. B must rebase
+    (disjoint partitions) and land as v3 carrying A's files forward.
+    Facets: per-source summary of the FINAL snapshot (content equals
+    the serial A;B application — the serializability claim), the v1→v3
+    change feed per image type (both writers' updates and B's inserts,
+    nothing else), and the history shape (3 versions, v3 rebased from
+    base 1). Store recreated per run for deterministic versions."""
+    import json
+
+    import engine.versioned_store as vs
+
+    store = corpus_out_dir(sf_dir) + "_occ"
+    shutil.rmtree(store, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text"
+    )
+    vs.commit_overwrite(_corpus_store_rows(docs), store, "source")
+
+    chg_a = _corpus_store_rows(
+        docs.filter(F.expr(_OCC_A_PRED)).withColumn(
+            "text", F.concat("text", F.lit(" [a]"))
+        )
+    )
+    chg_b = _corpus_store_rows(
+        docs.filter(F.expr(_OCC_B_UPD_PRED))
+        .withColumn("text", F.concat("text", F.lit(" [b]")))
+        .unionByName(
+            docs.filter(F.expr(_OCC_B_NEW_PRED))
+            .withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+            .withColumn("text", F.concat("text", F.lit(" [bnew]")))
+        )
+    )
+
+    # deterministic replay of the race: A lands immediately before B's
+    # first claim attempt, forcing B through the real rebase path
+    real = vs._claim_manifest
+    fired: list[int] = []
+
+    def hooked(store_, manifest):
+        if not fired:
+            fired.append(1)
+            vs.commit_upsert(spark, store, chg_a, ["source", "doc_id"])
+        return real(store_, manifest)
+
+    vs._claim_manifest = hooked
+    try:
+        v3 = vs.commit_upsert(
+            spark, store, chg_b, ["source", "doc_id"], max_retries=1
+        )
+    finally:
+        vs._claim_manifest = real
+
+    final = vs.read_version(spark, store, v3)
+    final_f = final.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.expr("bit_xor(h)").cast("bigint").alias("h"),
+    ).select(
+        F.concat(F.lit("final:"), "source").alias("facet"),
+        "n",
+        "n_tokens",
+        "h",
+    )
+    feed_f = (
+        vs.table_changes(spark, store, 1, v3, ["source", "doc_id"])
+        .groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("bit_xor(h)").cast("bigint").alias("h"),
+        )
+        .select(
+            F.concat(F.lit("feed:"), "_change_type").alias("facet"),
+            "n",
+            "n_tokens",
+            "h",
+        )
+    )
+    man3 = json.load(
+        open(os.path.join(store, "_manifests", f"v{v3:05d}.json"))
+    )
+    meta_f = spark.createDataFrame(
+        [
+            (
+                "meta:versions",
+                vs.current_version(store),
+                man3.get("rebased_from_base", -1),
+                0,
+            )
+        ],
+        "facet string, n bigint, n_tokens bigint, h bigint",
+    )
+    return final_f.unionByName(feed_f).unionByName(meta_f)

@@ -688,3 +688,114 @@ def test_composite_partitioned_store_replays_any_history(
             ).collect()
         }
         assert got == exp, (vb, got, exp)
+
+
+# -- optimistic concurrency: arbitrary racing commit pairs vs the model --------
+
+_occ_op = st.tuples(
+    st.sampled_from(["upsert", "delete"]),
+    st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # partition index
+            st.integers(min_value=0, max_value=4),  # key within partition
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+
+
+@given(rounds=st.lists(st.tuples(_occ_op, _occ_op), min_size=1, max_size=3))
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_concurrent_commit_pairs_match_model(spark, rounds, tmp_path_factory):
+    """Model-based optimistic-concurrency check: in each round two
+    arbitrary commits (upsert or delete over arbitrary keys) are
+    prepared against the same base; A lands mid-way through B's
+    publish. Disjoint partition sets ⇒ B must rebase and land, and the
+    store must equal the serial application A;B. Overlapping ⇒ B must
+    raise CommitConflict and leave only A applied. Every retained
+    version must equal its model prefix — rebases never corrupt time
+    travel."""
+    import pytest as _pytest
+
+    import engine.versioned_store as vs
+
+    store = str(tmp_path_factory.mktemp("vstore_occ") / "s")
+    schema = "part string, k long, v string"
+    base = [(f"p{p}", k, f"b:{p}:{k}") for p in range(4) for k in range(2)]
+    vs.commit_overwrite(spark.createDataFrame(base, schema), store, "part")
+    model = {(p, k): f"b:{p}:{k}" for p in range(4) for k in range(2)}
+    history = [dict(model)]
+
+    def commit(op, idx, retries):
+        kind, keys = op
+        if kind == "upsert":
+            chg = [
+                (f"p{p}", k, f"op{idx}:{p}:{k}") for p, k in sorted(keys)
+            ]
+            return vs.commit_upsert(
+                spark,
+                store,
+                spark.createDataFrame(chg, schema),
+                ["part", "k"],
+                max_retries=retries,
+            )
+        rows = [(f"p{p}", k) for p, k in sorted(keys)]
+        return vs.commit_delete(
+            spark,
+            store,
+            spark.createDataFrame(rows, "part string, k long"),
+            ["part", "k"],
+            max_retries=retries,
+        )
+
+    def apply_model(op, idx):
+        kind, keys = op
+        for p, k in keys:
+            if kind == "upsert":
+                model[(p, k)] = f"op{idx}:{p}:{k}"
+            else:
+                model.pop((p, k), None)
+
+    idx = 0
+    for op_a, op_b in rounds:
+        idx += 2
+        i, j = idx - 1, idx
+        real = vs._claim_manifest
+        fired = []
+
+        def hooked(store_, manifest, _real=real, _fired=fired, _a=op_a, _i=i):
+            if not _fired:
+                _fired.append(1)
+                commit(_a, _i, 0)  # A lands before B's first claim
+            return _real(store_, manifest)
+
+        disjoint = not (
+            {p for p, _ in op_a[1]} & {p for p, _ in op_b[1]}
+        )
+        vs._claim_manifest = hooked
+        try:
+            if disjoint:
+                commit(op_b, j, retries=1)
+            else:
+                with _pytest.raises(vs.CommitConflict):
+                    commit(op_b, j, retries=3)
+        finally:
+            vs._claim_manifest = real
+        apply_model(op_a, i)
+        history.append(dict(model))
+        if disjoint:
+            apply_model(op_b, j)
+            history.append(dict(model))
+
+    assert vs.current_version(store) == len(history)
+    for v, snap in enumerate(history, start=1):
+        got = {
+            (int(r.part[1:]), r.k): r.v
+            for r in vs.read_version(spark, store, v).collect()
+        }
+        assert got == snap, (v, got, snap)
