@@ -191,6 +191,10 @@ def cmd_vstore(args: argparse.Namespace) -> int:
             extras = []
             if man.get("zorder"):
                 extras.append(f"zorder={man['zorder']}")
+            if "rebased_from_base" in man:
+                extras.append(
+                    f"rebased_from_base=v{man['rebased_from_base']:05d}"
+                )
             if vs._read_bloom_sidecar(args.store, v):
                 extras.append("bloomed")
             print(

@@ -1380,7 +1380,7 @@ def _interleave_claim(monkeypatch, winner):
 
 
 def test_disjoint_concurrent_upserts_rebase_and_land(
-    spark, monkeypatch, tmp_path
+    spark, monkeypatch, tmp_path, capsys
 ):
     """Two writers prepared against v1: A upserts partition 'a', B
     upserts partition 'b'. A wins the v2 claim; B (max_retries=1)
@@ -1438,6 +1438,12 @@ def test_disjoint_concurrent_upserts_rebase_and_land(
             spark, store, 3, point_filters={"v": val}
         ).collect()
         assert [(r.k, r.v) for r in rows] == [(k, val)]
+    # rebase provenance surfaces in the admin CLI's lineage view
+    from engine.__main__ import main as cli
+
+    assert cli(["vstore", "history", store]) == 0
+    out = capsys.readouterr().out
+    assert "v00003: commit" in out and "rebased_from_base=v00001" in out
 
 
 def test_overlapping_concurrent_upserts_conflict(
