@@ -27,8 +27,12 @@ copy-on-write at FILE granularity with a manifest per version:
   held the key are the rewritten partitions' old files.
 * ``read_version`` — any manifest is a complete, immutable snapshot;
   an optional partition filter prunes FILES from the manifest before
-  Spark ever lists anything. Additive schema evolution supported:
-  evolved and carried-forward partitions union with null-fill.
+  Spark ever lists anything. Schema evolution supported: ADDITIVE
+  (evolved and carried-forward partitions union with null-fill) and
+  TYPE-WIDENING (int ladder / float->double — the recorded schema is
+  the reconciled union via ``_merge_ddl``; narrow on-disk files
+  upcast at read time, nothing is rewritten). Off-ladder type changes
+  raise at commit time.
 * ``version_diff`` — diff two versions reading only their unshared
   files; ``compact_version`` — same rows, fewer files; ``rollback`` —
   zero-copy promotion of an old file set as a new version.
@@ -388,6 +392,82 @@ def _stage_files(
     return entries
 
 
+# Type-widening evolution (Delta's "type widening" feature): Spark 4's
+# parquet reader upcasts narrow on-disk types to a wider read schema
+# (int32 files read as bigint, float as double — verified in
+# tests/test_versioning.py), so a widened table schema never requires
+# rewriting old files. The ladders below are the promotions we allow;
+# anything off-ladder (string↔numeric, ...) is a breaking change and
+# raises at commit time instead of corrupting reads.
+_INT_LADDER = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+_FLOAT_LADDER = {"float": 0, "double": 1}
+
+
+def _wider(a: str, b: str) -> str | None:
+    """The wider of two simpleString types along one widening ladder;
+    None when they are not widening-compatible."""
+    if a == b:
+        return a
+    for lad in (_INT_LADDER, _FLOAT_LADDER):
+        if a in lad and b in lad:
+            return a if lad[a] >= lad[b] else b
+    return None
+
+
+def _ddl_fields(ddl: str) -> list:
+    from pyspark.sql.types import StructType
+
+    return list(StructType.fromDDL(ddl).fields) if ddl else []
+
+
+def _merge_ddl(prev_ddl: str | None, new_ddl: str) -> str:
+    """The data-file schema an incremental commit must RECORD: the
+    union of the table's previous schema and the incoming commit's,
+    with per-column widening reconciliation. Three hazards this
+    guards (each was silently wrong when the commit's touched
+    partitions had no survivors, so the incoming frame alone defined
+    the manifest schema):
+
+    * a NARROWER incoming column (int changeset on a bigint table)
+      must not narrow the recorded schema — carried-forward wide files
+      would fail to read; the wide type is kept and the commit's
+      narrow files upcast at read time;
+    * an incoming frame MISSING a previous column must not drop it —
+      reads with an explicit schema silently prune absent columns, so
+      every carried file would lose that column; the column is kept
+      and the new files null-fill;
+    * a WIDER incoming column upgrades the recorded schema (type
+      widening evolution) — old narrow files upcast at read time,
+      nothing is rewritten.
+
+    Incompatible changes (off the widening ladders) raise."""
+    if prev_ddl is None or not new_ddl or prev_ddl == new_ddl:
+        return new_ddl if new_ddl else (prev_ddl or "")
+    prev_fields = _ddl_fields(prev_ddl)
+    new_types = {
+        f.name: f.dataType.simpleString() for f in _ddl_fields(new_ddl)
+    }
+    out: list[tuple[str, str]] = []
+    for f in prev_fields:  # existing columns keep their position
+        pt = f.dataType.simpleString()
+        nt = new_types.pop(f.name, None)
+        if nt is None:
+            out.append((f.name, pt))
+            continue
+        w = _wider(pt, nt)
+        if w is None:
+            raise ValueError(
+                f"incompatible type change for column {f.name!r}:"
+                f" {pt} -> {nt} is not a widening conversion; rewrite"
+                " the table (commit_overwrite) to change types"
+            )
+        out.append((f.name, w))
+    for f in _ddl_fields(new_ddl):  # additive columns append in order
+        if f.name in new_types:
+            out.append((f.name, new_types[f.name]))
+    return ", ".join(f"{n} {t}" for n, t in out)
+
+
 def _columns_ddl(df: DataFrame, partition_col) -> str:
     """DDL for the DATA-FILE schema (partition columns excluded — they
     live in the manifest entries), stored in every manifest so an
@@ -646,6 +726,9 @@ def commit_upsert(
         # changeset missing an old column null-fills itself) instead of
         # silently dropping the evolution
         merged = survivors.unionByName(changeset, allowMissingColumns=True)
+    # reconcile the recorded schema BEFORE staging: an incompatible
+    # type change raises here with zero orphan files written
+    columns = _merge_ddl(prev.get("columns"), _columns_ddl(merged, pcols))
     new_entries = _stage_files(merged, store, version, pcols)
     return _publish_incremental(
         spark,
@@ -654,7 +737,7 @@ def commit_upsert(
         prev,
         touched,
         new_entries,
-        _columns_ddl(merged, pcols),
+        columns,
         {},
         max_retries,
     )
@@ -1254,6 +1337,22 @@ def table_changes(
     for f in a_df.schema.fields:
         if f.name not in b_df.columns:
             b_df = b_df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    # across a type-widening boundary the two sides read the SAME
+    # column at different widths (va's manifest: int, vb's: bigint);
+    # align both to the wider type so the image structs compare —
+    # upcasting is value-preserving, so change detection is unchanged
+    for f in a_df.schema.fields:
+        bt = b_df.schema[f.name].dataType
+        if f.dataType != bt:
+            w = _wider(f.dataType.simpleString(), bt.simpleString())
+            if w is None:
+                raise ValueError(
+                    f"column {f.name!r} has incompatible types across"
+                    f" versions v{va}/v{vb}: {f.dataType.simpleString()}"
+                    f" vs {bt.simpleString()}"
+                )
+            a_df = a_df.withColumn(f.name, F.col(f.name).cast(w))
+            b_df = b_df.withColumn(f.name, F.col(f.name).cast(w))
     val_cols = [c for c in b_df.columns if c not in key_cols]
     old = a_df.select(
         *key_cols,

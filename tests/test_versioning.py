@@ -1623,3 +1623,103 @@ def test_threaded_disjoint_upserts_both_land(spark, tmp_path):
         (r.k, r.v) for r in vs.read_version(spark, store, 3).collect()
     )
     assert got == [(1, "TA"), (2, "a2"), (3, "TB"), (4, "c4")]
+
+
+def test_type_widening_schema_evolution(spark, tmp_path):
+    """Delta-style type widening: an int->bigint (and float->double)
+    changeset widens the RECORDED schema; old narrow files upcast at
+    read time (Spark 4 parquet widening — nothing is rewritten), time
+    travel keeps v1 at its own width, and the change feed across the
+    widening boundary aligns both sides to the wide type."""
+    import engine.versioned_store as vs
+
+    store = str(tmp_path / "widen")
+    base = spark.createDataFrame(
+        [("a", 1, 10, 1.5), ("b", 2, 20, 2.5)],
+        "part string, k int, v int, x float",
+    )
+    vs.commit_overwrite(base, store, "part")
+    assert vs._read_manifest(store, 1)["columns"] == "k int, v int, x float"
+
+    chg = spark.createDataFrame(
+        [("a", 1, 2**40, 3.25)], "part string, k long, v long, x double"
+    )
+    v2 = vs.commit_upsert(spark, store, chg, ["part", "k"])
+    assert (
+        vs._read_manifest(store, v2)["columns"]
+        == "k bigint, v bigint, x double"
+    )
+    got = sorted(
+        (r.part, r.k, r.v, r.x)
+        for r in vs.read_version(spark, store, v2).collect()
+    )
+    assert got == [("a", 1, 2**40, 3.25), ("b", 2, 20, 2.5)]
+    # time travel: v1 reads its own (narrow) schema unchanged
+    assert dict(vs.read_version(spark, store, 1).dtypes)["v"] == "int"
+    # the feed across the widening boundary: one update, typed wide
+    feed = vs.table_changes(spark, store, 1, v2, ["part", "k"])
+    assert dict(feed.dtypes)["v"] == "bigint"
+    assert sorted((r.k, r.v, r._change_type) for r in feed.collect()) == [
+        (1, 10, "update_preimage"),
+        (1, 2**40, "update_postimage"),
+    ]
+
+
+def test_upsert_cannot_narrow_or_drop_schema(spark, tmp_path):
+    """A commit whose touched partitions have NO survivors used to
+    record the changeset's schema verbatim — narrowing the table (or
+    dropping a column) for every carried-forward file. The recorded
+    schema must stay the reconciled union."""
+    import engine.versioned_store as vs
+
+    store = str(tmp_path / "narrow")
+    base = spark.createDataFrame(
+        [("a", 1, 2**40)], "part string, k long, v long"
+    )
+    vs.commit_overwrite(base, store, "part")
+
+    # narrow changeset into a brand-new partition: schema stays bigint
+    chg = spark.createDataFrame([("c", 7, 70)], "part string, k int, v int")
+    v2 = vs.commit_upsert(spark, store, chg, ["part", "k"])
+    assert vs._read_manifest(store, v2)["columns"] == "k bigint, v bigint"
+    got = sorted(
+        (r.part, r.k, r.v)
+        for r in vs.read_version(spark, store, v2).collect()
+    )
+    assert got == [("a", 1, 2**40), ("c", 7, 70)]
+
+    # changeset MISSING column v into another new partition: the
+    # column survives (null-filled for the new rows), never dropped
+    chg2 = spark.createDataFrame([("d", 9)], "part string, k long")
+    v3 = vs.commit_upsert(spark, store, chg2, ["part", "k"])
+    assert vs._read_manifest(store, v3)["columns"] == "k bigint, v bigint"
+    got = sorted(
+        (r.part, r.k, r.v)
+        for r in vs.read_version(spark, store, v3).collect()
+    )
+    assert got == [("a", 1, 2**40), ("c", 7, 70), ("d", 9, None)]
+
+
+def test_incompatible_type_change_raises_before_staging(spark, tmp_path):
+    """An off-ladder type change (string column arriving as long) must
+    raise at commit time — BEFORE any files are staged — and leave the
+    store fully intact."""
+    import glob as _glob
+
+    import pytest as _pytest
+
+    import engine.versioned_store as vs
+
+    store = str(tmp_path / "incompat")
+    base = spark.createDataFrame([("a", 1, "x")], "part string, k long, v string")
+    vs.commit_overwrite(base, store, "part")
+    files_before = set(_glob.glob(f"{store}/data/*.parquet"))
+
+    bad = spark.createDataFrame([("a", 1, 99)], "part string, k long, v long")
+    with _pytest.raises(ValueError, match="not a widening conversion"):
+        vs.commit_upsert(spark, store, bad, ["part", "k"])
+    assert vs.versions(store) == [1]
+    assert set(_glob.glob(f"{store}/data/*.parquet")) == files_before
+    assert [
+        (r.k, r.v) for r in vs.read_version(spark, store, 1).collect()
+    ] == [(1, "x")]
