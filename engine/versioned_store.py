@@ -1205,6 +1205,12 @@ def version_diff(
             " (corpus-store shape); use table_changes for composite-"
             f"partitioned stores (partition_col={pcol})"
         )
+    if mb["partition_col"] != pcol:
+        raise ValueError(
+            f"versions v{va}/v{vb} use different partition columns"
+            f" ({pcol} vs {mb['partition_col']}); diff across a"
+            " re-partitioning boundary is not defined"
+        )
     shared = {e["file"] for e in ma["files"]} & {
         e["file"] for e in mb["files"]
     }
@@ -1305,6 +1311,16 @@ def table_changes(
     missing from the older side."""
     ma, mb = _read_manifest(store, va), _read_manifest(store, vb)
     pcol = ma["partition_col"]
+    if mb["partition_col"] != pcol:
+        # a re-partitioning overwrite landed between the versions:
+        # each side's partition columns restore differently, so the
+        # feed is not defined across the boundary — feed up to the
+        # boundary and from it separately, or diff via full reads
+        raise ValueError(
+            f"versions v{va}/v{vb} use different partition columns"
+            f" ({pcol} vs {mb['partition_col']}); a change feed across"
+            " a re-partitioning boundary is not defined"
+        )
     missing = [c for c in _norm_pcols(pcol) if c not in key_cols]
     if missing:
         raise ValueError(

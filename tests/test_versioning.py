@@ -1723,3 +1723,118 @@ def test_incompatible_type_change_raises_before_staging(spark, tmp_path):
     assert [
         (r.k, r.v) for r in vs.read_version(spark, store, 1).collect()
     ] == [(1, "x")]
+
+
+def test_concurrent_streaming_ingest_through_occ(spark, tmp_path):
+    """The operational composition: TWO ingest streams (one per
+    source) land micro-batches into the SAME versioned store, each
+    foreachBatch committing with max_retries. The racing commits must
+    all land via rebase (disjoint partitions by construction), the
+    history must be linear, and the final snapshot must hold every
+    batch's rows exactly once."""
+    import os as _os
+    import threading
+
+    import engine.versioned_store as vs
+    from engine.operators.versioning import _land_batch
+
+    store = str(tmp_path / "occ_stream")
+    schema = "part string, k long, v string"
+    base = spark.createDataFrame(
+        [("s1", 0, "base"), ("s2", 0, "base")], schema
+    )
+    vs.commit_overwrite(base, store, "part")
+
+    lands = {}
+    for src in ("s1", "s2"):
+        land = str(tmp_path / f"land_{src}")
+        _os.makedirs(land)
+        for b in (1, 2):
+            _land_batch(
+                spark.createDataFrame([(src, b, f"{src}:b{b}")], schema),
+                land,
+                f"batch{b}.parquet",
+            )
+        lands[src] = land
+
+    barrier = threading.Barrier(2)
+    errs: dict[str, Exception] = {}
+
+    def run(src):
+        try:
+            barrier.wait(timeout=60)
+
+            def commit(batch_df, _bid):
+                vs.commit_upsert(
+                    spark, store, batch_df, ["part", "k"], max_retries=8
+                )
+
+            (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(lands[src])
+                .writeStream.foreachBatch(commit)
+                .option(
+                    "checkpointLocation", str(tmp_path / f"ckpt_{src}")
+                )
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination(300)
+            )
+        except Exception as exc:
+            errs[src] = exc
+
+    ts = [threading.Thread(target=run, args=(s,)) for s in ("s1", "s2")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=600)
+    assert not errs, errs
+    # 1 base + 4 micro-batch commits, linear history, all readable
+    assert vs.versions(store) == [1, 2, 3, 4, 5]
+    got = sorted(
+        (r.part, r.k, r.v)
+        for r in vs.read_version(spark, store, 5).collect()
+    )
+    assert got == [
+        ("s1", 0, "base"),
+        ("s1", 1, "s1:b1"),
+        ("s1", 2, "s1:b2"),
+        ("s2", 0, "base"),
+        ("s2", 1, "s2:b1"),
+        ("s2", 2, "s2:b2"),
+    ]
+    for v in vs.versions(store):  # every intermediate version reads
+        assert vs.read_version(spark, store, v).count() >= 2
+
+
+def test_partition_evolution_via_overwrite(spark, tmp_path):
+    """Re-partitioning is a full-snapshot overwrite (Delta requires
+    the same): the new version reads with its OWN partition column,
+    old versions keep theirs, and the cross-boundary feed and diff
+    fail with a clear error instead of restoring wrong columns."""
+    import pytest as _pytest
+
+    import engine.versioned_store as vs
+
+    store = str(tmp_path / "pevolve")
+    df = spark.createDataFrame(
+        [("a", "eu", 1, "x"), ("b", "us", 2, "y")],
+        "part string, region string, k long, v string",
+    )
+    vs.commit_overwrite(df, store, "part")
+    v2 = vs.commit_overwrite(df, store, "region")
+    assert vs._read_manifest(store, v2)["partition_col"] == "region"
+    got = sorted(
+        (r.part, r.region, r.k)
+        for r in vs.read_version(spark, store, v2).collect()
+    )
+    assert got == [("a", "eu", 1), ("b", "us", 2)]
+    # v1 still reads with its own partitioning
+    assert {e["partition"] for e in vs._read_manifest(store, 1)["files"]} == {
+        "a", "b"
+    }
+    with _pytest.raises(ValueError, match="different partition columns"):
+        vs.table_changes(spark, store, 1, v2, ["part", "region", "k"])
+    with _pytest.raises(ValueError, match="different partition columns"):
+        vs.version_diff(spark, store, 1, v2)
