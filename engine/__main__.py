@@ -195,6 +195,10 @@ def cmd_vstore(args: argparse.Namespace) -> int:
                 extras.append(
                     f"rebased_from_base=v{man['rebased_from_base']:05d}"
                 )
+            for name, st in sorted(man.get("expectations", {}).items()):
+                extras.append(
+                    f"expect:{name}={st['violations']} {st['action']}ped"
+                )
             if vs._read_bloom_sidecar(args.store, v):
                 extras.append("bloomed")
             print(

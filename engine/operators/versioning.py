@@ -2503,3 +2503,176 @@ def store_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "facet string, n bigint, n_tokens bigint, h bigint",
     )
     return final_f.unionByName(feed_f).unionByName(meta_f)
+
+
+# -- commit-time expectations: the data contract, driver-visible ----------------
+#
+# WHY: a training-corpus store's quality gate belongs at COMMIT time
+# (Delta Live Tables' expectations) — after the fact, bad rows are
+# already in someone's training run. The store enforces row-level SQL
+# predicates on every changeset: 'fail' aborts the commit before a
+# file is staged; 'drop' commits the passing rows and records per-
+# expectation violation counts in the MANIFEST, making the quality
+# decision part of the table's history (the vstore history CLI prints
+# it). Cost: ONE aggregate pass over the changeset — the table is
+# never scanned, so at 100 TB the contract costs the arrival batch,
+# not the corpus.
+
+_EXP_PREDS = {
+    "hash_present": "content_hash is not null",
+    "tok_positive": "n_tokens > 0",
+}
+
+_EXP_ORACLE = """
+WITH src AS (
+  SELECT source, doc_id, text || ' [r]' AS text
+  FROM documents WHERE doc_id % 4 = 1
+),
+chg AS (
+  SELECT source, doc_id,
+         CASE WHEN doc_id % 12 = 1 THEN CAST(0 AS BIGINT)
+              ELSE CAST(len(string_split(text, ' ')) AS BIGINT)
+         END AS n_tokens,
+         CASE WHEN doc_id % 12 = 5 THEN NULL
+              ELSE sha256(text) END AS content_hash,
+         CAST({row_h} AS BIGINT) AS h
+  FROM src
+),
+pass AS (
+  SELECT * FROM chg WHERE n_tokens > 0 AND content_hash IS NOT NULL
+),
+base AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST({row_h} AS BIGINT) AS h
+  FROM documents
+),
+final AS (
+  SELECT source, doc_id, n_tokens, h FROM base b
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pass p
+    WHERE p.source = b.source AND p.doc_id = b.doc_id
+  )
+  UNION ALL SELECT source, doc_id, n_tokens, h FROM pass
+),
+facets AS (
+  SELECT 'final:' || source AS facet, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(bit_xor(h) AS BIGINT) AS h
+  FROM final GROUP BY source
+  UNION ALL
+  SELECT 'dropped:hash_present', CAST(count(*) AS BIGINT),
+         CAST(coalesce(sum(n_tokens), 0) AS BIGINT),
+         CAST(coalesce(bit_xor(h), 0) AS BIGINT)
+  FROM chg WHERE NOT coalesce(content_hash IS NOT NULL, FALSE)
+  UNION ALL
+  SELECT 'dropped:tok_positive', CAST(count(*) AS BIGINT),
+         CAST(coalesce(sum(n_tokens), 0) AS BIGINT),
+         CAST(coalesce(bit_xor(h), 0) AS BIGINT)
+  FROM chg WHERE NOT coalesce(n_tokens > 0, FALSE)
+)
+SELECT * FROM facets
+"""
+
+
+def _exp_oracle() -> str:
+    from engine.operators.corpus_build import _ROW_H_DUCK
+
+    return _EXP_ORACLE.format(row_h=_ROW_H_DUCK)
+
+
+@query(
+    "store_expectations",
+    oracle=_exp_oracle(),
+    tags=("pipeline", "versioning", "quality", "documents"),
+    exported=False,  # library: commit-time data contract, oracled
+)
+def store_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-time expectations end to end (section comment): a
+    refresh changeset arrives with injected defects (every 12th doc's
+    token count zeroed, every 12th-offset-5 doc's content hash
+    nulled), the upsert enforces the contract with
+    ``on_violation='drop'``, and the facets pin (1) the final
+    snapshot per source — dropped rows must NOT have replaced their
+    base versions, passing rows must have — and (2) each
+    expectation's dropped-row summary, whose ``n`` comes from the
+    MANIFEST's recorded counts, so the driver hash verifies the
+    history records what was actually dropped. The oracle replays the
+    contract relationally (NULL predicate = violation)."""
+    import engine.versioned_store as vs
+
+    store = corpus_out_dir(sf_dir) + "_expect"
+    shutil.rmtree(store, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text"
+    )
+    vs.commit_overwrite(_corpus_store_rows(docs), store, "source")
+
+    chg = (
+        _corpus_store_rows(
+            docs.filter(F.col("doc_id") % 4 == 1).withColumn(
+                "text", F.concat("text", F.lit(" [r]"))
+            )
+        )
+        .withColumn(
+            "n_tokens",
+            F.when(
+                F.col("doc_id") % 12 == 1, F.lit(0).cast("bigint")
+            ).otherwise(F.col("n_tokens")),
+        )
+        .withColumn(
+            "content_hash",
+            F.when(
+                F.col("doc_id") % 12 == 5, F.lit(None).cast("string")
+            ).otherwise(F.col("content_hash")),
+        )
+    )
+    v2 = vs.commit_upsert(
+        spark,
+        store,
+        chg,
+        ["source", "doc_id"],
+        expectations=_EXP_PREDS,
+        on_violation="drop",
+    )
+    man = vs._read_manifest(store, v2)
+
+    final_f = (
+        vs.read_version(spark, store, v2)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("bit_xor(h)").cast("bigint").alias("h"),
+        )
+        .select(
+            F.concat(F.lit("final:"), "source").alias("facet"),
+            "n",
+            "n_tokens",
+            "h",
+        )
+    )
+    out = final_f
+    for name, sql in sorted(_EXP_PREDS.items()):
+        viol = chg.filter(
+            ~F.coalesce(F.expr(sql).cast("boolean"), F.lit(False))
+        )
+        out = out.unionByName(
+            viol.agg(
+                F.coalesce(F.sum("n_tokens"), F.lit(0))
+                .cast("bigint")
+                .alias("n_tokens"),
+                F.coalesce(F.expr("bit_xor(h)"), F.lit(0))
+                .cast("bigint")
+                .alias("h"),
+            ).select(
+                F.lit(f"dropped:{name}").alias("facet"),
+                F.lit(man["expectations"][name]["violations"])
+                .cast("bigint")
+                .alias("n"),
+                "n_tokens",
+                "h",
+            )
+        )
+    return out

@@ -127,6 +127,69 @@ class CommitConflict(RuntimeError):
     commit must re-read CURRENT and retry on top of the winner."""
 
 
+class ExpectationViolation(ValueError):
+    """A commit-time expectation failed in ``on_violation='fail'``
+    mode. ``counts`` maps expectation name -> violating-row count."""
+
+    def __init__(self, counts: dict):
+        self.counts = counts
+        super().__init__(
+            "expectation(s) violated: "
+            + ", ".join(f"{n}={c} rows" for n, c in sorted(counts.items()))
+        )
+
+
+def _apply_expectations(
+    changeset: DataFrame, expectations: dict | None, on_violation: str
+):
+    """Commit-time data contract (Delta Live Tables' expectations): a
+    row PASSES an expectation iff its SQL predicate evaluates to TRUE
+    — NULL counts as a violation, because a contract you cannot
+    evaluate is not met. One aggregate pass over the CHANGESET ONLY
+    (never the table) counts violations per expectation; then either
+    the whole commit fails (``fail`` — nothing staged, the store
+    untouched) or the violating rows are dropped and the per-
+    expectation counts are recorded in the manifest (``drop``) so the
+    quality decision is part of the table's history, not a log line.
+
+    Returns (clean_changeset, stats) where stats is {} when every row
+    passed (nothing worth recording)."""
+    if not expectations:
+        return changeset, {}
+    if on_violation not in ("fail", "drop"):
+        raise ValueError(
+            f"on_violation must be 'fail' or 'drop', got {on_violation!r}"
+        )
+    passes = {
+        name: F.coalesce(F.expr(sql).cast("boolean"), F.lit(False))
+        for name, sql in expectations.items()
+    }
+    row = changeset.agg(
+        *[
+            F.sum(F.when(p, 0).otherwise(1)).cast("bigint").alias(name)
+            for name, p in passes.items()
+        ]
+    ).collect()[0]
+    counts = {
+        name: int(row[name] or 0)
+        for name in expectations
+        if (row[name] or 0) > 0
+    }
+    if not counts:
+        return changeset, {}
+    if on_violation == "fail":
+        raise ExpectationViolation(counts)
+    clean = changeset
+    for p in passes.values():
+        clean = clean.filter(p)
+    return clean, {
+        "expectations": {
+            name: {"violations": counts.get(name, 0), "action": "drop"}
+            for name in sorted(expectations)
+        }
+    }
+
+
 def _claim_manifest(store: str, manifest: dict) -> None:
     """CLAIM a version by atomic hard link (os.link fails if the name
     exists): two writers computing the same next version cannot both
@@ -499,6 +562,8 @@ def commit_overwrite(
     partition_col,
     bloom_cols: list[str] | None = None,
     bloom_bits: int = 8192,
+    expectations: dict | None = None,
+    on_violation: str = "fail",
 ) -> int:
     """Commit a full snapshot as the next version. Previous versions'
     files are untouched and stay readable via their manifests.
@@ -506,8 +571,11 @@ def commit_overwrite(
     partitioning — the (source, day) layout). ``bloom_cols``
     (string/integer columns) additionally writes a per-file bloom
     sidecar for point-lookup file skipping; later incremental commits
-    inherit the config (see the bloom section)."""
+    inherit the config (see the bloom section). ``expectations``
+    (name -> SQL predicate each row must satisfy) enforces the data
+    contract at commit time — see ``_apply_expectations``."""
     pcols = _norm_pcols(partition_col)
+    df, exp_stats = _apply_expectations(df, expectations, on_violation)
     os.makedirs(store, exist_ok=True)
     version = current_version(store) + 1
     entries = _stage_files(df, store, version, pcols)
@@ -518,6 +586,7 @@ def commit_overwrite(
             "partition_col": _man_pcol(pcols),
             "columns": _columns_ddl(df, pcols),
             "files": entries,
+            **exp_stats,
         },
     )
     _maybe_write_blooms(
@@ -669,6 +738,8 @@ def commit_upsert(
     changeset: DataFrame,
     key_cols: list[str],
     max_retries: int = 0,
+    expectations: dict | None = None,
+    on_violation: str = "fail",
 ) -> int:
     """Copy-on-write MERGE as the next version: partitions holding a
     changed key are rewritten (survivors + changeset) into NEW files;
@@ -689,7 +760,14 @@ def commit_upsert(
     retries — succeeding iff every intervening commit touched only
     DISJOINT partitions (see the concurrency section above), raising
     CommitConflict otherwise. The default 0 preserves strict
-    single-writer behavior."""
+    single-writer behavior.
+
+    ``expectations`` (name -> SQL predicate each changeset row must
+    satisfy) enforces the data contract at commit time: ``fail``
+    raises before anything is staged; ``drop`` commits only the
+    passing rows and records per-expectation violation counts in the
+    manifest (see ``_apply_expectations``). The check costs one
+    aggregate over the CHANGESET — the table is never scanned."""
     prev_v = current_version(store)
     prev = _read_prev_manifest(store, prev_v, "commit_upsert")
     pcols = _norm_pcols(prev["partition_col"])
@@ -700,6 +778,9 @@ def commit_upsert(
             f" {missing}: upsert rewrites only the changeset's"
             " partitions, so keys must be immutable w.r.t. partition"
         )
+    changeset, exp_stats = _apply_expectations(
+        changeset, expectations, on_violation
+    )
     touched = {
         tuple(str(r[c]) for c in pcols)
         for r in changeset.select(*pcols).distinct().collect()
@@ -738,7 +819,7 @@ def commit_upsert(
         touched,
         new_entries,
         columns,
-        {},
+        exp_stats,
         max_retries,
     )
 

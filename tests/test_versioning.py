@@ -1838,3 +1838,77 @@ def test_partition_evolution_via_overwrite(spark, tmp_path):
         vs.table_changes(spark, store, 1, v2, ["part", "region", "k"])
     with _pytest.raises(ValueError, match="different partition columns"):
         vs.version_diff(spark, store, 1, v2)
+
+
+def test_commit_expectations_fail_and_drop(spark, tmp_path, capsys):
+    """Commit-time data contract: 'fail' raises with per-expectation
+    violation counts and leaves the store byte-untouched; 'drop'
+    commits only the passing rows and records the counts in the
+    manifest (surfaced by the history CLI). NULL predicate values are
+    violations — a contract you cannot evaluate is not met."""
+    import glob as _glob
+
+    import pytest as _pytest
+
+    import engine.versioned_store as vs
+
+    store = str(tmp_path / "expect")
+    base = spark.createDataFrame(
+        [("a", 1, 10), ("b", 2, 20)], "part string, k long, v long"
+    )
+    vs.commit_overwrite(base, store, "part")
+    files_before = set(_glob.glob(f"{store}/data/*.parquet"))
+
+    chg = spark.createDataFrame(
+        [("a", 3, 5), ("a", 4, -1), ("b", 5, None)],
+        "part string, k long, v long",
+    )
+    exp = {"v_positive": "v > 0", "v_small": "v < 100"}
+    with _pytest.raises(vs.ExpectationViolation) as ei:
+        vs.commit_upsert(
+            spark, store, chg, ["part", "k"], expectations=exp
+        )
+    # v=-1 fails v_positive; v=NULL fails BOTH (null = violation)
+    assert ei.value.counts == {"v_positive": 2, "v_small": 1}
+    assert vs.versions(store) == [1]
+    assert set(_glob.glob(f"{store}/data/*.parquet")) == files_before
+
+    v2 = vs.commit_upsert(
+        spark, store, chg, ["part", "k"],
+        expectations=exp, on_violation="drop",
+    )
+    got = sorted(
+        (r.part, r.k, r.v)
+        for r in vs.read_version(spark, store, v2).collect()
+    )
+    assert got == [("a", 1, 10), ("a", 3, 5), ("b", 2, 20)]
+    man = vs._read_manifest(store, v2)
+    assert man["expectations"] == {
+        "v_positive": {"violations": 2, "action": "drop"},
+        "v_small": {"violations": 1, "action": "drop"},
+    }
+    # surfaced in the lineage CLI
+    from engine.__main__ import main as cli
+
+    assert cli(["vstore", "history", store]) == 0
+    out = capsys.readouterr().out
+    assert "expect:v_positive=2 dropped" in out
+
+    # a fully-clean commit records NO expectations key (nothing to say)
+    clean = spark.createDataFrame([("a", 6, 7)], "part string, k long, v long")
+    v3 = vs.commit_upsert(
+        spark, store, clean, ["part", "k"],
+        expectations=exp, on_violation="drop",
+    )
+    assert "expectations" not in vs._read_manifest(store, v3)
+
+    # overwrite enforces the same contract
+    with _pytest.raises(vs.ExpectationViolation):
+        vs.commit_overwrite(chg, store, "part", expectations=exp)
+    v4 = vs.commit_overwrite(
+        chg, store, "part", expectations=exp, on_violation="drop"
+    )
+    assert [
+        (r.part, r.k, r.v)
+        for r in vs.read_version(spark, store, v4).collect()
+    ] == [("a", 3, 5)]
