@@ -1912,3 +1912,80 @@ def test_commit_expectations_fail_and_drop(spark, tmp_path, capsys):
         (r.part, r.k, r.v)
         for r in vs.read_version(spark, store, v4).collect()
     ] == [("a", 3, 5)]
+
+
+def test_crash_recovery_at_every_commit_stage(spark, tmp_path, monkeypatch):
+    """Crash-inject the commit protocol at each boundary and verify
+    the invariants the ordering guarantees claim:
+
+    * crash BEFORE the claim (after staging): readers unaffected, the
+      orphaned data files are unreferenced and vacuum removes them;
+    * crash AFTER the claim but before CURRENT advances: readers stay
+      on the old version; a strict writer sees CommitConflict (the
+      claimed number is taken), but an OCC writer (max_retries) rebases
+      onto the crashed-but-complete manifest and its successful commit
+      COMPLETES the crashed commit's visibility — optimistic
+      concurrency doubles as crash recovery. A bloomed store degrades
+      conservatively: the crashed version has no sidecar, so point
+      reads keep all files (correct, just unpruned)."""
+    import glob as _glob
+
+    import pytest as _pytest
+
+    import engine.versioned_store as vs
+
+    store = str(tmp_path / "crash")
+    base = spark.createDataFrame(
+        [("a", 1, "a1"), ("b", 2, "b2")], "part string, k long, v string"
+    )
+    vs.commit_overwrite(base, store, "part")
+    chg_a = spark.createDataFrame([("a", 1, "A!")], "part string, k long, v string")
+    chg_b = spark.createDataFrame([("b", 2, "B!")], "part string, k long, v string")
+
+    # -- crash before the claim: staged orphans, store untouched
+    def claim_boom(store_, manifest):
+        raise RuntimeError("crash before claim")
+
+    real_claim = vs._claim_manifest
+    monkeypatch.setattr(vs, "_claim_manifest", claim_boom)
+    with _pytest.raises(RuntimeError, match="before claim"):
+        vs.commit_upsert(spark, store, chg_a, ["part", "k"])
+    monkeypatch.setattr(vs, "_claim_manifest", real_claim)
+    assert vs.versions(store) == [1] and vs.current_version(store) == 1
+    live = {e["file"] for e in vs._read_manifest(store, 1)["files"]}
+    on_disk = {
+        p.rsplit("/", 1)[-1] for p in _glob.glob(f"{store}/data/*.parquet")
+    }
+    assert on_disk > live  # the crash left orphans...
+    vs.vacuum(store, keep_latest=1)
+    on_disk = {
+        p.rsplit("/", 1)[-1] for p in _glob.glob(f"{store}/data/*.parquet")
+    }
+    assert on_disk == live  # ...and vacuum removed exactly them
+
+    # -- crash after the claim, before CURRENT advances
+    real_adv = vs._advance_current
+
+    def adv_boom(store_, version):
+        raise RuntimeError("crash after claim")
+
+    monkeypatch.setattr(vs, "_advance_current", adv_boom)
+    with _pytest.raises(RuntimeError, match="after claim"):
+        vs.commit_upsert(spark, store, chg_a, ["part", "k"])
+    monkeypatch.setattr(vs, "_advance_current", real_adv)
+    assert vs.versions(store) == [1, 2]  # claimed and complete...
+    assert vs.current_version(store) == 1  # ...but not yet visible
+    # strict single-writer mode cannot proceed past the crash
+    with _pytest.raises(vs.CommitConflict):
+        vs.commit_upsert(spark, store, chg_b, ["part", "k"])
+    # an OCC writer rebases onto the crashed commit and completes it
+    v = vs.commit_upsert(spark, store, chg_b, ["part", "k"], max_retries=1)
+    assert v == 3 and vs.current_version(store) == 3
+    got = sorted(
+        (r.k, r.v) for r in vs.read_version(spark, store, 3).collect()
+    )
+    assert got == [(1, "A!"), (2, "B!")]  # BOTH commits' effects live
+    # the crashed version itself is valid, fully-readable history
+    assert sorted(
+        (r.k, r.v) for r in vs.read_version(spark, store, 2).collect()
+    ) == [(1, "A!"), (2, "b2")]
