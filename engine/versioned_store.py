@@ -97,12 +97,25 @@ def _manifest_path(store: str, version: int) -> str:
 
 
 def current_version(store: str) -> int:
-    """Latest committed version, 0 if the store is empty/new."""
+    """Latest committed version, 0 if the store is empty/new.
+
+    The COMMIT POINT is the manifest claim: a claimed manifest is
+    complete and immutable by construction (fully written before the
+    atomic link, listing already-staged immutable files), exactly like
+    a Delta log entry. The CURRENT file is a monotonic HINT written
+    last — so the latest version is the claimed head, with CURRENT as
+    a floor. Taking the max (rather than trusting CURRENT alone)
+    means a writer that crashed — or is still building its bloom
+    sidecar — between claim and advance cannot hide a newer rebased
+    commit, wedge later commits, or let vacuum drop the version
+    readers resolve."""
+    vs = versions(store)
+    head = vs[-1] if vs else 0
     cur = os.path.join(_mdir(store), "CURRENT")
     if not os.path.exists(cur):
-        return 0
+        return head
     with open(cur, encoding="utf-8") as f:
-        return int(f.read().strip())
+        return max(head, int(f.read().strip()))
 
 
 def versions(store: str) -> list[int]:
@@ -215,20 +228,31 @@ def _claim_manifest(store: str, manifest: dict) -> None:
 
 
 def _advance_current(store: str, version: int) -> None:
-    """Publish the claimed version: CURRENT is written LAST, so a
-    reader that sees the new CURRENT is guaranteed the manifest, the
-    files it lists, and the version's bloom sidecar (written between
-    claim and advance) already exist. Commit order is therefore
-    claim manifest -> write sidecar -> advance CURRENT: the sidecar
-    lands only AFTER its writer won the version claim, so a losing
-    racer can never clobber the winner's sidecar (under the old
-    sidecar-first order, a loser's rename could replace the winner's
-    bloom-vNNNNN.json with blooms for files the winner never
+    """Refresh the CURRENT hint after a commit. The claim is the
+    commit point (see ``current_version``); CURRENT only floors the
+    lookup, so it must never move BACKWARD — a slow writer finishing
+    its bloom build after a faster rebased writer already advanced
+    past it skips the write instead of regressing the hint. (The
+    read-then-write here is unsynchronized; a lost race merely leaves
+    the hint low, which ``current_version``'s max() makes harmless.)
+
+    Commit order is claim manifest -> write sidecar -> advance: the
+    sidecar lands only AFTER its writer won the version claim, so a
+    losing racer can never clobber the winner's sidecar (under the
+    old sidecar-first order, a loser's rename could replace the
+    winner's bloom-vNNNNN.json with blooms for files the winner never
     committed — wrong pruning drops rows silently)."""
+    cur = os.path.join(_mdir(store), "CURRENT")
+    try:
+        with open(cur, encoding="utf-8") as f:
+            if int(f.read().strip()) >= version:
+                return
+    except FileNotFoundError:
+        pass
     fd, tmp = tempfile.mkstemp(dir=_mdir(store))
     with os.fdopen(fd, "w", encoding="utf-8") as f:
         f.write(str(version))
-    os.rename(tmp, os.path.join(_mdir(store), "CURRENT"))
+    os.rename(tmp, cur)
 
 
 def _write_manifest_and_current(store: str, manifest: dict) -> None:
@@ -1052,9 +1076,22 @@ def _maybe_write_blooms(
 ) -> None:
     """Build the version's bloom sidecar: new files get fresh blooms,
     carried files copy theirs from the previous sidecar. With no
-    explicit ``bloom_cols`` the previous version's bloom config is
-    INHERITED, so incremental commits keep a bloomed store current."""
-    prev = _read_bloom_sidecar(store, version - 1)
+    explicit ``bloom_cols`` the bloom config is INHERITED from the
+    NEWEST existing sidecar — not just version-1, because a version
+    can legitimately lack one (a writer crashed between claim and
+    sidecar write, or a rebase landed before the racing winner's
+    sidecar did); inheriting only from the immediate predecessor
+    would silently sever the chain forever on a bloomed store. Files
+    carried through such a sidecar-less version simply have no bloom
+    (point reads keep them — conservative) until a compaction
+    rebuilds everything."""
+    prev = None
+    for v in reversed(versions(store)):
+        if v >= version:
+            continue
+        prev = _read_bloom_sidecar(store, v)
+        if prev is not None:
+            break
     if bloom_cols is None and prev:
         bloom_cols, bloom_bits = prev["cols"], prev["bits"]
     if not bloom_cols:

@@ -627,34 +627,40 @@ def test_commit_delete_and_purge_forget_a_key_on_disk(spark, tmp_path):
 
 
 def test_commit_conflict_on_racing_version_claim(spark, tmp_path):
-    """Two writers computing the same next version: the second manifest
-    claim must raise CommitConflict, and the winner's store stays
-    intact and readable."""
+    """Two writers claiming the same version number: the second claim
+    must raise CommitConflict and leave the winner's manifest intact.
+    A writer arriving AFTER the claim landed is not in a race at all:
+    the claim is the commit point, so it builds on top (version =
+    claimed head + 1) even while the winner's CURRENT hint lags."""
     import pytest as _pytest
 
     from engine.versioned_store import (
         CommitConflict,
+        _claim_manifest,
         _manifest_path,
         _read_manifest,
         commit_overwrite,
+        current_version,
         read_version,
     )
 
     store = str(tmp_path / "vstore_race")
     df = spark.createDataFrame([("a", 1, "x")], "part string, k long, v string")
     commit_overwrite(df, store, "part")
-    # simulate the racing winner: v2's manifest already exists
-    import json as _json
+    # simulate the racing winner: v2's manifest claimed (CURRENT lags)
     import shutil as _shutil
 
     _shutil.copy(_manifest_path(store, 1), _manifest_path(store, 2))
+    # the loser of the SAME version number conflicts at the claim
     with _pytest.raises(CommitConflict):
-        commit_overwrite(df, store, "part")
-    # winner's v2 untouched; v1 still reads
-    assert _read_manifest(store, 2) == {
-        **_read_manifest(store, 1)
-    }
+        _claim_manifest(store, {**_read_manifest(store, 1), "version": 2})
+    # winner's v2 untouched; v1 still reads; claimed head is current
+    assert _read_manifest(store, 2) == {**_read_manifest(store, 1)}
     assert [r.k for r in read_version(spark, store, 1).collect()] == [1]
+    assert current_version(store) == 2
+    # a LATER writer is unwedged: it commits on top of the claimed head
+    v3 = commit_overwrite(df, store, "part")
+    assert v3 == 3 and current_version(store) == 3
 
 
 def test_store_guards_and_empty_snapshot_reads(spark, tmp_path):
@@ -1553,12 +1559,16 @@ def test_disjoint_concurrent_delete_rebases(spark, monkeypatch, tmp_path):
     assert got == [(1, "A!"), (2, "a2"), (3, "b3")]
 
 
-def test_losing_racer_cannot_clobber_winner_bloom_sidecar(spark, tmp_path):
+def test_losing_racer_cannot_clobber_winner_bloom_sidecar(
+    spark, monkeypatch, tmp_path
+):
     """Commit order is claim -> sidecar -> CURRENT: a loser that never
     wins the claim must never write the version's bloom sidecar. Under
     the old sidecar-first order the loser's rename replaced the
     winner's bloom-v2.json with blooms for files the winner never
-    committed — pruning against them silently drops rows."""
+    committed — pruning against them silently drops rows. The winner
+    (manifest + sentinel sidecar) lands between the loser computing
+    its version number and attempting the claim."""
     import json as _json
     import shutil as _shutil
 
@@ -1568,13 +1578,16 @@ def test_losing_racer_cannot_clobber_winner_bloom_sidecar(spark, tmp_path):
 
     store = str(tmp_path / "occ_bloom_race")
     df = _occ_base(spark, store, bloom=True)
-    # simulate the winner: v2 claimed with a sentinel sidecar
-    _shutil.copy(
-        vs._manifest_path(store, 1), vs._manifest_path(store, 2)
-    )
     sentinel = {"bits": 256, "k": 4, "cols": ["v"], "files": {"W": {}}}
-    with open(vs._bloom_path(store, 2), "w", encoding="utf-8") as f:
-        f.write(_json.dumps(sentinel))
+
+    def winner():
+        _shutil.copy(
+            vs._manifest_path(store, 1), vs._manifest_path(store, 2)
+        )
+        with open(vs._bloom_path(store, 2), "w", encoding="utf-8") as f:
+            f.write(_json.dumps(sentinel))
+
+    _interleave_claim(monkeypatch, winner)
     with _pytest.raises(vs.CommitConflict):
         vs.commit_overwrite(df, store, "part", bloom_cols=["v"])
     assert _json.load(open(vs._bloom_path(store, 2))) == sentinel
@@ -1920,14 +1933,15 @@ def test_crash_recovery_at_every_commit_stage(spark, tmp_path, monkeypatch):
 
     * crash BEFORE the claim (after staging): readers unaffected, the
       orphaned data files are unreferenced and vacuum removes them;
-    * crash AFTER the claim but before CURRENT advances: readers stay
-      on the old version; a strict writer sees CommitConflict (the
-      claimed number is taken), but an OCC writer (max_retries) rebases
-      onto the crashed-but-complete manifest and its successful commit
-      COMPLETES the crashed commit's visibility — optimistic
-      concurrency doubles as crash recovery. A bloomed store degrades
+    * crash AFTER the claim but before the CURRENT hint advances: the
+      claim IS the commit point, so the crashed commit is already
+      visible (complete manifest, staged immutable files) — readers
+      resolve it, later strict writers build on top of it unwedged,
+      and vacuum's retention counts it. A bloomed store degrades
       conservatively: the crashed version has no sidecar, so point
-      reads keep all files (correct, just unpruned)."""
+      reads keep all files (correct, just unpruned) and the NEXT
+      commit re-inherits the bloom config by walking back to the
+      newest existing sidecar rather than severing the chain."""
     import glob as _glob
 
     import pytest as _pytest
@@ -1938,7 +1952,7 @@ def test_crash_recovery_at_every_commit_stage(spark, tmp_path, monkeypatch):
     base = spark.createDataFrame(
         [("a", 1, "a1"), ("b", 2, "b2")], "part string, k long, v string"
     )
-    vs.commit_overwrite(base, store, "part")
+    vs.commit_overwrite(base, store, "part", bloom_cols=["v"], bloom_bits=256)
     chg_a = spark.createDataFrame([("a", 1, "A!")], "part string, k long, v string")
     chg_b = spark.createDataFrame([("b", 2, "B!")], "part string, k long, v string")
 
@@ -1963,29 +1977,45 @@ def test_crash_recovery_at_every_commit_stage(spark, tmp_path, monkeypatch):
     }
     assert on_disk == live  # ...and vacuum removed exactly them
 
-    # -- crash after the claim, before CURRENT advances
-    real_adv = vs._advance_current
+    # -- crash after the claim, before the sidecar and CURRENT land
+    real_blooms = vs._maybe_write_blooms
 
-    def adv_boom(store_, version):
+    def bloom_boom(*a, **kw):
         raise RuntimeError("crash after claim")
 
-    monkeypatch.setattr(vs, "_advance_current", adv_boom)
+    monkeypatch.setattr(vs, "_maybe_write_blooms", bloom_boom)
     with _pytest.raises(RuntimeError, match="after claim"):
         vs.commit_upsert(spark, store, chg_a, ["part", "k"])
-    monkeypatch.setattr(vs, "_advance_current", real_adv)
-    assert vs.versions(store) == [1, 2]  # claimed and complete...
-    assert vs.current_version(store) == 1  # ...but not yet visible
-    # strict single-writer mode cannot proceed past the crash
-    with _pytest.raises(vs.CommitConflict):
-        vs.commit_upsert(spark, store, chg_b, ["part", "k"])
-    # an OCC writer rebases onto the crashed commit and completes it
-    v = vs.commit_upsert(spark, store, chg_b, ["part", "k"], max_retries=1)
+    monkeypatch.setattr(vs, "_maybe_write_blooms", real_blooms)
+    assert vs.versions(store) == [1, 2]
+    # the claim is the commit point: the crashed commit is visible
+    # (its manifest and files are complete) despite the stale hint
+    assert open(f"{store}/_manifests/CURRENT").read().strip() == "1"
+    assert vs.current_version(store) == 2
+    assert sorted(
+        (r.k, r.v) for r in vs.read_version(spark, store).collect()
+    ) == [(1, "A!"), (2, "b2")]
+    # vacuum IN the crashed state keeps the version readers resolve
+    # (keep the base too: its bloom sidecar carries the store's config)
+    vs.vacuum(store, keep_latest=2)
+    assert vs.current_version(store) == 2
+    assert vs.read_version(spark, store).count() == 2
+    # a later STRICT writer is not wedged: it builds on the claimed
+    # head (reading the crashed commit's data as its base)
+    v = vs.commit_upsert(spark, store, chg_b, ["part", "k"])
     assert v == 3 and vs.current_version(store) == 3
     got = sorted(
         (r.k, r.v) for r in vs.read_version(spark, store, 3).collect()
     )
     assert got == [(1, "A!"), (2, "B!")]  # BOTH commits' effects live
-    # the crashed version itself is valid, fully-readable history
-    assert sorted(
-        (r.k, r.v) for r in vs.read_version(spark, store, 2).collect()
-    ) == [(1, "A!"), (2, "b2")]
+    # bloom chain: the crashed v2 has no sidecar, but v3 re-inherits
+    # the config by walking back to v1's sidecar instead of severing
+    assert vs._read_bloom_sidecar(store, 2) is None
+    sc3 = vs._read_bloom_sidecar(store, 3)
+    assert sc3 is not None and sc3["cols"] == ["v"]
+    assert [
+        (r.k, r.v)
+        for r in vs.read_version(
+            spark, store, 3, point_filters={"v": "B!"}
+        ).collect()
+    ] == [(2, "B!")]
