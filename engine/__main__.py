@@ -236,11 +236,21 @@ def cmd_vstore(args: argparse.Namespace) -> int:
         return 0
     if args.action == "compact":
         zcols = args.zorder.split(",") if args.zorder else None
-        v = vs.compact_version(
-            _spark(), args.store,
-            files_per_partition=args.files_per_partition,
-            zorder_cols=zcols,
-        )
+        if args.partial:
+            v = vs.compact_partitions(
+                _spark(), args.store,
+                files_per_partition=args.files_per_partition,
+                zorder_cols=zcols, max_retries=args.retries,
+            )
+            if v is None:
+                print("nothing fragmented: no-op")
+                return 0
+        else:
+            v = vs.compact_version(
+                _spark(), args.store,
+                files_per_partition=args.files_per_partition,
+                zorder_cols=zcols,
+            )
         man = vs._read_manifest(args.store, v)
         z = f" zorder={zcols}" if zcols else ""
         print(f"compacted as v{v:05d}: {len(man['files'])} files{z}")
@@ -315,6 +325,15 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument(
         "--files-per-partition", type=int, default=1,
         help="compact: target files per partition",
+    )
+    v.add_argument(
+        "--partial", action="store_true",
+        help="compact: rewrite only partitions above the file target"
+        " (O(fragmented), composes with concurrent commits)",
+    )
+    v.add_argument(
+        "--retries", type=int, default=0,
+        help="compact --partial: optimistic-concurrency retries",
     )
     v.add_argument(
         "--zorder", default=None,

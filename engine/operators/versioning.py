@@ -2676,3 +2676,163 @@ def store_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out
+
+
+# -- MERGE INTO: three clauses, one commit, driver-visible ----------------------
+#
+# `commit_merge` is the store's full MERGE (update-when-matched,
+# delete-when-matched-and, insert-when-not-matched) in ONE version —
+# upsert+delete used to cost two commits and expose an inconsistent
+# intermediate snapshot. The query drives all three clauses over two
+# source partitions and pins: the final snapshot for EVERY source
+# (untouched partitions must carry forward byte-identically), the
+# v1→v2 change feed per image type, and the manifest's recorded
+# clause counts — each against a relational replay.
+
+_MERGE_ORACLE = """
+WITH tsrc AS (
+  SELECT source, doc_id, text FROM documents
+  WHERE source IN ('src1', 'src2')
+),
+upd AS (
+  SELECT source, doc_id, text || ' [m]' AS text
+  FROM tsrc WHERE doc_id % 3 = 0
+),
+dead AS (SELECT source, doc_id, text FROM tsrc WHERE doc_id % 3 = 1),
+ins AS (
+  SELECT source, doc_id + 100000 AS doc_id, text || ' [new]' AS text
+  FROM tsrc WHERE doc_id % 3 = 2
+),
+base AS (SELECT source, doc_id, text FROM documents),
+final AS (
+  SELECT source, doc_id, text FROM base b
+  WHERE NOT EXISTS (
+      SELECT 1 FROM upd u
+      WHERE u.source = b.source AND u.doc_id = b.doc_id)
+    AND NOT EXISTS (
+      SELECT 1 FROM dead d
+      WHERE d.source = b.source AND d.doc_id = b.doc_id)
+  UNION ALL SELECT source, doc_id, text FROM upd
+  UNION ALL SELECT source, doc_id, text FROM ins
+),
+feed AS (
+  SELECT 'update_preimage' AS t, source, doc_id, text
+  FROM tsrc WHERE doc_id % 3 = 0
+  UNION ALL SELECT 'update_postimage', source, doc_id, text FROM upd
+  UNION ALL SELECT 'delete', source, doc_id, text FROM dead
+  UNION ALL SELECT 'insert', source, doc_id, text FROM ins
+),
+facets AS (
+  SELECT 'final:' || source AS facet, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(bit_xor({row_h}) AS BIGINT) AS h
+  FROM final GROUP BY source
+  UNION ALL
+  SELECT 'feed:' || t, CAST(count(*) AS BIGINT),
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT),
+         CAST(bit_xor({row_h}) AS BIGINT)
+  FROM feed GROUP BY t
+  UNION ALL
+  SELECT 'meta:merge', CAST((SELECT count(*) FROM upd) AS BIGINT),
+         CAST((SELECT count(*) FROM dead) AS BIGINT),
+         CAST((SELECT count(*) FROM ins) AS BIGINT)
+)
+SELECT * FROM facets
+"""
+
+
+def _merge_oracle() -> str:
+    from engine.operators.corpus_build import _ROW_H_DUCK
+
+    return _MERGE_ORACLE.format(row_h=_ROW_H_DUCK)
+
+
+@query(
+    "store_merge_clauses",
+    oracle=_merge_oracle(),
+    tags=("pipeline", "versioning", "merge", "documents"),
+    exported=False,  # library: three-clause MERGE INTO, oracled
+)
+def store_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO end to end (section comment): the source carries
+    updates (every 3rd src1/src2 doc, text re-marked), tombstones
+    (doc_id%3=1, flagged by a negative token count — the
+    ``matched_delete_condition``), and inserts (doc_id%3=2, shifted
+    keys). One ``commit_merge`` applies all three; the facets hash the
+    final corpus per source, the change feed per image type, and the
+    manifest's clause counts against the relational replay."""
+    import engine.versioned_store as vs
+
+    store = corpus_out_dir(sf_dir) + "_merge"
+    shutil.rmtree(store, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text"
+    )
+    vs.commit_overwrite(_corpus_store_rows(docs), store, "source")
+
+    tsrc = docs.filter(F.col("source").isin("src1", "src2"))
+    upd = _corpus_store_rows(
+        tsrc.filter(F.col("doc_id") % 3 == 0).withColumn(
+            "text", F.concat("text", F.lit(" [m]"))
+        )
+    )
+    tomb = _corpus_store_rows(
+        tsrc.filter(F.col("doc_id") % 3 == 1)
+    ).withColumn("n_tokens", F.lit(-1).cast("bigint"))
+    ins = _corpus_store_rows(
+        tsrc.filter(F.col("doc_id") % 3 == 2)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+        .withColumn("text", F.concat("text", F.lit(" [new]")))
+    )
+    v2 = vs.commit_merge(
+        spark,
+        store,
+        upd.unionByName(tomb).unionByName(ins),
+        ["source", "doc_id"],
+        matched_delete_condition="n_tokens < 0",
+    )
+    man = vs._read_manifest(store, v2)
+
+    final_f = (
+        vs.read_version(spark, store, v2)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("bit_xor(h)").cast("bigint").alias("h"),
+        )
+        .select(
+            F.concat(F.lit("final:"), "source").alias("facet"),
+            "n",
+            "n_tokens",
+            "h",
+        )
+    )
+    feed_f = (
+        vs.table_changes(spark, store, 1, v2, ["source", "doc_id"])
+        .groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("bit_xor(h)").cast("bigint").alias("h"),
+        )
+        .select(
+            F.concat(F.lit("feed:"), "_change_type").alias("facet"),
+            "n",
+            "n_tokens",
+            "h",
+        )
+    )
+    meta_f = spark.createDataFrame(
+        [
+            (
+                "meta:merge",
+                man["merge"]["updated"],
+                man["merge"]["deleted"],
+                man["merge"]["inserted"],
+            )
+        ],
+        "facet string, n bigint, n_tokens bigint, h bigint",
+    )
+    return final_f.unionByName(feed_f).unionByName(meta_f)

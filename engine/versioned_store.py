@@ -848,6 +848,135 @@ def commit_upsert(
     )
 
 
+def commit_merge(
+    spark: SparkSession,
+    store: str,
+    source: DataFrame,
+    key_cols: list[str],
+    when_matched_update: bool = True,
+    matched_delete_condition: str | None = None,
+    when_not_matched_insert: bool = True,
+    max_retries: int = 0,
+    expectations: dict | None = None,
+    on_violation: str = "fail",
+) -> int:
+    """Full MERGE INTO as ONE commit (Delta's three-clause merge —
+    ``commit_upsert`` can only update/insert and ``commit_delete``
+    only delete, so update+delete+insert used to cost two versions
+    and an inconsistent intermediate state):
+
+    * a base row matched by a source key: DELETED when
+      ``matched_delete_condition`` (a SQL predicate over the SOURCE
+      row's columns) holds, else replaced by the source row when
+      ``when_matched_update``, else kept;
+    * an unmatched source row: inserted when
+      ``when_not_matched_insert`` (delete-condition rows are never
+      inserted — they are tombstones);
+    * every unmatched base row in a touched partition: carried into
+      the rewrite; untouched partitions carry forward manifest-only.
+
+    Same contracts as upsert: key_cols must include the partition
+    column(s); schema reconciliation via ``_merge_ddl`` (additive +
+    widening); ``expectations`` are enforced on the SOURCE before
+    anything is staged; ``max_retries`` opts into the disjoint-
+    partition optimistic rebase. The manifest records the clause
+    counts (``merge: {updated, deleted, inserted}``) — one extra
+    aggregate over the source-sized match frame, never the table."""
+    prev_v = current_version(store)
+    prev = _read_prev_manifest(store, prev_v, "commit_merge")
+    pcols = _norm_pcols(prev["partition_col"])
+    missing = [c for c in pcols if c not in key_cols]
+    if missing:
+        raise ValueError(
+            f"key_cols {key_cols} must include the partition column(s)"
+            f" {missing}: merge rewrites only the source's partitions"
+        )
+    source, exp_stats = _apply_expectations(
+        source, expectations, on_violation
+    )
+    touched = {
+        tuple(str(r[c]) for c in pcols)
+        for r in source.select(*pcols).distinct().collect()
+    }
+    old_touched = [
+        e for e in prev["files"] if _norm_pval(e["partition"]) in touched
+    ]
+    del_cond = (
+        F.coalesce(
+            F.expr(matched_delete_condition).cast("boolean"), F.lit(False)
+        )
+        if matched_delete_condition
+        else F.lit(False)
+    )
+    # classify every source row by ONE key-presence join against the
+    # touched partitions' base keys. The key frame is bounded by the
+    # touched partitions (never the table); at sizes past the
+    # broadcast threshold AQE would plan this as a shuffle join on
+    # the same keys the rewrite below shuffles anyway.
+    if old_touched:
+        base = read_version(
+            spark, store, prev_v, partition_values=sorted(touched)
+        )
+        base_keys = base.select(*key_cols).withColumn(
+            "__vs_matched", F.lit(True)
+        )
+        src = source.join(F.broadcast(base_keys), key_cols, "left")
+    else:
+        src = source.withColumn("__vs_matched", F.lit(None).cast("boolean"))
+    src = src.withColumn(
+        "__vs_fate",
+        F.when(
+            F.col("__vs_matched").isNotNull(),
+            F.when(del_cond, F.lit("deleted")).otherwise(
+                F.lit("updated") if when_matched_update else F.lit("kept")
+            ),
+        ).otherwise(
+            F.lit("inserted")
+            if when_not_matched_insert
+            else F.lit("skipped")
+        ),
+    ).persist()
+    counts = {
+        r["__vs_fate"]: r["n"]
+        for r in src.groupBy("__vs_fate")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    winners = src.filter(
+        F.col("__vs_fate").isin("updated", "inserted")
+    ).drop("__vs_matched", "__vs_fate")
+    merged = winners
+    if old_touched:
+        # base rows survive unless their key was updated OR deleted
+        gone_keys = src.filter(
+            F.col("__vs_fate").isin("updated", "deleted")
+        ).select(*key_cols).distinct()
+        survivors = base.join(F.broadcast(gone_keys), key_cols, "left_anti")
+        merged = survivors.unionByName(winners, allowMissingColumns=True)
+    columns = _merge_ddl(prev.get("columns"), _columns_ddl(merged, pcols))
+    version = prev_v + 1
+    new_entries = _stage_files(merged, store, version, pcols)
+    src.unpersist()
+    return _publish_incremental(
+        spark,
+        store,
+        prev_v,
+        prev,
+        touched,
+        new_entries,
+        columns,
+        {
+            **exp_stats,
+            "merge": {
+                "updated": int(counts.get("updated", 0)),
+                "deleted": int(counts.get("deleted", 0)),
+                "inserted": int(counts.get("inserted", 0)),
+            },
+        },
+        max_retries,
+    )
+
+
 def _load_entries(
     spark: SparkSession,
     store: str,
@@ -1540,6 +1669,112 @@ def table_changes(
     )
 
 
+def _cluster_for_rewrite(
+    df: DataFrame, pcols: list[str], zorder_cols: list[str] | None, n_out: int
+) -> DataFrame:
+    """The compaction rewrite layout: plain repartition by the
+    partition column(s), or — with ``zorder_cols`` (2+ NUMERIC
+    columns) — Morton-clustered (Delta's OPTIMIZE ZORDER BY): each
+    column grid-normalized over its input-wide min/max (1-row
+    broadcast), interleaved with the layout module's pure-JVM fold,
+    range-partitioned + sorted so every output file covers a small
+    rectangle of the key space. Content is identical either way —
+    clustering only permutes rows across files."""
+    if not zorder_cols:
+        return df.repartition(n_out, *pcols)
+    from engine.operators.layout import morton_n_expr
+
+    # 16 bits per dimension is plenty for file-level clustering
+    # (65536 cells >> any file count) and keeps (value - lo) * grid
+    # inside int64 for value ranges up to 2^47
+    bits = min(16, 63 // len(zorder_cols))
+    grid = 1 << bits
+    bounds = df.agg(
+        *[
+            f(c).cast("bigint").alias(f"__{n}{i}")
+            for i, c in enumerate(zorder_cols)
+            for f, n in ((F.min, "lo"), (F.max, "hi"))
+        ]
+    )
+    g = df.crossJoin(F.broadcast(bounds))  # 1-row bounds
+    gcols = []
+    for i, c in enumerate(zorder_cols):
+        gc = f"__g{i}"
+        gcols.append(gc)
+        g = g.withColumn(
+            gc,
+            F.expr(
+                f"(({c} - __lo{i}) * {grid})"
+                f" DIV ((__hi{i} - __lo{i}) + 1)"
+            ).cast("bigint"),
+        )
+    return (
+        g.withColumn("__z", F.expr(morton_n_expr(gcols, bits)))
+        .repartitionByRange(n_out, *pcols, "__z")
+        .sortWithinPartitions(*pcols, "__z")
+        .drop(
+            "__z",
+            *gcols,
+            *[f"__{n}{i}" for i in range(len(zorder_cols))
+              for n in ("lo", "hi")],
+        )
+    )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    store: str,
+    files_per_partition: int = 1,
+    zorder_cols: list[str] | None = None,
+    max_retries: int = 0,
+) -> int | None:
+    """PARTIAL compaction: rewrite only the partitions whose file
+    count exceeds ``files_per_partition`` (the churn-fragmented ones —
+    every upsert adds files to the partitions it touches), carrying
+    every healthy partition forward manifest-only. ``compact_version``
+    rewrites the WHOLE table, which at 100 TB is an O(table) job a
+    maintenance loop cannot afford and — because it changes every
+    partition's file set — conflicts with ANY concurrent commit.
+    Partial compaction is O(fragmented partitions) and, with
+    ``max_retries``, composes with optimistic concurrency: a
+    background OPTIMIZE racing ingest into OTHER partitions both land
+    (pinned in tests). Returns the new version, or None when nothing
+    is fragmented (no empty commit). The manifest records
+    ``compacted_partitions``."""
+    prev_v = current_version(store)
+    prev = _read_prev_manifest(store, prev_v, "compact_partitions")
+    pcols = _norm_pcols(prev["partition_col"])
+    n_files: dict[tuple, int] = {}
+    for e in prev["files"]:
+        p = _norm_pval(e["partition"])
+        n_files[p] = n_files.get(p, 0) + 1
+    fragmented = sorted(
+        p for p, n in n_files.items() if n > files_per_partition
+    )
+    if not fragmented:
+        return None
+    df = read_version(
+        spark, store, prev_v, partition_values=fragmented
+    )
+    n_out = max(1, len(fragmented) * files_per_partition)
+    compacted = _cluster_for_rewrite(df, pcols, zorder_cols, n_out)
+    extra: dict = {"compacted_partitions": len(fragmented)}
+    if zorder_cols:
+        extra["zorder"] = list(zorder_cols)
+    new_entries = _stage_files(compacted, store, prev_v + 1, pcols)
+    return _publish_incremental(
+        spark,
+        store,
+        prev_v,
+        prev,
+        set(fragmented),
+        new_entries,
+        _merge_ddl(prev.get("columns"), _columns_ddl(compacted, pcols)),
+        extra,
+        max_retries,
+    )
+
+
 def compact_version(
     spark: SparkSession,
     store: str,
@@ -1573,46 +1808,7 @@ def compact_version(
     n_parts = max(1, len({_norm_pval(e["partition"]) for e in
                           _read_manifest(store, prev_v)["files"]}))
     n_out = max(1, n_parts * files_per_partition)
-    if zorder_cols:
-        from engine.operators.layout import morton_n_expr
-
-        # 16 bits per dimension is plenty for file-level clustering
-        # (65536 cells >> any file count) and keeps (value - lo) * grid
-        # inside int64 for value ranges up to 2^47
-        bits = min(16, 63 // len(zorder_cols))
-        grid = 1 << bits
-        bounds = df.agg(
-            *[
-                f(c).cast("bigint").alias(f"__{n}{i}")
-                for i, c in enumerate(zorder_cols)
-                for f, n in ((F.min, "lo"), (F.max, "hi"))
-            ]
-        )
-        g = df.crossJoin(F.broadcast(bounds))  # 1-row bounds
-        gcols = []
-        for i, c in enumerate(zorder_cols):
-            gc = f"__g{i}"
-            gcols.append(gc)
-            g = g.withColumn(
-                gc,
-                F.expr(
-                    f"(({c} - __lo{i}) * {grid})"
-                    f" DIV ((__hi{i} - __lo{i}) + 1)"
-                ).cast("bigint"),
-            )
-        compacted = (
-            g.withColumn("__z", F.expr(morton_n_expr(gcols, bits)))
-            .repartitionByRange(n_out, *pcols, "__z")
-            .sortWithinPartitions(*pcols, "__z")
-            .drop(
-                "__z",
-                *gcols,
-                *[f"__{n}{i}" for i in range(len(zorder_cols))
-                  for n in ("lo", "hi")],
-            )
-        )
-    else:
-        compacted = df.repartition(n_out, *pcols)
+    compacted = _cluster_for_rewrite(df, pcols, zorder_cols, n_out)
     version = prev_v + 1
     entries = _stage_files(compacted, store, version, pcols)
     manifest = {"version": version, "partition_col": _man_pcol(pcols),

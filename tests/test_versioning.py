@@ -2019,3 +2019,208 @@ def test_crash_recovery_at_every_commit_stage(spark, tmp_path, monkeypatch):
             spark, store, 3, point_filters={"v": "B!"}
         ).collect()
     ] == [(2, "B!")]
+
+
+def test_commit_merge_three_clauses_in_one_version(spark, tmp_path):
+    """Full MERGE as one commit: matched+delete-condition rows vanish,
+    matched others update, unmatched source rows insert, unmatched
+    base rows survive, untouched partitions carry forward — and the
+    manifest records the clause counts. The same mutation needed two
+    versions (upsert then delete) before."""
+    import engine.versioned_store as vs
+
+    store = str(tmp_path / "merge")
+    base = spark.createDataFrame(
+        [("a", 1, "a1"), ("a", 2, "a2"), ("a", 3, "a3"), ("b", 9, "b9")],
+        "part string, k long, v string",
+    )
+    vs.commit_overwrite(base, store, "part")
+    src = spark.createDataFrame(
+        [
+            ("a", 1, "A1!"),   # matched, update
+            ("a", 2, "DEAD"),  # matched, delete condition hits
+            ("a", 5, "A5+"),   # unmatched, insert
+        ],
+        "part string, k long, v string",
+    )
+    v2 = vs.commit_merge(
+        spark,
+        store,
+        src,
+        ["part", "k"],
+        matched_delete_condition="v = 'DEAD'",
+    )
+    assert v2 == 2
+    got = sorted(
+        (r.part, r.k, r.v)
+        for r in vs.read_version(spark, store, v2).collect()
+    )
+    assert got == [
+        ("a", 1, "A1!"),
+        ("a", 3, "a3"),
+        ("a", 5, "A5+"),
+        ("b", 9, "b9"),
+    ]
+    man = vs._read_manifest(store, v2)
+    assert man["merge"] == {"updated": 1, "deleted": 1, "inserted": 1}
+    # untouched partition 'b' carried forward manifest-only
+    b1 = {
+        e["file"]
+        for e in vs._read_manifest(store, 1)["files"]
+        if e["partition"] == "b"
+    }
+    b2 = {e["file"] for e in man["files"] if e["partition"] == "b"}
+    assert b1 == b2 and b1
+    # the feed sees exactly the three clauses
+    feed = vs.table_changes(spark, store, 1, v2, ["part", "k"])
+    assert sorted(
+        (r.k, r.v, r._change_type) for r in feed.collect()
+    ) == [
+        (1, "A1!", "update_postimage"),
+        (1, "a1", "update_preimage"),
+        (2, "a2", "delete"),
+        (5, "A5+", "insert"),
+    ]
+
+
+def test_commit_merge_clause_toggles_and_guards(spark, tmp_path):
+    """Clause toggles: update-off keeps matched base rows; insert-off
+    skips unmatched source rows; delete-condition rows are never
+    inserted. Merge shares upsert's contracts: partition column in
+    key_cols, expectations before staging."""
+    import pytest as _pytest
+
+    import engine.versioned_store as vs
+
+    store = str(tmp_path / "merge2")
+    base = spark.createDataFrame(
+        [("a", 1, "a1"), ("a", 2, "a2")], "part string, k long, v string"
+    )
+    vs.commit_overwrite(base, store, "part")
+    src = spark.createDataFrame(
+        [("a", 1, "IGNORED"), ("a", 7, "SKIPPED")],
+        "part string, k long, v string",
+    )
+    v2 = vs.commit_merge(
+        spark,
+        store,
+        src,
+        ["part", "k"],
+        when_matched_update=False,
+        when_not_matched_insert=False,
+    )
+    got = sorted(
+        (r.k, r.v) for r in vs.read_version(spark, store, v2).collect()
+    )
+    assert got == [(1, "a1"), (2, "a2")]  # a no-op rewrite of 'a'
+    assert vs._read_manifest(store, v2)["merge"] == {
+        "updated": 0,
+        "deleted": 0,
+        "inserted": 0,
+    }
+
+    with _pytest.raises(ValueError, match="must include the partition"):
+        vs.commit_merge(spark, store, src, ["k"])
+    with _pytest.raises(vs.ExpectationViolation):
+        vs.commit_merge(
+            spark, store, src, ["part", "k"],
+            expectations={"no_skip": "v <> 'SKIPPED'"},
+        )
+
+
+def _fragmented_store(spark, store):
+    """v1 with partition 'a' spread over 4 files (range-partitioned
+    write: one file per task per partition value) and 'b' in one."""
+    import engine.versioned_store as vs
+
+    base = spark.createDataFrame(
+        [("a", k, f"a{k}") for k in (1, 2, 3, 4)] + [("b", 9, "b9")],
+        "part string, k long, v string",
+    )
+    vs.commit_overwrite(
+        base.repartitionByRange(4, "k"), store, "part"
+    )
+    man = vs._read_manifest(store, 1)
+    n_a = sum(1 for e in man["files"] if e["partition"] == "a")
+    assert n_a >= 2  # genuinely fragmented
+    return n_a
+
+
+def test_partial_compaction_rewrites_only_fragmented_partitions(
+    spark, tmp_path, capsys
+):
+    """compact_partitions rewrites ONLY partitions above the file
+    target: 'a' collapses to one file, 'b' carries forward verbatim
+    (manifest-only), content is invariant, the change feed across the
+    compaction is EMPTY (pure file movement), and a second pass is a
+    no-op returning None instead of an empty commit."""
+    import engine.versioned_store as vs
+
+    store = str(tmp_path / "pcompact")
+    _fragmented_store(spark, store)
+    v2 = vs.compact_partitions(spark, store, files_per_partition=1)
+    assert v2 == 2
+    man = vs._read_manifest(store, v2)
+    assert man["compacted_partitions"] == 1
+    assert sum(1 for e in man["files"] if e["partition"] == "a") == 1
+    b1 = {
+        e["file"]
+        for e in vs._read_manifest(store, 1)["files"]
+        if e["partition"] == "b"
+    }
+    assert {e["file"] for e in man["files"] if e["partition"] == "b"} == b1
+    got = sorted(
+        (r.part, r.k, r.v)
+        for r in vs.read_version(spark, store, v2).collect()
+    )
+    assert got == [("a", k, f"a{k}") for k in (1, 2, 3, 4)] + [
+        ("b", 9, "b9")
+    ]
+    # pure file movement: the feed between the versions is empty
+    assert (
+        vs.table_changes(spark, store, 1, v2, ["part", "k"]).count() == 0
+    )
+    # nothing fragmented anymore: no-op, no empty commit
+    assert vs.compact_partitions(spark, store, files_per_partition=1) is None
+    assert vs.current_version(store) == 2
+    # the CLI drives the same path
+    from engine.__main__ import main as cli
+
+    assert cli(["vstore", "compact", store, "--partial"]) == 0
+    assert "no-op" in capsys.readouterr().out
+
+
+def test_partial_compaction_races_ingest_and_both_land(
+    spark, monkeypatch, tmp_path
+):
+    """The maintenance story full compaction cannot deliver: a
+    background partial OPTIMIZE of fragmented partition 'a' races an
+    ingest into healthy partition 'b' — disjoint sets, so with
+    max_retries BOTH land; the final snapshot carries the ingest AND
+    reads 'a' from the compacted single file."""
+    import engine.versioned_store as vs
+
+    store = str(tmp_path / "pcompact_race")
+    _fragmented_store(spark, store)
+    chg_b = spark.createDataFrame(
+        [("b", 10, "NEW")], "part string, k long, v string"
+    )
+    _interleave_claim(
+        monkeypatch,
+        lambda: vs.commit_upsert(spark, store, chg_b, ["part", "k"]),
+    )
+    v3 = vs.compact_partitions(
+        spark, store, files_per_partition=1, max_retries=1
+    )
+    assert v3 == 3
+    man = vs._read_manifest(store, 3)
+    assert man["rebased_from_base"] == 1
+    assert sum(1 for e in man["files"] if e["partition"] == "a") == 1
+    got = sorted(
+        (r.part, r.k, r.v)
+        for r in vs.read_version(spark, store, 3).collect()
+    )
+    assert got == [("a", k, f"a{k}") for k in (1, 2, 3, 4)] + [
+        ("b", 9, "b9"),
+        ("b", 10, "NEW"),
+    ]
