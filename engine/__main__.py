@@ -253,7 +253,14 @@ def cmd_vstore(args: argparse.Namespace) -> int:
             )
         man = vs._read_manifest(args.store, v)
         z = f" zorder={zcols}" if zcols else ""
-        print(f"compacted as v{v:05d}: {len(man['files'])} files{z}")
+        if args.partial:
+            print(
+                f"compacted as v{v:05d}:"
+                f" {man['compacted_partitions']} partition(s) rewritten,"
+                f" {len(man['files'])} files total{z}"
+            )
+        else:
+            print(f"compacted as v{v:05d}: {len(man['files'])} files{z}")
         return 0
     return 2
 

@@ -910,19 +910,27 @@ def commit_merge(
     )
     # classify every source row by ONE key-presence join against the
     # touched partitions' base keys. The key frame is bounded by the
-    # touched partitions (never the table); at sizes past the
-    # broadcast threshold AQE would plan this as a shuffle join on
-    # the same keys the rewrite below shuffles anyway.
+    # touched partitions (never the table) and left unhinted: the
+    # planner broadcasts it when it fits and shuffle-joins on the
+    # same keys the rewrite below shuffles anyway when it does not.
     if old_touched:
         base = read_version(
             spark, store, prev_v, partition_values=sorted(touched)
         )
-        base_keys = base.select(*key_cols).withColumn(
-            "__vs_matched", F.lit(True)
+        base_keys = (
+            base.select(*key_cols)
+            .distinct()  # defensive: a duplicate base key must not
+            .withColumn("__vs_matched", F.lit(True))  # multiply rows
         )
-        src = source.join(F.broadcast(base_keys), key_cols, "left")
+        src = source.join(base_keys, key_cols, "left")
     else:
         src = source.withColumn("__vs_matched", F.lit(None).cast("boolean"))
+    # an UNMATCHED delete-condition row is a tombstone for a key that
+    # is already gone (or never existed): a no-op, never an insert —
+    # inserting it would resurrect deleted data from a replayed feed
+    not_matched_fate = F.when(del_cond, F.lit("skipped")).otherwise(
+        F.lit("inserted") if when_not_matched_insert else F.lit("skipped")
+    )
     src = src.withColumn(
         "__vs_fate",
         F.when(
@@ -930,33 +938,37 @@ def commit_merge(
             F.when(del_cond, F.lit("deleted")).otherwise(
                 F.lit("updated") if when_matched_update else F.lit("kept")
             ),
-        ).otherwise(
-            F.lit("inserted")
-            if when_not_matched_insert
-            else F.lit("skipped")
-        ),
+        ).otherwise(not_matched_fate),
     ).persist()
-    counts = {
-        r["__vs_fate"]: r["n"]
-        for r in src.groupBy("__vs_fate")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    winners = src.filter(
-        F.col("__vs_fate").isin("updated", "inserted")
-    ).drop("__vs_matched", "__vs_fate")
-    merged = winners
-    if old_touched:
-        # base rows survive unless their key was updated OR deleted
-        gone_keys = src.filter(
-            F.col("__vs_fate").isin("updated", "deleted")
-        ).select(*key_cols).distinct()
-        survivors = base.join(F.broadcast(gone_keys), key_cols, "left_anti")
-        merged = survivors.unionByName(winners, allowMissingColumns=True)
-    columns = _merge_ddl(prev.get("columns"), _columns_ddl(merged, pcols))
-    version = prev_v + 1
-    new_entries = _stage_files(merged, store, version, pcols)
-    src.unpersist()
+    try:
+        counts = {
+            r["__vs_fate"]: r["n"]
+            for r in src.groupBy("__vs_fate")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        winners = src.filter(
+            F.col("__vs_fate").isin("updated", "inserted")
+        ).drop("__vs_matched", "__vs_fate")
+        merged = winners
+        if old_touched:
+            # base rows survive unless their key was updated OR deleted
+            gone_keys = src.filter(
+                F.col("__vs_fate").isin("updated", "deleted")
+            ).select(*key_cols).distinct()
+            survivors = base.join(
+                F.broadcast(gone_keys), key_cols, "left_anti"
+            )
+            merged = survivors.unionByName(
+                winners, allowMissingColumns=True
+            )
+        columns = _merge_ddl(
+            prev.get("columns"), _columns_ddl(merged, pcols)
+        )
+        version = prev_v + 1
+        new_entries = _stage_files(merged, store, version, pcols)
+    finally:
+        src.unpersist()
     return _publish_incremental(
         spark,
         store,

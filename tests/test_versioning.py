@@ -2224,3 +2224,43 @@ def test_partial_compaction_races_ingest_and_both_land(
         ("b", 9, "b9"),
         ("b", 10, "NEW"),
     ]
+
+
+def test_commit_merge_unmatched_tombstone_is_a_noop(spark, tmp_path):
+    """A delete-condition row whose key is NOT in the base (already
+    deleted, or never existed — the replayed-feed case) must be a
+    no-op, not an insert: inserting it would resurrect deleted data.
+    Duplicate base keys must not multiply merge output rows either."""
+    import engine.versioned_store as vs
+
+    store = str(tmp_path / "merge_tomb")
+    # base with a DUPLICATE key (k=1 twice) — nothing enforces
+    # uniqueness on overwrite input
+    base = spark.createDataFrame(
+        [("a", 1, "dup1"), ("a", 1, "dup2"), ("a", 2, "a2")],
+        "part string, k long, v string",
+    )
+    vs.commit_overwrite(base, store, "part")
+    src = spark.createDataFrame(
+        [
+            ("a", 1, "A1!"),    # matched (against a duplicated key)
+            ("a", 7, "DEAD"),   # UNMATCHED tombstone: must vanish
+            ("a", 8, "A8+"),    # unmatched insert
+        ],
+        "part string, k long, v string",
+    )
+    v2 = vs.commit_merge(
+        spark, store, src, ["part", "k"],
+        matched_delete_condition="v = 'DEAD'",
+    )
+    got = sorted(
+        (r.k, r.v) for r in vs.read_version(spark, store, v2).collect()
+    )
+    # k=1 updated ONCE (not multiplied by the base duplicate), the
+    # unmatched tombstone absent, the insert present
+    assert got == [(1, "A1!"), (2, "a2"), (8, "A8+")]
+    assert vs._read_manifest(store, v2)["merge"] == {
+        "updated": 1,
+        "deleted": 0,
+        "inserted": 1,
+    }
