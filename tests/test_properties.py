@@ -715,11 +715,14 @@ def test_concurrent_commit_pairs_match_model(spark, rounds, tmp_path_factory):
     """Model-based optimistic-concurrency check: in each round two
     arbitrary commits (upsert or delete over arbitrary keys) are
     prepared against the same base; A lands mid-way through B's
-    publish. Disjoint partition sets ⇒ B must rebase and land, and the
-    store must equal the serial application A;B. Overlapping ⇒ B must
-    raise CommitConflict and leave only A applied. Every retained
-    version must equal its model prefix — rebases never corrupt time
-    travel."""
+    publish. B must raise CommitConflict iff A actually CHANGED a
+    partition B touches — an upsert always rewrites its partitions,
+    but a delete over a partition that is already EMPTY stages no
+    files and changes nothing, so B rebasing past it is correct
+    (serializable: the no-op delete commutes). Otherwise B rebases
+    and lands and the store equals the serial application A;B. Every
+    retained version must equal its model prefix — rebases never
+    corrupt time travel."""
     import pytest as _pytest
 
     import engine.versioned_store as vs
@@ -774,12 +777,19 @@ def test_concurrent_commit_pairs_match_model(spark, rounds, tmp_path_factory):
                 commit(_a, _i, 0)  # A lands before B's first claim
             return _real(store_, manifest)
 
-        disjoint = not (
-            {p for p, _ in op_a[1]} & {p for p, _ in op_b[1]}
-        )
+        a_parts = {p for p, _ in op_a[1]}
+        if op_a[0] == "delete":
+            # a delete only rewrites partitions that currently hold
+            # rows; an empty partition contributes no file changes
+            a_changed = {
+                p for p in a_parts if any(mp == p for mp, _ in model)
+            }
+        else:
+            a_changed = a_parts
+        conflict = bool(a_changed & {p for p, _ in op_b[1]})
         vs._claim_manifest = hooked
         try:
-            if disjoint:
+            if not conflict:
                 commit(op_b, j, retries=1)
             else:
                 with _pytest.raises(vs.CommitConflict):
@@ -788,7 +798,7 @@ def test_concurrent_commit_pairs_match_model(spark, rounds, tmp_path_factory):
             vs._claim_manifest = real
         apply_model(op_a, i)
         history.append(dict(model))
-        if disjoint:
+        if not conflict:
             apply_model(op_b, j)
             history.append(dict(model))
 
