@@ -14,7 +14,9 @@ copy-on-write at FILE granularity with a manifest per version:
       data/v00001-....parquet     immutable data files, never rewritten
       _manifests/v00001.json      the exact file set (plus the file's
       _manifests/v00002.json      partition value and row count)
-      _manifests/CURRENT          latest version number (tmp + rename)
+      _manifests/CURRENT          monotonic latest-version HINT (the
+                                  claim is the commit point; see
+                                  current_version)
 
 * ``commit_overwrite`` — a full snapshot: new files + a manifest
   listing only them.
