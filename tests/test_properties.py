@@ -809,3 +809,78 @@ def test_concurrent_commit_pairs_match_model(spark, rounds, tmp_path_factory):
             for r in vs.read_version(spark, store, v).collect()
         }
         assert got == snap, (v, got, snap)
+
+
+# -- MERGE INTO: arbitrary clause mixes vs the model ---------------------------
+
+_merge_src = st.dictionaries(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # partition index
+        st.integers(min_value=0, max_value=6),  # key (0-3 exist at base)
+    ),
+    st.sampled_from(["row", "tomb"]),  # update/insert value vs tombstone
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(steps=st.lists(_merge_src, min_size=1, max_size=3))
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_commit_merge_matches_model(spark, steps, tmp_path_factory):
+    """Model-based MERGE check: arbitrary sources mixing updates,
+    inserts and tombstones (matched ⇒ delete, unmatched ⇒ no-op,
+    never an insert) must leave every version equal to the dict
+    replay, and every manifest's clause counts must equal the
+    model-derived counts."""
+    import engine.versioned_store as vs
+
+    store = str(tmp_path_factory.mktemp("vstore_merge") / "s")
+    schema = "part string, k long, v string"
+    base = [(f"p{p}", k, f"b:{p}:{k}") for p in range(3) for k in range(4)]
+    vs.commit_overwrite(spark.createDataFrame(base, schema), store, "part")
+    model = {(p, k): f"b:{p}:{k}" for p in range(3) for k in range(4)}
+    history = [dict(model)]
+
+    for i, src_spec in enumerate(steps, start=1):
+        rows = [
+            (
+                f"p{p}",
+                k,
+                "TOMB" if fate == "tomb" else f"m{i}:{p}:{k}",
+            )
+            for (p, k), fate in sorted(src_spec.items())
+        ]
+        expected = {"updated": 0, "deleted": 0, "inserted": 0}
+        for (p, k), fate in src_spec.items():
+            if fate == "tomb":
+                if (p, k) in model:
+                    expected["deleted"] += 1
+                    model.pop((p, k))
+                # unmatched tombstone: strict no-op
+            else:
+                if (p, k) in model:
+                    expected["updated"] += 1
+                else:
+                    expected["inserted"] += 1
+                model[(p, k)] = f"m{i}:{p}:{k}"
+        v = vs.commit_merge(
+            spark,
+            store,
+            spark.createDataFrame(rows, schema),
+            ["part", "k"],
+            matched_delete_condition="v = 'TOMB'",
+        )
+        assert v == i + 1
+        assert vs._read_manifest(store, v)["merge"] == expected
+        history.append(dict(model))
+
+    for ver, snap in enumerate(history, start=1):
+        got = {
+            (int(r.part[1:]), r.k): r.v
+            for r in vs.read_version(spark, store, ver).collect()
+        }
+        assert got == snap, (ver, got, snap)
