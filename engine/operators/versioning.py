@@ -2836,3 +2836,105 @@ def store_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
         "facet string, n bigint, n_tokens bigint, h bigint",
     )
     return final_f.unionByName(feed_f).unionByName(meta_f)
+
+
+# -- partial OPTIMIZE: fragmented-partition compaction, driver-visible ----------
+#
+# `compact_partitions` is the maintenance form of OPTIMIZE a 100 TB
+# store can actually run: rewrite ONLY partitions above the file
+# target (O(fragmented)), carry healthy partitions forward
+# manifest-only, and — because its touched set is exactly the
+# fragmented partitions — compose with optimistic concurrency so a
+# background OPTIMIZE never blocks ingest into other partitions
+# (tests/test_versioning.py pins the race). The oracled query pins
+# the SAFETY property: a fragmented store (range-partitioned 8-task
+# write → 8 files per source) compacts to one file per source with
+# content byte-invariant per source, and the manifest records the
+# rewrite's scope.
+
+_POPT_ORACLE = """
+WITH facets AS (
+  SELECT 'final:' || source AS facet, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(bit_xor({row_h}) AS BIGINT) AS h
+  FROM documents GROUP BY source
+  UNION ALL
+  SELECT 'meta:optimize',
+         CAST((SELECT count(DISTINCT source) FROM documents) AS BIGINT),
+         CAST((SELECT count(DISTINCT source) FROM documents) AS BIGINT),
+         CAST(0 AS BIGINT)
+)
+SELECT * FROM facets
+"""
+
+
+def _popt_oracle() -> str:
+    from engine.operators.corpus_build import _ROW_H_DUCK
+
+    return _POPT_ORACLE.format(row_h=_ROW_H_DUCK)
+
+
+@query(
+    "store_partial_optimize",
+    oracle=_popt_oracle(),
+    tags=("pipeline", "versioning", "compaction", "documents"),
+    exported=False,  # library: partial OPTIMIZE safety, oracled
+)
+def store_partial_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial OPTIMIZE end to end (section comment): the corpus is
+    committed FRAGMENTED (repartitionByRange(8, doc_id) before the
+    partitioned write puts every source's docs in all 8 range tasks —
+    8 files per source, deterministically), then
+    ``compact_partitions(files_per_partition=1)`` rewrites every
+    fragmented source to one file. Facets pin per-source content
+    invariance through the rewrite (the safety property for
+    unattended maintenance) and the manifest-recorded scope: all
+    |sources| partitions rewritten, |sources| files after."""
+    import engine.versioned_store as vs
+
+    store = corpus_out_dir(sf_dir) + "_popt"
+    shutil.rmtree(store, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text"
+    )
+    vs.commit_overwrite(
+        _corpus_store_rows(docs).repartitionByRange(8, "doc_id"),
+        store,
+        "source",
+    )
+    man1 = vs._read_manifest(store, 1)
+    assert max(
+        sum(1 for e in man1["files"] if e["partition"] == s)
+        for s in {e["partition"] for e in man1["files"]}
+    ) > 1, "fixture write was not fragmented"
+    v2 = vs.compact_partitions(spark, store, files_per_partition=1)
+    man2 = vs._read_manifest(store, v2)
+
+    final_f = (
+        vs.read_version(spark, store, v2)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("bit_xor(h)").cast("bigint").alias("h"),
+        )
+        .select(
+            F.concat(F.lit("final:"), "source").alias("facet"),
+            "n",
+            "n_tokens",
+            "h",
+        )
+    )
+    meta_f = spark.createDataFrame(
+        [
+            (
+                "meta:optimize",
+                man2["compacted_partitions"],
+                len(man2["files"]),
+                0,
+            )
+        ],
+        "facet string, n bigint, n_tokens bigint, h bigint",
+    )
+    return final_f.unionByName(meta_f)
