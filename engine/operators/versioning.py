@@ -2938,3 +2938,97 @@ def store_partial_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "facet string, n bigint, n_tokens bigint, h bigint",
     )
     return final_f.unionByName(meta_f)
+
+
+# -- the store as a Spark data source, driver-visible ---------------------------
+#
+# engine/sources/vstore_datasource.py surfaces the store through
+# Spark 4's Python Data Source API: `spark.read.format("vstore")` /
+# `CREATE TEMPORARY VIEW ... USING vstore` with version pinning and
+# file pruning via OPTIONS (partitions / range / point — manifest
+# entries, per-file stats, bloom sidecars; options rather than
+# pushFilters because Spark 4.1 shares one Python read plan across a
+# relation's appearances, so filter-dependent pruning would leak
+# between a union's branches — see the module docstring), Arrow-batch
+# reads per file, and the store's additive + widening evolution at
+# the Arrow layer. This query runs the whole path in SQL — the
+# engine's own read_version never touches the result — and hashes it
+# against the relational replay.
+
+_DSRC_ORACLE = """
+WITH facets AS (
+  SELECT 'full:' || source AS facet, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(bit_xor({row_h}) AS BIGINT) AS h
+  FROM documents GROUP BY source
+  UNION ALL
+  SELECT 'pruned', CAST(count(*) AS BIGINT),
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT),
+         CAST(bit_xor({row_h}) AS BIGINT)
+  FROM documents WHERE doc_id BETWEEN 100 AND 199
+)
+SELECT * FROM facets
+"""
+
+
+def _dsrc_oracle() -> str:
+    from engine.operators.corpus_build import _ROW_H_DUCK
+
+    return _DSRC_ORACLE.format(row_h=_ROW_H_DUCK)
+
+
+@query(
+    "store_sql_source",
+    oracle=_dsrc_oracle(),
+    tags=("pipeline", "versioning", "datasource", "sql", "documents"),
+    exported=False,  # library: the vstore Python Data Source, oracled
+)
+def store_sql_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vstore data source end to end (section comment): commit
+    the corpus doc_id-range-fragmented (so per-file stats give the
+    range option something to prune), register the format, create TWO
+    SQL views USING vstore — the full snapshot and a doc_id-range
+    slice whose `range` OPTION prunes files catalog-side with the
+    residual applied at the Arrow layer — and answer both facets in
+    PLAIN SQL. The pruning bite itself is pinned by
+    tests/test_vstore_datasource.py on the reader's partition list."""
+    from engine.sources.vstore_datasource import register_vstore
+
+    store = corpus_out_dir(sf_dir) + "_dsrc"
+    shutil.rmtree(store, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text"
+    )
+    import engine.versioned_store as vs
+
+    vs.commit_overwrite(
+        _corpus_store_rows(docs).repartitionByRange(8, "doc_id"),
+        store,
+        "source",
+    )
+    register_vstore(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW vstore_docs"
+        f" USING vstore OPTIONS (path '{store}')"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW vstore_docs_slice"
+        f" USING vstore OPTIONS (path '{store}',"
+        " range 'doc_id:100:199')"
+    )
+    return spark.sql(
+        """
+        SELECT concat('full:', source) AS facet,
+               cast(count(*) AS bigint) AS n,
+               cast(sum(n_tokens) AS bigint) AS n_tokens,
+               cast(bit_xor(h) AS bigint) AS h
+        FROM vstore_docs GROUP BY source
+        UNION ALL
+        SELECT 'pruned',
+               cast(count(*) AS bigint),
+               cast(sum(n_tokens) AS bigint),
+               cast(bit_xor(h) AS bigint)
+        FROM vstore_docs_slice
+        """
+    )
