@@ -500,6 +500,12 @@ SELECT 'zo3', layout, n_files, n_rows, files_hit, rows_hit
 FROM ({_SKIP3_ORACLE}) a3
 """,
     tags=("layout", "scale", "lineitem", "zorder"),
+    # library since round 9 (driver-cap consolidation to admit
+    # store_format_suite): these audits are pure relational arithmetic
+    # the local 182+-query gate replays bit-for-bit, and the driver
+    # keeps z-order skipping coverage through corpus_build_e2e's
+    # `zaudit` facet, which measures it on REAL pyarrow footer stats
+    exported=False,
 )
 def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multi-dimensional layout audits, federated (round-8

@@ -503,10 +503,32 @@ def _wider(a: str, b: str) -> str | None:
     return None
 
 
-def _ddl_fields(ddl: str) -> list:
-    from pyspark.sql.types import StructType
-
-    return list(StructType.fromDDL(ddl).fields) if ddl else []
+def _ddl_pairs(ddl: str) -> list[tuple[str, str]]:
+    """(name, simpleString type) pairs from a manifest-recorded DDL —
+    parsed WITHOUT a SparkContext (StructType.fromDDL needs one, and
+    the vstore sink's commit hook runs in Spark's sessionless Python
+    commit worker). The store only ever records `name type, name type`
+    with simpleString types, whose sole nested commas live inside
+    angle brackets (array<...>, map<...>, struct<a:int,b:string>), so
+    a depth-tracked top-level split is exact for every DDL this module
+    can produce."""
+    if not ddl:
+        return []
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(ddl):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(ddl[start:i])
+            start = i + 1
+    parts.append(ddl[start:])
+    out = []
+    for p in parts:
+        name, typ = p.strip().split(" ", 1)
+        out.append((name, typ.strip()))
+    return out
 
 
 def _merge_ddl(prev_ddl: str | None, new_ddl: str) -> str:
@@ -532,28 +554,25 @@ def _merge_ddl(prev_ddl: str | None, new_ddl: str) -> str:
     Incompatible changes (off the widening ladders) raise."""
     if prev_ddl is None or not new_ddl or prev_ddl == new_ddl:
         return new_ddl if new_ddl else (prev_ddl or "")
-    prev_fields = _ddl_fields(prev_ddl)
-    new_types = {
-        f.name: f.dataType.simpleString() for f in _ddl_fields(new_ddl)
-    }
+    prev_fields = _ddl_pairs(prev_ddl)
+    new_types = dict(_ddl_pairs(new_ddl))
     out: list[tuple[str, str]] = []
-    for f in prev_fields:  # existing columns keep their position
-        pt = f.dataType.simpleString()
-        nt = new_types.pop(f.name, None)
+    for name, pt in prev_fields:  # existing columns keep their position
+        nt = new_types.pop(name, None)
         if nt is None:
-            out.append((f.name, pt))
+            out.append((name, pt))
             continue
         w = _wider(pt, nt)
         if w is None:
             raise ValueError(
-                f"incompatible type change for column {f.name!r}:"
+                f"incompatible type change for column {name!r}:"
                 f" {pt} -> {nt} is not a widening conversion; rewrite"
                 " the table (commit_overwrite) to change types"
             )
-        out.append((f.name, w))
-    for f in _ddl_fields(new_ddl):  # additive columns append in order
-        if f.name in new_types:
-            out.append((f.name, new_types[f.name]))
+        out.append((name, w))
+    for name, nt in _ddl_pairs(new_ddl):  # additive columns append in order
+        if name in new_types:
+            out.append((name, nt))
     return ", ".join(f"{n} {t}" for n, t in out)
 
 
@@ -943,6 +962,25 @@ def commit_merge(
         ).otherwise(not_matched_fate),
     ).persist()
     try:
+        # Delta's multiple-source-rows-match guard: two source rows
+        # with the same key would BOTH land in `winners` (or race an
+        # update against a tombstone), silently committing duplicate-
+        # key rows — raise instead, like DeltaErrors'
+        # multipleSourceRowMatchingTargetRowInMergeException. One small
+        # aggregate over the already-persisted source (ADVICE r8).
+        dup = src.agg(
+            F.count(F.lit(1)).alias("rows"),
+            # struct-wrapped so a null key FIELD still counts as a key
+            # (bare count_distinct drops null rows and would misreport)
+            F.count_distinct(F.struct(*key_cols)).alias("keys"),
+        ).collect()[0]
+        if dup["rows"] != dup["keys"]:
+            raise ValueError(
+                f"merge source has {dup['rows'] - dup['keys']} duplicate"
+                f" row(s) on key {key_cols}: multiple source rows would"
+                " match one target row (or contradict each other);"
+                " aggregate/dedupe the source first"
+            )
         counts = {
             r["__vs_fate"]: r["n"]
             for r in src.groupBy("__vs_fate")
@@ -955,12 +993,15 @@ def commit_merge(
         merged = winners
         if old_touched:
             # base rows survive unless their key was updated OR deleted
+            # unhinted like base_keys above: gone_keys is bounded by
+            # the SOURCE, not the table, but a large changeset's key
+            # set can still blow a forced broadcast — let the planner
+            # choose (it already shuffles these keys for the rewrite
+            # when the set is big) (ADVICE r8)
             gone_keys = src.filter(
                 F.col("__vs_fate").isin("updated", "deleted")
             ).select(*key_cols).distinct()
-            survivors = base.join(
-                F.broadcast(gone_keys), key_cols, "left_anti"
-            )
+            survivors = base.join(gone_keys, key_cols, "left_anti")
             merged = survivors.unionByName(
                 winners, allowMissingColumns=True
             )
@@ -1264,6 +1305,44 @@ def _maybe_write_blooms(
     os.rename(tmp, _bloom_path(store, version))
 
 
+def _copy_carried_blooms(
+    store: str, version: int, carried_files: list[str]
+) -> None:
+    """Sidecar for a commit prepared WITHOUT a SparkSession (the
+    vstore data source's commit hook runs in Spark's sessionless
+    Python commit worker): carry the newest existing sidecar's blooms
+    for the files this version keeps, and record no blooms for the
+    new files — ``_bloom_prune`` keeps unbloomed files on point
+    probes, so reads stay exact and the carried bulk keeps pruning.
+    A later engine-path commit (or compaction) re-blooms everything
+    via ``_maybe_write_blooms``'s newest-sidecar inheritance."""
+    prev = None
+    for v in reversed(versions(store)):
+        if v >= version:
+            continue
+        prev = _read_bloom_sidecar(store, v)
+        if prev is not None:
+            break
+    if not prev:
+        return
+    files = {
+        f: prev["files"][f] for f in carried_files if f in prev["files"]
+    }
+    fd, tmp = tempfile.mkstemp(dir=_mdir(store))
+    with os.fdopen(fd, "w", encoding="utf-8") as f:
+        f.write(
+            json.dumps(
+                {
+                    "bits": prev["bits"],
+                    "k": prev.get("k", _BLOOM_K),
+                    "cols": prev["cols"],
+                    "files": files,
+                }
+            )
+        )
+    os.rename(tmp, _bloom_path(store, version))
+
+
 def _bloom_prune(
     entries: list[dict], sidecar: dict | None, point_filters: dict
 ) -> list[dict]:
@@ -1375,13 +1454,29 @@ def read_version(
     return out
 
 
-def vacuum(store: str, keep_latest: int = 2) -> list[str]:
+def vacuum(
+    store: str, keep_latest: int = 2, grace_seconds: float = 0.0
+) -> list[str]:
     """Drop manifests older than the newest ``keep_latest`` versions
     and delete data files no retained manifest references. Returns the
     deleted file names (the destructive act is enumerated, not
     silent). ``keep_latest`` must be >= 1: retaining zero versions
     would delete the manifest CURRENT points to and brick every
-    subsequent read (reachable via the CLI's --keep — ADVICE r7)."""
+    subsequent read (reachable via the CLI's --keep — ADVICE r7).
+
+    ``grace_seconds`` is the concurrent-writer safety valve (Delta's
+    retention check, ADVICE r8): an in-flight commit STAGES files into
+    data/ before claiming the manifest that references them, and the
+    optimistic-rebase retry loop lengthens that stage-to-claim window —
+    a vacuum racing such a writer would see the staged files as
+    unreferenced and delete them out from under the about-to-claim
+    manifest. Unreferenced files younger than ``grace_seconds`` (by
+    mtime) are therefore SKIPPED, not deleted. The default 0 is the
+    offline form: only run it when no writer is in flight; deployments
+    that vacuum alongside ingest (the documented background-OPTIMIZE +
+    ingest pattern) must pass a grace comfortably above their longest
+    commit, e.g. 86400."""
+    import time
     if keep_latest < 1:
         raise ValueError(
             f"keep_latest must be >= 1 (got {keep_latest}): the CURRENT"
@@ -1407,9 +1502,16 @@ def vacuum(store: str, keep_latest: int = 2) -> list[str]:
     # data/ — nothing to delete
     if not os.path.isdir(data_dir):
         return removed
+    cutoff = time.time() - grace_seconds
     for name in sorted(os.listdir(data_dir)):
         if name.endswith(".parquet") and name not in live:
-            os.remove(os.path.join(data_dir, name))
+            path = os.path.join(data_dir, name)
+            try:
+                if os.path.getmtime(path) > cutoff:
+                    continue  # young enough to be a writer's staged file
+                os.remove(path)
+            except FileNotFoundError:
+                continue  # a racing vacuum got it first: already gone
             removed.append(name)
     return removed
 

@@ -2264,3 +2264,87 @@ def test_commit_merge_unmatched_tombstone_is_a_noop(spark, tmp_path):
         "deleted": 0,
         "inserted": 1,
     }
+
+
+def test_commit_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    """REGRESSION (ADVICE r8): two source rows with the same key both
+    classified 'updated' (or an update racing a tombstone on one key)
+    and every winner landed in the rewrite — silently committing
+    duplicate-key rows. Delta raises for multiple source rows matching
+    one target row; so do we, BEFORE anything is staged, for matched
+    and unmatched duplicates alike."""
+    import pytest as _pytest
+
+    import engine.versioned_store as vs
+
+    store = str(tmp_path / "mergedup")
+    vs.commit_overwrite(
+        spark.createDataFrame(
+            [("a", 1, "a1"), ("a", 2, "a2")], "part string, k long, v string"
+        ),
+        store,
+        "part",
+    )
+    cases = [
+        # same matched key twice: contradictory updates
+        [("a", 1, "X"), ("a", 1, "Y")],
+        # same key updated AND tombstoned
+        [("a", 2, "X"), ("a", 2, "DEAD")],
+        # duplicate UNMATCHED key: would insert the row twice
+        [("a", 5, "N1"), ("a", 5, "N2")],
+    ]
+    for rows in cases:
+        with _pytest.raises(ValueError, match="duplicate"):
+            vs.commit_merge(
+                spark,
+                store,
+                spark.createDataFrame(rows, "part string, k long, v string"),
+                ["part", "k"],
+                matched_delete_condition="v = 'DEAD'",
+            )
+    # nothing committed, nothing staged: v1 intact, no orphan files
+    assert vs.current_version(store) == 1
+    man = vs._read_manifest(store, 1)
+    import os
+
+    assert sorted(os.listdir(os.path.join(store, "data"))) == sorted(
+        e["file"] for e in man["files"]
+    )
+
+
+def test_vacuum_grace_period_spares_young_staged_files(spark, tmp_path):
+    """REGRESSION (ADVICE r8): vacuum deletes any data/ file no
+    retained manifest references — including files an in-flight writer
+    has STAGED but not yet claimed (the optimistic-rebase retry loop
+    lengthens that window). With grace_seconds, young unreferenced
+    files survive; old ones still go."""
+    import os
+    import time
+
+    import engine.versioned_store as vs
+
+    store = str(tmp_path / "grace")
+    vs.commit_overwrite(
+        spark.createDataFrame([("a", 1)], "part string, k long"),
+        store,
+        "part",
+    )
+    data = os.path.join(store, "data")
+    # a just-staged (unreferenced) file, as an in-flight commit leaves it
+    staged = os.path.join(data, "v00002-deadbeef-0000.parquet")
+    with open(staged, "wb") as f:
+        f.write(b"stub")
+    # an OLD unreferenced file (a long-aborted write)
+    aborted = os.path.join(data, "v00000-00000000-0000.parquet")
+    with open(aborted, "wb") as f:
+        f.write(b"stub")
+    old = time.time() - 7200
+    os.utime(aborted, (old, old))
+
+    removed = vs.vacuum(store, keep_latest=1, grace_seconds=3600)
+    assert removed == ["v00000-00000000-0000.parquet"]
+    assert os.path.exists(staged)  # the in-flight writer's file survives
+    # offline form (default grace 0) still collects everything
+    assert vs.vacuum(store, keep_latest=1) == [
+        "v00002-deadbeef-0000.parquet"
+    ]

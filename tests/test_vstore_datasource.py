@@ -143,3 +143,55 @@ def test_additive_evolution_null_fills_through_the_source(spark, tmp_path):
         for r in spark.read.format("vstore").load(store).collect()
     )
     assert got == [("a", 1, "x", None), ("b", 2, "y", 7)]
+
+
+def test_range_option_on_partition_column(spark, vstore):
+    """REGRESSION (ADVICE r8): a `range` option naming a PARTITION
+    column used to admit only the eq op in the residual check, so any
+    ge/le bound on it silently returned ZERO rows. Partition-column
+    bounds now evaluate by string compare against the file's constant
+    partition value — consistent with read_version's residual filter
+    on the restored string column."""
+    # latest = {(a,1,2^40), (a,2,20), (b,3,30), (c,9,90)}
+    got = spark.read.format("vstore").option(
+        "range", "part:b:"
+    ).load(vstore)
+    assert sorted((r.part, r.k) for r in got.collect()) == [
+        ("b", 3),
+        ("c", 9),
+    ]
+    got = spark.read.format("vstore").option(
+        "range", "part:a:b"
+    ).load(vstore)
+    assert sorted(r.part for r in got.collect()) == ["a", "a", "b"]
+    # a point (eq) probe on the partition column keeps working
+    got = spark.read.format("vstore").option("point", "part:c").load(vstore)
+    assert [(r.part, r.k, r.v) for r in got.collect()] == [("c", 9, 90)]
+
+
+def test_schema_resolution_pins_the_reader_version(spark, vstore):
+    """REGRESSION (ADVICE r8): with no `version` option, schema() and
+    the reader used to resolve current_version() independently — a
+    commit landing between the two calls made the reader scan the NEW
+    manifest under the OLD resolved schema. schema() now pins its
+    resolved version into the options the reader receives, so one read
+    sees one snapshot even if a commit lands in the gap."""
+    import engine.versioned_store as vs
+    from engine.sources.vstore_datasource import VStoreDataSource
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    ds = VStoreDataSource(options={"path": vstore})
+    ddl = ds.schema()
+    assert ds.options.get("version") == "2"
+    # a commit lands between schema resolution and reader construction
+    vs.commit_upsert(
+        spark,
+        vstore,
+        spark.createDataFrame([("d", 4, 40)], "part string, k long, v long"),
+        ["part", "k"],
+    )
+    reader = ds.reader(_parse_datatype_string(ddl))
+    assert reader.version == 2  # pinned, not the new head (3)
+    files_v2 = {e["file"] for e in vs._read_manifest(vstore, 2)["files"]}
+    assert {p.path.split("/")[-1] for p in reader.partitions()} == files_v2

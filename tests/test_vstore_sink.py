@@ -1,0 +1,261 @@
+"""The vstore WRITE path: `df.write.format("vstore")` and
+`writeStream.format("vstore")` (engine/sources/vstore_datasource.py,
+writer section). Staging happens on executors (one parquet file per
+partition value per task, straight into data/), the commit is
+sessionless manifest surgery with blind-append OCC retries."""
+
+import os
+
+import pytest
+
+
+@pytest.fixture()
+def registered(spark):
+    from engine.sources.vstore_datasource import register_vstore
+
+    register_vstore(spark)
+    return spark
+
+
+def test_batch_overwrite_append_roundtrip(registered, tmp_path):
+    """Create-by-write, then append: two versions, manifest entries
+    carry footer stats, and both engine and source reads agree."""
+    import engine.versioned_store as vs
+
+    spark = registered
+    store = str(tmp_path / "s")
+    spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 3, 30)],
+        "part string, k long, v long",
+    ).write.format("vstore").option("partition_col", "part").mode(
+        "overwrite"
+    ).save(store)
+    assert vs.current_version(store) == 1
+
+    spark.createDataFrame(
+        [("c", 9, 90)], "part string, k long, v long"
+    ).write.format("vstore").mode("append").save(store)
+    assert vs.current_version(store) == 2
+
+    man = vs._read_manifest(store, 2)
+    assert man["appended_files"] == 1
+    assert man["written_by"] == "vstore-sink"
+    # staged entries carry footer min/max stats for data skipping
+    new = [e for e in man["files"] if e["partition"] == "c"]
+    assert new and new[0]["stats"]["k"] == [9, 9]
+    assert new[0]["n_rows"] == 1 and new[0]["bytes"] > 0
+    # v1's files carried forward verbatim (copy-on-write append)
+    v1_files = {e["file"] for e in vs._read_manifest(store, 1)["files"]}
+    assert v1_files < {e["file"] for e in man["files"]}
+
+    want = [("a", 1, 10), ("a", 2, 20), ("b", 3, 30), ("c", 9, 90)]
+    got_engine = sorted(
+        (r.part, r.k, r.v) for r in vs.read_version(spark, store).collect()
+    )
+    got_source = sorted(
+        (r.part, r.k, r.v)
+        for r in spark.read.format("vstore").load(store).collect()
+    )
+    assert got_engine == got_source == want
+    # time travel still sees v1
+    assert vs.read_version(spark, store, 1).count() == 3
+
+
+def test_append_schema_evolution_and_incompatible_raise(registered, tmp_path):
+    """Appends reconcile schemas like the engine path: additive
+    columns null-fill old files, widening upgrades the recorded type,
+    and an off-ladder change raises (files left for vacuum, no commit)."""
+    import engine.versioned_store as vs
+
+    spark = registered
+    store = str(tmp_path / "evo")
+    spark.createDataFrame(
+        [("a", 1, 10)], "part string, k int, v int"
+    ).write.format("vstore").option("partition_col", "part").mode(
+        "overwrite"
+    ).save(store)
+
+    # additive + widening in one append
+    spark.createDataFrame(
+        [("b", 2**40, 20, "x")], "part string, k long, v int, extra string"
+    ).write.format("vstore").mode("append").save(store)
+    df = spark.read.format("vstore").load(store)
+    assert dict(df.dtypes)["k"] == "bigint"
+    got = sorted(
+        (r.part, r.k, r.v, r.extra) for r in df.collect()
+    )
+    assert got == [("a", 1, 10, None), ("b", 2**40, 20, "x")]
+
+    # incompatible type change: no commit, head unchanged
+    with pytest.raises(Exception, match="widen|incompatible|type"):
+        spark.createDataFrame(
+            [("c", "oops", 1, "y")],
+            "part string, k string, v int, extra string",
+        ).write.format("vstore").mode("append").save(store)
+    assert vs.current_version(store) == 2
+
+
+def test_fresh_store_requires_partition_col(registered, tmp_path):
+    spark = registered
+    with pytest.raises(Exception, match="partition_col"):
+        spark.createDataFrame(
+            [("a", 1)], "part string, k long"
+        ).write.format("vstore").mode("overwrite").save(
+            str(tmp_path / "nopcol")
+        )
+
+
+def test_null_partition_value_fails_the_write(registered, tmp_path):
+    import engine.versioned_store as vs
+
+    spark = registered
+    store = str(tmp_path / "nулls")
+    with pytest.raises(Exception, match="null"):
+        spark.createDataFrame(
+            [(None, 1)], "part string, k long"
+        ).write.format("vstore").option("partition_col", "part").mode(
+            "overwrite"
+        ).save(store)
+    assert vs.current_version(store) == 0
+
+
+def test_append_commit_rebases_over_a_lost_claim(spark, tmp_path):
+    """Blind-append OCC: stage a task's files locally (write() is
+    plain Python), let a racing commit claim the next version, then
+    commit — the append must rebase onto the new head and land with
+    BOTH writers' rows, like Delta's AppendOnly conflict rule."""
+    import pyarrow as pa
+
+    import engine.versioned_store as vs
+    from engine.sources.vstore_datasource import VStoreBatchWriter
+
+    store = str(tmp_path / "occ")
+    vs.commit_overwrite(
+        spark.createDataFrame([("a", 1)], "part string, k long"),
+        store,
+        "part",
+    )
+    schema = spark.createDataFrame([("a", 1)], "part string, k long").schema
+    w = VStoreBatchWriter({"path": store}, schema, overwrite=False)
+    msg = w.write(
+        iter(
+            pa.table(
+                {"part": ["b"], "k": [2]},
+                schema=pa.schema(
+                    [("part", pa.string()), ("k", pa.int64())]
+                ),
+            ).to_batches()
+        )
+    )
+    # a racing writer lands first: the sink's claim of v2 will lose
+    vs.commit_upsert(
+        spark,
+        store,
+        spark.createDataFrame([("z", 9)], "part string, k long"),
+        ["part", "k"],
+    )
+    w.commit([msg])
+    assert vs.current_version(store) == 3
+    got = sorted(
+        (r.part, r.k) for r in vs.read_version(spark, store).collect()
+    )
+    assert got == [("a", 1), ("b", 2), ("z", 9)]
+
+
+def test_streaming_sink_versions_per_batch_and_retry_idempotence(
+    spark, tmp_path
+):
+    """writeStream.format('vstore'): one version per microbatch with
+    the batch tag recorded; a RETRIED commit of the same batch id
+    discards its staged files instead of double-appending."""
+    import pyarrow as pa
+
+    import engine.versioned_store as vs
+    from engine.sources.vstore_datasource import (
+        VStoreStreamWriter,
+        register_vstore,
+    )
+
+    register_vstore(spark)
+    root = tmp_path
+    store, src, ckpt = (
+        str(root / "s"),
+        str(root / "in"),
+        str(root / "ck"),
+    )
+    spark.createDataFrame(
+        [("a", 1), ("b", 3)], "part string, k long"
+    ).write.parquet(src)
+    q = (
+        spark.readStream.schema("part string, k long")
+        .parquet(src)
+        .writeStream.format("vstore")
+        .option("partition_col", "part")
+        .option("path", store)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert vs.current_version(store) == 1
+    assert vs._read_manifest(store, 1)["streaming_batch"] == "stream:0"
+    assert sorted(
+        (r.part, r.k) for r in vs.read_version(spark, store).collect()
+    ) == [("a", 1), ("b", 3)]
+
+    # simulate Spark retrying batch 0 after a driver failure: the
+    # writer stages again, then commit() sees the tag and discards
+    schema = spark.createDataFrame([("a", 1)], "part string, k long").schema
+    w = VStoreStreamWriter({"path": store}, schema, overwrite=False)
+    msg = w.write(
+        iter(
+            pa.table(
+                {"part": ["a"], "k": [1]},
+                schema=pa.schema(
+                    [("part", pa.string()), ("k", pa.int64())]
+                ),
+            ).to_batches()
+        )
+    )
+    staged = os.path.join(store, "data", msg.entries[0]["file"])
+    assert os.path.exists(staged)
+    w.commit([msg], 0)
+    assert vs.current_version(store) == 1  # no duplicate version
+    assert not os.path.exists(staged)  # staged duplicate discarded
+
+
+def test_sink_commit_carries_bloom_sidecars(spark, tmp_path):
+    """A sink append cannot BUILD blooms (sessionless commit worker)
+    but must not sever the chain: carried files keep their blooms in
+    the new version's sidecar, new files are unbloomed (kept on point
+    probes — conservative, exact)."""
+    import engine.versioned_store as vs
+    from engine.sources.vstore_datasource import register_vstore
+
+    register_vstore(spark)
+    store = str(tmp_path / "bloom")
+    vs.commit_overwrite(
+        spark.createDataFrame(
+            [("a", 1), ("b", 3)], "part string, k long"
+        ),
+        store,
+        "part",
+        bloom_cols=["k"],
+        bloom_bits=256,
+    )
+    spark.createDataFrame(
+        [("c", 9)], "part string, k long"
+    ).write.format("vstore").mode("append").save(store)
+    side = vs._read_bloom_sidecar(store, 2)
+    assert side is not None and side["cols"] == ["k"]
+    v1_files = {e["file"] for e in vs._read_manifest(store, 1)["files"]}
+    assert set(side["files"]) == v1_files  # carried, new file unbloomed
+    # point probe stays exact: k=9 lives in the unbloomed new file
+    got = vs.read_version(spark, store, point_filters={"k": 9})
+    assert [(r.part, r.k) for r in got.collect()] == [("c", 9)]
+    # and k=1 pruning still bites via the carried blooms
+    assert len(
+        vs._bloom_prune(
+            vs._read_manifest(store, 2)["files"], side, {"k": 1}
+        )
+    ) < len(vs._read_manifest(store, 2)["files"])
