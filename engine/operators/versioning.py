@@ -3390,3 +3390,146 @@ def store_format_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "facet string, n bigint, n_tokens bigint, h bigint",
     )
     return read_f.unionByName(feed_f).unionByName(meta_f)
+
+
+# -- the store as a STREAMING SOURCE, oracled ------------------------------------
+#
+# Round 9 makes the store readable as a Structured Streaming source
+# (engine/sources/vstore_stream.py): offsets are versions, a
+# microbatch is a (start, end] version window, and `read_changes`
+# tails the row-level change feed with `_commit_version` attribution
+# — Delta's streaming-CDF read, over this store's manifests. This
+# query pins the whole path cross-engine: build a four-version store
+# (overwrite, upsert with updates+inserts, delete, compaction),
+# consume the FULL history through `spark.readStream.format("vstore")`
+# with availableNow, and hash the feed per (commit, change type). The
+# compaction version contributes nothing — OPTIMIZE's CDC-invisibility
+# holds through the streaming surface too (an extra facet row would
+# hash-mismatch the oracle, which replays versions 1-3 relationally
+# and knows nothing of v4).
+#
+# 100 TB shape: planning is O(manifests in the window) driver-side
+# JSON; each task diffs ONE storage partition's unshared files, so
+# work ∝ churn (copy-on-write makes unshared files = touched
+# partitions) and a quiet table costs nothing per trigger.
+
+_SSRC_ORACLE = """
+WITH rows0 AS (
+  SELECT source, doc_id, text FROM documents
+  WHERE source IN ('src7', 'src8')
+),
+upd AS (
+  SELECT source, doc_id, text || ' [u]' AS text
+  FROM rows0 WHERE doc_id % 3 = 0
+),
+ins AS (
+  SELECT source, doc_id + 100000 AS doc_id, text || ' [i]' AS text
+  FROM rows0 WHERE doc_id % 3 = 1
+),
+feed AS (
+  SELECT 1 AS v, 'insert' AS t, source, doc_id, text FROM rows0
+  UNION ALL
+  SELECT 2, 'update_preimage', source, doc_id, text
+  FROM rows0 WHERE doc_id % 3 = 0
+  UNION ALL SELECT 2, 'update_postimage', source, doc_id, text FROM upd
+  UNION ALL SELECT 2, 'insert', source, doc_id, text FROM ins
+  UNION ALL
+  SELECT 3, 'delete', source, doc_id, text
+  FROM rows0 WHERE doc_id % 3 = 2
+)
+SELECT 'cdf:' || CAST(v AS VARCHAR) || ':' || t AS facet,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(bit_xor({row_h}) AS BIGINT) AS h
+FROM feed GROUP BY v, t
+"""
+
+
+def _ssrc_oracle() -> str:
+    from engine.operators.corpus_build import _ROW_H_DUCK
+
+    return _SSRC_ORACLE.format(row_h=_ROW_H_DUCK)
+
+
+@query(
+    "store_stream_source",
+    oracle=_ssrc_oracle(),
+    tags=("streaming", "versioning", "cdc", "datasource", "documents"),
+    exported=False,  # library: the streaming CDF source, oracled
+)
+def store_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store as a streaming source (section comment): four
+    versions committed, full history consumed via
+    readStream.format('vstore') + read_changes, feed hashed per
+    (commit, change type); the compaction version must vanish."""
+    import uuid as _uuid
+
+    import engine.versioned_store as vs
+    from engine.sources.vstore_datasource import register_vstore
+
+    store = corpus_out_dir(sf_dir) + "_streamsrc"
+    shutil.rmtree(store, ignore_errors=True)
+    register_vstore(spark)
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src7", "src8")
+    ).select("source", "doc_id", "text")
+    vs.commit_overwrite(_corpus_store_rows(docs), store, "source")
+    chg = _corpus_store_rows(
+        docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+            "text", F.concat("text", F.lit(" [u]"))
+        )
+    ).unionByName(
+        _corpus_store_rows(
+            docs.filter(F.col("doc_id") % 3 == 1)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+            .withColumn("text", F.concat("text", F.lit(" [i]")))
+        )
+    )
+    vs.commit_upsert(spark, store, chg, ["source", "doc_id"])
+    vs.commit_delete(
+        spark,
+        store,
+        docs.filter(F.col("doc_id") % 3 == 2).select("source", "doc_id"),
+        ["source", "doc_id"],
+    )
+    vs.compact_version(spark, store)  # v4: pure file movement
+
+    qname = f"sss_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ssrc-ckpt-")
+    try:
+        q = (
+            spark.readStream.format("vstore")
+            .option("read_changes", "true")
+            .option("key_cols", "source,doc_id")
+            .option("starting_version", "1")
+            .load(store)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.table(qname)
+        .groupBy("_commit_version", "_change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("bit_xor(h)").cast("bigint").alias("h"),
+        )
+        .select(
+            F.concat(
+                F.lit("cdf:"),
+                F.col("_commit_version").cast("string"),
+                F.lit(":"),
+                "_change_type",
+            ).alias("facet"),
+            "n",
+            "n_tokens",
+            "h",
+        )
+    )

@@ -567,11 +567,29 @@ class VStoreDataSource(DataSource):
         return "vstore"
 
     def schema(self) -> str:
-        from engine.versioned_store import _read_manifest, current_version
+        from engine.versioned_store import (
+            _norm_pcols,
+            _read_manifest,
+            current_version,
+        )
 
         store = self.options.get("path")
         if not store:
             raise ValueError("vstore source requires .load(<store path>)")
+        if str(self.options.get("read_changes", "")).lower() == "true":
+            # change-feed relation: table schema + CDF metadata columns
+            # (streaming also carries _commit_version; a batch window
+            # nets changes so per-commit attribution is undefined)
+            from engine.sources.vstore_stream import _cdf_ddl
+
+            tv = self.options.get("to_version")
+            v = int(tv) if tv is not None else current_version(store)
+            man = _read_manifest(store, v)
+            return _cdf_ddl(
+                man.get("columns") or "",
+                _norm_pcols(man["partition_col"]),
+                streaming="from_version" not in self.options,
+            )
         v = self.options.get("version")
         version = int(v) if v is not None else current_version(store)
         # PIN the resolved version into the options the reader sees:
@@ -585,8 +603,17 @@ class VStoreDataSource(DataSource):
         self.options["version"] = str(version)
         return _store_schema_ddl(_read_manifest(store, version))
 
-    def reader(self, schema: StructType) -> VStoreReader:
+    def reader(self, schema: StructType) -> DataSourceReader:
+        if str(self.options.get("read_changes", "")).lower() == "true":
+            from engine.sources.vstore_stream import VStoreCDFBatchReader
+
+            return VStoreCDFBatchReader(dict(self.options), schema)
         return VStoreReader(dict(self.options), schema)
+
+    def streamReader(self, schema: StructType):
+        from engine.sources.vstore_stream import VStoreStreamReader
+
+        return VStoreStreamReader(dict(self.options), schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> VStoreBatchWriter:
         return VStoreBatchWriter(dict(self.options), schema, overwrite)

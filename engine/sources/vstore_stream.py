@@ -1,0 +1,437 @@
+"""Streaming and change-feed READS for the vstore data source: the
+store as a Structured Streaming SOURCE and as a batch CDF relation —
+the read-side complement of the round-9 sink, closing the Delta-
+parity loop (`readStream` on a table / `readChangeFeed`):
+
+    spark.readStream.format("vstore").load(store)             # append tail
+    spark.readStream.format("vstore")                         # CDF tail
+         .option("read_changes", "true")
+         .option("key_cols", "source,doc_id").load(store)
+    spark.read.format("vstore")                               # batch CDF
+        .option("read_changes", "true").option("key_cols", ...)
+        .option("from_version", 3).load(store)
+
+Offsets ARE versions: the store's manifest chain is already a totally
+ordered commit log, so `initialOffset`/`latestOffset` are one
+`current_version()` call and a microbatch is a (start, end] version
+window — no extra bookkeeping, and a restart resumes from the
+checkpointed version exactly.
+
+Two streaming modes, mirroring Delta's source semantics:
+
+* **append mode** (default): each version contributes the rows of the
+  files it ADDED. Exact for append-only producers (the vstore sink,
+  corpus ingest). A version that also REMOVED files is a rewrite
+  (upsert/merge/delete/OPTIMIZE) whose effect is NOT expressible as
+  plain appended rows — the reader RAISES (Delta: "Detected a data
+  update... not supported"), unless `skip_change_commits` is set, in
+  which case such versions are skipped wholesale (Delta's
+  `skipChangeCommits`).
+* **CDF mode** (`read_changes` + `key_cols`): each version
+  contributes row-level changes vs its predecessor — `_change_type`
+  in {insert, delete, update_preimage, update_postimage} plus
+  `_commit_version` — with `table_changes`' exact semantics
+  (content-identical rows emit nothing, so compaction steps are
+  CDC-invisible). The diff runs EXECUTOR-side, one task per (version,
+  storage partition) whose file set changed: copy-on-write means a
+  version's unshared files are its touched partitions, so tasks ∝
+  churn and per-task memory ∝ one partition's changed files — never
+  the table. (The engine's `table_changes` computes the same net diff
+  as one distributed join; the source's per-partition form is what a
+  session-less planner can ship to executors.)
+
+Batch CDF (`spark.read` + `read_changes`) reuses the same partition
+planning and diff kernel for one (from_version, to_version] window
+per VERSION STEP, i.e. it equals the concatenation of the stream's
+microbatches over that window.
+
+Schema evolution: the stream's schema is resolved once at query
+start; later widening steps upcast in-flight (safe casts only — an
+overflowing narrow cast raises rather than truncating); an ADDITIVE
+column appearing mid-stream is invisible until the query restarts,
+exactly Delta's behavior.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+_META_APPEND = ""  # append mode: plain table schema
+
+
+def _cdf_ddl(columns: str, pcols: list[str], streaming: bool) -> str:
+    pddl = ", ".join(f"{c} string" for c in pcols)
+    base = f"{columns}, {pddl}" if columns else pddl
+    base += ", _change_type string"
+    if streaming:
+        base += ", _commit_version bigint"
+    return base
+
+
+def _parse_key_cols(options: dict) -> list[str]:
+    raw = options.get("key_cols")
+    if not raw:
+        raise ValueError(
+            "change-feed reads require the key_cols option"
+            " (comma-separated; must include the partition column(s))"
+        )
+    return [c.strip() for c in raw.split(",") if c.strip()]
+
+
+class _EmptyPartition(InputPartition):
+    """A no-row placeholder: Spark's Python stream reader requires a
+    non-empty partition list even for an empty microbatch."""
+
+    def __init__(self):
+        self.kind = "empty"
+
+
+class _AppendFilePartition(InputPartition):
+    def __init__(self, path: str, pvals: tuple, pcols: tuple):
+        self.kind = "append"
+        self.path = path
+        self.pvals = pvals
+        self.pcols = pcols
+
+
+class _CDFPartition(InputPartition):
+    """One (version step, storage partition) diff unit: the files the
+    step removed (`a_files`) and added (`b_files`) for one partition
+    value, plus each side's recorded data-file DDL (they differ across
+    a widening step)."""
+
+    def __init__(
+        self,
+        pval: tuple,
+        pcols: tuple,
+        a_files: list[str],
+        b_files: list[str],
+        key_cols: tuple,
+        a_ddl: str | None,
+        b_ddl: str | None,
+        commit_version: int | None,
+    ):
+        self.kind = "cdf"
+        self.pval = pval
+        self.pcols = pcols
+        self.a_files = a_files
+        self.b_files = b_files
+        self.key_cols = key_cols
+        self.a_ddl = a_ddl
+        self.b_ddl = b_ddl
+        self.commit_version = commit_version
+
+
+def _veq(a, b) -> bool:
+    """Value equality with SQL-source semantics: None==None, NaN==NaN
+    (Spark treats NaN as equal to itself in eqNullSafe)."""
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or (a != a and b != b)
+    return a == b
+
+
+def _load_side(store: str, files: list[str], pval: tuple, pcols: tuple,
+               names: list[str]) -> dict:
+    """{key-independent row dict}: read one side's files with pyarrow,
+    restore the partition columns as constants, null-fill columns the
+    (older) side's files lack, and return {row-index: [values by
+    `names` order]} as a plain list of rows."""
+    import pyarrow.parquet as pq
+
+    rows: list[list] = []
+    for f in files:
+        t = pq.read_table(os.path.join(store, "data", f))
+        cols = []
+        for n in names:
+            if n in pcols:
+                cols.append([pval[pcols.index(n)]] * t.num_rows)
+            elif n in t.column_names:
+                cols.append(t.column(n).to_pylist())
+            else:
+                cols.append([None] * t.num_rows)
+        rows.extend([list(r) for r in zip(*cols)] if t.num_rows else [])
+    return rows
+
+
+class _ReadKernels:
+    """Executor-side read() shared by the stream and batch-CDF
+    readers. `self.schema_` is the RESOLVED output StructType."""
+
+    schema_: StructType
+    store: str
+
+    def read(self, partition) -> Iterator:
+        if partition.kind == "empty":
+            return iter(())
+        if partition.kind == "append":
+            return self._read_append(partition)
+        return self._read_cdf(partition)
+
+    def _arrow_target(self):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(self.schema_)
+
+    def _read_append(self, p: _AppendFilePartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        target = self._arrow_target()
+        table = pq.read_table(p.path)
+        n = table.num_rows
+        cols = []
+        for field in target:
+            if field.name == "_commit_version":
+                cols.append(
+                    pa.array([getattr(p, "commit_version", None)] * n,
+                             type=field.type)
+                )
+            elif field.name in p.pcols:
+                cols.append(
+                    pa.array(
+                        [p.pvals[p.pcols.index(field.name)]] * n,
+                        type=field.type,
+                    )
+                )
+            elif field.name in table.column_names:
+                # safe cast: widening upcasts; an overflow RAISES
+                # instead of truncating (restart the query to adopt a
+                # widened schema)
+                cols.append(
+                    table.column(field.name).cast(field.type).combine_chunks()
+                )
+            else:
+                cols.append(pa.nulls(n, type=field.type))
+        yield from pa.table(cols, schema=target).to_batches(
+            max_chunksize=1 << 16
+        )
+
+    def _read_cdf(self, p: _CDFPartition) -> Iterator:
+        import pyarrow as pa
+
+        target = self._arrow_target()
+        meta = {"_change_type", "_commit_version"}
+        names = [f.name for f in target if f.name not in meta]
+        key_idx = [names.index(k) for k in p.key_cols]
+        val_idx = [i for i in range(len(names)) if i not in key_idx]
+
+        a_rows = _load_side(self.store, p.a_files, p.pval, p.pcols, names)
+        b_rows = _load_side(self.store, p.b_files, p.pval, p.pcols, names)
+        a_by_key = {tuple(r[i] for i in key_idx): r for r in a_rows}
+        b_by_key = {tuple(r[i] for i in key_idx): r for r in b_rows}
+
+        out: list[list] = []
+
+        def emit(row, ct):
+            out.append(row + [ct, p.commit_version])
+
+        for k, b in b_by_key.items():
+            a = a_by_key.get(k)
+            if a is None:
+                emit(b, "insert")
+            elif not all(_veq(a[i], b[i]) for i in val_idx):
+                emit(a, "update_preimage")
+                emit(b, "update_postimage")
+        for k, a in a_by_key.items():
+            if k not in b_by_key:
+                emit(a, "delete")
+        if not out:
+            return
+        by_field = list(zip(*out))
+        cols = []
+        for j, field in enumerate(target):
+            if field.name == "_commit_version" and p.commit_version is None:
+                continue  # batch CDF: net window, no per-commit column
+            src = (
+                by_field[names.index(field.name)]
+                if field.name in names
+                else by_field[len(names)] if field.name == "_change_type"
+                else by_field[len(names) + 1]
+            )
+            cols.append(pa.array(list(src), type=field.type))
+        yield from pa.table(cols, schema=target).to_batches(
+            max_chunksize=1 << 16
+        )
+
+
+def _step_units(
+    store: str, va: int, vb: int, key_cols, commit_version
+) -> list[_CDFPartition]:
+    """CDF partition units for ONE version step: unshared files
+    grouped per storage partition value."""
+    from engine.versioned_store import (
+        _norm_pcols,
+        _norm_pval,
+        _read_manifest,
+        _unshared_entries,
+    )
+
+    mb = _read_manifest(store, vb)
+    # va == 0 is the empty pre-history: every v1 row is an insert
+    # (starting_version=1 / from_version=0 replay the full history)
+    ma = (
+        _read_manifest(store, va)
+        if va > 0
+        else {"partition_col": mb["partition_col"], "files": [],
+              "columns": mb.get("columns")}
+    )
+    if ma["partition_col"] != mb["partition_col"]:
+        raise ValueError(
+            f"versions v{va}/v{vb} use different partition columns; a"
+            " change feed across a re-partitioning boundary is not"
+            " defined"
+        )
+    pcols = tuple(_norm_pcols(ma["partition_col"]))
+    a_only, b_only = _unshared_entries(ma, mb)
+    grouped: dict[tuple, tuple[list, list]] = {}
+    for e in a_only:
+        grouped.setdefault(_norm_pval(e["partition"]), ([], []))[0].append(
+            e["file"]
+        )
+    for e in b_only:
+        grouped.setdefault(_norm_pval(e["partition"]), ([], []))[1].append(
+            e["file"]
+        )
+    return [
+        _CDFPartition(
+            pval,
+            pcols,
+            af,
+            bf,
+            tuple(key_cols),
+            ma.get("columns"),
+            mb.get("columns"),
+            commit_version,
+        )
+        for pval, (af, bf) in sorted(grouped.items())
+    ]
+
+
+class VStoreCDFBatchReader(_ReadKernels, DataSourceReader):
+    """Batch change-feed relation: the NET row-level diff of a
+    (from_version, to_version] window — `table_changes`' semantics
+    through Spark's own reader API (no `_commit_version` column: the
+    window nets internally-cancelling changes)."""
+
+    def __init__(self, options: dict, schema: StructType):
+        from engine.versioned_store import current_version
+
+        self.store = options.get("path")
+        if not self.store:
+            raise ValueError("vstore source requires .load(<store path>)")
+        self.schema_ = schema
+        self.key_cols = _parse_key_cols(options)
+        fv = options.get("from_version")
+        if fv is None:
+            raise ValueError(
+                "batch change-feed reads require from_version (the"
+                " exclusive lower version bound)"
+            )
+        self.va = int(fv)
+        tv = options.get("to_version")
+        self.vb = int(tv) if tv is not None else current_version(self.store)
+        missing = [
+            k for k in self.key_cols
+            if k not in {f.name for f in schema.fields}
+        ]
+        if missing:
+            raise ValueError(f"key_cols {missing} not in the table schema")
+
+    def partitions(self):
+        units = _step_units(
+            self.store, self.va, self.vb, self.key_cols, None
+        )
+        return units or [_EmptyPartition()]
+
+
+class VStoreStreamReader(_ReadKernels, DataSourceStreamReader):
+    """The store as a streaming source — see the module docstring."""
+
+    def __init__(self, options: dict, schema: StructType):
+        from engine.versioned_store import current_version
+
+        self.store = options.get("path")
+        if not self.store:
+            raise ValueError("vstore source requires .load(<store path>)")
+        self.schema_ = schema
+        self.cdf = str(options.get("read_changes", "")).lower() == "true"
+        self.key_cols = _parse_key_cols(options) if self.cdf else []
+        self.skip_change_commits = (
+            str(options.get("skip_change_commits", "")).lower() == "true"
+        )
+        sv = options.get("starting_version")
+        # offset = last PROCESSED version; starting_version v means
+        # "include v's changes", so the initial offset is v-1. Without
+        # it, the stream tails FUTURE commits only (offset = head).
+        self._initial = (
+            int(sv) - 1 if sv is not None else current_version(self.store)
+        )
+
+    def initialOffset(self) -> dict:
+        return {"version": self._initial}
+
+    def latestOffset(self) -> dict:
+        from engine.versioned_store import current_version
+
+        return {"version": current_version(self.store)}
+
+    def partitions(self, start: dict, end: dict):
+        from engine.versioned_store import (
+            _norm_pcols,
+            _norm_pval,
+            _read_manifest,
+            _unshared_entries,
+        )
+
+        out: list[InputPartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            if self.cdf:
+                out.extend(
+                    _step_units(self.store, v - 1, v, self.key_cols, v)
+                )
+                continue
+            mb = _read_manifest(self.store, v)
+            ma = (
+                _read_manifest(self.store, v - 1)
+                if v > 1
+                else {"partition_col": mb["partition_col"], "files": []}
+            )
+            if ma["partition_col"] != mb["partition_col"]:
+                raise ValueError(
+                    f"version {v} re-partitioned the store; an append"
+                    " stream cannot cross that boundary"
+                )
+            a_only, b_only = _unshared_entries(ma, mb)
+            if a_only:
+                if self.skip_change_commits:
+                    continue  # rewrite/delete/compaction step: skipped
+                raise ValueError(
+                    f"version {v} updated or removed rows, which an"
+                    " append-mode stream cannot represent; set"
+                    " skip_change_commits to skip such versions, or"
+                    " read with read_changes + key_cols for the full"
+                    " change feed"
+                )
+            pcols = tuple(_norm_pcols(mb["partition_col"]))
+            for e in b_only:
+                p = _AppendFilePartition(
+                    os.path.join(self.store, "data", e["file"]),
+                    _norm_pval(e["partition"]),
+                    pcols,
+                )
+                p.commit_version = v
+                out.append(p)
+        return out or [_EmptyPartition()]
+
+    def commit(self, end: dict) -> None:
+        pass  # versions are retained by the store's own vacuum policy

@@ -1,0 +1,301 @@
+"""The vstore STREAMING source and batch CDF relation
+(engine/sources/vstore_stream.py): offsets are store versions; CDF
+steps diff executor-side per changed storage partition."""
+
+import pytest
+
+
+@pytest.fixture()
+def story(spark, tmp_path):
+    """A four-version store with every change class: v1 base, v2
+    upsert (update + insert), v3 delete, v4 sink append."""
+    import engine.versioned_store as vs
+    from engine.sources.vstore_datasource import register_vstore
+
+    register_vstore(spark)
+    store = str(tmp_path / "s")
+    vs.commit_overwrite(
+        spark.createDataFrame(
+            [("a", 1, "x"), ("a", 2, "y"), ("b", 3, "z")],
+            "part string, k long, v string",
+        ),
+        store,
+        "part",
+    )
+    vs.commit_upsert(
+        spark,
+        store,
+        spark.createDataFrame(
+            [("a", 1, "X!"), ("c", 9, "n")], "part string, k long, v string"
+        ),
+        ["part", "k"],
+    )
+    vs.commit_delete(
+        spark,
+        store,
+        spark.createDataFrame([("b", 3)], "part string, k long"),
+        ["part", "k"],
+    )
+    spark.createDataFrame(
+        [("d", 7, "app")], "part string, k long, v string"
+    ).write.format("vstore").mode("append").save(store)
+    return store
+
+
+def _run_stream(spark, reader, name, ckpt):
+    q = (
+        reader.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"select * from {name}")
+
+
+def test_batch_cdf_equals_table_changes(spark, story):
+    """spark.read + read_changes must emit exactly table_changes' net
+    window (and no _commit_version column — a net window cannot
+    attribute changes to commits)."""
+    import engine.versioned_store as vs
+
+    got = (
+        spark.read.format("vstore")
+        .option("read_changes", "true")
+        .option("key_cols", "part,k")
+        .option("from_version", "1")
+        .load(story)
+    )
+    assert "_commit_version" not in got.columns
+    want = vs.table_changes(spark, story, 1, 4, ["part", "k"])
+    key = lambda r: (r["part"], r["k"], r["_change_type"])  # noqa: E731
+    assert sorted(
+        (r.part, r.k, r.v, r._change_type) for r in got.collect()
+    ) == sorted(
+        (r.part, r.k, r.v, r._change_type) for r in want.collect()
+    )
+    # sub-window + to_version pin
+    got13 = (
+        spark.read.format("vstore")
+        .option("read_changes", "true")
+        .option("key_cols", "part,k")
+        .option("from_version", "1")
+        .option("to_version", "3")
+        .load(story)
+    )
+    want13 = vs.table_changes(spark, story, 1, 3, ["part", "k"])
+    assert sorted(map(key, got13.collect())) == sorted(
+        map(key, want13.collect())
+    )
+
+
+def test_streaming_cdf_full_history_with_commit_attribution(
+    spark, story, tmp_path
+):
+    """starting_version=1 replays the whole history: v1 as inserts,
+    then each version's changes tagged with its _commit_version."""
+    got = _run_stream(
+        spark,
+        spark.readStream.format("vstore")
+        .option("read_changes", "true")
+        .option("key_cols", "part,k")
+        .option("starting_version", "1")
+        .load(story),
+        "cdf_hist",
+        str(tmp_path / "ck"),
+    )
+    rows = sorted(
+        (r.part, r.k, r.v, r._change_type, r._commit_version)
+        for r in got.collect()
+    )
+    assert rows == [
+        ("a", 1, "X!", "update_postimage", 2),
+        ("a", 1, "x", "insert", 1),
+        ("a", 1, "x", "update_preimage", 2),
+        ("a", 2, "y", "insert", 1),
+        ("b", 3, "z", "delete", 3),
+        ("b", 3, "z", "insert", 1),
+        ("c", 9, "n", "insert", 2),
+        ("d", 7, "app", "insert", 4),
+    ]
+
+
+def test_streaming_resumes_from_checkpoint_and_skips_compaction(
+    spark, story, tmp_path
+):
+    """A second availableNow run on the same checkpoint emits ONLY
+    post-checkpoint versions; a compaction step (pure file movement)
+    emits nothing — OPTIMIZE is CDC-invisible in the stream too."""
+    import engine.versioned_store as vs
+
+    ckpt = str(tmp_path / "ck2")
+    out = str(tmp_path / "out")  # parquet sink: supports recovery
+    # (the memory sink cannot resume a checkpoint)
+
+    def run():
+        q = (
+            spark.readStream.format("vstore")
+            .option("read_changes", "true")
+            .option("key_cols", "part,k")
+            .option("starting_version", "1")
+            .load(story)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    assert spark.read.parquet(out).count() == 8
+
+    # new commits land: one real change + one compaction
+    vs.commit_upsert(
+        spark,
+        story,
+        spark.createDataFrame([("a", 2, "Y!")], "part string, k long, v string"),
+        ["part", "k"],
+    )
+    vs.compact_version(spark, story)
+    run()
+
+    rows = sorted(
+        (r.part, r.k, r.v, r._change_type, r._commit_version)
+        for r in spark.read.parquet(out).collect()
+        if r._commit_version >= 5
+    )
+    # exactly v5's update arrived on resume — no replay of v1-v4, and
+    # v6 (compaction) contributed zero rows
+    assert spark.read.parquet(out).count() == 10
+    assert rows == [
+        ("a", 2, "Y!", "update_postimage", 5),
+        ("a", 2, "y", "update_preimage", 5),
+    ]
+
+
+def test_append_mode_rows_and_rewrite_guard(spark, story, tmp_path):
+    """Append mode without skip_change_commits raises on a rewrite
+    version; with it, only append-only versions' added rows flow."""
+    with pytest.raises(Exception, match="updated or removed rows"):
+        _run_stream(
+            spark,
+            spark.readStream.format("vstore")
+            .option("starting_version", "1")
+            .load(story),
+            "ap_raise",
+            str(tmp_path / "cka"),
+        ).collect()
+
+    got = _run_stream(
+        spark,
+        spark.readStream.format("vstore")
+        .option("starting_version", "1")
+        .option("skip_change_commits", "true")
+        .load(story),
+        "ap_ok",
+        str(tmp_path / "ckb"),
+    )
+    # v1 (initial snapshot = pure adds) and v4 (sink append) flow;
+    # v2/v3 are rewrites and are skipped wholesale
+    assert sorted((r.part, r.k, r.v) for r in got.collect()) == [
+        ("a", 1, "x"),
+        ("a", 2, "y"),
+        ("b", 3, "z"),
+        ("d", 7, "app"),
+    ]
+    # schema is the plain table schema
+    assert sorted(got.columns) == ["k", "part", "v"]
+
+
+def test_cdf_requires_key_cols_and_tails_future_only_by_default(
+    spark, story, tmp_path
+):
+    import engine.versioned_store as vs
+
+    with pytest.raises(Exception, match="key_cols"):
+        (
+            spark.read.format("vstore")
+            .option("read_changes", "true")
+            .option("from_version", "1")
+            .load(story)
+            .collect()
+        )
+    # no starting_version: the stream tails FUTURE commits only
+    # (parquet sink — the memory sink cannot resume a checkpoint)
+    ckpt, out = str(tmp_path / "ckf"), str(tmp_path / "outf")
+
+    def run():
+        q = (
+            spark.readStream.format("vstore")
+            .option("read_changes", "true")
+            .option("key_cols", "part,k")
+            .load(story)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    import os
+
+    # no new commits: either no batch at all or an empty one
+    assert not os.path.isdir(out) or spark.read.parquet(out).count() == 0
+    vs.commit_upsert(
+        spark,
+        story,
+        spark.createDataFrame([("e", 5, "new")], "part string, k long, v string"),
+        ["part", "k"],
+    )
+    run()
+    assert [
+        (r.part, r.k, r.v, r._change_type, r._commit_version)
+        for r in spark.read.parquet(out).collect()
+    ] == [("e", 5, "new", "insert", 5)]
+
+
+def test_cdf_stream_crosses_a_widening_step(spark, tmp_path):
+    """A widening upsert (int file → bigint table) mid-history: the
+    stream resolves the WIDENED schema at query start and upcasts the
+    old versions' narrow files in-flight."""
+    import engine.versioned_store as vs
+    from engine.sources.vstore_datasource import register_vstore
+
+    register_vstore(spark)
+    store = str(tmp_path / "w")
+    vs.commit_overwrite(
+        spark.createDataFrame([("a", 1, 10)], "part string, k int, v int"),
+        store,
+        "part",
+    )
+    vs.commit_upsert(
+        spark,
+        store,
+        spark.createDataFrame(
+            [("a", 1, 2**40)], "part string, k long, v long"
+        ),
+        ["part", "k"],
+    )
+    got = _run_stream(
+        spark,
+        spark.readStream.format("vstore")
+        .option("read_changes", "true")
+        .option("key_cols", "part,k")
+        .option("starting_version", "1")
+        .load(store),
+        "cdf_widen",
+        str(tmp_path / "ckw"),
+    )
+    assert dict(got.dtypes)["v"] == "bigint"
+    assert sorted(
+        (r.part, r.k, r.v, r._change_type, r._commit_version)
+        for r in got.collect()
+    ) == [
+        ("a", 1, 10, "insert", 1),
+        ("a", 1, 10, "update_preimage", 2),
+        ("a", 1, 2**40, "update_postimage", 2),
+    ]
