@@ -199,19 +199,25 @@ class VStoreReader(DataSourceReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         target = to_arrow_schema(self.schema_)
-        table = pq.read_table(partition.path)
         # residual row filter for the pruning options (SQL semantics:
-        # a null comparison filters the row). Partition columns are
-        # constants here; columns missing from a pre-evolution file
-        # are all-null, so any predicate on them filters every row.
+        # a null comparison filters the row — pyarrow filter
+        # expressions drop null comparisons the same way). Partition
+        # columns are constants here; columns missing from a
+        # pre-evolution file are all-null, so any predicate on them
+        # filters every row. Data-column residuals are pushed into the
+        # parquet read as pyarrow filters — exact row filtering PLUS
+        # row-group-level statistics skipping inside each admitted
+        # file, one level finer than the manifest's per-file stats.
+        row_filters = []
         if partition.preds:
             import pyarrow.compute as pc
 
             ops = {
-                "eq": pc.equal,
-                "ge": pc.greater_equal,
-                "le": pc.less_equal,
+                "eq": lambda f, v: f == v,
+                "ge": lambda f, v: f >= v,
+                "le": lambda f, v: f <= v,
             }
+            file_schema = pq.read_schema(partition.path)
             for op, col, value in partition.preds:
                 if col in partition.pcols:
                     # partition columns are constants per file, typed
@@ -232,10 +238,15 @@ class VStoreReader(DataSourceReader):
                     if not ok:
                         return
                     continue
-                if col not in table.column_names:
+                if col not in file_schema.names:
+                    # pre-evolution file: the column is all-null, so
+                    # any predicate on it filters every row
                     return
-                mask = ops[op](table.column(col), value)
-                table = table.filter(pc.fill_null(mask, False))
+                row_filters.append(ops[op](pc.field(col), value))
+        expr = None
+        for f in row_filters:
+            expr = f if expr is None else expr & f
+        table = pq.read_table(partition.path, filters=expr)
         n = table.num_rows
         cols = []
         for field in target:
