@@ -173,6 +173,7 @@ def cmd_vstore(args: argparse.Namespace) -> int:
             if args.partitions else None,
             range_filters=range_f or None,
             point_filters=point_f or None,
+            as_of_timestamp=args.as_of_timestamp,
         )
         df.show(args.limit, truncate=False)
         return 0
@@ -201,6 +202,14 @@ def cmd_vstore(args: argparse.Namespace) -> int:
                 )
             if vs._read_bloom_sidecar(args.store, v):
                 extras.append("bloomed")
+            if "committed_at" in man:  # timestamp time-travel anchor
+                import datetime as _dt
+
+                extras.append(
+                    _dt.datetime.fromtimestamp(
+                        man["committed_at"], tz=_dt.timezone.utc
+                    ).strftime("at %Y-%m-%dT%H:%M:%SZ")
+                )
             print(
                 f"v{v:05d}: {kind} — {len(man['files'])} files"
                 + (f" [{', '.join(extras)}]" if extras else "")
@@ -214,7 +223,9 @@ def cmd_vstore(args: argparse.Namespace) -> int:
         print(f"rolled back to v{args.version:05d} as v{v:05d}")
         return 0
     if args.action == "vacuum":
-        removed = vs.vacuum(args.store, keep_latest=args.keep)
+        removed = vs.vacuum(
+            args.store, keep_latest=args.keep, grace_seconds=args.grace
+        )
         for name in removed:
             print(f"removed {name}")
         print(f"{len(removed)} files removed, kept latest {args.keep}")
@@ -318,7 +329,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     v.add_argument("store")
     v.add_argument("--version", type=int, default=None)
+    v.add_argument(
+        "--as-of-timestamp", type=float, default=None,
+        help="read: resolve the version by commit time (epoch seconds)"
+        " instead of --version",
+    )
     v.add_argument("--keep", type=int, default=2, help="vacuum retention")
+    v.add_argument(
+        "--grace", type=float, default=0.0,
+        help="vacuum: spare unreferenced files younger than this many"
+        " seconds (in-flight writers' staged files); 0 = offline vacuum",
+    )
     v.add_argument("--limit", type=int, default=20)
     v.add_argument(
         "--from-version", type=int, default=None,

@@ -3533,3 +3533,113 @@ def store_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h",
         )
     )
+
+
+# -- timestamp time travel, oracled ----------------------------------------------
+#
+# Round 9 adds Delta's `timestampAsOf`: every manifest records
+# `committed_at` at its claim (the commit point), and
+# `version_at_timestamp` / `read_version(as_of_timestamp=...)` / the
+# vstore source's `timestamp_as_of` OPTION resolve a wall-clock
+# instant to the latest version visible then — raising (never lying)
+# for instants before the oldest retained commit. The oracled query
+# commits two versions, reads BACK each version's own recorded commit
+# time from the store, resolves both instants plus a midpoint through
+# the real API, and facets the resolved snapshots' content — so the
+# hash pins resolution + pinned-read together while staying
+# deterministic (the timestamps come from the store, not the clock).
+
+_TST_ORACLE = """
+WITH rows0 AS (
+  SELECT source, doc_id, text FROM documents WHERE source = 'src9'
+),
+rev AS (
+  SELECT source, doc_id, text || ' [rev]' AS text
+  FROM rows0 WHERE doc_id % 2 = 0
+),
+v2 AS (
+  SELECT * FROM rows0 WHERE doc_id % 2 = 1
+  UNION ALL SELECT * FROM rev
+),
+facets AS (
+  SELECT 'asof:v1' AS facet, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(bit_xor({row_h}) AS BIGINT) AS h
+  FROM rows0
+  UNION ALL
+  SELECT 'asof:mid', CAST(count(*) AS BIGINT),
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT),
+         CAST(bit_xor({row_h}) AS BIGINT)
+  FROM rows0
+  UNION ALL
+  SELECT 'asof:v2', CAST(count(*) AS BIGINT),
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT),
+         CAST(bit_xor({row_h}) AS BIGINT)
+  FROM v2
+)
+SELECT * FROM facets
+"""
+
+
+def _tst_oracle() -> str:
+    from engine.operators.corpus_build import _ROW_H_DUCK
+
+    return _TST_ORACLE.format(row_h=_ROW_H_DUCK)
+
+
+@query(
+    "store_timestamp_travel",
+    oracle=_tst_oracle(),
+    tags=("pipeline", "versioning", "time-travel", "documents"),
+    exported=False,  # library: timestampAsOf resolution, oracled
+)
+def store_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp time travel (section comment): two commits, three
+    instants resolved through the real API — v1's recorded commit
+    time, the v1/v2 midpoint (still v1: v2 is not yet visible), and
+    v2's — each read as-of and faceted. A midpoint that resolved to
+    v2 would double-hash-mismatch (row set AND facet label)."""
+    import engine.versioned_store as vs
+
+    store = corpus_out_dir(sf_dir) + "_tstravel"
+    shutil.rmtree(store, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source") == "src9"
+    ).select("source", "doc_id", "text")
+    vs.commit_overwrite(_corpus_store_rows(docs), store, "source")
+    vs.commit_upsert(
+        spark,
+        store,
+        _corpus_store_rows(
+            docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+                "text", F.concat("text", F.lit(" [rev]"))
+            )
+        ),
+        ["source", "doc_id"],
+    )
+    t1 = vs._read_manifest(store, 1)["committed_at"]
+    t2 = vs._read_manifest(store, 2)["committed_at"]
+    # distinct instants by construction: the claim stamps strictly
+    # increasing wall-clock times per commit on any real filesystem;
+    # guard anyway so a theoretical equal-stamp run fails loudly here
+    # rather than as a confusing hash mismatch
+    assert t1 < t2, (t1, t2)
+
+    out: DataFrame | None = None
+    for label, ts in (
+        ("asof:v1", t1),
+        ("asof:mid", (t1 + t2) / 2),
+        ("asof:v2", t2),
+    ):
+        s = (
+            vs.read_version(spark, store, as_of_timestamp=ts)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+                F.expr("bit_xor(h)").cast("bigint").alias("h"),
+            )
+            .select(F.lit(label).alias("facet"), "n", "n_tokens", "h")
+        )
+        out = s if out is None else out.unionByName(s)
+    return out

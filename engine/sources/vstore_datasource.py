@@ -126,9 +126,17 @@ class VStoreReader(DataSourceReader):
         if not self.store:
             raise ValueError("vstore source requires .load(<store path>)")
         v = options.get("version")
-        self.version = int(v) if v is not None else current_version(
-            self.store
-        )
+        ts = options.get("timestamp_as_of")
+        if v is not None:
+            self.version = int(v)
+        elif ts is not None:
+            # reachable only under a caller-supplied .schema(...)
+            # (otherwise DataSource.schema() resolved and pinned it)
+            from engine.versioned_store import version_at_timestamp
+
+            self.version = version_at_timestamp(self.store, float(ts))
+        else:
+            self.version = current_version(self.store)
         self.man = _read_manifest(self.store, self.version)
         self.schema_ = schema
         numeric = {
@@ -602,7 +610,17 @@ class VStoreDataSource(DataSource):
                 streaming="from_version" not in self.options,
             )
         v = self.options.get("version")
-        version = int(v) if v is not None else current_version(store)
+        ts = self.options.get("timestamp_as_of")
+        if ts is not None:
+            if v is not None:
+                raise ValueError(
+                    "pass version or timestamp_as_of, not both"
+                )
+            from engine.versioned_store import version_at_timestamp
+
+            version = version_at_timestamp(store, float(ts))
+        else:
+            version = int(v) if v is not None else current_version(store)
         # PIN the resolved version into the options the reader sees:
         # schema() and the reader otherwise resolve current_version()
         # independently, so a commit landing between the two calls

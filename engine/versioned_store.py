@@ -80,6 +80,7 @@ import json
 import os
 import shutil
 import tempfile
+import time
 import uuid
 from urllib.parse import unquote
 
@@ -135,6 +136,38 @@ def versions(store: str) -> list[int]:
 def _read_manifest(store: str, version: int) -> dict:
     with open(_manifest_path(store, version), encoding="utf-8") as f:
         return json.load(f)
+
+
+def version_at_timestamp(store: str, ts: float) -> int:
+    """Timestamp time travel (Delta's ``timestampAsOf``): the latest
+    RETAINED version whose commit landed at or before ``ts`` (epoch
+    seconds — each manifest records ``committed_at`` at its claim).
+    Raises when ``ts`` predates the oldest retained commit (vacuum may
+    have dropped the version that was current then — resolving to a
+    LATER version would silently lie about history) and on
+    pre-round-9 manifests that never recorded a commit time."""
+    best = None
+    oldest = None
+    for v in versions(store):
+        at = _read_manifest(store, v).get("committed_at")
+        if at is None:
+            raise ValueError(
+                f"version {v} has no recorded commit time (manifest"
+                " predates timestamp recording); pin by version instead"
+            )
+        oldest = at if oldest is None else min(oldest, at)
+        if at <= ts:
+            best = v if best is None else max(best, v)
+    if best is None:
+        raise ValueError(
+            f"no retained version committed at or before {ts}"
+            + (
+                f" (oldest retained commit: {oldest})"
+                if oldest is not None
+                else " (store has no versions)"
+            )
+        )
+    return best
 
 
 class CommitConflict(RuntimeError):
@@ -215,6 +248,12 @@ def _claim_manifest(store: str, manifest: dict) -> None:
     manifest is immediately readable by racers rebasing on top of
     it (``versions()`` sees it before CURRENT advances)."""
     os.makedirs(_mdir(store), exist_ok=True)
+    # commit wall-clock time, recorded at the COMMIT POINT (the claim)
+    # so timestamp time travel (`version_at_timestamp`) resolves
+    # against when a version became VISIBLE, not when it was prepared
+    # — refreshed on every claim attempt, so a rebased retry carries
+    # the time it actually landed
+    manifest["committed_at"] = time.time()
     mpath = _manifest_path(store, manifest["version"])
     fd, tmp = tempfile.mkstemp(dir=_mdir(store))
     with os.fdopen(fd, "w", encoding="utf-8") as f:
@@ -1381,8 +1420,12 @@ def read_version(
     partition_values: list[str] | None = None,
     range_filters: dict[str, tuple] | None = None,
     point_filters: dict | None = None,
+    as_of_timestamp: float | None = None,
 ) -> DataFrame:
-    """Read a pinned snapshot (default: latest). ``partition_values``
+    """Read a pinned snapshot (default: latest). ``as_of_timestamp``
+    resolves the version by commit time instead
+    (``version_at_timestamp`` — mutually exclusive with ``version``).
+    ``partition_values``
     prunes files from the MANIFEST — catalog-side pruning, no
     filesystem listing. The partition column is restored from the
     manifest entries (data files don't carry it; it lived in the
@@ -1405,6 +1448,12 @@ def read_version(
     high-cardinality unclustered keys. Exact equality is applied
     in-plan after pruning, so false positives cost only extra files
     read, never wrong rows."""
+    if as_of_timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "pass version or as_of_timestamp, not both"
+            )
+        version = version_at_timestamp(store, as_of_timestamp)
     version = version if version is not None else current_version(store)
     man = _read_manifest(store, version)
     pcol = man["partition_col"]
@@ -1476,7 +1525,6 @@ def vacuum(
     that vacuum alongside ingest (the documented background-OPTIMIZE +
     ingest pattern) must pass a grace comfortably above their longest
     commit, e.g. 86400."""
-    import time
     if keep_latest < 1:
         raise ValueError(
             f"keep_latest must be >= 1 (got {keep_latest}): the CURRENT"

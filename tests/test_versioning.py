@@ -2348,3 +2348,60 @@ def test_vacuum_grace_period_spares_young_staged_files(spark, tmp_path):
     assert vs.vacuum(store, keep_latest=1) == [
         "v00002-deadbeef-0000.parquet"
     ]
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """Each claim records committed_at; version_at_timestamp resolves
+    the latest version visible at a wall-clock instant, read_version /
+    the vstore source accept it, and out-of-range or pre-recording
+    timestamps raise instead of lying about history."""
+    import pytest as _pytest
+
+    import engine.versioned_store as vs
+    from engine.sources.vstore_datasource import register_vstore
+
+    register_vstore(spark)
+    store = str(tmp_path / "ts")
+    vs.commit_overwrite(
+        spark.createDataFrame([("a", 1, "v1")], "part string, k long, v string"),
+        store,
+        "part",
+    )
+    vs.commit_upsert(
+        spark,
+        store,
+        spark.createDataFrame([("a", 1, "v2")], "part string, k long, v string"),
+        ["part", "k"],
+    )
+    t1 = vs._read_manifest(store, 1)["committed_at"]
+    t2 = vs._read_manifest(store, 2)["committed_at"]
+    assert t1 <= t2
+
+    assert vs.version_at_timestamp(store, t1) == 1
+    assert vs.version_at_timestamp(store, (t1 + t2) / 2) in (1, 2)
+    assert vs.version_at_timestamp(store, t2 + 10) == 2
+    with _pytest.raises(ValueError, match="no retained version"):
+        vs.version_at_timestamp(store, t1 - 10)
+
+    got = vs.read_version(spark, store, as_of_timestamp=t1)
+    assert [(r.part, r.k, r.v) for r in got.collect()] == [("a", 1, "v1")]
+    with _pytest.raises(ValueError, match="not both"):
+        vs.read_version(spark, store, 1, as_of_timestamp=t1)
+
+    # through the data source option
+    src = (
+        spark.read.format("vstore")
+        .option("timestamp_as_of", str(t1))
+        .load(store)
+    )
+    assert [(r.part, r.k, r.v) for r in src.collect()] == [("a", 1, "v1")]
+
+    # a manifest missing committed_at (pre-round-9 store) raises clearly
+    man = vs._read_manifest(store, 1)
+    del man["committed_at"]
+    import json as _json
+
+    with open(vs._manifest_path(store, 1), "w", encoding="utf-8") as f:
+        f.write(_json.dumps(man))
+    with _pytest.raises(ValueError, match="no recorded commit time"):
+        vs.version_at_timestamp(store, t2)
