@@ -187,6 +187,10 @@ def cmd_vstore(args: argparse.Namespace) -> int:
                 if "rolled_back_from" in man
                 else f"delete({man['deleted_keys']} keys)"
                 if "deleted_keys" in man
+                else "cloned_from="
+                + f"{man['cloned_from']['store']}"
+                + f"@v{man['cloned_from']['version']:05d}"
+                if "cloned_from" in man
                 else "commit"
             )
             extras = []
@@ -214,6 +218,18 @@ def cmd_vstore(args: argparse.Namespace) -> int:
                 f"v{v:05d}: {kind} — {len(man['files'])} files"
                 + (f" [{', '.join(extras)}]" if extras else "")
             )
+        return 0
+    if args.action == "clone":
+        if not args.dest:
+            print("clone requires --dest", file=sys.stderr)
+            return 2
+        vs.clone_store(None, args.store, args.dest, version=args.version)
+        src_v = (
+            args.version
+            if args.version is not None
+            else vs.current_version(args.store)
+        )
+        print(f"cloned {args.store}@v{src_v:05d} -> {args.dest}@v00001")
         return 0
     if args.action == "rollback":
         if args.version is None:
@@ -324,7 +340,7 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         choices=(
             "versions", "read", "rollback", "vacuum", "changes",
-            "compact", "history",
+            "compact", "history", "clone",
         ),
     )
     v.add_argument("store")
@@ -333,6 +349,10 @@ def main(argv: list[str] | None = None) -> int:
         "--as-of-timestamp", type=float, default=None,
         help="read: resolve the version by commit time (epoch seconds)"
         " instead of --version",
+    )
+    v.add_argument(
+        "--dest", default=None,
+        help="clone: target store path (zero-copy hard-link clone)",
     )
     v.add_argument("--keep", type=int, default=2, help="vacuum retention")
     v.add_argument(

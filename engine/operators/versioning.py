@@ -3643,3 +3643,78 @@ def store_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = s if out is None else out.unionByName(s)
     return out
+
+
+# -- zero-copy clone, oracled -----------------------------------------------------
+#
+# `clone_store` (round 9): Delta's shallow clone without its dangling-
+# reference hazard — the clone's v1 HARD-LINKS the source snapshot's
+# files, so it costs O(files) metadata and zero data movement, yet
+# either side's vacuum/delete can never brick the other (links drop
+# independently; inodes live until both sides drop them). The oracled
+# query reads the CLONE — never the source — so the hash pins that a
+# zero-copy fork serves exactly the pinned snapshot's content; inode
+# identity and two-way independence are pinned byte-level in
+# tests/test_versioning.py::test_clone_store_is_zero_copy_and_independent.
+
+_CLONE_ORACLE = """
+SELECT 'clone:' || source AS facet, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(bit_xor({row_h}) AS BIGINT) AS h
+FROM documents WHERE source = 'src10' GROUP BY source
+"""
+
+
+def _clone_oracle() -> str:
+    from engine.operators.corpus_build import _ROW_H_DUCK
+
+    return _CLONE_ORACLE.format(row_h=_ROW_H_DUCK)
+
+
+@query(
+    "store_clone_read",
+    oracle=_clone_oracle(),
+    tags=("pipeline", "versioning", "clone", "documents"),
+    exported=False,  # library: zero-copy clone content, oracled
+)
+def store_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy clone (section comment): publish src10 as a store,
+    fork it with clone_store, then REVISE THE SOURCE (so a clone that
+    secretly read through to the source would hash-mismatch) and
+    answer the facet from the clone's pinned v1."""
+    import engine.versioned_store as vs
+
+    src = corpus_out_dir(sf_dir) + "_clonesrc"
+    dst = corpus_out_dir(sf_dir) + "_clonedst"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source") == "src10"
+    ).select("source", "doc_id", "text")
+    vs.commit_overwrite(_corpus_store_rows(docs), src, "source")
+    vs.clone_store(spark, src, dst)
+    # mutate the SOURCE after the fork: the clone must not see it
+    vs.commit_upsert(
+        spark,
+        src,
+        _corpus_store_rows(
+            docs.withColumn("text", F.concat("text", F.lit(" [mut]")))
+        ),
+        ["source", "doc_id"],
+    )
+    return (
+        vs.read_version(spark, dst)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("bit_xor(h)").cast("bigint").alias("h"),
+        )
+        .select(
+            F.concat(F.lit("clone:"), "source").alias("facet"),
+            "n",
+            "n_tokens",
+            "h",
+        )
+    )

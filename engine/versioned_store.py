@@ -1564,6 +1564,54 @@ def vacuum(
     return removed
 
 
+def clone_store(
+    spark: SparkSession, src: str, dst: str, version: int | None = None
+) -> int:
+    """Zero-copy CLONE (Delta's shallow clone, without its dangling-
+    reference hazard): create ``dst`` as a NEW store whose v1 is
+    ``src``'s pinned snapshot, hard-linking every data file instead of
+    copying bytes. Hard links make the clone fully independent — each
+    store's vacuum/delete drops only its own link, and the shared
+    inodes live until both sides drop them — so unlike a path-
+    referencing shallow clone, vacuuming the source can never brick
+    the clone. Cost: O(files) metadata, zero data movement. The
+    version's bloom sidecar rides along (same files ⇒ same blooms);
+    manifest stats entries are copied verbatim. Requires src and dst
+    on one filesystem (os.link); the use cases — dev/test forks of a
+    production corpus, experiment pinning, pre-migration safety copies
+    — live next to their source anyway. ``spark`` is unused today
+    (clone is pure metadata) but keeps the signature uniform with the
+    other store verbs and reserves the seat for a future cross-
+    filesystem deep-clone fallback."""
+    if os.path.exists(dst) and os.listdir(dst):
+        raise ValueError(f"clone target {dst!r} already exists")
+    version = version if version is not None else current_version(src)
+    man = _read_manifest(src, version)
+    os.makedirs(os.path.join(dst, _DATA), exist_ok=True)
+    for e in man["files"]:
+        os.link(
+            os.path.join(src, _DATA, e["file"]),
+            os.path.join(dst, _DATA, e["file"]),
+        )
+    manifest = {
+        "version": 1,
+        "partition_col": man["partition_col"],
+        "files": man["files"],
+        "cloned_from": {"store": os.path.abspath(src), "version": version},
+    }
+    if man.get("columns") is not None:
+        manifest["columns"] = man["columns"]
+    _claim_manifest(dst, manifest)
+    bloom = _read_bloom_sidecar(src, version)
+    if bloom is not None:
+        fd, tmp = tempfile.mkstemp(dir=_mdir(dst))
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(json.dumps(bloom))
+        os.rename(tmp, _bloom_path(dst, 1))
+    _advance_current(dst, 1)
+    return 1
+
+
 def rollback(store: str, to_version: int) -> int:
     """Promote an old snapshot as the NEXT version (never by rewinding
     CURRENT — history stays append-only, so the bad version remains

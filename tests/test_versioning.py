@@ -2405,3 +2405,101 @@ def test_timestamp_time_travel(spark, tmp_path):
         f.write(_json.dumps(man))
     with _pytest.raises(ValueError, match="no recorded commit time"):
         vs.version_at_timestamp(store, t2)
+
+
+def test_clone_store_is_zero_copy_and_independent(spark, tmp_path):
+    """clone_store: a new store whose v1 hard-links the source
+    version's files — zero bytes copied, yet fully independent
+    (vacuuming or deleting either store never breaks the other:
+    hard links keep the shared inodes alive until BOTH drop them)."""
+    import os
+
+    import pytest as _pytest
+
+    import engine.versioned_store as vs
+
+    src = str(tmp_path / "src")
+    vs.commit_overwrite(
+        spark.createDataFrame(
+            [("a", 1, "x"), ("b", 2, "y")], "part string, k long, v string"
+        ),
+        src,
+        "part",
+    )
+    vs.commit_upsert(
+        spark,
+        src,
+        spark.createDataFrame([("a", 1, "x2")], "part string, k long, v string"),
+        ["part", "k"],
+    )
+
+    dst = str(tmp_path / "dst")
+    assert vs.clone_store(spark, src, dst, version=1) == 1
+    got = sorted(
+        (r.part, r.k, r.v) for r in vs.read_version(spark, dst).collect()
+    )
+    assert got == [("a", 1, "x"), ("b", 2, "y")]
+    # zero-copy: every cloned data file shares its inode with the source
+    for e in vs._read_manifest(dst, 1)["files"]:
+        d = os.stat(os.path.join(dst, "data", e["file"]))
+        s = os.stat(os.path.join(src, "data", e["file"]))
+        assert d.st_ino == s.st_ino and d.st_nlink >= 2
+
+    # independence both ways: evolve the clone, purge the source
+    vs.commit_upsert(
+        spark,
+        dst,
+        spark.createDataFrame([("c", 9, "new")], "part string, k long, v string"),
+        ["part", "k"],
+    )
+    shutil_rm = __import__("shutil").rmtree
+    shutil_rm(src)
+    got = sorted(
+        (r.part, r.k, r.v) for r in vs.read_version(spark, dst).collect()
+    )
+    assert got == [("a", 1, "x"), ("b", 2, "y"), ("c", 9, "new")]
+
+    # a clone refuses to overwrite an existing store
+    with _pytest.raises(ValueError, match="exists"):
+        vs.clone_store(spark, dst, dst)
+
+    # default clones the CURRENT version; blooms ride along when present
+    src2 = str(tmp_path / "src2")
+    vs.commit_overwrite(
+        spark.createDataFrame([("a", 5)], "part string, k long"),
+        src2,
+        "part",
+        bloom_cols=["k"],
+        bloom_bits=256,
+    )
+    dst2 = str(tmp_path / "dst2")
+    vs.clone_store(spark, src2, dst2)
+    assert vs._read_bloom_sidecar(dst2, 1) is not None
+    assert vs.read_version(
+        spark, dst2, point_filters={"k": 5}
+    ).count() == 1
+
+
+def test_vstore_cli_clone_and_history_kinds(spark, tmp_path, capsys):
+    """CLI: `vstore clone SRC --dest DST` and history's cloned_from /
+    commit-time annotations."""
+    import engine.versioned_store as vs
+    from engine.__main__ import main as cli
+
+    src = str(tmp_path / "csrc")
+    vs.commit_overwrite(
+        spark.createDataFrame([("a", 1)], "part string, k long"),
+        src,
+        "part",
+    )
+    dst = str(tmp_path / "cdst")
+    assert cli(["vstore", "clone", src, "--dest", dst]) == 0
+    out = capsys.readouterr().out
+    assert "cloned" in out and "v00001" in out
+    assert vs.read_version(spark, dst).count() == 1
+
+    assert cli(["vstore", "history", dst]) == 0
+    out = capsys.readouterr().out
+    assert "cloned_from=" in out and "at 2" in out  # ISO commit time
+
+    assert cli(["vstore", "clone", src]) == 2  # --dest required
