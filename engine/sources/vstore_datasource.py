@@ -387,12 +387,21 @@ class _VStoreWriteCommon:
     # -- executor side -----------------------------------------------------
     def write(self, iterator: Iterator) -> VStoreWriteMessage:
         """One task's STAGE step: stream Arrow batches into one open
-        parquet writer per partition value this task sees (grouping is
-        per-batch row bucketing on the stringified partition key —
-        exactly the ``str(value)`` identity the engine's touched-set
-        uses), then stat the closed files' footers for the manifest.
-        Tasks never coordinate; file names are uuid-unique."""
+        parquet writer per partition value this task sees, then stat
+        the closed files' footers for the manifest. Tasks never
+        coordinate; file names are uuid-unique.
+
+        Bucketing is VECTORIZED: a dictionary-encode of the (joined)
+        partition-key column yields each batch's distinct combos and
+        per-row codes in C, and one equality filter per combo splits
+        the batch — O(combos × rows) Arrow kernels, no per-row Python
+        (the first cut looped rows in Python; at millions of rows per
+        task that was the slow path this sink exists to avoid). The
+        stored partition VALUE still comes from str() of the first
+        matching row — the same identity the engine's touched-set and
+        Hive-dir staging use."""
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         from engine.versioned_store import _footer_stats, _man_pval
@@ -406,18 +415,40 @@ class _VStoreWriteCommon:
                 if batch.num_rows == 0:
                     continue
                 table = pa.Table.from_batches([batch])
-                kcols = [table.column(c).to_pylist() for c in pcols]
-                if any(v is None for col in kcols for v in col):
-                    raise ValueError(
-                        f"null values in partition column(s) {pcols} are"
-                        " not supported; filter or fill them before"
-                        " writing"
-                    )
-                buckets: dict[tuple, list[int]] = {}
-                for i, key in enumerate(zip(*(map(str, c) for c in kcols))):
-                    buckets.setdefault(key, []).append(i)
+                for c in pcols:
+                    if table.column(c).null_count:
+                        raise ValueError(
+                            f"null values in partition column {c!r} are"
+                            " not supported; filter or fill them before"
+                            " writing"
+                        )
+                skeys = [
+                    pc.cast(table.column(c), pa.string()) for c in pcols
+                ]
+                key_arr = (
+                    skeys[0]
+                    if len(skeys) == 1
+                    # \x1f (unit separator) never appears in sane
+                    # partition values; a pathological collision would
+                    # only MERGE two combos into one file, and the
+                    # manifest value below is derived per-column, so
+                    # correctness never depends on the join being
+                    # injective — both combos' entries stay exact
+                    else pc.binary_join_element_wise(*skeys, "\x1f")
+                )
+                if isinstance(key_arr, pa.ChunkedArray):
+                    key_arr = key_arr.combine_chunks()
+                codes = key_arr.dictionary_encode()
+                dict_size = len(codes.dictionary)
+                code_arr = codes.indices
                 body = table.drop_columns(pcols)
-                for key, idx in buckets.items():
+                for code in range(dict_size):
+                    mask = pc.equal(code_arr, code)
+                    part = body.filter(mask)
+                    first = pc.index(mask, True).as_py()
+                    key = tuple(
+                        str(table.column(c)[first].as_py()) for c in pcols
+                    )
                     w = writers.get(key)
                     if w is None:
                         name = (
@@ -433,7 +464,6 @@ class _VStoreWriteCommon:
                             [0],
                         )
                         writers[key] = w
-                    part = body.take(idx)
                     w[2].write_table(part)
                     w[3][0] += part.num_rows
         except BaseException:
