@@ -276,15 +276,22 @@ def _step_units(
         _unshared_entries,
     )
 
-    mb = _read_manifest(store, vb)
-    # va == 0 is the empty pre-history: every v1 row is an insert
-    # (starting_version=1 / from_version=0 replay the full history)
-    ma = (
-        _read_manifest(store, va)
-        if va > 0
-        else {"partition_col": mb["partition_col"], "files": [],
-              "columns": mb.get("columns")}
-    )
+    try:
+        mb = _read_manifest(store, vb)
+        # va == 0 is the empty pre-history: every v1 row is an insert
+        # (starting_version=1 / from_version=0 replay the full history)
+        ma = (
+            _read_manifest(store, va)
+            if va > 0
+            else {"partition_col": mb["partition_col"], "files": [],
+                  "columns": mb.get("columns")}
+        )
+    except FileNotFoundError as exc:
+        raise ValueError(
+            f"version window v{va}..v{vb} includes a vacuumed (or"
+            " never-committed) version; restart the feed from a"
+            " retained version"
+        ) from exc
     if ma["partition_col"] != mb["partition_col"]:
         raise ValueError(
             f"versions v{va}/v{vb} use different partition columns; a"
@@ -340,6 +347,11 @@ class VStoreCDFBatchReader(_ReadKernels, DataSourceReader):
         self.va = int(fv)
         tv = options.get("to_version")
         self.vb = int(tv) if tv is not None else current_version(self.store)
+        if self.va > self.vb:
+            raise ValueError(
+                f"from_version {self.va} is newer than to_version"
+                f" {self.vb}; the change window is (from, to]"
+            )
         missing = [
             k for k in self.key_cols
             if k not in {f.name for f in schema.fields}
@@ -400,12 +412,19 @@ class VStoreStreamReader(_ReadKernels, DataSourceStreamReader):
                     _step_units(self.store, v - 1, v, self.key_cols, v)
                 )
                 continue
-            mb = _read_manifest(self.store, v)
-            ma = (
-                _read_manifest(self.store, v - 1)
-                if v > 1
-                else {"partition_col": mb["partition_col"], "files": []}
-            )
+            try:
+                mb = _read_manifest(self.store, v)
+                ma = (
+                    _read_manifest(self.store, v - 1)
+                    if v > 1
+                    else {"partition_col": mb["partition_col"], "files": []}
+                )
+            except FileNotFoundError as exc:
+                raise ValueError(
+                    f"version v{v - 1} or v{v} was vacuumed while this"
+                    " stream was stopped; restart the query from a"
+                    " retained starting_version"
+                ) from exc
             if ma["partition_col"] != mb["partition_col"]:
                 raise ValueError(
                     f"version {v} re-partitioned the store; an append"

@@ -299,3 +299,32 @@ def test_cdf_stream_crosses_a_widening_step(spark, tmp_path):
         ("a", 1, 10, "update_preimage", 2),
         ("a", 1, 2**40, "update_postimage", 2),
     ]
+
+
+def test_cdf_window_guards(spark, story):
+    """Inverted windows raise at plan time; a window crossing a
+    vacuumed version raises a clear restart hint, not a raw
+    FileNotFoundError."""
+    import engine.versioned_store as vs
+
+    with pytest.raises(Exception, match="newer than to_version"):
+        (
+            spark.read.format("vstore")
+            .option("read_changes", "true")
+            .option("key_cols", "part,k")
+            .option("from_version", "4")
+            .option("to_version", "2")
+            .load(story)
+            .collect()
+        )
+    vs.vacuum(story, keep_latest=1)
+    with pytest.raises(Exception, match="vacuumed"):
+        (
+            spark.read.format("vstore")
+            .option("read_changes", "true")
+            .option("key_cols", "part,k")
+            .option("from_version", "1")
+            .option("to_version", "4")
+            .load(story)
+            .collect()
+        )
