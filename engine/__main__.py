@@ -156,6 +156,12 @@ def cmd_vstore(args: argparse.Namespace) -> int:
             )
         return 0
     if args.action == "read":
+        if args.version is not None and args.as_of_timestamp is not None:
+            print(
+                "read takes --version or --as-of-timestamp, not both",
+                file=sys.stderr,
+            )
+            return 2
         range_f = {}
         for spec in args.range or []:
             col, lo, hi = spec.split(":", 2)

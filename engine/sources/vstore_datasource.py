@@ -425,16 +425,22 @@ class _VStoreWriteCommon:
                 skeys = [
                     pc.cast(table.column(c), pa.string()) for c in pcols
                 ]
+                # INJECTIVE composite key: each column is framed as
+                # "<len>:<value>" before joining, so no value content
+                # can collide two distinct combos into one bucket (a
+                # plain separator-join would merge ('x\x1fy','z') with
+                # ('x','y\x1fz') into one file whose single manifest
+                # entry mislabels half its rows — round-9 review)
+                framed = [
+                    pc.binary_join_element_wise(
+                        pc.cast(pc.utf8_length(s), pa.string()), s, ":"
+                    )
+                    for s in skeys
+                ]
                 key_arr = (
-                    skeys[0]
-                    if len(skeys) == 1
-                    # \x1f (unit separator) never appears in sane
-                    # partition values; a pathological collision would
-                    # only MERGE two combos into one file, and the
-                    # manifest value below is derived per-column, so
-                    # correctness never depends on the join being
-                    # injective — both combos' entries stay exact
-                    else pc.binary_join_element_wise(*skeys, "\x1f")
+                    framed[0]
+                    if len(framed) == 1
+                    else pc.binary_join_element_wise(*framed, "")
                 )
                 if isinstance(key_arr, pa.ChunkedArray):
                     key_arr = key_arr.combine_chunks()
@@ -575,33 +581,57 @@ class VStoreStreamWriter(_VStoreWriteCommon, DataSourceStreamArrowWriter):
     """`writeStream.format("vstore")`: one store version per
     microbatch. Exactly-once across Spark's batch RETRIES: the commit
     records ``streaming_batch`` = ``<writer_id>:<batchId>`` in the
-    manifest, and a commit that finds its tag already claimed by a
-    RETAINED manifest discards its staged files instead of
-    double-appending (the O(retained versions) driver-side scan is
-    bounded by vacuum). Two concurrent streaming queries into one
-    store need distinct ``writer_id`` options (batch ids restart per
-    query) — same single-logical-writer rule as any sink checkpoint."""
+    manifest; a commit whose batch id EQUALS the newest id recorded
+    for its writer_id is a retry and discards its staged files instead
+    of double-appending (the O(retained versions) driver-side scan is
+    bounded by vacuum). A batch id BELOW the newest recorded one is
+    NOT a retry — the microbatch engine only ever re-delivers the
+    latest uncommitted batch — it means a NEW query run against a
+    reset/replaced checkpoint is replaying ids this store already
+    absorbed; treating that as a duplicate would silently DROP real
+    data (round-9 review), so it raises and tells the caller to set a
+    fresh ``writer_id``. Spark exposes no stable query identity to
+    Python sinks (the writer is re-created per commit), so writer_id
+    is the caller's checkpoint-identity handle: one writer_id per
+    (query, checkpoint) lineage; distinct writer_ids for concurrent
+    queries into one store."""
 
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
         super().__init__(options, schema, overwrite)
         self.writer_id = options.get("writer_id", "stream")
 
-    def _seen(self, tag: str) -> bool:
+    def _last_recorded_batch(self) -> int | None:
         from engine.versioned_store import _read_manifest, versions
 
-        for v in reversed(versions(self.store)):
-            if _read_manifest(self.store, v).get("streaming_batch") == tag:
-                return True
-        return False
+        prefix = f"{self.writer_id}:"
+        best = None
+        for v in versions(self.store):
+            tag = _read_manifest(self.store, v).get("streaming_batch")
+            if tag and tag.startswith(prefix):
+                bid = int(tag[len(prefix):])
+                best = bid if best is None else max(best, bid)
+        return best
 
     def commit(self, messages, batchId: int) -> None:
-        tag = f"{self.writer_id}:{batchId}"
-        if self._seen(tag):
+        last = self._last_recorded_batch()
+        if last is not None and batchId <= last:
             self._discard_staged(messages)
-            return
+            if batchId == last:
+                return  # retry of the newest batch: already absorbed
+            raise ValueError(
+                f"batch {batchId} is older than the newest batch"
+                f" ({last}) this store recorded for writer_id"
+                f" {self.writer_id!r}: a new query run with a reset"
+                " checkpoint is replaying absorbed ids — restart with a"
+                " fresh writer_id option to keep writing to this store"
+            )
         entries = [e for m in messages if m is not None for e in m.entries]
         self._commit_staged(
-            entries, {"written_by": "vstore-sink", "streaming_batch": tag}
+            entries,
+            {
+                "written_by": "vstore-sink",
+                "streaming_batch": f"{self.writer_id}:{batchId}",
+            },
         )
 
     def abort(self, messages, batchId: int) -> None:
@@ -633,11 +663,28 @@ class VStoreDataSource(DataSource):
 
             tv = self.options.get("to_version")
             v = int(tv) if tv is not None else current_version(store)
+            streaming = "from_version" not in self.options
+            if not streaming:
+                # pin the resolved window end like the snapshot path
+                # pins "version": otherwise the batch reader re-resolves
+                # the head and a commit landing mid-planning feeds
+                # newer changes through an older resolved schema
+                self.options["to_version"] = str(v)
             man = _read_manifest(store, v)
+            cols = man.get("columns")
+            if cols is None:
+                # "" is a legitimate key-only table; None means the
+                # manifest predates schema recording — refuse like the
+                # snapshot path (a partition-cols-only CDF schema would
+                # silently collapse every row onto its partition key)
+                raise ValueError(
+                    "vstore change feed needs a manifest with a"
+                    " recorded schema (store predates schema recording)"
+                )
             return _cdf_ddl(
-                man.get("columns") or "",
+                cols,
                 _norm_pcols(man["partition_col"]),
-                streaming="from_version" not in self.options,
+                streaming=streaming,
             )
         v = self.options.get("version")
         ts = self.options.get("timestamp_as_of")

@@ -40,10 +40,13 @@ Two streaming modes, mirroring Delta's source semantics:
   as one distributed join; the source's per-partition form is what a
   session-less planner can ship to executors.)
 
-Batch CDF (`spark.read` + `read_changes`) reuses the same partition
-planning and diff kernel for one (from_version, to_version] window
-per VERSION STEP, i.e. it equals the concatenation of the stream's
-microbatches over that window.
+Batch CDF (`spark.read` + `read_changes`) reuses the same diff kernel
+over ONE (from_version, to_version] window — the NET changes between
+the endpoints, exactly `table_changes`' semantics (pinned equal in
+tests). Net means intra-window churn cancels: a key inserted at v2
+and deleted at v3 emits nothing for the window (1, 3], while the
+STREAM (per-version steps) emits both events; pick the surface that
+matches the consumer.
 
 Schema evolution: the stream's schema is resolved once at query
 start; later widening steps upcast in-flight (safe casts only — an
@@ -105,8 +108,9 @@ class _AppendFilePartition(InputPartition):
 class _CDFPartition(InputPartition):
     """One (version step, storage partition) diff unit: the files the
     step removed (`a_files`) and added (`b_files`) for one partition
-    value, plus each side's recorded data-file DDL (they differ across
-    a widening step)."""
+    value. Cross-step type widening needs no per-side DDL here: the
+    read kernel loads raw values and the resolved (widened) output
+    schema types the emitted arrays."""
 
     def __init__(
         self,
@@ -115,8 +119,6 @@ class _CDFPartition(InputPartition):
         a_files: list[str],
         b_files: list[str],
         key_cols: tuple,
-        a_ddl: str | None,
-        b_ddl: str | None,
         commit_version: int | None,
     ):
         self.kind = "cdf"
@@ -125,8 +127,6 @@ class _CDFPartition(InputPartition):
         self.a_files = a_files
         self.b_files = b_files
         self.key_cols = key_cols
-        self.a_ddl = a_ddl
-        self.b_ddl = b_ddl
         self.commit_version = commit_version
 
 
@@ -141,11 +141,10 @@ def _veq(a, b) -> bool:
 
 
 def _load_side(store: str, files: list[str], pval: tuple, pcols: tuple,
-               names: list[str]) -> dict:
-    """{key-independent row dict}: read one side's files with pyarrow,
-    restore the partition columns as constants, null-fill columns the
-    (older) side's files lack, and return {row-index: [values by
-    `names` order]} as a plain list of rows."""
+               names: list[str]) -> list[list]:
+    """Read one side's files with pyarrow, restore the partition
+    columns as constants, null-fill columns the (older) side's files
+    lack, and return a list of rows (values in `names` order)."""
     import pyarrow.parquet as pq
 
     rows: list[list] = []
@@ -310,16 +309,7 @@ def _step_units(
             e["file"]
         )
     return [
-        _CDFPartition(
-            pval,
-            pcols,
-            af,
-            bf,
-            tuple(key_cols),
-            ma.get("columns"),
-            mb.get("columns"),
-            commit_version,
-        )
+        _CDFPartition(pval, pcols, af, bf, tuple(key_cols), commit_version)
         for pval, (af, bf) in sorted(grouped.items())
     ]
 
@@ -378,6 +368,12 @@ class VStoreStreamReader(_ReadKernels, DataSourceStreamReader):
         self.schema_ = schema
         self.cdf = str(options.get("read_changes", "")).lower() == "true"
         self.key_cols = _parse_key_cols(options) if self.cdf else []
+        names = {f.name for f in schema.fields}
+        missing = [k for k in self.key_cols if k not in names]
+        if missing:
+            # plan-time clarity: without this a typo'd key column dies
+            # executor-side as an opaque list-index ValueError
+            raise ValueError(f"key_cols {missing} not in the table schema")
         self.skip_change_commits = (
             str(options.get("skip_change_commits", "")).lower() == "true"
         )

@@ -144,30 +144,26 @@ def version_at_timestamp(store: str, ts: float) -> int:
     seconds — each manifest records ``committed_at`` at its claim).
     Raises when ``ts`` predates the oldest retained commit (vacuum may
     have dropped the version that was current then — resolving to a
-    LATER version would silently lie about history) and on
-    pre-round-9 manifests that never recorded a commit time."""
-    best = None
-    oldest = None
-    for v in versions(store):
+    LATER version would silently lie about history).
+
+    Scans NEWEST-first with an early exit, so resolution is O(versions
+    newer than ts), and a pre-round-9 manifest with no recorded commit
+    time only raises when the scan actually REACHES it — newer,
+    timestamped versions keep the feature usable on a store with old
+    history (round-9 review: the first cut read every manifest and
+    raised on any untimestamped one)."""
+    for v in reversed(versions(store)):
         at = _read_manifest(store, v).get("committed_at")
         if at is None:
             raise ValueError(
                 f"version {v} has no recorded commit time (manifest"
-                " predates timestamp recording); pin by version instead"
+                f" predates timestamp recording) and no newer version"
+                f" was committed at or before {ts}; pin by version"
+                " instead"
             )
-        oldest = at if oldest is None else min(oldest, at)
         if at <= ts:
-            best = v if best is None else max(best, v)
-    if best is None:
-        raise ValueError(
-            f"no retained version committed at or before {ts}"
-            + (
-                f" (oldest retained commit: {oldest})"
-                if oldest is not None
-                else " (store has no versions)"
-            )
-        )
-    return best
+            return v
+    raise ValueError(f"no retained version committed at or before {ts}")
 
 
 class CommitConflict(RuntimeError):
@@ -353,15 +349,25 @@ def _footer_stats(path: str) -> dict:
         want = str if is_str else (int, float)
         lo = hi = None
         for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(ci).statistics
-            if (
-                st is None
-                or not st.has_min_max
-                # logical types (dates, decimals) surface as Python
-                # objects — accept only plain numbers / decoded strings
-                or not isinstance(st.min, want)
-                or isinstance(st.min, bool)
-            ):
+            try:
+                st = md.row_group(rg).column(ci).statistics
+                unusable = (
+                    st is None
+                    or not st.has_min_max
+                    # logical types (dates) surface as Python objects —
+                    # accept only plain numbers / decoded strings
+                    or not isinstance(st.min, want)
+                    or isinstance(st.min, bool)
+                )
+            except Exception:
+                # pyarrow raises ArrowNotImplementedError DECODING
+                # stats for some logical types (decimal over an int
+                # physical type — the .min accessor itself throws); no
+                # stats for this column, file kept conservatively on
+                # reads (round-9 review chain: surfaced by the decimal
+                # DDL regression test)
+                unusable = True
+            if unusable:
                 lo = None
                 break
             lo = st.min if lo is None else min(lo, st.min)
@@ -547,17 +553,19 @@ def _ddl_pairs(ddl: str) -> list[tuple[str, str]]:
     parsed WITHOUT a SparkContext (StructType.fromDDL needs one, and
     the vstore sink's commit hook runs in Spark's sessionless Python
     commit worker). The store only ever records `name type, name type`
-    with simpleString types, whose sole nested commas live inside
-    angle brackets (array<...>, map<...>, struct<a:int,b:string>), so
-    a depth-tracked top-level split is exact for every DDL this module
+    with simpleString types, whose nested commas live inside angle
+    brackets (array<...>, map<...>, struct<a:int,b:string>) or
+    parentheses (decimal(10,2), char(5) — the round-9 review's
+    confirmed crash: the first cut tracked only brackets), so a
+    depth-tracked top-level split is exact for every DDL this module
     can produce."""
     if not ddl:
         return []
     parts, depth, start = [], 0, 0
     for i, ch in enumerate(ddl):
-        if ch == "<":
+        if ch in "<(":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)":
             depth -= 1
         elif ch == "," and depth == 0:
             parts.append(ddl[start:i])

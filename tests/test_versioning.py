@@ -2396,15 +2396,65 @@ def test_timestamp_time_travel(spark, tmp_path):
     )
     assert [(r.part, r.k, r.v) for r in src.collect()] == [("a", 1, "v1")]
 
-    # a manifest missing committed_at (pre-round-9 store) raises clearly
+    # a manifest missing committed_at (pre-round-9 store) only blocks
+    # resolutions that REACH it: newer timestamped versions still
+    # resolve (round-9 review — the first cut raised on any
+    # untimestamped manifest, disabling the feature store-wide)
     man = vs._read_manifest(store, 1)
     del man["committed_at"]
     import json as _json
 
     with open(vs._manifest_path(store, 1), "w", encoding="utf-8") as f:
         f.write(_json.dumps(man))
+    assert vs.version_at_timestamp(store, t2) == 2
     with _pytest.raises(ValueError, match="no recorded commit time"):
-        vs.version_at_timestamp(store, t2)
+        vs.version_at_timestamp(store, t1)  # t1 < v2's stamp: reaches v1
+
+
+def test_ddl_pairs_handles_parenthesized_types(spark, tmp_path):
+    """REGRESSION (round-9 review, confirmed crash): decimal(10,2)
+    carries a top-level-looking comma inside PARENTHESES; the
+    context-free DDL parser must depth-track those too, or every
+    schema-evolving commit on a decimal-bearing store dies in
+    _merge_ddl."""
+    import engine.versioned_store as vs
+
+    assert vs._ddl_pairs("price decimal(10,2), x int") == [
+        ("price", "decimal(10,2)"),
+        ("x", "int"),
+    ]
+    assert vs._ddl_pairs(
+        "m map<string,decimal(20,4)>, s struct<a:int,b:string>"
+    ) == [
+        ("m", "map<string,decimal(20,4)>"),
+        ("s", "struct<a:int,b:string>"),
+    ]
+    # end to end: a decimal store evolves additively through upsert
+    store = str(tmp_path / "dec")
+    from decimal import Decimal
+
+    vs.commit_overwrite(
+        spark.createDataFrame(
+            [("a", 1, Decimal("1.50"))],
+            "part string, k long, price decimal(10,2)",
+        ),
+        store,
+        "part",
+    )
+    vs.commit_upsert(
+        spark,
+        store,
+        spark.createDataFrame(
+            [("a", 2, Decimal("2.25"), "x")],
+            "part string, k long, price decimal(10,2), note string",
+        ),
+        ["part", "k"],
+    )
+    got = sorted(
+        (r.part, r.k, str(r.price), r.note)
+        for r in vs.read_version(spark, store).collect()
+    )
+    assert got == [("a", 1, "1.50", None), ("a", 2, "2.25", "x")]
 
 
 def test_clone_store_is_zero_copy_and_independent(spark, tmp_path):

@@ -302,3 +302,81 @@ def test_sink_composite_partitioning(registered, tmp_path):
         "point", "day:d1"
     ).load(store)
     assert got.count() == 3
+
+
+def test_streaming_sink_rejects_stale_batch_ids(spark, tmp_path):
+    """REGRESSION (round-9 review #1): a new query run against a
+    reset/replaced checkpoint replays batch ids the store already
+    absorbed; treating those as retries silently DROPPED real data.
+    Only the NEWEST recorded batch id is a legitimate retry; older
+    ids now raise with a writer_id hint (staged files discarded)."""
+    import pyarrow as pa
+
+    import engine.versioned_store as vs
+    from engine.sources.vstore_datasource import VStoreStreamWriter
+
+    store = str(tmp_path / "stale")
+    schema = spark.createDataFrame([("a", 1)], "part string, k long").schema
+
+    def batch(part, k):
+        return iter(
+            pa.table(
+                {"part": [part], "k": [k]},
+                schema=pa.schema([("part", pa.string()), ("k", pa.int64())]),
+            ).to_batches()
+        )
+
+    w = VStoreStreamWriter(
+        {"path": store, "partition_col": "part"}, schema, overwrite=False
+    )
+    w.commit([w.write(batch("a", 1))], 0)
+    w.commit([w.write(batch("b", 2))], 1)
+    assert vs.current_version(store) == 2
+
+    # retry of the NEWEST batch: idempotent discard, no new version
+    msg = w.write(batch("b", 2))
+    w.commit([msg], 1)
+    assert vs.current_version(store) == 2
+
+    # a RESET checkpoint replaying batch 0: loud failure, not a drop
+    msg = w.write(batch("c", 3))
+    with pytest.raises(ValueError, match="fresh writer_id"):
+        w.commit([msg], 0)
+    assert vs.current_version(store) == 2
+    # its staged file was discarded, not orphaned
+    assert sorted(os.listdir(os.path.join(store, "data"))) == sorted(
+        e["file"] for e in vs._read_manifest(store, 2)["files"]
+    )
+    # the documented recovery: a fresh writer_id proceeds
+    w2 = VStoreStreamWriter(
+        {"path": store, "writer_id": "run2"}, schema, overwrite=False
+    )
+    w2.commit([w2.write(batch("c", 3))], 0)
+    assert vs.current_version(store) == 3
+
+
+def test_sink_separator_values_stay_distinct_combos(registered, tmp_path):
+    """REGRESSION (round-9 review #4): with a plain separator join,
+    combos ('x\\x1fy','z') and ('x','y\\x1fz') collided into ONE file
+    whose single manifest entry mislabeled half its rows. The framed
+    (length-prefixed) key is injective, so they stay two files with
+    exact per-column partition values."""
+    import engine.versioned_store as vs
+
+    spark = registered
+    store = str(tmp_path / "sep")
+    spark.createDataFrame(
+        [("x\x1fy", "z", 1), ("x", "y\x1fz", 2)],
+        "a string, b string, k long",
+    ).coalesce(1).write.format("vstore").option(
+        "partition_col", "a,b"
+    ).mode("overwrite").save(store)
+    man = vs._read_manifest(store, 1)
+    assert sorted(tuple(e["partition"]) for e in man["files"]) == [
+        ("x", "y\x1fz"),
+        ("x\x1fy", "z"),
+    ]
+    got = sorted(
+        (r.a, r.b, r.k) for r in vs.read_version(spark, store).collect()
+    )
+    assert got == [("x", "y\x1fz", 2), ("x\x1fy", "z", 1)]

@@ -328,3 +328,51 @@ def test_cdf_window_guards(spark, story):
             .load(story)
             .collect()
         )
+
+
+def test_batch_cdf_schema_pins_to_version_and_guards(spark, story):
+    """Round-9 review #3/#5/#6: schema() pins the resolved window end
+    into the reader's options (one plan, one window); a pre-schema-
+    recording manifest refuses a CDF read instead of silently
+    collapsing rows onto the partition key; a typo'd key column fails
+    at PLAN time with a clear message."""
+    import json
+
+    import engine.versioned_store as vs
+    from engine.sources.vstore_datasource import VStoreDataSource
+    from engine.sources.vstore_stream import VStoreStreamReader
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    ds = VStoreDataSource(
+        options={
+            "path": story,
+            "read_changes": "true",
+            "key_cols": "part,k",
+            "from_version": "1",
+        }
+    )
+    ddl = ds.schema()
+    assert ds.options.get("to_version") == "4"  # pinned at resolution
+
+    # stream reader: plan-time key_cols validation
+    with pytest.raises(ValueError, match="key_cols"):
+        VStoreStreamReader(
+            {"path": story, "read_changes": "true", "key_cols": "part,kk"},
+            _parse_datatype_string(ddl + ", _commit_version bigint"),
+        )
+
+    # pre-schema-recording manifest: CDF refuses like the snapshot path
+    man = vs._read_manifest(story, 4)
+    man.pop("columns")
+    with open(vs._manifest_path(story, 4), "w", encoding="utf-8") as f:
+        f.write(json.dumps(man))
+    with pytest.raises(ValueError, match="recorded schema"):
+        VStoreDataSource(
+            options={
+                "path": story,
+                "read_changes": "true",
+                "key_cols": "part,k",
+                "from_version": "1",
+            }
+        ).schema()
