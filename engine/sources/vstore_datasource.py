@@ -506,6 +506,7 @@ class _VStoreWriteCommon:
         from engine.versioned_store import (
             CommitConflict,
             _advance_current,
+            _claim_incremental,
             _claim_manifest,
             _copy_carried_blooms,
             _man_pcol,
@@ -536,11 +537,26 @@ class _VStoreWriteCommon:
                 "version": head_v + 1,
                 "partition_col": _man_pcol(list(self.pcols)),
                 "columns": columns,
-                "files": carried + entries,
                 **extra,
             }
             try:
-                _claim_manifest(self.store, manifest)
+                if self.overwrite or head_v == 0:
+                    manifest["files"] = entries  # snapshot form
+                    _claim_manifest(self.store, manifest)
+                else:
+                    # append: a pure-adds delta — commit I/O is
+                    # O(this batch), never O(table) (round-10
+                    # manifest checkpointing; the cadence checkpoint
+                    # is plain pyarrow, fine in this sessionless
+                    # commit worker)
+                    _claim_incremental(
+                        self.store,
+                        manifest,
+                        head_v,
+                        entries,
+                        [],
+                        carried + entries,
+                    )
             except CommitConflict:
                 if retries >= self.max_retries:
                     raise
@@ -601,16 +617,25 @@ class VStoreStreamWriter(_VStoreWriteCommon, DataSourceStreamArrowWriter):
         self.writer_id = options.get("writer_id", "stream")
 
     def _last_recorded_batch(self) -> int | None:
+        """Newest recorded batch id for this writer_id, scanning
+        NEWEST-first with an early exit at the first matching tag —
+        sound because a writer's recorded ids strictly increase with
+        version (commit() raises on a smaller id and records nothing
+        on an equal one), so the newest matching tag IS the max. Tags
+        are parsed with rpartition on the LAST ':' and the writer id
+        compared exactly, so a writer_id containing ':' (writer 'a'
+        scanning writer 'a:b's tag 'a:b:7') can neither crash the
+        int() parse nor match another writer's tag (ADVICE r9)."""
         from engine.versioned_store import _read_manifest, versions
 
-        prefix = f"{self.writer_id}:"
-        best = None
-        for v in versions(self.store):
+        for v in reversed(versions(self.store)):
             tag = _read_manifest(self.store, v).get("streaming_batch")
-            if tag and tag.startswith(prefix):
-                bid = int(tag[len(prefix):])
-                best = bid if best is None else max(best, bid)
-        return best
+            if not tag:
+                continue
+            wid, _, bid = tag.rpartition(":")
+            if wid == self.writer_id:
+                return int(bid)
+        return None
 
     def commit(self, messages, batchId: int) -> None:
         last = self._last_recorded_batch()

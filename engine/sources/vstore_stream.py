@@ -228,6 +228,18 @@ class _ReadKernels:
         b_rows = _load_side(self.store, p.b_files, p.pval, p.pcols, names)
         a_by_key = {tuple(r[i] for i in key_idx): r for r in a_rows}
         b_by_key = {tuple(r[i] for i in key_idx): r for r in b_rows}
+        # a table populated by the blind sink append path enforces no
+        # key uniqueness: duplicate keys within one side would be
+        # silently collapsed to the last row here, producing an
+        # INCOMPLETE change feed — raise instead, mirroring
+        # commit_merge's duplicate-source guard (ADVICE r9)
+        if len(a_by_key) != len(a_rows) or len(b_by_key) != len(b_rows):
+            raise ValueError(
+                f"table is not key-unique on {list(p.key_cols)} in"
+                f" partition {p.pval}: a change feed over duplicate"
+                " keys is undefined — dedupe the table (commit_upsert"
+                " enforces uniqueness) or feed on a unique key"
+            )
 
         out: list[list] = []
 
@@ -272,33 +284,55 @@ def _step_units(
         _norm_pcols,
         _norm_pval,
         _read_manifest,
+        _read_manifest_raw,
+        _step_delta,
         _unshared_entries,
     )
 
     try:
-        mb = _read_manifest(store, vb)
-        # va == 0 is the empty pre-history: every v1 row is an insert
-        # (starting_version=1 / from_version=0 replay the full history)
-        ma = (
-            _read_manifest(store, va)
-            if va > 0
-            else {"partition_col": mb["partition_col"], "files": [],
-                  "columns": mb.get("columns")}
-        )
+        # single-step window over a delta-form manifest: the commit
+        # recorded its adds/removes explicitly, which ARE the unshared
+        # sets vs the predecessor — planning reads O(churn), never
+        # resolving a file list (round-10 manifest checkpointing)
+        step = _step_delta(store, vb) if vb == va + 1 else None
+        if step is not None:
+            b_only, a_only = step
+            raw = _read_manifest_raw(store, vb)
+            pcol = raw["partition_col"]
+            if va > 0 and (
+                _read_manifest_raw(store, va)["partition_col"] != pcol
+            ):
+                raise ValueError(
+                    f"versions v{va}/v{vb} use different partition"
+                    " columns; a change feed across a re-partitioning"
+                    " boundary is not defined"
+                )
+            pcols = tuple(_norm_pcols(pcol))
+        else:
+            mb = _read_manifest(store, vb)
+            # va == 0 is the empty pre-history: every v1 row is an
+            # insert (starting_version=1 / from_version=0 replay the
+            # full history)
+            ma = (
+                _read_manifest(store, va)
+                if va > 0
+                else {"partition_col": mb["partition_col"], "files": [],
+                      "columns": mb.get("columns")}
+            )
+            if ma["partition_col"] != mb["partition_col"]:
+                raise ValueError(
+                    f"versions v{va}/v{vb} use different partition"
+                    " columns; a change feed across a re-partitioning"
+                    " boundary is not defined"
+                )
+            pcols = tuple(_norm_pcols(ma["partition_col"]))
+            a_only, b_only = _unshared_entries(ma, mb)
     except FileNotFoundError as exc:
         raise ValueError(
             f"version window v{va}..v{vb} includes a vacuumed (or"
             " never-committed) version; restart the feed from a"
             " retained version"
         ) from exc
-    if ma["partition_col"] != mb["partition_col"]:
-        raise ValueError(
-            f"versions v{va}/v{vb} use different partition columns; a"
-            " change feed across a re-partitioning boundary is not"
-            " defined"
-        )
-    pcols = tuple(_norm_pcols(ma["partition_col"]))
-    a_only, b_only = _unshared_entries(ma, mb)
     grouped: dict[tuple, tuple[list, list]] = {}
     for e in a_only:
         grouped.setdefault(_norm_pval(e["partition"]), ([], []))[0].append(
@@ -398,6 +432,8 @@ class VStoreStreamReader(_ReadKernels, DataSourceStreamReader):
             _norm_pcols,
             _norm_pval,
             _read_manifest,
+            _read_manifest_raw,
+            _step_delta,
             _unshared_entries,
         )
 
@@ -409,24 +445,47 @@ class VStoreStreamReader(_ReadKernels, DataSourceStreamReader):
                 )
                 continue
             try:
-                mb = _read_manifest(self.store, v)
-                ma = (
-                    _read_manifest(self.store, v - 1)
-                    if v > 1
-                    else {"partition_col": mb["partition_col"], "files": []}
-                )
+                # delta-form manifests record their adds/removes
+                # explicitly, so per-version planning reads O(churn)
+                # without resolving any file list (round-10 manifest
+                # checkpointing)
+                step = _step_delta(self.store, v)
+                if step is not None:
+                    b_only, a_only = step
+                    pcol = _read_manifest_raw(self.store, v)[
+                        "partition_col"
+                    ]
+                    prev_pcol = (
+                        _read_manifest_raw(self.store, v - 1)[
+                            "partition_col"
+                        ]
+                        if v > 1
+                        else pcol
+                    )
+                else:
+                    mb = _read_manifest(self.store, v)
+                    ma = (
+                        _read_manifest(self.store, v - 1)
+                        if v > 1
+                        else {
+                            "partition_col": mb["partition_col"],
+                            "files": [],
+                        }
+                    )
+                    a_only, b_only = _unshared_entries(ma, mb)
+                    pcol = mb["partition_col"]
+                    prev_pcol = ma["partition_col"]
             except FileNotFoundError as exc:
                 raise ValueError(
                     f"version v{v - 1} or v{v} was vacuumed while this"
                     " stream was stopped; restart the query from a"
                     " retained starting_version"
                 ) from exc
-            if ma["partition_col"] != mb["partition_col"]:
+            if prev_pcol != pcol:
                 raise ValueError(
                     f"version {v} re-partitioned the store; an append"
                     " stream cannot cross that boundary"
                 )
-            a_only, b_only = _unshared_entries(ma, mb)
             if a_only:
                 if self.skip_change_commits:
                     continue  # rewrite/delete/compaction step: skipped
@@ -437,7 +496,7 @@ class VStoreStreamReader(_ReadKernels, DataSourceStreamReader):
                     " read with read_changes + key_cols for the full"
                     " change feed"
                 )
-            pcols = tuple(_norm_pcols(mb["partition_col"]))
+            pcols = tuple(_norm_pcols(pcol))
             for e in b_only:
                 p = _AppendFilePartition(
                     os.path.join(self.store, "data", e["file"]),

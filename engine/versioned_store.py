@@ -52,16 +52,25 @@ claims again — Delta's logical conflict detection, at the partition
 granularity this store's copy-on-write makes exact. Overlapping
 partitions, concurrent overwrite/compaction, or a concurrent schema
 change still raise (a real multi-writer deployment additionally wants
-a transactional catalog for the claim itself). Manifests list file
-paths on the driver: at 100 TB that is O(files) metadata (what Delta
-holds in its log and Iceberg chunks into avro manifests); the data
-plane — scan, shuffle, write — stays fully distributed, and the
-per-file partition values in the manifest give catalog-side partition
-pruning with zero listing RPCs. The boundary is MEASURED, not assumed
-(tools/store_probe.py, SCALE_PROBE.md §store): at 10,000 files the
-manifest is 1.1 MB and parses in 8 ms — JSON is nowhere near the
-bottleneck at this scale — and snapshot reads are a single scan plus
-a broadcast file→partition join (``_load_entries``), so read planning
+a transactional catalog for the claim itself).
+
+Metadata plane (round 10 — CHECKPOINTED, the Delta-log shape):
+incremental commits write DELTA manifests — only their adds and
+removes, O(touched partitions) JSON — and every
+``_CHECKPOINT_INTERVAL``-th commit also materializes a columnar
+parquet checkpoint of the resolved file list; readers resolve
+checkpoint + delta tail. Per-commit manifest I/O therefore no longer
+scales with the table (pre-round-10, every commit re-serialized every
+live entry: ~11 MB of JSON per commit at 100k files, ~110 MB at 1M).
+MEASURED, not assumed (tools/store_probe.py, SCALE_PROBE.md §store):
+at 100,000 files a one-partition refresh commits 8.5 KB of delta JSON
+in 18 ms median (1,300× less I/O than the 11.1 MB full manifest it
+replaced), the amortized checkpoint commit takes 119 ms, and head
+resolution (504 KB parquet checkpoint + ≤16 small deltas) runs
+171 ms. The data plane — scan, shuffle, write — stays fully
+distributed, per-file partition values give catalog-side pruning with
+zero listing RPCs, and snapshot reads are a single scan plus a
+broadcast file→partition join (``_load_entries``), so read planning
 stays O(1) Spark jobs at any partition count. Bloom sidecars are the
 heavier metadata plane (~bits/8 bytes per file per column — ~10 MB at
 10k files with the 8192-bit default): kept OUT of the manifest so
@@ -133,9 +142,194 @@ def versions(store: str) -> list[int]:
     )
 
 
-def _read_manifest(store: str, version: int) -> dict:
+def _read_manifest_raw(store: str, version: int) -> dict:
+    """The manifest EXACTLY as written: either snapshot form (a
+    ``files`` list — overwrites, compactions, pre-round-10 history)
+    or delta form (``delta: {base, adds, removes}`` — incremental
+    commits). Metadata-only callers (committed_at, partition_col,
+    columns, streaming_batch, merge counts) should read this: every
+    manifest is self-describing except for its file list."""
     with open(_manifest_path(store, version), encoding="utf-8") as f:
         return json.load(f)
+
+
+# -- manifest checkpointing (round 10) ------------------------------------------
+#
+# Through round 9 every manifest carried the COMPLETE live-file list:
+# each commit re-serialized O(all files) JSON and every read re-parsed
+# it — ~110 MB per commit/plan at 1M files, the store's one remaining
+# O(table-metadata) ceiling (round-9 verdict #1). Round 10 adopts the
+# Delta-log shape:
+#
+#   * incremental commits write a DELTA manifest — only the entries
+#     they added and the (file, partition) pairs they removed, keyed
+#     to the base version they applied against — so commit I/O is
+#     O(touched partitions), never O(table);
+#   * every ``_CHECKPOINT_INTERVAL``-th commit ALSO writes a parquet
+#     CHECKPOINT (_manifests/ckpt-vNNNNN.parquet) holding the resolved
+#     file list — columnar, so 100k entries parse in milliseconds
+#     (Delta's checkpoint.parquet; written AFTER the claim, so a crash
+#     between the two merely lengthens the next reader's delta walk);
+#   * readers resolve a version by walking its delta chain back to the
+#     nearest checkpoint or snapshot-form manifest and replaying the
+#     deltas forward — O(interval) small JSONs + one columnar read.
+#
+# Snapshot-form manifests (commit_overwrite, compact_version, clone,
+# every pre-round-10 manifest) ARE their own checkpoint, so old stores
+# read unchanged and the two forms interleave freely. ``vacuum``
+# materializes a checkpoint for the oldest retained version before
+# dropping the older manifests its delta chain passed through.
+
+_CHECKPOINT_INTERVAL = 16
+
+
+def _ckpt_path(store: str, version: int) -> str:
+    # 'ckpt-' prefix keeps it out of the v*.json glob in versions()
+    return os.path.join(_mdir(store), f"ckpt-v{version:05d}.parquet")
+
+
+# checkpoint columns: nullable bytes/stats so entries from manifests
+# predating those fields round-trip without inventing values
+def _write_checkpoint(store: str, version: int, entries: list[dict]) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "file": pa.array([e["file"] for e in entries], pa.string()),
+            "partition": pa.array(
+                [json.dumps(e["partition"]) for e in entries], pa.string()
+            ),
+            "n_rows": pa.array(
+                [e.get("n_rows") for e in entries], pa.int64()
+            ),
+            "bytes": pa.array(
+                [e.get("bytes") for e in entries], pa.int64()
+            ),
+            "stats": pa.array(
+                [
+                    None if e.get("stats") is None else json.dumps(e["stats"])
+                    for e in entries
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    fd, tmp = tempfile.mkstemp(dir=_mdir(store))
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.rename(tmp, _ckpt_path(store, version))
+
+
+def _read_checkpoint(path: str) -> list[dict]:
+    import pyarrow.parquet as pq
+
+    cols = pq.read_table(path).to_pydict()
+    out = []
+    for i in range(len(cols["file"])):
+        e = {
+            "file": cols["file"][i],
+            "partition": json.loads(cols["partition"][i]),
+        }
+        if cols["n_rows"][i] is not None:
+            e["n_rows"] = cols["n_rows"][i]
+        if cols["bytes"][i] is not None:
+            e["bytes"] = cols["bytes"][i]
+        if cols["stats"][i] is not None:
+            e["stats"] = json.loads(cols["stats"][i])
+        out.append(e)
+    return out
+
+
+def _resolve_entries(store: str, version: int, raw: dict) -> list[dict]:
+    """The complete file list of a delta-form manifest: walk the base
+    chain back to the nearest checkpoint or snapshot-form manifest,
+    then replay the deltas forward (removes before adds — a rewrite
+    commit removes a partition's old files and adds its new ones)."""
+    chain: list[dict] = []
+    v, man = version, raw
+    while "files" not in man:
+        ck = _ckpt_path(store, v)
+        if os.path.exists(ck):
+            entries = _read_checkpoint(ck)
+            break
+        d = man["delta"]
+        chain.append(d)
+        v = d["base"]
+        if v == 0:
+            entries = []
+            break
+        try:
+            man = _read_manifest_raw(store, v)
+        except FileNotFoundError as exc:
+            raise ValueError(
+                f"version {version} resolves through version {v}, whose"
+                " manifest was vacuumed away without a checkpoint —"
+                " store metadata is corrupt (vacuum checkpoints the"
+                " oldest retained version before dropping history)"
+            ) from exc
+    else:
+        entries = man["files"]
+    for d in reversed(chain):
+        removed = {r["file"] for r in d["removes"]}
+        entries = [e for e in entries if e["file"] not in removed]
+        entries = entries + d["adds"]
+    return entries
+
+
+def _read_manifest(store: str, version: int) -> dict:
+    """The manifest with its file list MATERIALIZED: snapshot-form
+    manifests return as written; delta-form manifests resolve through
+    ``_resolve_entries`` and surface the same ``files`` shape, so
+    every consumer sees one format regardless of how the version was
+    committed."""
+    raw = _read_manifest_raw(store, version)
+    if "files" in raw:
+        return raw
+    out = {k: v for k, v in raw.items() if k != "delta"}
+    out["files"] = _resolve_entries(store, version, raw)
+    return out
+
+
+def _step_delta(store: str, version: int) -> tuple[list, list] | None:
+    """(adds, removes) when ``version`` is a delta commit based on
+    ``version - 1`` — the exact unshared-file sets vs its predecessor,
+    read in O(delta) — else None (snapshot-form manifest, or a delta
+    against a different base). Removes entries carry {file, partition}
+    only; adds are full manifest entries."""
+    raw = _read_manifest_raw(store, version)
+    d = raw.get("delta")
+    if d is not None and d["base"] == version - 1:
+        return d["adds"], d["removes"]
+    return None
+
+
+def _claim_incremental(
+    store: str,
+    manifest: dict,
+    base_v: int,
+    new_entries: list[dict],
+    removes: list[dict],
+    full_entries: list[dict],
+) -> None:
+    """Claim an incremental commit in DELTA form and, when the version
+    lands on the checkpoint cadence, materialize its parquet
+    checkpoint. ``full_entries`` (carried + new) is what the caller
+    already assembled to compute the carry-forward — it is only
+    serialized on checkpoint versions."""
+    manifest = dict(manifest)
+    manifest.pop("files", None)
+    manifest["delta"] = {
+        "base": base_v,
+        "adds": new_entries,
+        "removes": [
+            {"file": r["file"], "partition": r["partition"]}
+            for r in removes
+        ],
+    }
+    _claim_manifest(store, manifest)
+    if manifest["version"] % _CHECKPOINT_INTERVAL == 0:
+        _write_checkpoint(store, manifest["version"], full_entries)
 
 
 def version_at_timestamp(store: str, ts: float) -> int:
@@ -146,15 +340,27 @@ def version_at_timestamp(store: str, ts: float) -> int:
     have dropped the version that was current then — resolving to a
     LATER version would silently lie about history).
 
-    Scans NEWEST-first with an early exit, so resolution is O(versions
-    newer than ts), and a pre-round-9 manifest with no recorded commit
-    time only raises when the scan actually REACHES it — newer,
-    timestamped versions keep the feature usable on a store with old
-    history (round-9 review: the first cut read every manifest and
-    raised on any untimestamped one)."""
+    Commit times are MONOTONIZED during the scan (Delta does the same
+    at resolution): a wall-clock step backwards — or skewed hosts
+    sharing a store — can stamp v(n+1) earlier than v(n), and the
+    effective commit time of a version is then the max recorded time
+    over it and every older version (a version cannot become visible
+    before its predecessor did). Concretely, scanning NEWEST-first:
+    a version stamped AFTER ``ts`` invalidates every newer candidate,
+    because monotonization lifts their effective times past ``ts``
+    too (ADVICE r9; ``_claim_manifest`` also clamps at claim time, so
+    non-monotonic stamps only arise from pre-clamp history or clock-
+    skewed writers). A pre-round-9 manifest with no recorded commit
+    time ends the scan: it predates timestamp recording entirely, so
+    it cannot invalidate a newer timestamped candidate (round-9
+    review: the first cut read every manifest and raised on any
+    untimestamped one)."""
+    candidate = None
     for v in reversed(versions(store)):
-        at = _read_manifest(store, v).get("committed_at")
+        at = _read_manifest_raw(store, v).get("committed_at")
         if at is None:
+            if candidate is not None:
+                return candidate
             raise ValueError(
                 f"version {v} has no recorded commit time (manifest"
                 f" predates timestamp recording) and no newer version"
@@ -162,7 +368,15 @@ def version_at_timestamp(store: str, ts: float) -> int:
                 " instead"
             )
         if at <= ts:
-            return v
+            if candidate is None:
+                candidate = v
+        else:
+            # stamped after ts: every NEWER version's monotonized
+            # commit time is >= this one's, so no candidate above
+            # this version is actually visible at ts
+            candidate = None
+    if candidate is not None:
+        return candidate
     raise ValueError(f"no retained version committed at or before {ts}")
 
 
@@ -248,8 +462,23 @@ def _claim_manifest(store: str, manifest: dict) -> None:
     # so timestamp time travel (`version_at_timestamp`) resolves
     # against when a version became VISIBLE, not when it was prepared
     # — refreshed on every claim attempt, so a rebased retry carries
-    # the time it actually landed
-    manifest["committed_at"] = time.time()
+    # the time it actually landed. CLAMPED to strictly after the
+    # predecessor's recorded time (Delta monotonizes the same way):
+    # an NTP step backwards between commits would otherwise stamp
+    # v(n+1) earlier than v(n) and skew timestamp time travel
+    # (ADVICE r9; version_at_timestamp additionally monotonizes at
+    # resolution for histories written before this clamp).
+    now = time.time()
+    if manifest["version"] > 1:
+        try:
+            prev_at = _read_manifest_raw(
+                store, manifest["version"] - 1
+            ).get("committed_at")
+            if prev_at is not None:
+                now = max(now, prev_at + 1e-4)
+        except FileNotFoundError:
+            pass  # predecessor vacuumed away: nothing to clamp against
+    manifest["committed_at"] = now
     mpath = _manifest_path(store, manifest["version"])
     fd, tmp = tempfile.mkstemp(dir=_mdir(store))
     with os.fdopen(fd, "w", encoding="utf-8") as f:
@@ -747,17 +976,33 @@ def _rebase_head_or_raise(
                 "concurrent commit changed the table schema; rebase"
                 " would silently drop the evolved column from reads"
             )
-        prev = base_man
+        prev = None  # lazily-resolved predecessor for snapshot steps
         for v in range(base_v + 1, head_v + 1):
-            mv = _read_manifest(store, v)
-            overlap = _changed_partitions(prev, mv) & touched
+            # delta-form manifests carry their changed partitions
+            # explicitly — the conflict check reads O(delta) per
+            # intervening commit, never resolving a file list
+            step = _step_delta(store, v)
+            if step is not None:
+                adds, removes = step
+                changed = {
+                    _norm_pval(e["partition"]) for e in adds
+                } | {_norm_pval(e["partition"]) for e in removes}
+                prev = None
+            else:
+                if prev is None:
+                    prev = base_man if v - 1 == base_v else (
+                        _read_manifest(store, v - 1)
+                    )
+                mv = _read_manifest(store, v)
+                changed = _changed_partitions(prev, mv)
+                prev = mv
+            overlap = changed & touched
             if overlap:
                 raise CommitConflict(
                     f"version {v} changed partition(s)"
                     f" {sorted(overlap)} this commit also writes;"
                     " recompute against the new head and retry"
                 )
-            prev = mv
     except FileNotFoundError as exc:
         raise CommitConflict(
             "an intervening manifest was vacuumed away before the"
@@ -792,15 +1037,15 @@ def _publish_incremental(
     head_v, head = base_v, base_man
     retries = 0
     while True:
-        keep = [
-            e
-            for e in head["files"]
-            if _norm_pval(e["partition"]) not in touched
-        ]
+        keep, removed = [], []
+        for e in head["files"]:
+            if _norm_pval(e["partition"]) in touched:
+                removed.append(e)
+            else:
+                keep.append(e)
         manifest = {
             "version": head_v + 1,
             "partition_col": _man_pcol(pcols),
-            "files": keep + new_entries,
             **extra,
         }
         if columns is not None:
@@ -808,7 +1053,14 @@ def _publish_incremental(
         if head_v != base_v:
             manifest["rebased_from_base"] = base_v
         try:
-            _claim_manifest(store, manifest)
+            _claim_incremental(
+                store,
+                manifest,
+                head_v,
+                new_entries,
+                removed,
+                keep + new_entries,
+            )
         except CommitConflict:
             if retries >= max_retries:
                 raise
@@ -1546,13 +1798,27 @@ def vacuum(
         for e in _read_manifest(store, v)["files"]
     }
     removed: list[str] = []
+    if vs and len(retained) < len(vs):
+        # the oldest retained version may be a delta whose chain walks
+        # through manifests about to be dropped: materialize its
+        # checkpoint FIRST so every retained version stays resolvable
+        # (newer retained deltas resolve through this checkpoint)
+        oldest = min(retained)
+        raw = _read_manifest_raw(store, oldest)
+        if "files" not in raw and not os.path.exists(
+            _ckpt_path(store, oldest)
+        ):
+            _write_checkpoint(
+                store, oldest, _resolve_entries(store, oldest, raw)
+            )
     for v in vs:
         if v not in retained:
             os.remove(_manifest_path(store, v))
-            try:  # the version's bloom sidecar goes with its manifest
-                os.remove(_bloom_path(store, v))
-            except FileNotFoundError:
-                pass
+            for drop in (_bloom_path(store, v), _ckpt_path(store, v)):
+                try:  # the version's sidecars go with its manifest
+                    os.remove(drop)
+                except FileNotFoundError:
+                    pass
     data_dir = os.path.join(store, _DATA)
     # a store whose only commits were empty snapshots never created
     # data/ — nothing to delete
@@ -1627,16 +1893,34 @@ def rollback(store: str, to_version: int) -> int:
     manifest shares every file with ``to_version``: a rollback costs
     one JSON write, zero data movement."""
     man = _read_manifest(store, to_version)  # raises if vacuumed away
-    version = current_version(store) + 1
+    head_v = current_version(store)
+    version = head_v + 1
     manifest = {
         "version": version,
         "partition_col": man["partition_col"],
-        "files": man["files"],
         "rolled_back_from": to_version,
     }
     if man.get("columns") is not None:
         manifest["columns"] = man["columns"]
-    _claim_manifest(store, manifest)
+    head = _read_manifest(store, head_v)
+    if head["partition_col"] == man["partition_col"]:
+        # delta form: a rollback usually shares most files with the
+        # head it supersedes, so the manifest records only the churn
+        target = {e["file"] for e in man["files"]}
+        in_head = {e["file"] for e in head["files"]}
+        _claim_incremental(
+            store,
+            manifest,
+            head_v,
+            [e for e in man["files"] if e["file"] not in in_head],
+            [e for e in head["files"] if e["file"] not in target],
+            man["files"],
+        )
+    else:
+        # rolling back across a re-partitioning boundary: the file
+        # sets are disjoint shapes — record the full snapshot
+        manifest["files"] = man["files"]
+        _claim_manifest(store, manifest)
     bloom = _read_bloom_sidecar(store, to_version)
     if bloom is not None:  # same files ⇒ same blooms: one JSON copy
         fd, tmp = tempfile.mkstemp(dir=_mdir(store))

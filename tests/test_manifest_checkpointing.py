@@ -1,0 +1,243 @@
+"""Round-10 manifest checkpointing (round-9 verdict #1): incremental
+commits write DELTA manifests — only their adds and removes, O(touched
+partitions) JSON instead of re-serializing every live file — and every
+``_CHECKPOINT_INTERVAL``-th commit materializes a parquet checkpoint
+(Delta's checkpoint.parquet shape). Readers resolve a version by
+walking its delta chain back to the nearest checkpoint or snapshot-form
+manifest; vacuum checkpoints the oldest retained version before
+dropping the history its chain passed through.
+
+Also covers the commit-time clamp + resolution monotonization of
+``committed_at`` (ADVICE r9) and the sink's delta-form appends.
+"""
+
+import os
+import time
+
+import pytest
+
+import engine.versioned_store as vs
+
+
+def _base(spark, store, parts=4, rows=64):
+    df = spark.createDataFrame(
+        [(f"p{i % parts}", i, i * 10) for i in range(rows)],
+        "part string, k long, v long",
+    )
+    vs.commit_overwrite(df.repartition(4), store, "part")
+    return df
+
+
+def _bump(spark, store, k, v, part="p1"):
+    chg = spark.createDataFrame(
+        [(part, k, v)], "part string, k long, v long"
+    )
+    return vs.commit_upsert(spark, store, chg, ["part", "k"])
+
+
+def test_incremental_commits_are_delta_manifests(spark, tmp_path):
+    """An upsert's raw manifest records only the touched partition's
+    churn; resolution reproduces exactly the file set the old full-
+    list format would have written."""
+    store = str(tmp_path / "s")
+    _base(spark, store)
+    v2 = _bump(spark, store, 1, 111)
+
+    raw = vs._read_manifest_raw(store, v2)
+    assert "files" not in raw
+    assert raw["delta"]["base"] == 1
+    assert {e["partition"] for e in raw["delta"]["adds"]} == {"p1"}
+    assert {e["partition"] for e in raw["delta"]["removes"]} == {"p1"}
+    # removes reference exactly v1's p1 files
+    v1_p1 = {
+        e["file"]
+        for e in vs._read_manifest(store, 1)["files"]
+        if e["partition"] == "p1"
+    }
+    assert {r["file"] for r in raw["delta"]["removes"]} == v1_p1
+
+    man = vs._read_manifest(store, v2)
+    carried = {
+        e["file"]
+        for e in vs._read_manifest(store, 1)["files"]
+        if e["partition"] != "p1"
+    }
+    assert {e["file"] for e in man["files"]} == (
+        carried | {e["file"] for e in raw["delta"]["adds"]}
+    )
+    got = sorted(
+        (r.part, r.k, r.v)
+        for r in vs.read_version(spark, store).collect()
+    )
+    assert ("p1", 1, 111) in got and len(got) == 64
+
+
+def test_checkpoint_cadence_and_bounded_resolution(
+    spark, tmp_path, monkeypatch
+):
+    """Every Kth commit writes a parquet checkpoint whose content
+    equals the resolved chain, and resolving a later version reads
+    only the tail manifests above the checkpoint — never the full
+    history (the sublinear-read property the format exists for)."""
+    monkeypatch.setattr(vs, "_CHECKPOINT_INTERVAL", 4)
+    store = str(tmp_path / "s")
+    _base(spark, store)
+    for i in range(2, 7):  # versions 2..6
+        _bump(spark, store, 1, i)
+    assert os.path.exists(vs._ckpt_path(store, 4))
+    assert not os.path.exists(vs._ckpt_path(store, 5))
+    ck = vs._read_checkpoint(vs._ckpt_path(store, 4))
+    assert sorted(e["file"] for e in ck) == sorted(
+        e["file"] for e in vs._read_manifest(store, 4)["files"]
+    )
+    # checkpoint entries round-trip stats/row counts for pruning
+    assert all("n_rows" in e and "stats" in e for e in ck)
+
+    reads: list[int] = []
+    orig = vs._read_manifest_raw
+
+    def counting(store_, v):
+        reads.append(v)
+        return orig(store_, v)
+
+    monkeypatch.setattr(vs, "_read_manifest_raw", counting)
+    man = vs._read_manifest(store, 6)
+    assert set(reads) == {6, 5, 4}, reads  # nothing below the ckpt
+    got = sorted(
+        (r.part, r.k, r.v)
+        for r in vs.read_version(spark, store, 6).collect()
+    )
+    assert ("p1", 1, 6) in got and len(got) == 64
+    assert len(man["files"]) == len({e["file"] for e in man["files"]})
+
+
+def test_vacuum_checkpoints_oldest_retained_delta(spark, tmp_path):
+    """Dropping history under a delta chain must not orphan the
+    retained versions: vacuum materializes the oldest retained
+    version's checkpoint first, and the store stays fully usable."""
+    store = str(tmp_path / "s")
+    _base(spark, store)
+    for i in range(2, 5):  # versions 2..4, all deltas
+        _bump(spark, store, 1, i)
+    removed = vs.vacuum(store, keep_latest=2)
+    assert removed  # v1/v2's rewritten p1 files went away
+    assert vs.versions(store) == [3, 4]
+    assert os.path.exists(vs._ckpt_path(store, 3))
+    for v, want in [(3, 3), (4, 4)]:
+        got = {
+            (r.part, r.k, r.v)
+            for r in vs.read_version(spark, store, v).collect()
+        }
+        assert ("p1", 1, want) in got and len(got) == 64
+    # and the store keeps committing/reading after the purge
+    v5 = _bump(spark, store, 1, 5)
+    assert ("p1", 1, 5) in {
+        (r.part, r.k, r.v)
+        for r in vs.read_version(spark, store, v5).collect()
+    }
+
+
+def test_vacuum_drops_dropped_versions_checkpoints(
+    spark, tmp_path, monkeypatch
+):
+    monkeypatch.setattr(vs, "_CHECKPOINT_INTERVAL", 2)
+    store = str(tmp_path / "s")
+    _base(spark, store)
+    for i in range(2, 7):  # ckpts at 2, 4, 6
+        _bump(spark, store, 1, i)
+    assert os.path.exists(vs._ckpt_path(store, 2))
+    vs.vacuum(store, keep_latest=2)  # retain 5, 6
+    assert not os.path.exists(vs._ckpt_path(store, 2))
+    assert not os.path.exists(vs._ckpt_path(store, 4))
+    assert os.path.exists(vs._ckpt_path(store, 6))
+    assert vs.current_version(store) == 6
+
+
+def test_delta_manifest_io_is_o_touched_not_o_table(spark, tmp_path):
+    """The property the format exists for, asserted directly on disk:
+    an upsert touching 1 of 8 partitions writes a manifest whose
+    entry count is the touched partition's churn, independent of how
+    many files the table holds."""
+    store = str(tmp_path / "s")
+    df = spark.createDataFrame(
+        [(f"p{i % 8}", i, i) for i in range(256)],
+        "part string, k long, v long",
+    )
+    vs.commit_overwrite(df.repartition(8), store, "part")
+    n_table = len(vs._read_manifest(store, 1)["files"])
+    v2 = _bump(spark, store, 8, 888)  # k=8 lives in p0
+    raw = vs._read_manifest_raw(store, v2)
+    churn = len(raw["delta"]["adds"]) + len(raw["delta"]["removes"])
+    per_part = n_table / 8
+    assert churn <= 3 * per_part < n_table, (churn, n_table)
+
+
+def test_sink_append_writes_delta_manifest(spark, tmp_path):
+    """The sessionless sink commit uses the same delta form: an
+    append's manifest is pure adds."""
+    from engine.sources.vstore_datasource import register_vstore
+
+    register_vstore(spark)
+    store = str(tmp_path / "s")
+    spark.createDataFrame(
+        [("a", 1, 10), ("b", 2, 20)], "part string, k long, v long"
+    ).write.format("vstore").option("partition_col", "part").mode(
+        "overwrite"
+    ).save(store)
+    spark.createDataFrame(
+        [("c", 3, 30)], "part string, k long, v long"
+    ).write.format("vstore").mode("append").save(store)
+    raw = vs._read_manifest_raw(store, 2)
+    assert "files" not in raw
+    assert raw["delta"]["base"] == 1 and raw["delta"]["removes"] == []
+    assert {e["partition"] for e in raw["delta"]["adds"]} == {"c"}
+    got = sorted(
+        (r.part, r.k, r.v)
+        for r in spark.read.format("vstore").load(store).collect()
+    )
+    assert got == [("a", 1, 10), ("b", 2, 20), ("c", 3, 30)]
+
+
+def test_commit_times_clamp_monotonic_under_clock_step(
+    spark, tmp_path, monkeypatch
+):
+    """A wall clock stepping BACKWARD between commits cannot stamp
+    v2 earlier than v1: the claim clamps to strictly after the
+    predecessor (ADVICE r9)."""
+    store = str(tmp_path / "s")
+    _base(spark, store)
+    t1 = vs._read_manifest_raw(store, 1)["committed_at"]
+    monkeypatch.setattr(vs.time, "time", lambda: t1 - 3600.0)
+    v2 = _bump(spark, store, 1, 2)
+    t2 = vs._read_manifest_raw(store, v2)["committed_at"]
+    assert t2 > t1
+    monkeypatch.undo()
+    assert vs.version_at_timestamp(store, t2) == 2
+    assert vs.version_at_timestamp(store, (t1 + t2) / 2) == 1
+
+
+def test_version_at_timestamp_monotonizes_skewed_history(
+    spark, tmp_path
+):
+    """Pre-clamp history (or clock-skewed hosts sharing a store) can
+    hold non-monotonic stamps; resolution must answer as Delta does —
+    a version is visible no earlier than its predecessors (ADVICE
+    r9). v1@100, v2@500, v3@200: at ts=300 only v1 was provably
+    visible (v3 cannot have landed before v2 did)."""
+    import json
+
+    store = str(tmp_path / "s")
+    _base(spark, store)
+    for i in range(2, 4):
+        _bump(spark, store, 1, i)
+    for v, at in [(1, 100.0), (2, 500.0), (3, 200.0)]:
+        raw = vs._read_manifest_raw(store, v)
+        raw["committed_at"] = at
+        with open(vs._manifest_path(store, v), "w", encoding="utf-8") as f:
+            f.write(json.dumps(raw))
+    assert vs.version_at_timestamp(store, 300.0) == 1
+    assert vs.version_at_timestamp(store, 499.9) == 1
+    assert vs.version_at_timestamp(store, 500.0) == 3
+    assert vs.version_at_timestamp(store, 150.0) == 1
+    with pytest.raises(ValueError, match="no retained version"):
+        vs.version_at_timestamp(store, 99.0)

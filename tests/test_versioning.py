@@ -19,6 +19,14 @@ from engine.plans.inspect import formatted_plan
 from tests.conftest import SF_SMOKE
 
 
+def _vs_man(store, v):
+    """Manifest with its file list resolved (delta manifests replay
+    through _read_manifest — the round-10 checkpointed format)."""
+    from engine.versioned_store import _read_manifest
+
+    return _read_manifest(store, v)
+
+
 def _diff_from_files_duckdb(v1: str, v2: str):
     """The per-source diff recomputed by DuckDB straight from the two
     published snapshots' files — using only the STORED (doc_id, h,
@@ -285,8 +293,8 @@ def test_versioned_store_time_travel_pruning_and_vacuum(spark, tmp_path):
     # copy-on-write: partition 'b' carries the SAME file forward
     import json as _json
 
-    m1 = _json.load(open(f"{store}/_manifests/v00001.json"))
-    m2 = _json.load(open(f"{store}/_manifests/v00002.json"))
+    m1 = _vs_man(store, 1)
+    m2 = _vs_man(store, 2)
     b1 = {e["file"] for e in m1["files"] if e["partition"] == "b"}
     b2 = {e["file"] for e in m2["files"] if e["partition"] == "b"}
     assert b1 == b2 and b1
@@ -337,8 +345,8 @@ def test_versioned_store_rollback_is_a_zero_copy_commit(spark, tmp_path):
     v3 = rollback(store, 1)
     assert v3 == 3 and versions(store) == [1, 2, 3]
     assert set(_os.listdir(f"{store}/data")) == files_before  # zero-copy
-    m1 = _json.load(open(f"{store}/_manifests/v00001.json"))
-    m3 = _json.load(open(f"{store}/_manifests/v00003.json"))
+    m1 = _vs_man(store, 1)
+    m3 = _vs_man(store, 3)
     assert {e["file"] for e in m3["files"]} == {e["file"] for e in m1["files"]}
     assert m3["rolled_back_from"] == 1
     # latest now reads the pre-corruption contents
@@ -474,8 +482,8 @@ def test_version_diff_reads_only_unshared_files_and_matches_naive(
     assert m["a"][:4] == (1, 0, 1, 0)  # doc 9 added, doc 1 changed
 
     # the fast diff's scan set is exactly the unshared files
-    m1 = _json.load(open(f"{store}/_manifests/v00001.json"))
-    m2 = _json.load(open(f"{store}/_manifests/v00002.json"))
+    m1 = _vs_man(store, 1)
+    m2 = _vs_man(store, 2)
     shared = {e["file"] for e in m1["files"]} & {e["file"] for e in m2["files"]}
     unshared = (
         {e["file"] for e in m1["files"]} | {e["file"] for e in m2["files"]}
@@ -501,9 +509,9 @@ def test_compact_version_shrinks_files_preserving_contents(spark, tmp_path):
     commit_overwrite(df.repartition(16), store, "part")
     import json as _json
 
-    m1 = _json.load(open(f"{store}/_manifests/v00001.json"))
+    m1 = _vs_man(store, 1)
     v2 = compact_version(spark, store)
-    m2 = _json.load(open(f"{store}/_manifests/v00002.json"))
+    m2 = _vs_man(store, 2)
     assert len(m2["files"]) < len(m1["files"])
     assert m2["compacted_from"] == 1
     got = lambda v: sorted(  # noqa: E731
@@ -609,7 +617,7 @@ def test_commit_delete_and_purge_forget_a_key_on_disk(spark, tmp_path):
 
     assert sorted(r.k for r in read_version(spark, store, v2).collect()) == [1, 3]
     assert sorted(r.k for r in read_version(spark, store, 1).collect()) == [1, 2, 3]
-    m2 = _json.load(open(f"{store}/_manifests/v00002.json"))
+    m2 = _vs_man(store, 2)
     assert m2["deleted_keys"] == 1
 
     # purge: drop v1; the only files that ever held k=2 go with it
@@ -1412,7 +1420,7 @@ def test_disjoint_concurrent_upserts_rebase_and_land(
     )
     v = vs.commit_upsert(spark, store, chg_b, ["part", "k"], max_retries=1)
     assert v == 3 and vs.current_version(store) == 3
-    man = _json.load(open(f"{store}/_manifests/v00003.json"))
+    man = _vs_man(store, 3)
     assert man["rebased_from_base"] == 1
     got = sorted(
         tuple(r) for r in vs.read_version(spark, store, 3).collect()

@@ -380,3 +380,58 @@ def test_sink_separator_values_stay_distinct_combos(registered, tmp_path):
         (r.a, r.b, r.k) for r in vs.read_version(spark, store).collect()
     )
     assert got == [("x", "y\x1fz", 2), ("x\x1fy", "z", 1)]
+
+
+def test_writer_id_with_colon_and_early_exit_scan(spark, tmp_path, monkeypatch):
+    """REGRESSION (ADVICE r9 + round-9 verdict #4): a writer_id
+    containing ':' must neither crash the tag parse nor match another
+    writer's tags (writer 'a' scanning 'a:b:7' used to int('b:7')),
+    and the newest-batch scan stops at the FIRST matching tag
+    scanning newest-first instead of reading every manifest."""
+    import pyarrow as pa
+
+    import engine.versioned_store as vs
+    from engine.sources.vstore_datasource import VStoreStreamWriter
+
+    store = str(tmp_path / "colon")
+    schema = spark.createDataFrame([("a", 1)], "part string, k long").schema
+
+    def batch(part, k):
+        return iter(
+            pa.table(
+                {"part": [part], "k": [k]},
+                schema=pa.schema([("part", pa.string()), ("k", pa.int64())]),
+            ).to_batches()
+        )
+
+    wa = VStoreStreamWriter(
+        {"path": store, "partition_col": "part", "writer_id": "a"},
+        schema,
+        overwrite=False,
+    )
+    wab = VStoreStreamWriter(
+        {"path": store, "partition_col": "part", "writer_id": "a:b"},
+        schema,
+        overwrite=False,
+    )
+    wa.commit([wa.write(batch("a", 1))], 3)      # tag a:3
+    wab.commit([wab.write(batch("b", 2))], 7)    # tag a:b:7
+    # 'a' must see 3 (not crash on 'a:b:7', not adopt 7)
+    assert wa._last_recorded_batch() == 3
+    assert wab._last_recorded_batch() == 7
+    # and both writers keep strictly-increasing semantics
+    wa.commit([wa.write(batch("c", 3))], 4)      # tag a:4
+    assert wa._last_recorded_batch() == 4
+
+    # early exit: the newest matching tag ends the scan
+    reads: list[int] = []
+    orig = vs._read_manifest
+
+    def counting(store_, v):
+        reads.append(v)
+        return orig(store_, v)
+
+    monkeypatch.setattr(vs, "_read_manifest", counting)
+    assert wab._last_recorded_batch() == 7
+    # v3 (a:4) is scanned and skipped; v2 (a:b:7) matches; v1 never read
+    assert reads == [3, 2]

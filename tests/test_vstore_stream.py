@@ -376,3 +376,30 @@ def test_batch_cdf_schema_pins_to_version_and_guards(spark, story):
                 "from_version": "1",
             }
         ).schema()
+
+
+def test_cdf_raises_on_duplicate_keys(spark, tmp_path):
+    """REGRESSION (ADVICE r9): the per-partition CDF diff keys rows by
+    key_cols; a store populated by the blind sink append path enforces
+    no key uniqueness, and a duplicate key used to be silently
+    collapsed to the last row — an INCOMPLETE change feed. It now
+    raises, mirroring commit_merge's duplicate-source guard."""
+    from engine.sources.vstore_datasource import register_vstore
+
+    register_vstore(spark)
+    store = str(tmp_path / "dup")
+    spark.createDataFrame(
+        [("a", 1, "x"), ("a", 1, "y"), ("a", 2, "z")],
+        "part string, k long, v string",
+    ).write.format("vstore").option("partition_col", "part").mode(
+        "overwrite"
+    ).save(store)
+    feed = (
+        spark.read.format("vstore")
+        .option("read_changes", "true")
+        .option("key_cols", "part,k")
+        .option("from_version", 0)
+        .load(store)
+    )
+    with pytest.raises(Exception, match="not key-unique"):
+        feed.collect()

@@ -45,6 +45,33 @@ from engine.session import get_spark  # noqa: E402
 ROWS_PER_FILE = 100
 
 
+class _SeedPool:
+    """Hard-link factory around one real parquet file: filesystems cap
+    links per inode (~65k on ext4), so past 30k links per copy a fresh
+    byte-copy of the seed becomes the new link target — 100k+ file
+    stores stay cheap to synthesize (4 copies, not 100k writes)."""
+
+    def __init__(self, seed: str, per_copy: int = 30_000):
+        self.current = seed
+        self.per_copy = per_copy
+        self.n = 0
+        self.copies = 0
+
+    def link(self, dst: str) -> None:
+        import shutil
+
+        if self.n >= self.per_copy:
+            self.copies += 1
+            nxt = f"{self.current}.copy{self.copies}"
+            shutil.copy(self.current.split(".copy")[0], nxt)
+            self.current, self.n = nxt, 0
+        os.link(self.current, dst)
+        self.n += 1
+
+    def getsize(self) -> int:
+        return os.path.getsize(self.current)
+
+
 def _build_store(spark, root: str, n_files: int, n_parts: int) -> str:
     """A store whose v1 lists ``n_files`` entries over ``n_parts``
     partitions, plus a v2 that rewrites exactly one partition (the
@@ -65,10 +92,12 @@ def _build_store(spark, root: str, n_files: int, n_parts: int) -> str:
         .write.mode("overwrite")
         .parquet(seed_dir)
     )
-    seed = next(
-        os.path.join(seed_dir, f)
-        for f in os.listdir(seed_dir)
-        if f.endswith(".parquet")
+    seed = _SeedPool(
+        next(
+            os.path.join(seed_dir, f)
+            for f in os.listdir(seed_dir)
+            if f.endswith(".parquet")
+        )
     )
     per_part = n_files // n_parts
 
@@ -77,13 +106,13 @@ def _build_store(spark, root: str, n_files: int, n_parts: int) -> str:
         for p in range(n_parts):
             for i in range(per_part):
                 name = f"v{version:05d}-{p:04d}-{i:05d}.parquet"
-                os.link(seed, os.path.join(data, name))
+                seed.link(os.path.join(data, name))
                 entries.append(
                     {
                         "file": name,
                         "partition": f"src{p:04d}",
                         "n_rows": ROWS_PER_FILE,
-                        "bytes": os.path.getsize(seed),
+                        "bytes": seed.getsize(),
                     }
                 )
         return entries
@@ -101,21 +130,21 @@ def _build_store(spark, root: str, n_files: int, n_parts: int) -> str:
     new = []
     for i in range(len(touched)):
         name = f"v00002-0000-{i:05d}.parquet"
-        os.link(seed, os.path.join(data, name))
+        seed.link(os.path.join(data, name))
         new.append({"file": name, "partition": "src0000",
                     "n_rows": ROWS_PER_FILE,
-                    "bytes": os.path.getsize(seed)})
+                    "bytes": seed.getsize()})
     vs._write_manifest_and_current(
         store,
         {"version": 2, "partition_col": "source", "columns": ddl,
          "files": keep + new},
     )
-    return store
+    return store, seed
 
 
 def _probe(spark, root: str, n_files: int, n_parts: int) -> dict:
     t0 = time.monotonic()
-    store = _build_store(spark, root, n_files, n_parts)
+    store, seed = _build_store(spark, root, n_files, n_parts)
     build_s = time.monotonic() - t0
     out: dict = {"n_files": n_files, "n_partitions": n_parts,
                  "build_s": round(build_s, 3)}
@@ -143,6 +172,52 @@ def _probe(spark, root: str, n_files: int, n_parts: int) -> dict:
     d = vs.version_diff(spark, store, 2, 1).collect()
     out["diff_s"] = round(time.monotonic() - t0, 3)
     assert len(d) == n_parts
+
+    # round-10 checkpointed commit plane: a chain of one-partition
+    # refreshes through the REAL incremental publish path — each
+    # commit re-reads the head (checkpoint + delta tail), rewrites one
+    # partition, and writes a DELTA manifest. The claim the format
+    # makes: per-commit manifest I/O is O(touched partition), NOT
+    # O(table), so commit bytes/time stay flat as n_files grows 10×
+    # (pre-round-10, every commit re-serialized all n_files entries —
+    # the v1 manifest_bytes above is that cost for comparison).
+    data = os.path.join(store, vs._DATA)
+    ddl = "doc_id bigint, n_tokens bigint, h bigint"
+    n_chain = vs._CHECKPOINT_INTERVAL + 2  # cross one ckpt boundary
+    commit_s, delta_bytes, resolve_s = [], [], []
+    for j in range(n_chain):
+        t0 = time.monotonic()
+        head_v = vs.current_version(store)
+        head = vs._read_manifest(store, head_v)  # a commit's read side
+        resolve_s.append(time.monotonic() - t0)
+        part = f"src{j % n_parts:04d}"
+        new = []
+        for i in range(3):
+            name = f"v{head_v + 1:05d}-chain-{i:05d}.parquet"
+            seed.link(os.path.join(data, name))
+            new.append({"file": name, "partition": part,
+                        "n_rows": ROWS_PER_FILE,
+                        "bytes": seed.getsize()})
+        t0 = time.monotonic()
+        v = vs._publish_incremental(
+            spark, store, head_v, head, {(part,)}, new, ddl, {}, 0
+        )
+        commit_s.append(time.monotonic() - t0)
+        delta_bytes.append(os.path.getsize(vs._manifest_path(store, v)))
+    commit_s.sort()
+    out["chain_commits"] = n_chain
+    out["commit_median_s"] = round(commit_s[len(commit_s) // 2], 4)
+    out["commit_max_s"] = round(commit_s[-1], 4)  # the ckpt commit
+    out["delta_manifest_bytes"] = max(delta_bytes)
+    out["head_resolve_s"] = round(
+        sorted(resolve_s)[len(resolve_s) // 2], 4
+    )
+    ck = vs._ckpt_path(
+        store,
+        (vs.current_version(store) // vs._CHECKPOINT_INTERVAL)
+        * vs._CHECKPOINT_INTERVAL,
+    )
+    out["ckpt_bytes"] = os.path.getsize(ck) if os.path.exists(ck) else 0
 
     t0 = time.monotonic()
     vs.rollback(store, 1)
