@@ -53,6 +53,19 @@ start; later widening steps upcast in-flight (safe casts only — an
 overflowing narrow cast raises rather than truncating); an ADDITIVE
 column appearing mid-stream is invisible until the query restarts,
 exactly Delta's behavior.
+
+Scale knobs (round 10):
+
+* ``max_versions_per_trigger`` / ``max_bytes_per_trigger`` — admission
+  control (Delta's maxFilesPerTrigger semantics): a microbatch absorbs
+  at most this many versions / added bytes, so a long backlog catches
+  up incrementally instead of one giant batch. At least one version is
+  always admitted; bytes are a soft cap (the crossing version is
+  included). See ``latestOffset`` for the one honest restart caveat.
+* ``max_rows_per_cdf_task`` (default 1M) — a CDF diff unit whose side
+  exceeds this many manifest rows is sub-bucketed by key hash, so one
+  fat rewritten partition fans out across tasks instead of
+  materializing in one task's memory.
 """
 
 from __future__ import annotations
@@ -110,7 +123,15 @@ class _CDFPartition(InputPartition):
     step removed (`a_files`) and added (`b_files`) for one partition
     value. Cross-step type widening needs no per-side DDL here: the
     read kernel loads raw values and the resolved (widened) output
-    schema types the emitted arrays."""
+    schema types the emitted arrays.
+
+    ``bucket``/``n_buckets`` sub-divide a FAT unit by key hash
+    (round-9 verdict #3): a rewrite of one huge storage partition
+    would otherwise materialize both sides' rows in ONE task's Python
+    dicts; with n_buckets > 1 each task keeps only the keys hashing
+    to its bucket — a key's rows land in the same bucket on both
+    sides, so each bucket's diff is independent and their union is
+    exactly the unbucketed feed."""
 
     def __init__(
         self,
@@ -120,6 +141,8 @@ class _CDFPartition(InputPartition):
         b_files: list[str],
         key_cols: tuple,
         commit_version: int | None,
+        bucket: int = 0,
+        n_buckets: int = 1,
     ):
         self.kind = "cdf"
         self.pval = pval
@@ -128,6 +151,8 @@ class _CDFPartition(InputPartition):
         self.b_files = b_files
         self.key_cols = key_cols
         self.commit_version = commit_version
+        self.bucket = bucket
+        self.n_buckets = n_buckets
 
 
 def _veq(a, b) -> bool:
@@ -140,11 +165,26 @@ def _veq(a, b) -> bool:
     return a == b
 
 
+def _key_bucket(key: tuple, n_buckets: int) -> int:
+    """Deterministic key→bucket hash, stable across processes (unlike
+    the builtin hash under PYTHONHASHSEED) and across both diff sides
+    (both run the same interpreter, so repr is identical for equal
+    values)."""
+    import zlib
+
+    return zlib.crc32(repr(key).encode("utf-8")) % n_buckets
+
+
 def _load_side(store: str, files: list[str], pval: tuple, pcols: tuple,
-               names: list[str]) -> list[list]:
+               names: list[str], key_idx: list[int] | None = None,
+               bucket: int = 0, n_buckets: int = 1) -> list[list]:
     """Read one side's files with pyarrow, restore the partition
     columns as constants, null-fill columns the (older) side's files
-    lack, and return a list of rows (values in `names` order)."""
+    lack, and return a list of rows (values in `names` order). With
+    ``n_buckets`` > 1, rows whose key hashes outside ``bucket`` are
+    dropped per file AS they are read, so a sub-bucketed task's peak
+    Python-row memory is one file's rows plus its own bucket — never
+    the whole partition."""
     import pyarrow.parquet as pq
 
     rows: list[list] = []
@@ -158,7 +198,15 @@ def _load_side(store: str, files: list[str], pval: tuple, pcols: tuple,
                 cols.append(t.column(n).to_pylist())
             else:
                 cols.append([None] * t.num_rows)
-        rows.extend([list(r) for r in zip(*cols)] if t.num_rows else [])
+        file_rows = [list(r) for r in zip(*cols)] if t.num_rows else []
+        if n_buckets > 1:
+            file_rows = [
+                r
+                for r in file_rows
+                if _key_bucket(tuple(r[i] for i in key_idx), n_buckets)
+                == bucket
+            ]
+        rows.extend(file_rows)
     return rows
 
 
@@ -224,8 +272,12 @@ class _ReadKernels:
         key_idx = [names.index(k) for k in p.key_cols]
         val_idx = [i for i in range(len(names)) if i not in key_idx]
 
-        a_rows = _load_side(self.store, p.a_files, p.pval, p.pcols, names)
-        b_rows = _load_side(self.store, p.b_files, p.pval, p.pcols, names)
+        bucket = getattr(p, "bucket", 0)
+        n_buckets = getattr(p, "n_buckets", 1)
+        a_rows = _load_side(self.store, p.a_files, p.pval, p.pcols,
+                            names, key_idx, bucket, n_buckets)
+        b_rows = _load_side(self.store, p.b_files, p.pval, p.pcols,
+                            names, key_idx, bucket, n_buckets)
         a_by_key = {tuple(r[i] for i in key_idx): r for r in a_rows}
         b_by_key = {tuple(r[i] for i in key_idx): r for r in b_rows}
         # a table populated by the blind sink append path enforces no
@@ -276,10 +328,16 @@ class _ReadKernels:
 
 
 def _step_units(
-    store: str, va: int, vb: int, key_cols, commit_version
+    store: str,
+    va: int,
+    vb: int,
+    key_cols,
+    commit_version,
+    max_rows: int | None = None,
 ) -> list[_CDFPartition]:
     """CDF partition units for ONE version step: unshared files
-    grouped per storage partition value."""
+    grouped per storage partition value, sub-bucketed by key hash
+    when a side exceeds ``max_rows`` manifest rows (memory bound)."""
     from engine.versioned_store import (
         _norm_pcols,
         _norm_pval,
@@ -336,16 +394,46 @@ def _step_units(
     grouped: dict[tuple, tuple[list, list]] = {}
     for e in a_only:
         grouped.setdefault(_norm_pval(e["partition"]), ([], []))[0].append(
-            e["file"]
+            (e["file"], e.get("n_rows"))
         )
     for e in b_only:
         grouped.setdefault(_norm_pval(e["partition"]), ([], []))[1].append(
-            e["file"]
+            (e["file"], e.get("n_rows"))
         )
-    return [
-        _CDFPartition(pval, pcols, af, bf, tuple(key_cols), commit_version)
-        for pval, (af, bf) in sorted(grouped.items())
-    ]
+    units: list[_CDFPartition] = []
+    for pval, (a, b) in sorted(grouped.items()):
+        af = [f for f, _ in a]
+        bf = [f for f, _ in b]
+        # Bound each diff task's Python-row memory: when either side's
+        # manifest row count exceeds max_rows, sub-bucket the unit by
+        # key hash (round-9 verdict #3). Entries lacking n_rows (very
+        # old manifests) leave the side's total unknown — no split,
+        # the pre-round-10 behavior.
+        n_buckets = 1
+        if max_rows:
+            totals = []
+            for side in (a, b):
+                ns = [n for _, n in side]
+                totals.append(
+                    None if any(n is None for n in ns) else sum(ns)
+                )
+            known = [t for t in totals if t is not None]
+            if known and max(known) > max_rows:
+                n_buckets = -(-max(known) // max_rows)
+        for bk in range(n_buckets):
+            units.append(
+                _CDFPartition(
+                    pval,
+                    pcols,
+                    af,
+                    bf,
+                    tuple(key_cols),
+                    commit_version,
+                    bk,
+                    n_buckets,
+                )
+            )
+    return units
 
 
 class VStoreCDFBatchReader(_ReadKernels, DataSourceReader):
@@ -382,10 +470,12 @@ class VStoreCDFBatchReader(_ReadKernels, DataSourceReader):
         ]
         if missing:
             raise ValueError(f"key_cols {missing} not in the table schema")
+        self.max_rows = int(options.get("max_rows_per_cdf_task", 1 << 20))
 
     def partitions(self):
         units = _step_units(
-            self.store, self.va, self.vb, self.key_cols, None
+            self.store, self.va, self.vb, self.key_cols, None,
+            self.max_rows,
         )
         return units or [_EmptyPartition()]
 
@@ -418,14 +508,64 @@ class VStoreStreamReader(_ReadKernels, DataSourceStreamReader):
         self._initial = (
             int(sv) - 1 if sv is not None else current_version(self.store)
         )
+        self.max_rows = int(options.get("max_rows_per_cdf_task", 1 << 20))
+        # admission control (round-9 verdict #2 — Delta's
+        # maxFilesPerTrigger semantics): bound how many versions /
+        # how many added bytes one microbatch may absorb, so backlog
+        # catch-up is incremental instead of one giant batch
+        mv = options.get("max_versions_per_trigger")
+        mb = options.get("max_bytes_per_trigger")
+        self.max_versions = int(mv) if mv is not None else None
+        self.max_bytes = int(mb) if mb is not None else None
+        self._admitted: int | None = None
 
     def initialOffset(self) -> dict:
         return {"version": self._initial}
 
+    def _added_bytes(self, v: int) -> int:
+        """Bytes a version ADDED, straight from its raw manifest —
+        the delta's adds, or the whole file list for a snapshot-form
+        commit (an overwrite's 'new data' IS the snapshot). Entries
+        predating byte recording count 0 (admit-lenient)."""
+        from engine.versioned_store import _read_manifest_raw
+
+        raw = _read_manifest_raw(self.store, v)
+        d = raw.get("delta")
+        entries = d["adds"] if d is not None else raw.get("files", [])
+        return sum(e.get("bytes") or 0 for e in entries)
+
     def latestOffset(self) -> dict:
+        """The head, CAPPED by the per-trigger admission limits. The
+        reader self-tracks its admitted position (Spark's Python
+        stream API passes no start offset here): every batch planned
+        after the reader has learned its position is bounded — all
+        batches in a fresh run; after a checkpoint restart the FIRST
+        batch covers the full checkpoint-to-cap window (the reader
+        cannot see the checkpointed offset until partitions() runs),
+        and every later batch is bounded again. At least one version
+        is always admitted (progress guarantee); max_bytes is a soft
+        cap — the version that crosses it is included, like Delta's
+        maxBytesPerTrigger."""
         from engine.versioned_store import current_version
 
-        return {"version": current_version(self.store)}
+        head = current_version(self.store)
+        if self.max_versions is None and self.max_bytes is None:
+            return {"version": head}
+        base = self._admitted if self._admitted is not None else self._initial
+        base = min(base, head)
+        end = head
+        if self.max_versions is not None:
+            end = min(end, base + self.max_versions)
+        if self.max_bytes is not None and end > base:
+            total, capped = 0, base
+            for v in range(base + 1, end + 1):
+                total += self._added_bytes(v)
+                capped = v
+                if total >= self.max_bytes:
+                    break
+            end = capped
+        self._admitted = end
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict):
         from engine.versioned_store import (
@@ -437,11 +577,19 @@ class VStoreStreamReader(_ReadKernels, DataSourceStreamReader):
             _unshared_entries,
         )
 
+        # learn the true position from the engine (covers checkpoint
+        # restarts, where the first latestOffset ran before any start
+        # offset was visible to this reader)
+        if self._admitted is None or end["version"] > self._admitted:
+            self._admitted = end["version"]
         out: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             if self.cdf:
                 out.extend(
-                    _step_units(self.store, v - 1, v, self.key_cols, v)
+                    _step_units(
+                        self.store, v - 1, v, self.key_cols, v,
+                        self.max_rows,
+                    )
                 )
                 continue
             try:

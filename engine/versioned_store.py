@@ -322,8 +322,16 @@ def _claim_incremental(
     manifest["delta"] = {
         "base": base_v,
         "adds": new_entries,
+        # removes carry n_rows so change-feed planning can size its
+        # per-task diff units straight from the delta (no resolution)
         "removes": [
-            {"file": r["file"], "partition": r["partition"]}
+            {
+                "file": r["file"],
+                "partition": r["partition"],
+                **(
+                    {"n_rows": r["n_rows"]} if "n_rows" in r else {}
+                ),
+            }
             for r in removes
         ],
     }

@@ -403,3 +403,170 @@ def test_cdf_raises_on_duplicate_keys(spark, tmp_path):
     )
     with pytest.raises(Exception, match="not key-unique"):
         feed.collect()
+
+
+def _six_version_store(spark, store):
+    """v1 base + five PURE-APPEND versions (the sink's blind append
+    adds files without rewriting), so an append-mode stream sees
+    every version."""
+    import engine.versioned_store as vs
+    from engine.sources.vstore_datasource import register_vstore
+
+    register_vstore(spark)
+    vs.commit_overwrite(
+        spark.createDataFrame(
+            [("a", 1, "v1"), ("b", 2, "v1")],
+            "part string, k long, v string",
+        ),
+        store,
+        "part",
+    )
+    for i in range(2, 7):  # versions 2..6, pure adds
+        spark.createDataFrame(
+            [("a", 10 + i, f"v{i}")], "part string, k long, v string"
+        ).write.format("vstore").mode("append").save(store)
+    return store
+
+
+def test_admission_control_caps_latest_offset(spark, tmp_path):
+    """Round-9 verdict #2 (unit level): with per-trigger limits the
+    reader admits the backlog in bounded steps — versions first, then
+    the bytes analog (soft cap: the crossing version is included)."""
+    from engine.sources.vstore_stream import VStoreStreamReader
+
+    store = _six_version_store(spark, str(tmp_path / "s"))
+    schema = spark.createDataFrame(
+        [("a", 1, "x")], "part string, k long, v string"
+    ).schema
+
+    r = VStoreStreamReader(
+        {
+            "path": store,
+            "starting_version": "1",
+            "max_versions_per_trigger": "2",
+        },
+        schema,
+    )
+    assert r.initialOffset() == {"version": 0}
+    assert [r.latestOffset()["version"] for _ in range(4)] == [2, 4, 6, 6]
+
+    rb = VStoreStreamReader(
+        {
+            "path": store,
+            "starting_version": "1",
+            "max_bytes_per_trigger": "1",
+        },
+        schema,
+    )
+    # every version adds >= 1 byte, so each trigger admits exactly one
+    assert [rb.latestOffset()["version"] for _ in range(7)] == [
+        1, 2, 3, 4, 5, 6, 6,
+    ]
+    # unbounded reader unchanged
+    r0 = VStoreStreamReader({"path": store, "starting_version": "1"}, schema)
+    assert r0.latestOffset() == {"version": 6}
+
+
+def test_admission_control_bounds_triggers_end_to_end(spark, tmp_path):
+    """Round-9 verdict #2 (done criterion): a 6-version backlog drains
+    in >= 3 bounded microbatches, and a checkpoint restart over new
+    commits stays exactly-once (row equality with the head snapshot)."""
+    import os
+
+    import engine.versioned_store as vs
+    from engine.sources.vstore_datasource import register_vstore
+
+    register_vstore(spark)
+    store = _six_version_store(spark, str(tmp_path / "s"))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run():
+        q = (
+            spark.readStream.format("vstore")
+            .option("starting_version", 1)
+            .option("max_versions_per_trigger", 2)
+            .load(store)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    n_batches = len(
+        [f for f in os.listdir(os.path.join(ckpt, "offsets")) if f.isdigit()]
+    )
+    assert n_batches >= 3, n_batches
+    # append-only versions: the drained stream equals the appends it saw
+    got = sorted(
+        (r.part, r.k, r.v) for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r.part, r.k, r.v)
+        for r in vs.read_version(spark, store, 6).collect()
+    )
+    assert got == want
+
+    # two more commits land while the query is down; the restarted
+    # query resumes from the checkpoint and absorbs exactly them
+    for i in range(7, 9):
+        spark.createDataFrame(
+            [("a", 10 + i, f"v{i}")], "part string, k long, v string"
+        ).write.format("vstore").mode("append").save(store)
+    run()
+    got = sorted(
+        (r.part, r.k, r.v) for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r.part, r.k, r.v)
+        for r in vs.read_version(spark, store, 8).collect()
+    )
+    assert got == want
+
+
+def test_cdf_subbucketing_matches_table_changes(spark, tmp_path):
+    """Round-9 verdict #3: a fat rewrite of one storage partition is
+    sub-bucketed by key hash (bounding per-task Python-row memory) and
+    the bucketed feed equals the unbucketed `table_changes` exactly."""
+    import engine.versioned_store as vs
+    from engine.sources.vstore_datasource import register_vstore
+    from engine.sources.vstore_stream import _step_units
+
+    register_vstore(spark)
+    store = str(tmp_path / "fat")
+    base = spark.createDataFrame(
+        [("p", i, f"x{i}") for i in range(200)],
+        "part string, k long, v string",
+    )
+    vs.commit_overwrite(base.coalesce(2), store, "part")
+    rewrite = spark.createDataFrame(
+        [("p", i, f"y{i}") for i in range(0, 200, 2)]  # update half
+        + [("p", i, f"n{i}") for i in range(200, 220)],  # insert 20
+        "part string, k long, v string",
+    )
+    vs.commit_upsert(spark, store, rewrite, ["part", "k"])
+
+    units = _step_units(store, 1, 2, ["part", "k"], None, max_rows=50)
+    assert len(units) > 1 and all(u.n_buckets > 1 for u in units)
+    assert len({(u.bucket, u.n_buckets) for u in units}) == len(units)
+
+    feed = (
+        spark.read.format("vstore")
+        .option("read_changes", "true")
+        .option("key_cols", "part,k")
+        .option("from_version", 1)
+        .option("to_version", 2)
+        .option("max_rows_per_cdf_task", 50)
+        .load(store)
+    )
+    cols = ["part", "k", "v", "_change_type"]
+    got = sorted(tuple(r[c] for c in cols) for r in feed.collect())
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in vs.table_changes(
+            spark, store, 1, 2, ["part", "k"]
+        ).collect()
+    )
+    assert got == want and len(want) == 220  # 100 pre+post, 20 inserts
