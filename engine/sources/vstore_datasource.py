@@ -299,12 +299,13 @@ class VStoreReader(DataSourceReader):
 # is enough: append carries every head entry forward (a blind append
 # is rebase-safe against ANY concurrent commit, so a lost claim just
 # re-reads the head and re-claims — Delta's AppendOnly semantics),
-# and overwrite replaces the file list wholesale. The one thing the
-# engine-path commits do that a sessionless worker cannot is BUILD
-# bloom sidecars for new files; `_copy_carried_blooms` keeps the
-# carried files' blooms so point-probe pruning survives, and new
-# files are simply unbloomed (kept on probes — conservative) until
-# the next engine-path commit or compaction re-blooms them.
+# and overwrite replaces the file list wholesale. Bloom sidecars need
+# no session either (round-9 verdict #5): each TASK folds the values
+# it stages into per-file bloom words (`_update_blooms` — the Arrow
+# data is already in hand) and ships them in its commit message;
+# commit merges them with the carried files' blooms via
+# `_copy_carried_blooms`, so a sink-only store prunes point probes
+# from its first version.
 #
 # Schema evolution matches the engine path: the staged DDL reconciles
 # with the head's via `_merge_ddl` (additive + widening; incompatible
@@ -383,13 +384,79 @@ class _VStoreWriteCommon:
             for f in schema.fields
             if f.name not in self.pcols
         )
+        # cap on simultaneously-open parquet writers per task (ADVICE
+        # r9): a DataFrame not pre-repartitioned by the partition
+        # column(s) can route hundreds of distinct partition values
+        # through one task; unbounded open writers then die on EMFILE.
+        # Past the cap the least-recently-written file is finalized
+        # and a later reappearance of its partition opens a FRESH
+        # uuid-named file — more, smaller files (compaction's job),
+        # never an error. Pre-repartitioning by the partition columns
+        # remains the fast path: one file per (task, partition).
+        self.max_open_files = max(1, int(options.get("max_open_files", "64")))
+        # bloom config for EXECUTOR-side bloom building (round-9
+        # verdict #5): explicit via options on any write, else
+        # inherited from the store's newest sidecar exactly like
+        # engine-path commits; bloom=false opts out. Partition
+        # columns are excluded (blooms index data-file columns).
+        names = {f.name for f in schema.fields} - set(self.pcols)
+        if str(options.get("bloom", "")).lower() == "false":
+            self.bloom_cols: list[str] = []
+            self.bloom_bits = 0
+        elif options.get("bloom_cols"):
+            self.bloom_cols = [
+                c.strip()
+                for c in options["bloom_cols"].split(",")
+                if c.strip() and c.strip() in names
+            ]
+            self.bloom_bits = int(options.get("bloom_bits", "8192"))
+        else:
+            from engine.versioned_store import (
+                _read_bloom_sidecar,
+                versions,
+            )
+
+            self.bloom_cols, self.bloom_bits = [], 0
+            for v in reversed(versions(self.store)):
+                prev = _read_bloom_sidecar(self.store, v)
+                if prev is not None:
+                    self.bloom_cols = [
+                        c for c in prev["cols"] if c in names
+                    ]
+                    self.bloom_bits = prev["bits"]
+                    break
 
     # -- executor side -----------------------------------------------------
+    def _update_blooms(self, file_blooms: dict, part) -> None:
+        """Fold one written chunk's values into the file's per-column
+        bloom words — the SAME bit positions the engine's distributed
+        build and the read path compute (md5-derived h60 over the
+        value's canonical string form), so sink-built blooms prune
+        identically. Unique-first keeps the Python hash loop
+        proportional to distinct values per chunk, not rows."""
+        import pyarrow.compute as pc
+
+        from engine.functions.hashing import h60_py
+        from engine.versioned_store import _BLOOM_K
+
+        words_n = self.bloom_bits // 64
+        for c in self.bloom_cols:
+            if c not in part.column_names:
+                continue
+            words = file_blooms.setdefault(c, [0] * words_n)
+            for v in pc.unique(part.column(c)).to_pylist():
+                if v is None:
+                    continue  # nulls set no bits (engine parity)
+                for i in range(_BLOOM_K):
+                    p = h60_py(f"bf{i}:{v}") % self.bloom_bits
+                    words[p // 64] |= 1 << (p % 64)
+
     def write(self, iterator: Iterator) -> VStoreWriteMessage:
         """One task's STAGE step: stream Arrow batches into one open
-        parquet writer per partition value this task sees, then stat
-        the closed files' footers for the manifest. Tasks never
-        coordinate; file names are uuid-unique.
+        parquet writer per partition value this task sees (LRU-capped
+        at ``max_open_files`` — see __init__), then stat the closed
+        files' footers for the manifest. Tasks never coordinate; file
+        names are uuid-unique.
 
         Bucketing is VECTORIZED: a dictionary-encode of the (joined)
         partition-key column yields each batch's distinct combos and
@@ -399,17 +466,34 @@ class _VStoreWriteCommon:
         task that was the slow path this sink exists to avoid). The
         stored partition VALUE still comes from str() of the first
         matching row — the same identity the engine's touched-set and
-        Hive-dir staging use."""
+        Hive-dir staging use.
+
+        When the store is bloom-configured, each file's per-column
+        bloom is accumulated HERE, from the Arrow data already in
+        hand, and shipped in the commit message — so sink-written
+        files prune point probes from their first version (round-9
+        verdict #5)."""
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
+        from collections import OrderedDict
 
         from engine.versioned_store import _footer_stats, _man_pval
 
         data_dir = os.path.join(self.store, "data")
         os.makedirs(data_dir, exist_ok=True)
-        writers: dict[tuple, tuple] = {}  # pval -> (name, path, writer, [n])
+        # pval -> [name, path, writer, n_rows]; insertion/move order is
+        # the LRU order for the open-writer cap
+        open_w: "OrderedDict[tuple, list]" = OrderedDict()
+        done: list[tuple] = []  # (name, path, pval, n_rows)
+        blooms: dict[str, dict] = {}  # file name -> col -> words
+        n_created = 0
         pcols = list(self.pcols)
+
+        def _finish(key: tuple, w: list) -> None:
+            w[2].close()
+            done.append((w[0], w[1], key, w[3]))
+
         try:
             for batch in iterator:
                 if batch.num_rows == 0:
@@ -455,46 +539,68 @@ class _VStoreWriteCommon:
                     key = tuple(
                         str(table.column(c)[first].as_py()) for c in pcols
                     )
-                    w = writers.get(key)
+                    w = open_w.get(key)
                     if w is None:
+                        if len(open_w) >= self.max_open_files:
+                            old_key, old_w = open_w.popitem(last=False)
+                            _finish(old_key, old_w)
                         name = (
                             f"v{self.stage_version:05d}-"
-                            f"{uuid.uuid4().hex[:8]}-{len(writers):04d}"
+                            f"{uuid.uuid4().hex[:8]}-{n_created:04d}"
                             ".parquet"
                         )
+                        n_created += 1
                         path = os.path.join(data_dir, name)
-                        w = (
+                        w = [
                             name,
                             path,
                             pq.ParquetWriter(path, body.schema),
-                            [0],
-                        )
-                        writers[key] = w
+                            0,
+                        ]
+                        open_w[key] = w
+                    else:
+                        open_w.move_to_end(key)
                     w[2].write_table(part)
-                    w[3][0] += part.num_rows
+                    w[3] += part.num_rows
+                    if self.bloom_cols:
+                        self._update_blooms(
+                            blooms.setdefault(w[0], {}), part
+                        )
         except BaseException:
             # failed task: close and remove this task's own staging so
             # retries don't multiply orphans (the commit worker's abort
             # only sees SUCCESSFUL tasks' messages)
-            for _, path, writer, _n in writers.values():
+            for _key, w in open_w.items():
                 try:
-                    writer.close()
+                    w[2].close()
+                except Exception:
+                    pass
+            for path in [w[1] for w in open_w.values()] + [
+                d[1] for d in done
+            ]:
+                try:
                     os.remove(path)
                 except OSError:
                     pass
             raise
+        for key, w in list(open_w.items()):
+            _finish(key, w)
         entries = []
-        for key, (name, path, writer, n) in sorted(writers.items()):
-            writer.close()
-            entries.append(
-                {
-                    "file": name,
-                    "partition": _man_pval(key),
-                    "n_rows": n[0],
-                    "bytes": os.path.getsize(path),
-                    "stats": _footer_stats(path),
+        for name, path, key, n_rows in sorted(done):
+            entry = {
+                "file": name,
+                "partition": _man_pval(key),
+                "n_rows": n_rows,
+                "bytes": os.path.getsize(path),
+                "stats": _footer_stats(path),
+            }
+            b = blooms.get(name)
+            if b:
+                entry["bloom"] = {
+                    c: [f"{w & 0xFFFFFFFFFFFFFFFF:016x}" for w in ws]
+                    for c, ws in b.items()
                 }
-            )
+            entries.append(entry)
         return VStoreWriteMessage(entries)
 
     # -- driver side (sessionless commit worker) ----------------------------
@@ -516,6 +622,14 @@ class _VStoreWriteCommon:
             current_version,
         )
 
+        # executor-built blooms travel on the entries; they belong in
+        # the version's SIDECAR, never the manifest (plain reads must
+        # not pay for them)
+        new_blooms = {}
+        for e in entries:
+            b = e.pop("bloom", None)
+            if b:
+                new_blooms[e["file"]] = b
         retries = 0
         while True:
             head_v = current_version(self.store)
@@ -563,7 +677,12 @@ class _VStoreWriteCommon:
                 retries += 1
                 continue
             _copy_carried_blooms(
-                self.store, manifest["version"], [e["file"] for e in carried]
+                self.store,
+                manifest["version"],
+                [e["file"] for e in carried],
+                new_blooms,
+                self.bloom_cols or None,
+                self.bloom_bits or None,
             )
             _advance_current(self.store, manifest["version"])
             return manifest["version"]

@@ -1613,16 +1613,25 @@ def _maybe_write_blooms(
 
 
 def _copy_carried_blooms(
-    store: str, version: int, carried_files: list[str]
+    store: str,
+    version: int,
+    carried_files: list[str],
+    new_blooms: dict | None = None,
+    cols: list | None = None,
+    bits: int | None = None,
 ) -> None:
     """Sidecar for a commit prepared WITHOUT a SparkSession (the
     vstore data source's commit hook runs in Spark's sessionless
     Python commit worker): carry the newest existing sidecar's blooms
-    for the files this version keeps, and record no blooms for the
-    new files — ``_bloom_prune`` keeps unbloomed files on point
-    probes, so reads stay exact and the carried bulk keeps pruning.
-    A later engine-path commit (or compaction) re-blooms everything
-    via ``_maybe_write_blooms``'s newest-sidecar inheritance."""
+    for the files this version keeps and merge in ``new_blooms`` —
+    per-file blooms the sink's EXECUTORS built from the Arrow batches
+    they staged (round-9 verdict #5; before that, sink-written files
+    stayed unbloomed until the next engine-path commit, so a
+    sink-only store never pruned point probes). With no explicit
+    ``cols``/``bits`` the config is inherited from the newest
+    sidecar; carried blooms merge only when that sidecar used the
+    SAME config — carrying blooms built with different bit positions
+    would prune wrongly and silently drop rows."""
     prev = None
     for v in reversed(versions(store)):
         if v >= version:
@@ -1630,19 +1639,26 @@ def _copy_carried_blooms(
         prev = _read_bloom_sidecar(store, v)
         if prev is not None:
             break
-    if not prev:
+    if cols is None and prev is not None:
+        cols, bits = prev["cols"], prev["bits"]
+    if not cols:
         return
-    files = {
-        f: prev["files"][f] for f in carried_files if f in prev["files"]
-    }
+    files: dict = {}
+    if prev and prev["cols"] == list(cols) and prev["bits"] == bits:
+        for f in carried_files:
+            b = prev["files"].get(f)
+            if b:
+                files[f] = b
+    if new_blooms:
+        files.update(new_blooms)
     fd, tmp = tempfile.mkstemp(dir=_mdir(store))
     with os.fdopen(fd, "w", encoding="utf-8") as f:
         f.write(
             json.dumps(
                 {
-                    "bits": prev["bits"],
-                    "k": prev.get("k", _BLOOM_K),
-                    "cols": prev["cols"],
+                    "bits": bits,
+                    "k": prev.get("k", _BLOOM_K) if prev else _BLOOM_K,
+                    "cols": list(cols),
                     "files": files,
                 }
             )

@@ -225,10 +225,12 @@ def test_streaming_sink_versions_per_batch_and_retry_idempotence(
 
 
 def test_sink_commit_carries_bloom_sidecars(spark, tmp_path):
-    """A sink append cannot BUILD blooms (sessionless commit worker)
-    but must not sever the chain: carried files keep their blooms in
-    the new version's sidecar, new files are unbloomed (kept on point
-    probes — conservative, exact)."""
+    """A sink append on a bloomed store keeps the chain: carried
+    files keep their blooms in the new version's sidecar, and the new
+    file arrives WITH a bloom — its task folded the staged values
+    into bloom words executor-side (round-9 verdict #5; previously
+    sink-written files stayed unbloomed until the next engine-path
+    commit)."""
     import engine.versioned_store as vs
     from engine.sources.vstore_datasource import register_vstore
 
@@ -248,12 +250,22 @@ def test_sink_commit_carries_bloom_sidecars(spark, tmp_path):
     ).write.format("vstore").mode("append").save(store)
     side = vs._read_bloom_sidecar(store, 2)
     assert side is not None and side["cols"] == ["k"]
+    assert side["bits"] == 256  # inherited config, not a fresh default
     v1_files = {e["file"] for e in vs._read_manifest(store, 1)["files"]}
-    assert set(side["files"]) == v1_files  # carried, new file unbloomed
-    # point probe stays exact: k=9 lives in the unbloomed new file
+    all_files = {e["file"] for e in vs._read_manifest(store, 2)["files"]}
+    # carried blooms intact AND the sink-written file is bloomed too
+    assert set(side["files"]) == all_files > v1_files
+    # point probe stays exact
     got = vs.read_version(spark, store, point_filters={"k": 9})
     assert [(r.part, r.k) for r in got.collect()] == [("c", 9)]
-    # and k=1 pruning still bites via the carried blooms
+    # and pruning now bites through the SINK-written file as well:
+    # a probe for k=9 keeps the new file, drops the v1 files
+    kept = vs._bloom_prune(
+        vs._read_manifest(store, 2)["files"], side, {"k": 9}
+    )
+    assert {e["file"] for e in kept} < all_files
+    assert any(e["file"] not in v1_files for e in kept)
+    # k=1 pruning still bites via the carried blooms
     assert len(
         vs._bloom_prune(
             vs._read_manifest(store, 2)["files"], side, {"k": 1}
@@ -435,3 +447,90 @@ def test_writer_id_with_colon_and_early_exit_scan(spark, tmp_path, monkeypatch):
     assert wab._last_recorded_batch() == 7
     # v3 (a:4) is scanned and skipped; v2 (a:b:7) matches; v1 never read
     assert reads == [3, 2]
+
+
+def test_sink_only_store_builds_blooms_from_scratch(spark, tmp_path):
+    """Round-9 verdict #5 (done criterion): a store created PURELY via
+    the sink — bloom_cols passed as a write option — prunes point
+    probes from version 1, with bit positions identical to the
+    engine's distributed build."""
+    import engine.versioned_store as vs
+    from engine.sources.vstore_datasource import register_vstore
+
+    register_vstore(spark)
+    store = str(tmp_path / "sinkbloom")
+    spark.createDataFrame(
+        [(f"p{i % 4}", i, f"s{i}") for i in range(64)],
+        "part string, k long, v string",
+    ).repartition(4, "part").write.format("vstore").option(
+        "partition_col", "part"
+    ).option("bloom_cols", "k,v").option("bloom_bits", "512").mode(
+        "overwrite"
+    ).save(store)
+
+    side = vs._read_bloom_sidecar(store, 1)
+    assert side is not None
+    assert side["cols"] == ["k", "v"] and side["bits"] == 512
+    man = vs._read_manifest(store, 1)
+    assert set(side["files"]) == {e["file"] for e in man["files"]}
+
+    # pruning bites: k=7 lives in exactly one partition's file(s)
+    kept = vs._bloom_prune(man["files"], side, {"k": 7})
+    assert 0 < len(kept) < len(man["files"])
+    # and bit positions match the engine's read-path probe exactly:
+    # the probed value's file is among the kept ones, read is exact
+    got = vs.read_version(spark, store, point_filters={"k": 7})
+    assert [(r.part, r.k, r.v) for r in got.collect()] == [("p3", 7, "s7")]
+    # string column probes prune too
+    kept_v = vs._bloom_prune(man["files"], side, {"v": "s9"})
+    assert 0 < len(kept_v) < len(man["files"])
+    # vstore source point option drives the same pruning end-to-end
+    via_source = (
+        spark.read.format("vstore").option("point", "k:7").load(store)
+    )
+    assert [(r.part, r.k, r.v) for r in via_source.collect()] == [
+        ("p3", 7, "s7")
+    ]
+
+
+def test_sink_write_caps_open_writers(spark, tmp_path):
+    """ADVICE r9: a task seeing more partition values than
+    max_open_files finalizes the least-recently-written file instead
+    of accumulating handles; a partition reappearing after eviction
+    opens a FRESH file, and the store's contents stay exact."""
+    import pyarrow as pa
+
+    import engine.versioned_store as vs
+    from engine.sources.vstore_datasource import VStoreBatchWriter
+
+    store = str(tmp_path / "capped")
+    schema = spark.createDataFrame([("a", 1)], "part string, k long").schema
+
+    def batch(rows):
+        return pa.table(
+            {"part": [p for p, _ in rows], "k": [k for _, k in rows]},
+            schema=pa.schema([("part", pa.string()), ("k", pa.int64())]),
+        ).to_batches()[0]
+
+    w = VStoreBatchWriter(
+        {"path": store, "partition_col": "part", "max_open_files": "2"},
+        schema,
+        overwrite=True,
+    )
+    msg = w.write(
+        iter(
+            [
+                batch([("a", 1), ("b", 2), ("c", 3)]),  # c evicts a
+                batch([("a", 4)]),  # a reopens as a second file
+            ]
+        )
+    )
+    parts = sorted(e["partition"] for e in msg.entries)
+    assert parts == ["a", "a", "b", "c"]  # 'a' split across two files
+    assert sum(e["n_rows"] for e in msg.entries) == 4
+    w.commit([msg])
+    got = sorted(
+        (r.part, r.k)
+        for r in vs.read_version(spark, store).collect()
+    )
+    assert got == [("a", 1), ("a", 4), ("b", 2), ("c", 3)]
