@@ -128,11 +128,29 @@ def main() -> None:
         )
 
     total = round(sum(per_query.values()), 3)
+    # Anchor-normalized suite time (VERDICT r9 #8): raw seconds swing
+    # ~2× with host load (spark_fixed_job_sec measured 0.395 → 0.936
+    # across rounds with headliner code byte-identical), so round-over-
+    # round comparisons need the suite time projected onto a REFERENCE
+    # host. The reference anchor is round 7's recorded
+    # spark_fixed_job_sec; value_normalized = value × (ref / measured).
+    # Spark job overhead (not raw CPU) dominates the suite's variance,
+    # so the Spark anchor is the scaling basis; cpu_md5_sec is recorded
+    # alongside for cross-checking a claimed normalization.
+    _REF_SPARK_ANCHOR = 0.3949  # BENCH_r07 spark_fixed_job_sec
+    normalized = round(
+        total * _REF_SPARK_ANCHOR / calibration["spark_fixed_job_sec"], 3
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_time",
                 "value": total,
+                "value_normalized": normalized,
+                "normalized_to": {
+                    "spark_fixed_job_sec": _REF_SPARK_ANCHOR,
+                    "reference": "BENCH_r07",
+                },
                 "unit": "sec",
                 "queries": per_query,
                 "runs_per_query": N_RUNS,

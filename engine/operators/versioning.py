@@ -3455,7 +3455,10 @@ def _ssrc_oracle() -> str:
     "store_stream_source",
     oracle=_ssrc_oracle(),
     tags=("streaming", "versioning", "cdc", "datasource", "documents"),
-    exported=False,  # library: the streaming CDF source, oracled
+    # Exported in round 10 (round-9 verdict #6): the streaming source +
+    # batch CDF facets now enter the driver's hash gate directly
+    # (swapped with q2_min_cost_supplier — see relational3.py).
+    exported=True,
 )
 def store_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The store as a streaming source (section comment): four
@@ -3716,5 +3719,110 @@ def store_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "n_tokens",
             "h",
+        )
+    )
+
+
+# -- column-mapping rename, oracled -------------------------------------------------
+#
+# `rename_column` (round 10): Delta's column mapping — a rename is a
+# zero-copy metadata commit; data files keep the column's frozen
+# PHYSICAL name and the manifest's column_map carries
+# {logical: physical}, so readers translate, writers stage physical,
+# and stats/bloom pruning keeps working across the rename. The oracled
+# facets pin the full lifecycle: the OLD version still reads under the
+# old name, the renamed table reads (and keeps committing) under the
+# new one, and a range filter on the RENAMED column still prunes
+# through the map (a broken translation would silently skip pruning —
+# caught here because the residual filter result is hashed). File-level
+# invariants (empty delta, frozen physical names in new files' footers,
+# sidecar carry) are pinned byte-level in
+# tests/test_manifest_checkpointing.py::test_rename_column_lifecycle.
+
+_RENAME_ORACLE = """
+WITH v3 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 1 THEN text || ' [rev]' ELSE text END AS text
+  FROM documents WHERE source = 'src11'
+), tok AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tc
+  FROM v3
+)
+SELECT 'v1:old_name' AS facet, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(bit_xor({row_h}) AS BIGINT) AS h
+FROM documents WHERE source = 'src11'
+UNION ALL
+SELECT 'v3:new_name', CAST(count(*) AS BIGINT),
+       CAST(sum(tc) AS BIGINT), CAST(bit_xor({row_h}) AS BIGINT)
+FROM tok
+UNION ALL
+SELECT 'v3:pruned', CAST(count(*) AS BIGINT),
+       CAST(sum(tc) AS BIGINT), CAST(bit_xor({row_h}) AS BIGINT)
+FROM tok WHERE tc BETWEEN 30 AND 60
+"""
+
+
+def _rename_oracle() -> str:
+    from engine.operators.corpus_build import _ROW_H_DUCK
+
+    return _RENAME_ORACLE.format(row_h=_ROW_H_DUCK)
+
+
+@query(
+    "store_rename_lifecycle",
+    oracle=_rename_oracle(),
+    tags=("pipeline", "versioning", "schema-evolution", "documents"),
+    exported=False,  # library: column-mapping rename lifecycle, oracled
+)
+def store_rename_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-mapping rename lifecycle (section comment): publish
+    src11, rename n_tokens -> token_count (zero-copy), keep committing
+    under the NEW logical name, and answer three facets — v1 under the
+    old name, the post-rename head under the new one, and a
+    stats-pruned range read on the renamed column (the filter key must
+    translate to the files' physical name for pruning AND stay logical
+    for the residual row filter; either half broken hash-mismatches)."""
+    import engine.versioned_store as vs
+
+    store = corpus_out_dir(sf_dir) + "_rename"
+    shutil.rmtree(store, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source") == "src11"
+    ).select("source", "doc_id", "text")
+    vs.commit_overwrite(_corpus_store_rows(docs), store, "source")
+    vs.rename_column(store, "n_tokens", "token_count")
+    # post-rename upsert speaks the NEW logical name end to end
+    revised = _corpus_store_rows(
+        docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+            "text", F.concat("text", F.lit(" [rev]"))
+        )
+    ).withColumnRenamed("n_tokens", "token_count")
+    v3 = vs.commit_upsert(spark, store, revised, ["source", "doc_id"])
+
+    def facet(label: str, df: DataFrame, tok_col: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(tok_col).cast("bigint").alias("n_tokens"),
+            F.expr("bit_xor(h)").cast("bigint").alias("h"),
+        ).select(F.lit(label).alias("facet"), "n", "n_tokens", "h")
+
+    out = facet(
+        "v1:old_name", vs.read_version(spark, store, 1), "n_tokens"
+    )
+    out = out.unionByName(
+        facet(
+            "v3:new_name", vs.read_version(spark, store, v3), "token_count"
+        )
+    )
+    return out.unionByName(
+        facet(
+            "v3:pruned",
+            vs.read_version(
+                spark, store, v3, range_filters={"token_count": (30, 60)}
+            ),
+            "token_count",
         )
     )

@@ -72,7 +72,12 @@ from pyspark.sql.types import StructType
 
 class VStoreFilePartition(InputPartition):
     def __init__(
-        self, path: str, pvals: tuple, pcols: tuple, preds: tuple = ()
+        self,
+        path: str,
+        pvals: tuple,
+        pcols: tuple,
+        preds: tuple = (),
+        cmap: dict | None = None,
     ):
         self.path = path
         self.pvals = pvals
@@ -81,6 +86,9 @@ class VStoreFilePartition(InputPartition):
         # snapshotted into the partition so read() is self-contained:
         # tuples of (op, column, value) with op in {eq, ge, le}
         self.preds = preds
+        # column-mapping rename state: {logical: physical} — files
+        # always speak physical (engine/versioned_store.py round 10)
+        self.cmap = cmap or {}
 
 
 def _store_schema_ddl(man: dict) -> str:
@@ -177,15 +185,27 @@ class VStoreReader(DataSourceReader):
             col, raw = spec.split(":", 1)
             points[col] = _parse_bound(raw, col in numeric)
             preds.append(("eq", col, points[col]))
+        # manifest stats and bloom sidecars are keyed by the files'
+        # PHYSICAL column names — translate option keys through the
+        # column map before pruning (residual preds stay logical;
+        # read() re-translates per file)
+        cmap = self.man.get("column_map") or {}
         if ranges:
-            entries = _prune_entries(entries, ranges)
+            entries = _prune_entries(
+                entries, {cmap.get(c, c): b for c, b in ranges.items()}
+            )
         if points:
             sidecar = _read_bloom_sidecar(self.store, self.version)
             if sidecar is not None:
-                entries = _bloom_prune(entries, sidecar, points)
+                entries = _bloom_prune(
+                    entries,
+                    sidecar,
+                    {cmap.get(c, c): v for c, v in points.items()},
+                )
         self._entries = entries
         self._pcols = tuple(pcols)
         self._preds = tuple(preds)
+        self._cmap = cmap
 
     def partitions(self):
         from engine.versioned_store import _norm_pval
@@ -196,6 +216,7 @@ class VStoreReader(DataSourceReader):
                 _norm_pval(e["partition"]),
                 self._pcols,
                 self._preds,
+                self._cmap,
             )
             for e in self._entries
         ]
@@ -246,11 +267,12 @@ class VStoreReader(DataSourceReader):
                     if not ok:
                         return
                     continue
-                if col not in file_schema.names:
+                phys = partition.cmap.get(col, col)
+                if phys not in file_schema.names:
                     # pre-evolution file: the column is all-null, so
                     # any predicate on it filters every row
                     return
-                row_filters.append(ops[op](pc.field(col), value))
+                row_filters.append(ops[op](pc.field(phys), value))
         expr = None
         for f in row_filters:
             expr = f if expr is None else expr & f
@@ -258,16 +280,17 @@ class VStoreReader(DataSourceReader):
         n = table.num_rows
         cols = []
         for field in target:
+            phys = partition.cmap.get(field.name, field.name)
             if field.name in partition.pcols:
                 i = partition.pcols.index(field.name)
                 cols.append(
                     pa.array([partition.pvals[i]] * n, type=field.type)
                 )
-            elif field.name in table.column_names:
+            elif phys in table.column_names:
                 # CAST to the table schema: widening evolution (int32
                 # file -> bigint column) and exact types for the rest
                 cols.append(
-                    table.column(field.name).cast(field.type).combine_chunks()
+                    table.column(phys).cast(field.type).combine_chunks()
                 )
             else:
                 # additive evolution: pre-evolution file null-fills
@@ -338,7 +361,7 @@ class _VStoreWriteCommon:
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
         from engine.versioned_store import (
             _norm_pcols,
-            _read_manifest,
+            _read_manifest_raw,
             current_version,
         )
 
@@ -349,8 +372,25 @@ class _VStoreWriteCommon:
         self.max_retries = int(options.get("max_retries", "20"))
         head_v = current_version(self.store)
         opt_p = options.get("partition_col")
+        # column-mapping rename state: appends must stage under the
+        # store's frozen PHYSICAL names; an overwrite resets the map
+        # (full rewrite materializes logical names physically)
+        head_man = (
+            _read_manifest_raw(self.store, head_v) if head_v > 0 else {}
+        )
+        self.column_map = (
+            {} if overwrite else dict(head_man.get("column_map") or {})
+        )
+        if self.column_map:
+            occupied = set(self.column_map.values())
+            for f in schema.fields:
+                if f.name not in self.column_map and f.name in occupied:
+                    raise ValueError(
+                        f"column name {f.name!r} is the physical name"
+                        " of a renamed column; pick a different name"
+                    )
         if head_v > 0:
-            store_p = _norm_pcols(_read_manifest(self.store, head_v)["partition_col"])
+            store_p = _norm_pcols(head_man["partition_col"])
             if opt_p is None:
                 pcols = store_p
             else:
@@ -399,13 +439,17 @@ class _VStoreWriteCommon:
         # inherited from the store's newest sidecar exactly like
         # engine-path commits; bloom=false opts out. Partition
         # columns are excluded (blooms index data-file columns).
+        # bloom cols are stored PHYSICAL (sidecars key the files'
+        # on-disk names): explicit options arrive logical and
+        # translate; inherited sidecar cols are already physical
         names = {f.name for f in schema.fields} - set(self.pcols)
+        names_phys = {self.column_map.get(n, n) for n in names}
         if str(options.get("bloom", "")).lower() == "false":
             self.bloom_cols: list[str] = []
             self.bloom_bits = 0
         elif options.get("bloom_cols"):
             self.bloom_cols = [
-                c.strip()
+                self.column_map.get(c.strip(), c.strip())
                 for c in options["bloom_cols"].split(",")
                 if c.strip() and c.strip() in names
             ]
@@ -421,7 +465,7 @@ class _VStoreWriteCommon:
                 prev = _read_bloom_sidecar(self.store, v)
                 if prev is not None:
                     self.bloom_cols = [
-                        c for c in prev["cols"] if c in names
+                        c for c in prev["cols"] if c in names_phys
                     ]
                     self.bloom_bits = prev["bits"]
                     break
@@ -532,6 +576,15 @@ class _VStoreWriteCommon:
                 dict_size = len(codes.dictionary)
                 code_arr = codes.indices
                 body = table.drop_columns(pcols)
+                if self.column_map:
+                    # stage under the frozen PHYSICAL names so every
+                    # file in the store shares one on-disk name space
+                    body = body.rename_columns(
+                        [
+                            self.column_map.get(n, n)
+                            for n in body.column_names
+                        ]
+                    )
                 for code in range(dict_size):
                     mask = pc.equal(code_arr, code)
                     part = body.filter(mask)
@@ -645,6 +698,16 @@ class _VStoreWriteCommon:
                         f" this append (on {list(self.pcols)}) was staged;"
                         " recompute against the new head"
                     )
+                if (head.get("column_map") or {}) != self.column_map:
+                    # a rename landed while this write was staged: the
+                    # staged files speak the OLD physical names and
+                    # _merge_ddl would misread the rename as
+                    # drop+add — fail loudly instead
+                    raise CommitConflict(
+                        "store columns were renamed while this write"
+                        " was staged; re-run the write against the"
+                        " new head"
+                    )
                 carried = head["files"]
                 columns = _merge_ddl(head.get("columns"), self.columns_ddl)
             manifest = {
@@ -653,6 +716,8 @@ class _VStoreWriteCommon:
                 "columns": columns,
                 **extra,
             }
+            if self.column_map:
+                manifest["column_map"] = self.column_map
             try:
                 if self.overwrite or head_v == 0:
                     manifest["files"] = entries  # snapshot form

@@ -111,11 +111,15 @@ class _EmptyPartition(InputPartition):
 
 
 class _AppendFilePartition(InputPartition):
-    def __init__(self, path: str, pvals: tuple, pcols: tuple):
+    def __init__(self, path: str, pvals: tuple, pcols: tuple,
+                 cmap: dict | None = None):
         self.kind = "append"
         self.path = path
         self.pvals = pvals
         self.pcols = pcols
+        # column-mapping rename state ({logical: physical}): files
+        # always speak physical names
+        self.cmap = cmap or {}
 
 
 class _CDFPartition(InputPartition):
@@ -143,6 +147,7 @@ class _CDFPartition(InputPartition):
         commit_version: int | None,
         bucket: int = 0,
         n_buckets: int = 1,
+        cmap: dict | None = None,
     ):
         self.kind = "cdf"
         self.pval = pval
@@ -153,6 +158,7 @@ class _CDFPartition(InputPartition):
         self.commit_version = commit_version
         self.bucket = bucket
         self.n_buckets = n_buckets
+        self.cmap = cmap or {}
 
 
 def _veq(a, b) -> bool:
@@ -177,7 +183,8 @@ def _key_bucket(key: tuple, n_buckets: int) -> int:
 
 def _load_side(store: str, files: list[str], pval: tuple, pcols: tuple,
                names: list[str], key_idx: list[int] | None = None,
-               bucket: int = 0, n_buckets: int = 1) -> list[list]:
+               bucket: int = 0, n_buckets: int = 1,
+               cmap: dict | None = None) -> list[list]:
     """Read one side's files with pyarrow, restore the partition
     columns as constants, null-fill columns the (older) side's files
     lack, and return a list of rows (values in `names` order). With
@@ -187,15 +194,17 @@ def _load_side(store: str, files: list[str], pval: tuple, pcols: tuple,
     the whole partition."""
     import pyarrow.parquet as pq
 
+    cmap = cmap or {}
     rows: list[list] = []
     for f in files:
         t = pq.read_table(os.path.join(store, "data", f))
         cols = []
         for n in names:
+            phys = cmap.get(n, n)
             if n in pcols:
                 cols.append([pval[pcols.index(n)]] * t.num_rows)
-            elif n in t.column_names:
-                cols.append(t.column(n).to_pylist())
+            elif phys in t.column_names:
+                cols.append(t.column(phys).to_pylist())
             else:
                 cols.append([None] * t.num_rows)
         file_rows = [list(r) for r in zip(*cols)] if t.num_rows else []
@@ -250,12 +259,16 @@ class _ReadKernels:
                         type=field.type,
                     )
                 )
-            elif field.name in table.column_names:
+            elif getattr(p, "cmap", {}).get(field.name, field.name) in (
+                table.column_names
+            ):
                 # safe cast: widening upcasts; an overflow RAISES
                 # instead of truncating (restart the query to adopt a
                 # widened schema)
                 cols.append(
-                    table.column(field.name).cast(field.type).combine_chunks()
+                    table.column(
+                        getattr(p, "cmap", {}).get(field.name, field.name)
+                    ).cast(field.type).combine_chunks()
                 )
             else:
                 cols.append(pa.nulls(n, type=field.type))
@@ -274,10 +287,11 @@ class _ReadKernels:
 
         bucket = getattr(p, "bucket", 0)
         n_buckets = getattr(p, "n_buckets", 1)
+        cmap = getattr(p, "cmap", {})
         a_rows = _load_side(self.store, p.a_files, p.pval, p.pcols,
-                            names, key_idx, bucket, n_buckets)
+                            names, key_idx, bucket, n_buckets, cmap)
         b_rows = _load_side(self.store, p.b_files, p.pval, p.pcols,
-                            names, key_idx, bucket, n_buckets)
+                            names, key_idx, bucket, n_buckets, cmap)
         a_by_key = {tuple(r[i] for i in key_idx): r for r in a_rows}
         b_by_key = {tuple(r[i] for i in key_idx): r for r in b_rows}
         # a table populated by the blind sink append path enforces no
@@ -357,6 +371,7 @@ def _step_units(
             b_only, a_only = step
             raw = _read_manifest_raw(store, vb)
             pcol = raw["partition_col"]
+            cmap = raw.get("column_map") or {}
             if va > 0 and (
                 _read_manifest_raw(store, va)["partition_col"] != pcol
             ):
@@ -385,6 +400,7 @@ def _step_units(
                 )
             pcols = tuple(_norm_pcols(ma["partition_col"]))
             a_only, b_only = _unshared_entries(ma, mb)
+            cmap = mb.get("column_map") or {}
     except FileNotFoundError as exc:
         raise ValueError(
             f"version window v{va}..v{vb} includes a vacuumed (or"
@@ -431,6 +447,7 @@ def _step_units(
                     commit_version,
                     bk,
                     n_buckets,
+                    cmap,
                 )
             )
     return units
@@ -600,9 +617,9 @@ class VStoreStreamReader(_ReadKernels, DataSourceStreamReader):
                 step = _step_delta(self.store, v)
                 if step is not None:
                     b_only, a_only = step
-                    pcol = _read_manifest_raw(self.store, v)[
-                        "partition_col"
-                    ]
+                    raw_v = _read_manifest_raw(self.store, v)
+                    pcol = raw_v["partition_col"]
+                    cmap = raw_v.get("column_map") or {}
                     prev_pcol = (
                         _read_manifest_raw(self.store, v - 1)[
                             "partition_col"
@@ -623,6 +640,7 @@ class VStoreStreamReader(_ReadKernels, DataSourceStreamReader):
                     a_only, b_only = _unshared_entries(ma, mb)
                     pcol = mb["partition_col"]
                     prev_pcol = ma["partition_col"]
+                    cmap = mb.get("column_map") or {}
             except FileNotFoundError as exc:
                 raise ValueError(
                     f"version v{v - 1} or v{v} was vacuumed while this"
@@ -650,6 +668,7 @@ class VStoreStreamReader(_ReadKernels, DataSourceStreamReader):
                     os.path.join(self.store, "data", e["file"]),
                     _norm_pval(e["partition"]),
                     pcols,
+                    cmap,
                 )
                 p.commit_version = v
                 out.append(p)

@@ -651,8 +651,35 @@ def _man_pval(pval: tuple):
     return pval[0] if len(pval) == 1 else list(pval)
 
 
+def _apply_column_map(df: DataFrame, column_map: dict | None) -> DataFrame:
+    """Rename LOGICAL columns to their frozen PHYSICAL names before
+    staging (column-mapping evolution, round 10): data files always
+    carry the physical names, so a rename never rewrites a byte and
+    every file in a version shares one name space. A new logical
+    column whose name collides with a retired physical name is
+    rejected — two logical columns must never share a physical."""
+    if not column_map:
+        return df
+    phys_in_use = set(column_map.values())
+    cols = []
+    for c in df.columns:
+        p = column_map.get(c, c)
+        if p == c and c in phys_in_use:
+            raise ValueError(
+                f"column name {c!r} is the physical name of a renamed"
+                " column; pick a different name (or compact/overwrite"
+                " to materialize renames first)"
+            )
+        cols.append(F.col(c).alias(p) if p != c else F.col(c))
+    return df.select(*cols)
+
+
 def _stage_files(
-    df: DataFrame, store: str, version: int, partition_col
+    df: DataFrame,
+    store: str,
+    version: int,
+    partition_col,
+    column_map: dict | None = None,
 ) -> list[dict]:
     """Write ``df`` partitioned by ``partition_col`` (one column or a
     list — composite partitioning) to a staging dir, then move each
@@ -662,7 +689,11 @@ def _stage_files(
     (``_footer_stats``) so reads can prune files catalog-side on range
     predicates. The footer reads are a driver-side O(new files)
     metadata loop over the files THIS commit staged — the same work a
-    real table format's commit protocol does to populate its log."""
+    real table format's commit protocol does to populate its log.
+    With a ``column_map`` the frame arrives under LOGICAL names and is
+    staged under the frozen PHYSICAL ones (stats keys included), so
+    renamed tables keep one on-disk name space."""
+    df = _apply_column_map(df, column_map)
     pcols = _norm_pcols(partition_col)
     os.makedirs(os.path.join(store, _DATA), exist_ok=True)
     staging = tempfile.mkdtemp(prefix="vstore-", dir=store)
@@ -1058,6 +1089,11 @@ def _publish_incremental(
         }
         if columns is not None:
             manifest["columns"] = columns
+        # column-mapping rename state carries forward verbatim (a
+        # concurrent rename changes `columns`, which the rebase check
+        # already treats as a conflict, so base's map == head's map)
+        if base_man.get("column_map"):
+            manifest["column_map"] = base_man["column_map"]
         if head_v != base_v:
             manifest["rebased_from_base"] = base_v
         try:
@@ -1162,7 +1198,9 @@ def commit_upsert(
     # reconcile the recorded schema BEFORE staging: an incompatible
     # type change raises here with zero orphan files written
     columns = _merge_ddl(prev.get("columns"), _columns_ddl(merged, pcols))
-    new_entries = _stage_files(merged, store, version, pcols)
+    new_entries = _stage_files(
+        merged, store, version, pcols, prev.get("column_map")
+    )
     return _publish_incremental(
         spark,
         store,
@@ -1316,7 +1354,9 @@ def commit_merge(
             prev.get("columns"), _columns_ddl(merged, pcols)
         )
         version = prev_v + 1
-        new_entries = _stage_files(merged, store, version, pcols)
+        new_entries = _stage_files(
+            merged, store, version, pcols, prev.get("column_map")
+        )
     finally:
         src.unpersist()
     return _publish_incremental(
@@ -1345,6 +1385,7 @@ def _load_entries(
     entries: list[dict],
     pcol,
     ddl: str | None,
+    column_map: dict | None = None,
 ) -> DataFrame | None:
     """Load a manifest entry subset with the partition column(s)
     restored (None for an empty subset).
@@ -1368,6 +1409,17 @@ def _load_entries(
         return None
     pcols = _norm_pcols(pcol)
     if ddl:
+        # column mapping: request the files' PHYSICAL names, surface
+        # the logical ones (renames never rewrite files, so every
+        # file speaks physical)
+        cmap = column_map or {}
+        read_ddl = (
+            ", ".join(
+                f"{cmap.get(n, n)} {t}" for n, t in _ddl_pairs(ddl)
+            )
+            if cmap
+            else ddl
+        )
         paths = [os.path.join(store, _DATA, e["file"]) for e in entries]
         fmap = spark.createDataFrame(
             [
@@ -1387,11 +1439,13 @@ def _load_entries(
         old = spark.conf.get(key, None)
         spark.conf.set(key, "64")
         try:
-            reader = spark.read.schema(ddl).parquet(*paths)
+            reader = spark.read.schema(read_ddl).parquet(*paths)
         finally:
             spark.conf.set(key, old) if old is not None else (
                 spark.conf.unset(key)
             )
+        for logical, phys in cmap.items():
+            reader = reader.withColumnRenamed(phys, logical)
         return (
             reader
             .withColumn(
@@ -1521,6 +1575,10 @@ def _build_blooms(
         "__f", F.element_at(F.split(F.input_file_name(), "/"), -1)
     )
     for c in cols:
+        if c not in df.columns:
+            continue  # col absent from these files (post-overwrite
+            # schema change / retired physical name): no bloom, point
+            # reads keep the files conservatively
         poses = [
             "pmod("
             + SPARK_H60.format(
@@ -1752,13 +1810,24 @@ def read_version(
         entries = [
             e for e in entries if _norm_pval(e["partition"]) in wanted
         ]
+    # stats and bloom sidecars are keyed by the files' PHYSICAL
+    # column names; translate filter keys through the column map
+    # before pruning (the residual row filters below stay logical)
+    cmap = man.get("column_map") or {}
     if range_filters:
-        entries = _prune_entries(entries, range_filters)
+        entries = _prune_entries(
+            entries,
+            {cmap.get(c, c): b for c, b in range_filters.items()},
+        )
     if point_filters:
         entries = _bloom_prune(
-            entries, _read_bloom_sidecar(store, version), point_filters
+            entries,
+            _read_bloom_sidecar(store, version),
+            {cmap.get(c, c): v for c, v in point_filters.items()},
         )
-    out = _load_entries(spark, store, entries, pcol, man.get("columns"))
+    out = _load_entries(
+        spark, store, entries, pcol, man.get("columns"), cmap
+    )
     if out is not None and range_filters:
         for col, (lo, hi) in range_filters.items():
             if lo is not None:
@@ -1899,6 +1968,8 @@ def clone_store(
     }
     if man.get("columns") is not None:
         manifest["columns"] = man["columns"]
+    if man.get("column_map"):
+        manifest["column_map"] = man["column_map"]
     _claim_manifest(dst, manifest)
     bloom = _read_bloom_sidecar(src, version)
     if bloom is not None:
@@ -1926,6 +1997,8 @@ def rollback(store: str, to_version: int) -> int:
     }
     if man.get("columns") is not None:
         manifest["columns"] = man["columns"]
+    if man.get("column_map"):
+        manifest["column_map"] = man["column_map"]
     head = _read_manifest(store, head_v)
     if head["partition_col"] == man["partition_col"]:
         # delta form: a rollback usually shares most files with the
@@ -1953,6 +2026,86 @@ def rollback(store: str, to_version: int) -> int:
         os.rename(tmp, _bloom_path(store, version))
     _advance_current(store, version)
     return version
+
+
+def rename_column(store: str, old: str, new: str) -> int:
+    """Column-mapping evolution (Delta's column mapping, round-10
+    verdict #7): rename a column WITHOUT rewriting a byte. Data files
+    keep the column's frozen PHYSICAL name (its name when it first
+    entered the table); the manifest's ``columns`` DDL carries the
+    LOGICAL names and ``column_map`` records {logical: physical} for
+    every renamed column. Readers request the physical names from the
+    files and surface the logical ones; writers stage new files under
+    the physical names (``_apply_column_map``), so every file in a
+    version shares one on-disk name space and stats/bloom sidecars —
+    keyed physical — keep pruning across the rename.
+
+    The commit is an empty delta sharing every file with the head
+    (zero-copy; the head's bloom sidecar rides along verbatim).
+    Renames compose: a→b then b→c maps {c: a}. Partition columns
+    cannot be renamed (their values live in manifest entries keyed by
+    the partition schema); ``commit_overwrite`` resets the map (a
+    full rewrite materializes logical names physically), while
+    compaction PRESERVES it (partial compaction shares files with
+    un-compacted partitions, which still carry physical names).
+
+    Change feeds treat a rename step as CDC-invisible (it shares all
+    files — an empty diff); a feed WINDOW that spans both a rename
+    and data changes surfaces rows under the window-end's logical
+    names, with the renamed column matched by its physical identity."""
+    head_v = current_version(store)
+    man = _read_prev_manifest(store, head_v, "rename_column")
+    pcols = _norm_pcols(man["partition_col"])
+    if old in pcols:
+        raise ValueError(
+            f"partition column {old!r} cannot be renamed (partition"
+            " values are keyed by the partition schema); re-partition"
+            " via commit_overwrite instead"
+        )
+    ddl = man.get("columns")
+    if ddl is None:
+        raise ValueError(
+            "rename_column needs a manifest with a recorded schema"
+            " (store predates schema recording)"
+        )
+    pairs = _ddl_pairs(ddl)
+    names = [n for n, _ in pairs]
+    if old not in names:
+        raise ValueError(f"no column {old!r} in {names}")
+    if new in names or new in pcols:
+        raise ValueError(f"column {new!r} already exists")
+    cmap = dict(man.get("column_map") or {})
+    phys = cmap.pop(old, old)
+    others_phys = {cmap.get(n, n) for n in names if n != old}
+    if new in others_phys:
+        raise ValueError(
+            f"{new!r} is the physical name of another column; pick a"
+            " different name (or compact/overwrite to materialize"
+            " renames first)"
+        )
+    if new != phys:
+        cmap[new] = phys
+    manifest = {
+        "version": head_v + 1,
+        "partition_col": man["partition_col"],
+        "columns": ", ".join(
+            f"{new if n == old else n} {t}" for n, t in pairs
+        ),
+        "renamed": {"from": old, "to": new},
+    }
+    if cmap:
+        manifest["column_map"] = cmap
+    _claim_incremental(
+        store, manifest, head_v, [], [], man["files"]
+    )
+    bloom = _read_bloom_sidecar(store, head_v)
+    if bloom is not None:  # same files ⇒ same blooms (keys physical)
+        fd, tmp = tempfile.mkstemp(dir=_mdir(store))
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(json.dumps(bloom))
+        os.rename(tmp, _bloom_path(store, manifest["version"]))
+    _advance_current(store, manifest["version"])
+    return manifest["version"]
 
 
 def version_diff(
@@ -1995,8 +2148,14 @@ def version_diff(
         "source string, n_added bigint, n_removed bigint, n_changed bigint,"
         " n_unchanged bigint, tok_delta bigint, diff_h bigint"
     )
-    a_df = _load_entries(spark, store, a_only, pcol, ma.get("columns"))
-    b_df = _load_entries(spark, store, b_only, pcol, mb.get("columns"))
+    a_df = _load_entries(
+        spark, store, a_only, pcol, ma.get("columns"),
+        ma.get("column_map"),
+    )
+    b_df = _load_entries(
+        spark, store, b_only, pcol, mb.get("columns"),
+        mb.get("column_map"),
+    )
     if a_df is None and b_df is None:
         d = spark.createDataFrame([], schema)
     else:
@@ -2103,8 +2262,14 @@ def table_changes(
             f" {missing} (store keys are partition-scoped)"
         )
     a_only, b_only = _unshared_entries(ma, mb)
-    a_df = _load_entries(spark, store, a_only, pcol, ma.get("columns"))
-    b_df = _load_entries(spark, store, b_only, pcol, mb.get("columns"))
+    a_df = _load_entries(
+        spark, store, a_only, pcol, ma.get("columns"),
+        ma.get("column_map"),
+    )
+    b_df = _load_entries(
+        spark, store, b_only, pcol, mb.get("columns"),
+        mb.get("column_map"),
+    )
     if a_df is None and b_df is None:
         ddl = mb.get("columns") or ma.get("columns")
         if ddl is None:
@@ -2289,7 +2454,9 @@ def compact_partitions(
     extra: dict = {"compacted_partitions": len(fragmented)}
     if zorder_cols:
         extra["zorder"] = list(zorder_cols)
-    new_entries = _stage_files(compacted, store, prev_v + 1, pcols)
+    new_entries = _stage_files(
+        compacted, store, prev_v + 1, pcols, prev.get("column_map")
+    )
     return _publish_incremental(
         spark,
         store,
@@ -2331,17 +2498,25 @@ def compact_version(
     z-ordering only permutes rows across files. One range shuffle,
     the standard clustered-write cost."""
     prev_v = current_version(store)
-    pcols = _norm_pcols(_read_manifest(store, prev_v)["partition_col"])
+    prev = _read_manifest(store, prev_v)
+    pcols = _norm_pcols(prev["partition_col"])
     df = read_version(spark, store, prev_v)
-    n_parts = max(1, len({_norm_pval(e["partition"]) for e in
-                          _read_manifest(store, prev_v)["files"]}))
+    n_parts = max(1, len({_norm_pval(e["partition"])
+                          for e in prev["files"]}))
     n_out = max(1, n_parts * files_per_partition)
     compacted = _cluster_for_rewrite(df, pcols, zorder_cols, n_out)
     version = prev_v + 1
-    entries = _stage_files(compacted, store, version, pcols)
+    # the column map survives compaction: partial compactions share
+    # files with untouched partitions, so one physical name space
+    # must keep covering every file (stage under physical names)
+    entries = _stage_files(
+        compacted, store, version, pcols, prev.get("column_map")
+    )
     manifest = {"version": version, "partition_col": _man_pcol(pcols),
                 "columns": _columns_ddl(compacted, pcols),
                 "files": entries, "compacted_from": prev_v}
+    if prev.get("column_map"):
+        manifest["column_map"] = prev["column_map"]
     if zorder_cols:
         manifest["zorder"] = list(zorder_cols)
     _claim_manifest(store, manifest)
@@ -2403,7 +2578,9 @@ def commit_delete(
             "left_anti",
         )
         columns = _columns_ddl(survivors, pcols)
-        new_entries = _stage_files(survivors, store, version, pcols)
+        new_entries = _stage_files(
+            survivors, store, version, pcols, prev.get("column_map")
+        )
     return _publish_incremental(
         spark,
         store,

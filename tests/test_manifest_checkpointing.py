@@ -241,3 +241,174 @@ def test_version_at_timestamp_monotonizes_skewed_history(
     assert vs.version_at_timestamp(store, 150.0) == 1
     with pytest.raises(ValueError, match="no retained version"):
         vs.version_at_timestamp(store, 99.0)
+
+
+def test_rename_column_lifecycle(spark, tmp_path):
+    """Round-9 verdict #7 (column mapping): rename without rewrite —
+    the rename commit shares every file, old versions read under old
+    names, new versions under new ones, later commits stage under the
+    frozen PHYSICAL name, and stats/bloom pruning keeps working
+    through the map."""
+    import pyarrow.parquet as pq
+
+    store = str(tmp_path / "ren")
+    df = spark.createDataFrame(
+        [("a", i, f"t{i}") for i in range(20)]
+        + [("b", i, f"t{i}") for i in range(100, 120)],
+        "part string, k long, txt string",
+    )
+    vs.commit_overwrite(df.repartition(2, "part"), store, "part")
+
+    v2 = vs.rename_column(store, "k", "key")
+    assert v2 == 2
+    # zero-copy: identical file set, the commit is an empty delta
+    raw = vs._read_manifest_raw(store, 2)
+    assert raw["delta"]["adds"] == [] and raw["delta"]["removes"] == []
+    assert raw["column_map"] == {"key": "k"}
+    assert raw["renamed"] == {"from": "k", "to": "key"}
+
+    # old version reads under the old name, new under the new one
+    assert "k" in vs.read_version(spark, store, 1).columns
+    r2 = vs.read_version(spark, store, 2)
+    assert "key" in r2.columns and "k" not in r2.columns
+    assert sorted(r.key for r in r2.collect()) == sorted(
+        r.k for r in vs.read_version(spark, store, 1).collect()
+    )
+
+    # stats pruning flows through the map: manifest stats are keyed
+    # by the PHYSICAL name 'k', the filter arrives logical
+    pruned = vs.read_version(spark, store, 2, range_filters={"key": (100, 119)})
+    assert sorted(r.key for r in pruned.collect()) == list(range(100, 120))
+    man2 = vs._read_manifest(store, 2)
+    kept = vs._prune_entries(man2["files"], {"k": (100, 119)})
+    assert 0 < len(kept) < len(man2["files"])  # pruning genuinely bites
+
+    # post-rename commits use LOGICAL names and stage PHYSICAL files
+    chg = spark.createDataFrame(
+        [("a", 3, "rev3"), ("a", 999, "new")],
+        "part string, key long, txt string",
+    )
+    v3 = vs.commit_upsert(spark, store, chg, ["part", "key"])
+    new_files = [
+        e["file"]
+        for e in vs._read_manifest_raw(store, v3)["delta"]["adds"]
+    ]
+    for f in new_files:
+        cols = pq.read_schema(
+            os.path.join(store, "data", f)
+        ).names
+        assert "k" in cols and "key" not in cols  # frozen physical
+    got = {
+        (r.part, r.key, r.txt)
+        for r in vs.read_version(spark, store, v3).collect()
+    }
+    assert ("a", 3, "rev3") in got and ("a", 999, "new") in got
+    assert len(got) == 41
+
+    # chained rename resolves to the ORIGINAL physical
+    v4 = vs.rename_column(store, "key", "k2")
+    assert vs._read_manifest_raw(store, v4)["column_map"] == {"k2": "k"}
+    assert sorted(
+        r.k2 for r in vs.read_version(spark, store, v4).collect()
+    ) == sorted(r.key for r in vs.read_version(spark, store, v3).collect())
+
+    # guards
+    with pytest.raises(ValueError, match="already exists"):
+        vs.rename_column(store, "txt", "k2")
+    with pytest.raises(ValueError, match="partition column"):
+        vs.rename_column(store, "part", "p2")
+    with pytest.raises(ValueError, match="physical name"):
+        # a NEW logical column named like the retired physical 'k'
+        vs.commit_upsert(
+            spark,
+            store,
+            spark.createDataFrame(
+                [("a", 1, "x", 9)],
+                "part string, k2 long, txt string, k long",
+            ),
+            ["part", "k2"],
+        )
+
+    # a rename-only step is CDC-invisible (shares every file)
+    feed = vs.table_changes(spark, store, v3, v4, ["part", "k2"])
+    assert feed.count() == 0
+
+
+def test_rename_column_through_vstore_source_and_blooms(spark, tmp_path):
+    """The Spark data source surface of the same rename: logical
+    schema, point/range options translated to physical for pruning,
+    sink appends staging physical files, and bloom sidecars riding
+    the rename verbatim."""
+    from engine.sources.vstore_datasource import register_vstore
+
+    register_vstore(spark)
+    store = str(tmp_path / "rensrc")
+    vs.commit_overwrite(
+        spark.createDataFrame(
+            [("a", i, f"t{i}") for i in range(16)],
+            "part string, k long, txt string",
+        ).repartition(4),
+        store,
+        "part",
+        bloom_cols=["k"],
+        bloom_bits=512,
+    )
+    vs.rename_column(store, "k", "key")
+    # the rename version carries the head's sidecar verbatim
+    assert vs._read_bloom_sidecar(store, 2) == vs._read_bloom_sidecar(
+        store, 1
+    )
+
+    df = spark.read.format("vstore").load(store)
+    assert set(df.columns) == {"part", "key", "txt"}
+    got = (
+        spark.read.format("vstore")
+        .option("point", "key:7")
+        .load(store)
+        .collect()
+    )
+    assert [(r.part, r.key, r.txt) for r in got] == [("a", 7, "t7")]
+    got = (
+        spark.read.format("vstore")
+        .option("range", "key:3:5")
+        .load(store)
+        .collect()
+    )
+    assert sorted(r.key for r in got) == [3, 4, 5]
+
+    # bloom point pruning still bites through the map
+    man = vs._read_manifest(store, 2)
+    side = vs._read_bloom_sidecar(store, 2)
+    kept = vs._bloom_prune(man["files"], side, {"k": 7})
+    assert 0 < len(kept) < len(man["files"])
+
+    # sink append post-rename: logical schema in, physical files out
+    spark.createDataFrame(
+        [("c", 99, "new")], "part string, key long, txt string"
+    ).write.format("vstore").mode("append").save(store)
+    raw3 = vs._read_manifest_raw(store, 3)
+    assert raw3["column_map"] == {"key": "k"}
+    import pyarrow.parquet as pq
+
+    for e in raw3["delta"]["adds"]:
+        names = pq.read_schema(os.path.join(store, "data", e["file"])).names
+        assert "k" in names and "key" not in names
+    got = sorted(
+        (r.part, r.key, r.txt)
+        for r in spark.read.format("vstore").load(store).collect()
+    )
+    assert ("c", 99, "new") in got and len(got) == 17
+
+    # streaming/CDF read the renamed store under logical names
+    feed = (
+        spark.read.format("vstore")
+        .option("read_changes", "true")
+        .option("key_cols", "part,key")
+        .option("from_version", 2)
+        .option("to_version", 3)
+        .load(store)
+    )
+    rows = feed.collect()
+    assert [(r.part, r.key, r.txt, r._change_type) for r in rows] == [
+        ("c", 99, "new", "insert")
+    ]
