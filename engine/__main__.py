@@ -244,6 +244,13 @@ def cmd_vstore(args: argparse.Namespace) -> int:
         v = vs.rollback(args.store, args.version)
         print(f"rolled back to v{args.version:05d} as v{v:05d}")
         return 0
+    if args.action == "rename-column":
+        if not args.old or not args.new:
+            print("rename-column requires --old and --new", file=sys.stderr)
+            return 2
+        v = vs.rename_column(args.store, args.old, args.new)
+        print(f"renamed {args.old} -> {args.new} as v{v:05d} (zero-copy)")
+        return 0
     if args.action == "vacuum":
         removed = vs.vacuum(
             args.store, keep_latest=args.keep, grace_seconds=args.grace
@@ -346,7 +353,7 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         choices=(
             "versions", "read", "rollback", "vacuum", "changes",
-            "compact", "history", "clone",
+            "compact", "history", "clone", "rename-column",
         ),
     )
     v.add_argument("store")
@@ -359,6 +366,15 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument(
         "--dest", default=None,
         help="clone: target store path (zero-copy hard-link clone)",
+    )
+    v.add_argument(
+        "--old", default=None,
+        help="rename-column: the current (logical) column name",
+    )
+    v.add_argument(
+        "--new", default=None,
+        help="rename-column: the new column name (zero-copy; files"
+        " keep the frozen physical name via the manifest column_map)",
     )
     v.add_argument("--keep", type=int, default=2, help="vacuum retention")
     v.add_argument(

@@ -412,3 +412,23 @@ def test_rename_column_through_vstore_source_and_blooms(spark, tmp_path):
     assert [(r.part, r.key, r.txt, r._change_type) for r in rows] == [
         ("c", 99, "new", "insert")
     ]
+
+
+def test_vstore_cli_rename_column(spark, tmp_path, capsys):
+    """CLI: `vstore rename-column STORE --old X --new Y` — the
+    command-line face of the zero-copy rename."""
+    from engine.__main__ import main as cli
+
+    store = str(tmp_path / "clirename")
+    vs.commit_overwrite(
+        spark.createDataFrame([("a", 1)], "part string, k long"),
+        store,
+        "part",
+    )
+    assert cli(
+        ["vstore", "rename-column", store, "--old", "k", "--new", "key"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "renamed k -> key" in out and "zero-copy" in out
+    assert "key" in vs.read_version(spark, store).columns
+    assert cli(["vstore", "rename-column", store, "--old", "x"]) == 2
