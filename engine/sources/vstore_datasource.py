@@ -454,6 +454,13 @@ class _VStoreWriteCommon:
                 if c.strip() and c.strip() in names
             ]
             self.bloom_bits = int(options.get("bloom_bits", "8192"))
+            if self.bloom_bits <= 0 or self.bloom_bits % 64:
+                # words are 64-bit packed; a non-aligned size would
+                # index past the word list executor-side (review r10)
+                raise ValueError(
+                    "bloom_bits must be a positive multiple of 64"
+                    f" (got {self.bloom_bits})"
+                )
         else:
             from engine.versioned_store import (
                 _read_bloom_sidecar,
@@ -810,10 +817,12 @@ class VStoreStreamWriter(_VStoreWriteCommon, DataSourceStreamArrowWriter):
         compared exactly, so a writer_id containing ':' (writer 'a'
         scanning writer 'a:b's tag 'a:b:7') can neither crash the
         int() parse nor match another writer's tag (ADVICE r9)."""
-        from engine.versioned_store import _read_manifest, versions
+        from engine.versioned_store import _read_manifest_raw, versions
 
         for v in reversed(versions(self.store)):
-            tag = _read_manifest(self.store, v).get("streaming_batch")
+            tag = _read_manifest_raw(self.store, v).get(
+                "streaming_batch"
+            )
             if not tag:
                 continue
             wid, _, bid = tag.rpartition(":")

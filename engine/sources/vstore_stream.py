@@ -61,7 +61,11 @@ Scale knobs (round 10):
   at most this many versions / added bytes, so a long backlog catches
   up incrementally instead of one giant batch. At least one version is
   always admitted; bytes are a soft cap (the crossing version is
-  included). See ``latestOffset`` for the one honest restart caveat.
+  included). One caveat, inherent to the Python API hiding the start
+  offset from ``latestOffset``: combined with ``starting_version``,
+  the FIRST batch of a query run is uncapped (capping it from the
+  configured start could regress a restarted stream's offset below
+  its checkpoint and replay data — see ``latestOffset``).
 * ``max_rows_per_cdf_task`` (default 1M) — a CDF diff unit whose side
   exceeds this many manifest rows is sub-bucketed by key hash, so one
   fat rewritten partition fans out across tasks instead of
@@ -173,12 +177,23 @@ def _veq(a, b) -> bool:
 
 def _key_bucket(key: tuple, n_buckets: int) -> int:
     """Deterministic key→bucket hash, stable across processes (unlike
-    the builtin hash under PYTHONHASHSEED) and across both diff sides
-    (both run the same interpreter, so repr is identical for equal
-    values)."""
+    the builtin hash under PYTHONHASHSEED) and consistent with the
+    diff dicts' EQUALITY: floats that compare equal but repr apart
+    are normalized first — -0.0 == 0.0 must land in one bucket or a
+    sub-bucketed update would split into a spurious delete+insert
+    (review r10), and NaN keys (which _veq treats as self-equal) get
+    one sentinel."""
     import zlib
 
-    return zlib.crc32(repr(key).encode("utf-8")) % n_buckets
+    norm = []
+    for v in key:
+        if isinstance(v, float):
+            if v != v:
+                v = "__nan__"
+            elif v == 0.0:
+                v = 0.0  # collapses -0.0
+        norm.append(v)
+    return zlib.crc32(repr(tuple(norm)).encode("utf-8")) % n_buckets
 
 
 def _load_side(store: str, files: list[str], pval: tuple, pcols: tuple,
@@ -497,6 +512,7 @@ class VStoreCDFBatchReader(_ReadKernels, DataSourceReader):
         return units or [_EmptyPartition()]
 
 
+
 class VStoreStreamReader(_ReadKernels, DataSourceStreamReader):
     """The store as a streaming source — see the module docstring."""
 
@@ -529,14 +545,34 @@ class VStoreStreamReader(_ReadKernels, DataSourceStreamReader):
         # admission control (round-9 verdict #2 — Delta's
         # maxFilesPerTrigger semantics): bound how many versions /
         # how many added bytes one microbatch may absorb, so backlog
-        # catch-up is incremental instead of one giant batch
+        # catch-up is incremental instead of one giant batch.
+        # _admitted is the reader's KNOWN position. Without
+        # starting_version the construction-time head is a provably
+        # safe floor — a checkpointed offset can never exceed the
+        # head (versions only grow), so capping from it can never
+        # regress the stream — and caps apply from the first trigger.
+        # With starting_version the guess may sit BELOW a restart's
+        # committed offset, so the position stays unknown until
+        # initialOffset (fresh query) or partitions (restart replay)
+        # reveals it; see latestOffset for the uncapped-first-batch
+        # consequence.
         mv = options.get("max_versions_per_trigger")
         mb = options.get("max_bytes_per_trigger")
         self.max_versions = int(mv) if mv is not None else None
         self.max_bytes = int(mb) if mb is not None else None
-        self._admitted: int | None = None
+        self._admitted: int | None = (
+            None if sv is not None else self._initial
+        )
 
     def initialOffset(self) -> dict:
+        # Spark calls this only for a fresh query (a restart restores
+        # offsets from the checkpoint instead), so _initial is the
+        # stream's true position here. NEVER lower a position already
+        # learned: measured call order is latestOffset FIRST, then
+        # initialOffset (round-10 review probe), so by now the first
+        # batch's end may already be declared.
+        if self._admitted is None:
+            self._admitted = self._initial
         return {"version": self._initial}
 
     def _added_bytes(self, v: int) -> int:
@@ -554,22 +590,32 @@ class VStoreStreamReader(_ReadKernels, DataSourceStreamReader):
     def latestOffset(self) -> dict:
         """The head, CAPPED by the per-trigger admission limits. The
         reader self-tracks its admitted position (Spark's Python
-        stream API passes no start offset here): every batch planned
-        after the reader has learned its position is bounded — all
-        batches in a fresh run; after a checkpoint restart the FIRST
-        batch covers the full checkpoint-to-cap window (the reader
-        cannot see the checkpointed offset until partitions() runs),
-        and every later batch is bounded again. At least one version
-        is always admitted (progress guarantee); max_bytes is a soft
-        cap — the version that crosses it is included, like Delta's
-        maxBytesPerTrigger."""
+        stream API passes no start offset here). Without
+        starting_version the position is known from construction (the
+        head — a safe floor) and every batch is capped. With
+        starting_version the position is unknown until initialOffset
+        (fresh query) or a replayed batch's partitions() (restart)
+        reveals it — and Spark's measured call order puts the first
+        latestOffset BEFORE both, so that one call returns the
+        UNCAPPED head: capping from the starting_version guess could
+        fall BELOW a restart's checkpointed offset, which Spark would
+        record as the new end offset and then replay already-delivered
+        versions as duplicates (round-10 review #1). One unbounded
+        historical-replay batch is the honest cost of an API that
+        hides the start offset; every later batch is bounded. At
+        least one version is always admitted (progress guarantee);
+        max_bytes is a soft cap — the version that crosses it is
+        included, like Delta's maxBytesPerTrigger."""
         from engine.versioned_store import current_version
 
         head = current_version(self.store)
         if self.max_versions is None and self.max_bytes is None:
             return {"version": head}
-        base = self._admitted if self._admitted is not None else self._initial
-        base = min(base, head)
+        if self._admitted is None:
+            # restarted from a checkpoint this reader cannot see yet
+            self._admitted = head
+            return {"version": head}
+        base = min(self._admitted, head)
         end = head
         if self.max_versions is not None:
             end = min(end, base + self.max_versions)
@@ -594,11 +640,12 @@ class VStoreStreamReader(_ReadKernels, DataSourceStreamReader):
             _unshared_entries,
         )
 
-        # learn the true position from the engine (covers checkpoint
-        # restarts, where the first latestOffset ran before any start
-        # offset was visible to this reader)
-        if self._admitted is None or end["version"] > self._admitted:
-            self._admitted = end["version"]
+        # learn the true position from the engine — START included, so
+        # a replayed pending batch after a restart teaches the reader
+        # the checkpointed offset even when end < start (review r10)
+        pos = max(start["version"], end["version"])
+        if self._admitted is None or pos > self._admitted:
+            self._admitted = pos
         out: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             if self.cdf:

@@ -1645,6 +1645,14 @@ def _maybe_write_blooms(
         bloom_cols, bloom_bits = prev["cols"], prev["bits"]
     if not bloom_cols:
         return
+    if bloom_bits <= 0 or bloom_bits % 64:
+        # bit positions are packed into 64-bit words: a non-aligned
+        # size would index past the word list on data-dependent hash
+        # values (review r10)
+        raise ValueError(
+            f"bloom_bits must be a positive multiple of 64 (got"
+            f" {bloom_bits})"
+        )
     files = {}
     if prev:
         for e in carried:
@@ -1701,12 +1709,25 @@ def _copy_carried_blooms(
         cols, bits = prev["cols"], prev["bits"]
     if not cols:
         return
+    # blooms are PER COLUMN and their bit positions depend only on
+    # bits (and k): carried files' blooms stay valid whenever those
+    # match, even if this commit builds a different column SET (a
+    # subset-schema append must not discard the whole table's blooms
+    # nor narrow future inheritance — review r10). The recorded cols
+    # therefore UNION.
+    k_out = _BLOOM_K
+    out_cols = list(cols)
     files: dict = {}
-    if prev and prev["cols"] == list(cols) and prev["bits"] == bits:
-        for f in carried_files:
-            b = prev["files"].get(f)
-            if b:
-                files[f] = b
+    if prev and prev["bits"] == bits:
+        prev_k = prev.get("k", _BLOOM_K)
+        if not new_blooms:
+            k_out = prev_k  # pure carry keeps the previous k
+        if prev_k == k_out:
+            for f in carried_files:
+                b = prev["files"].get(f)
+                if b:
+                    files[f] = b
+            out_cols = sorted(set(prev["cols"]) | set(cols))
     if new_blooms:
         files.update(new_blooms)
     fd, tmp = tempfile.mkstemp(dir=_mdir(store))
@@ -1715,12 +1736,27 @@ def _copy_carried_blooms(
             json.dumps(
                 {
                     "bits": bits,
-                    "k": prev.get("k", _BLOOM_K) if prev else _BLOOM_K,
-                    "cols": list(cols),
+                    "k": k_out,
+                    "cols": out_cols,
                     "files": files,
                 }
             )
         )
+    os.rename(tmp, _bloom_path(store, version))
+
+
+def _copy_bloom_sidecar(
+    store: str, version: int, bloom: dict | None
+) -> None:
+    """Verbatim sidecar copy for a version that SHARES its source
+    version's files (rollback, clone, rename): same files ⇒ same
+    blooms; one atomic JSON write (review r10: this was hand-rolled
+    at three call sites)."""
+    if bloom is None:
+        return
+    fd, tmp = tempfile.mkstemp(dir=_mdir(store))
+    with os.fdopen(fd, "w", encoding="utf-8") as f:
+        f.write(json.dumps(bloom))
     os.rename(tmp, _bloom_path(store, version))
 
 
@@ -1971,12 +2007,7 @@ def clone_store(
     if man.get("column_map"):
         manifest["column_map"] = man["column_map"]
     _claim_manifest(dst, manifest)
-    bloom = _read_bloom_sidecar(src, version)
-    if bloom is not None:
-        fd, tmp = tempfile.mkstemp(dir=_mdir(dst))
-        with os.fdopen(fd, "w", encoding="utf-8") as f:
-            f.write(json.dumps(bloom))
-        os.rename(tmp, _bloom_path(dst, 1))
+    _copy_bloom_sidecar(dst, 1, _read_bloom_sidecar(src, version))
     _advance_current(dst, 1)
     return 1
 

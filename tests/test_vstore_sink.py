@@ -437,15 +437,17 @@ def test_writer_id_with_colon_and_early_exit_scan(spark, tmp_path, monkeypatch):
 
     # early exit: the newest matching tag ends the scan
     reads: list[int] = []
-    orig = vs._read_manifest
+    orig = vs._read_manifest_raw
 
     def counting(store_, v):
         reads.append(v)
         return orig(store_, v)
 
-    monkeypatch.setattr(vs, "_read_manifest", counting)
+    monkeypatch.setattr(vs, "_read_manifest_raw", counting)
     assert wab._last_recorded_batch() == 7
-    # v3 (a:4) is scanned and skipped; v2 (a:b:7) matches; v1 never read
+    # v3 (a:4) is scanned and skipped; v2 (a:b:7) matches; v1 never
+    # read — and the scan reads RAW manifests only (no file-list
+    # resolution; round-10 review #3)
     assert reads == [3, 2]
 
 
@@ -534,3 +536,68 @@ def test_sink_write_caps_open_writers(spark, tmp_path):
         for r in vs.read_version(spark, store).collect()
     )
     assert got == [("a", 1), ("a", 4), ("b", 2), ("c", 3)]
+
+
+def test_subset_append_keeps_carried_blooms(spark, tmp_path):
+    """REGRESSION (round-10 review #2): blooms are per-column and
+    their bit positions depend only on bits — an append whose frame
+    legitimately omits one bloomed column must not discard the whole
+    table's carried blooms nor narrow future inheritance. The sidecar
+    carries all old blooms and records the UNION of columns."""
+    import engine.versioned_store as vs
+    from engine.sources.vstore_datasource import register_vstore
+
+    register_vstore(spark)
+    store = str(tmp_path / "subset")
+    vs.commit_overwrite(
+        spark.createDataFrame(
+            [("a", 1, 10), ("b", 2, 20)], "part string, k long, v long"
+        ),
+        store,
+        "part",
+        bloom_cols=["k", "v"],
+        bloom_bits=256,
+    )
+    # additive-subset append: no 'v' column in the frame
+    spark.createDataFrame(
+        [("c", 9)], "part string, k long"
+    ).write.format("vstore").mode("append").save(store)
+    side = vs._read_bloom_sidecar(store, 2)
+    assert side is not None and side["bits"] == 256
+    assert sorted(side["cols"]) == ["k", "v"]  # union, not narrowed
+    v1_files = {e["file"] for e in vs._read_manifest(store, 1)["files"]}
+    for f in v1_files:  # carried blooms intact, both columns
+        assert set(side["files"][f]) == {"k", "v"}
+    new = [
+        f
+        for f in (e["file"] for e in vs._read_manifest(store, 2)["files"])
+        if f not in v1_files
+    ]
+    assert new and all(set(side["files"][f]) == {"k"} for f in new)
+    # pruning still bites on BOTH columns after the subset append
+    man = vs._read_manifest(store, 2)["files"]
+    assert 0 < len(vs._bloom_prune(man, side, {"v": 10})) < len(man)
+    assert 0 < len(vs._bloom_prune(man, side, {"k": 9})) < len(man)
+
+
+def test_bloom_bits_must_be_word_aligned(spark, tmp_path):
+    """REGRESSION (round-10 review #5): bloom words are 64-bit packed;
+    a non-aligned bloom_bits would index past the word list on
+    data-dependent hash values — both the sink option and the engine
+    path reject it up front."""
+    import engine.versioned_store as vs
+    from engine.sources.vstore_datasource import register_vstore
+
+    register_vstore(spark)
+    df = spark.createDataFrame([("a", 1)], "part string, k long")
+    with pytest.raises(Exception, match="multiple of 64"):
+        df.write.format("vstore").option("partition_col", "part").option(
+            "bloom_cols", "k"
+        ).option("bloom_bits", "1000").mode("overwrite").save(
+            str(tmp_path / "s1")
+        )
+    with pytest.raises(ValueError, match="multiple of 64"):
+        vs.commit_overwrite(
+            df, str(tmp_path / "s2"), "part",
+            bloom_cols=["k"], bloom_bits=100,
+        )

@@ -430,25 +430,40 @@ def _six_version_store(spark, store):
 
 def test_admission_control_caps_latest_offset(spark, tmp_path):
     """Round-9 verdict #2 (unit level): with per-trigger limits the
-    reader admits the backlog in bounded steps — versions first, then
-    the bytes analog (soft cap: the crossing version is included)."""
+    reader admits backlog in bounded steps. Without starting_version
+    the construction-time head is a provably safe floor, so caps
+    apply from the very first trigger; with starting_version a fresh
+    query caps once initialOffset has run (and bytes are a soft cap:
+    the crossing version is included)."""
+    import engine.versioned_store as vs
     from engine.sources.vstore_stream import VStoreStreamReader
 
-    store = _six_version_store(spark, str(tmp_path / "s"))
+    store = str(tmp_path / "s")
     schema = spark.createDataFrame(
         [("a", 1, "x")], "part string, k long, v string"
     ).schema
+    # head = 1 at construction; 5 more versions land afterwards
+    import shutil
 
-    r = VStoreStreamReader(
-        {
-            "path": store,
-            "starting_version": "1",
-            "max_versions_per_trigger": "2",
-        },
-        schema,
+    vs.commit_overwrite(
+        spark.createDataFrame(
+            [("a", 1, "v1")], "part string, k long, v string"
+        ),
+        store,
+        "part",
     )
-    assert r.initialOffset() == {"version": 0}
-    assert [r.latestOffset()["version"] for _ in range(4)] == [2, 4, 6, 6]
+    from engine.sources.vstore_datasource import register_vstore
+
+    register_vstore(spark)
+    r = VStoreStreamReader(
+        {"path": store, "max_versions_per_trigger": "2"}, schema
+    )
+    for i in range(2, 7):  # versions 2..6 while the reader is live
+        spark.createDataFrame(
+            [("a", 10 + i, f"v{i}")], "part string, k long, v string"
+        ).write.format("vstore").mode("append").save(store)
+    # bounded from the FIRST trigger (no initialOffset call needed)
+    assert [r.latestOffset()["version"] for _ in range(4)] == [3, 5, 6, 6]
 
     rb = VStoreStreamReader(
         {
@@ -458,6 +473,7 @@ def test_admission_control_caps_latest_offset(spark, tmp_path):
         },
         schema,
     )
+    rb.initialOffset()  # fresh query: position = starting_version - 1
     # every version adds >= 1 byte, so each trigger admits exactly one
     assert [rb.latestOffset()["version"] for _ in range(7)] == [
         1, 2, 3, 4, 5, 6, 6,
@@ -469,21 +485,34 @@ def test_admission_control_caps_latest_offset(spark, tmp_path):
 
 def test_admission_control_bounds_triggers_end_to_end(spark, tmp_path):
     """Round-9 verdict #2 (done criterion): a 6-version backlog drains
-    in >= 3 bounded microbatches, and a checkpoint restart over new
-    commits stays exactly-once (row equality with the head snapshot)."""
+    in >= 3 bounded microbatches — every recorded offset step is at
+    most the cap — and a checkpoint restart over new commits stays
+    exactly-once (row equality with the head snapshot's appends)."""
+    import json
     import os
 
     import engine.versioned_store as vs
     from engine.sources.vstore_datasource import register_vstore
 
     register_vstore(spark)
-    store = _six_version_store(spark, str(tmp_path / "s"))
+    store = str(tmp_path / "s")
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    vs.commit_overwrite(
+        spark.createDataFrame(
+            [("a", 1, "base")], "part string, k long, v string"
+        ),
+        store,
+        "part",
+    )
+
+    def append(i):
+        spark.createDataFrame(
+            [("a", 10 + i, f"v{i}")], "part string, k long, v string"
+        ).write.format("vstore").mode("append").save(store)
 
     def run():
         q = (
             spark.readStream.format("vstore")
-            .option("starting_version", 1)
             .option("max_versions_per_trigger", 2)
             .load(store)
             .writeStream.format("parquet")
@@ -493,36 +522,57 @@ def test_admission_control_bounds_triggers_end_to_end(spark, tmp_path):
         )
         q.processAllAvailable()
         q.stop()
+        return q
 
-    run()
-    n_batches = len(
-        [f for f in os.listdir(os.path.join(ckpt, "offsets")) if f.isdigit()]
+    # the reader tails from the construction head (v1), so the six
+    # appended versions below ARE its backlog
+    q = (
+        spark.readStream.format("vstore")
+        .option("max_versions_per_trigger", 2)
+        .load(store)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
     )
-    assert n_batches >= 3, n_batches
-    # append-only versions: the drained stream equals the appends it saw
+    # force the runner to construct the reader (pinning its position
+    # at v1) BEFORE the backlog lands — the runner builds it lazily,
+    # and an append racing that construction would be silently before
+    # the tail's start
+    q.processAllAvailable()
+    for i in range(2, 8):  # versions 2..7
+        append(i)
+    q.processAllAvailable()
+    q.stop()
+
+    # every offset step recorded in the checkpoint is <= the cap,
+    # and draining 6 versions therefore took >= 3 data batches
+    offs = []
+    odir = os.path.join(ckpt, "offsets")
+    for f in sorted(
+        (f for f in os.listdir(odir) if f.isdigit()), key=int
+    ):
+        last = open(os.path.join(odir, f)).read().strip().split("\n")[-1]
+        offs.append(json.loads(last)["version"])
+    steps = [b - a for a, b in zip(offs, offs[1:])]
+    assert all(st <= 2 for st in steps), offs
+    assert sum(1 for st in steps if st > 0) + (offs[0] > 1) >= 3, offs
+
     got = sorted(
         (r.part, r.k, r.v) for r in spark.read.parquet(out).collect()
     )
-    want = sorted(
-        (r.part, r.k, r.v)
-        for r in vs.read_version(spark, store, 6).collect()
-    )
+    want = sorted(("a", 10 + i, f"v{i}") for i in range(2, 8))
     assert got == want
 
     # two more commits land while the query is down; the restarted
     # query resumes from the checkpoint and absorbs exactly them
-    for i in range(7, 9):
-        spark.createDataFrame(
-            [("a", 10 + i, f"v{i}")], "part string, k long, v string"
-        ).write.format("vstore").mode("append").save(store)
+    for i in range(8, 10):
+        append(i)
     run()
     got = sorted(
         (r.part, r.k, r.v) for r in spark.read.parquet(out).collect()
     )
-    want = sorted(
-        (r.part, r.k, r.v)
-        for r in vs.read_version(spark, store, 8).collect()
-    )
+    want = sorted(("a", 10 + i, f"v{i}") for i in range(2, 10))
     assert got == want
 
 
@@ -570,3 +620,38 @@ def test_cdf_subbucketing_matches_table_changes(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(want) == 220  # 100 pre+post, 20 inserts
+
+
+def test_admission_restart_does_not_regress_offset(spark, tmp_path):
+    """REGRESSION (round-10 review #1): after a checkpoint restart the
+    reader cannot see the committed offset, and capping from
+    starting_version could return an offset BELOW it — Spark would
+    record that as the new end and replay delivered versions as
+    duplicates. A restarted reader (initialOffset never called) must
+    return the uncapped head; a fresh reader (initialOffset called)
+    caps immediately; a replayed pending batch teaches the position
+    through partitions() even when end < start."""
+    from engine.sources.vstore_stream import VStoreStreamReader
+
+    store = _six_version_store(spark, str(tmp_path / "s"))  # head = 6
+    schema = spark.createDataFrame(
+        [("a", 1, "x")], "part string, k long, v string"
+    ).schema
+    opts = {
+        "path": store,
+        "starting_version": "1",
+        "max_versions_per_trigger": "2",
+    }
+
+    fresh = VStoreStreamReader(opts, schema)
+    fresh.initialOffset()
+    assert fresh.latestOffset() == {"version": 2}  # capped from v0
+
+    restarted = VStoreStreamReader(opts, schema)  # ckpt holds e.g. v4
+    assert restarted.latestOffset() == {"version": 6}  # never below it
+    assert restarted.latestOffset() == {"version": 6}
+
+    replay = VStoreStreamReader(opts, schema)
+    replay.partitions({"version": 4}, {"version": 2})  # pending replay
+    assert replay._admitted == 4  # learned from START, not just end
+    assert replay.latestOffset() == {"version": 6}  # min(head, 4+2)
