@@ -251,6 +251,14 @@ def cmd_vstore(args: argparse.Namespace) -> int:
         v = vs.rename_column(args.store, args.old, args.new)
         print(f"renamed {args.old} -> {args.new} as v{v:05d} (zero-copy)")
         return 0
+    if args.action == "drop-column":
+        if not args.old:
+            print("drop-column requires --old", file=sys.stderr)
+            return 2
+        v = vs.drop_column(args.store, args.old)
+        print(f"dropped {args.old} as v{v:05d} (zero-copy; older"
+              " versions still read it)")
+        return 0
     if args.action == "vacuum":
         removed = vs.vacuum(
             args.store, keep_latest=args.keep, grace_seconds=args.grace
@@ -354,6 +362,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=(
             "versions", "read", "rollback", "vacuum", "changes",
             "compact", "history", "clone", "rename-column",
+            "drop-column",
         ),
     )
     v.add_argument("store")
@@ -369,7 +378,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     v.add_argument(
         "--old", default=None,
-        help="rename-column: the current (logical) column name",
+        help="rename-column / drop-column: the current column name",
     )
     v.add_argument(
         "--new", default=None,

@@ -3761,6 +3761,10 @@ UNION ALL
 SELECT 'v3:pruned', CAST(count(*) AS BIGINT),
        CAST(sum(tc) AS BIGINT), CAST(bit_xor({row_h}) AS BIGINT)
 FROM tok WHERE tc BETWEEN 30 AND 60
+UNION ALL
+SELECT 'v4:dropped', CAST(count(*) AS BIGINT),
+       CAST(sum(tc) AS BIGINT), CAST(bit_xor({row_h}) AS BIGINT)
+FROM tok
 """
 
 
@@ -3777,13 +3781,15 @@ def _rename_oracle() -> str:
     exported=False,  # library: column-mapping rename lifecycle, oracled
 )
 def store_rename_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column-mapping rename lifecycle (section comment): publish
-    src11, rename n_tokens -> token_count (zero-copy), keep committing
-    under the NEW logical name, and answer three facets — v1 under the
-    old name, the post-rename head under the new one, and a
-    stats-pruned range read on the renamed column (the filter key must
-    translate to the files' physical name for pruning AND stay logical
-    for the residual row filter; either half broken hash-mismatches)."""
+    """Column-mapping rename + drop lifecycle (section comment):
+    publish src11, rename n_tokens -> token_count (zero-copy), keep
+    committing under the NEW logical name, then DROP content_hash
+    (zero-copy tombstone), answering four facets — v1 under the old
+    name, the post-rename head under the new one, a stats-pruned
+    range read on the renamed column (the filter key must translate
+    to the files' physical name for pruning AND stay logical for the
+    residual row filter; either half broken hash-mismatches), and the
+    post-drop head (same rows, narrowed schema)."""
     import engine.versioned_store as vs
 
     store = corpus_out_dir(sf_dir) + "_rename"
@@ -3801,6 +3807,10 @@ def store_rename_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).withColumnRenamed("n_tokens", "token_count")
     v3 = vs.commit_upsert(spark, store, revised, ["source", "doc_id"])
+    # DROP a column zero-copy (rename's sibling): the head loses
+    # content_hash, the row hash h survives — the facet pins that a
+    # post-drop read serves exactly the pre-drop rows minus the column
+    v4 = vs.drop_column(store, "content_hash")
 
     def facet(label: str, df: DataFrame, tok_col: str) -> DataFrame:
         return df.agg(
@@ -3817,7 +3827,7 @@ def store_rename_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v3:new_name", vs.read_version(spark, store, v3), "token_count"
         )
     )
-    return out.unionByName(
+    out = out.unionByName(
         facet(
             "v3:pruned",
             vs.read_version(
@@ -3826,3 +3836,6 @@ def store_rename_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_count",
         )
     )
+    head = vs.read_version(spark, store, v4)
+    assert "content_hash" not in head.columns, head.columns
+    return out.unionByName(facet("v4:dropped", head, "token_count"))

@@ -381,13 +381,17 @@ class _VStoreWriteCommon:
         self.column_map = (
             {} if overwrite else dict(head_man.get("column_map") or {})
         )
-        if self.column_map:
-            occupied = set(self.column_map.values())
+        self.dropped = (
+            [] if overwrite else list(head_man.get("dropped_physical") or ())
+        )
+        if self.column_map or self.dropped:
+            occupied = set(self.column_map.values()) | set(self.dropped)
             for f in schema.fields:
                 if f.name not in self.column_map and f.name in occupied:
                     raise ValueError(
                         f"column name {f.name!r} is the physical name"
-                        " of a renamed column; pick a different name"
+                        " of a renamed or dropped column; pick a"
+                        " different name"
                     )
         if head_v > 0:
             store_p = _norm_pcols(head_man["partition_col"])
@@ -705,15 +709,19 @@ class _VStoreWriteCommon:
                         f" this append (on {list(self.pcols)}) was staged;"
                         " recompute against the new head"
                     )
-                if (head.get("column_map") or {}) != self.column_map:
-                    # a rename landed while this write was staged: the
-                    # staged files speak the OLD physical names and
-                    # _merge_ddl would misread the rename as
-                    # drop+add — fail loudly instead
+                if (head.get("column_map") or {}) != self.column_map or (
+                    list(head.get("dropped_physical") or ())
+                    != self.dropped
+                ):
+                    # a rename or drop landed while this write was
+                    # staged: the staged files speak the OLD names and
+                    # _merge_ddl would misread the evolution as
+                    # drop+add (resurrecting a dropped column) — fail
+                    # loudly instead
                     raise CommitConflict(
-                        "store columns were renamed while this write"
-                        " was staged; re-run the write against the"
-                        " new head"
+                        "store columns were renamed or dropped while"
+                        " this write was staged; re-run the write"
+                        " against the new head"
                     )
                 carried = head["files"]
                 columns = _merge_ddl(head.get("columns"), self.columns_ddl)
@@ -725,6 +733,8 @@ class _VStoreWriteCommon:
             }
             if self.column_map:
                 manifest["column_map"] = self.column_map
+            if self.dropped:
+                manifest["dropped_physical"] = self.dropped
             try:
                 if self.overwrite or head_v == 0:
                     manifest["files"] = entries  # snapshot form

@@ -651,24 +651,32 @@ def _man_pval(pval: tuple):
     return pval[0] if len(pval) == 1 else list(pval)
 
 
-def _apply_column_map(df: DataFrame, column_map: dict | None) -> DataFrame:
+def _apply_column_map(
+    df: DataFrame,
+    column_map: dict | None,
+    dropped: list | None = None,
+) -> DataFrame:
     """Rename LOGICAL columns to their frozen PHYSICAL names before
     staging (column-mapping evolution, round 10): data files always
     carry the physical names, so a rename never rewrites a byte and
     every file in a version shares one name space. A new logical
-    column whose name collides with a retired physical name is
-    rejected — two logical columns must never share a physical."""
-    if not column_map:
+    column whose name collides with a retired physical name — a
+    renamed column's original, or a DROPPED column's tombstone — is
+    rejected: carried files still hold the dead physical data, and a
+    same-named new column would silently resurrect it from them."""
+    if not column_map and not dropped:
         return df
-    phys_in_use = set(column_map.values())
+    column_map = column_map or {}
+    occupied = set(column_map.values()) | set(dropped or ())
     cols = []
     for c in df.columns:
         p = column_map.get(c, c)
-        if p == c and c in phys_in_use:
+        if p == c and c in occupied:
             raise ValueError(
                 f"column name {c!r} is the physical name of a renamed"
-                " column; pick a different name (or compact/overwrite"
-                " to materialize renames first)"
+                " or dropped column; pick a different name (or"
+                " compact/overwrite to materialize the evolution"
+                " first)"
             )
         cols.append(F.col(c).alias(p) if p != c else F.col(c))
     return df.select(*cols)
@@ -680,6 +688,7 @@ def _stage_files(
     version: int,
     partition_col,
     column_map: dict | None = None,
+    dropped: list | None = None,
 ) -> list[dict]:
     """Write ``df`` partitioned by ``partition_col`` (one column or a
     list — composite partitioning) to a staging dir, then move each
@@ -693,7 +702,7 @@ def _stage_files(
     With a ``column_map`` the frame arrives under LOGICAL names and is
     staged under the frozen PHYSICAL ones (stats keys included), so
     renamed tables keep one on-disk name space."""
-    df = _apply_column_map(df, column_map)
+    df = _apply_column_map(df, column_map, dropped)
     pcols = _norm_pcols(partition_col)
     os.makedirs(os.path.join(store, _DATA), exist_ok=True)
     staging = tempfile.mkdtemp(prefix="vstore-", dir=store)
@@ -1089,11 +1098,14 @@ def _publish_incremental(
         }
         if columns is not None:
             manifest["columns"] = columns
-        # column-mapping rename state carries forward verbatim (a
-        # concurrent rename changes `columns`, which the rebase check
-        # already treats as a conflict, so base's map == head's map)
+        # column-mapping rename/drop state carries forward verbatim
+        # (a concurrent rename or drop changes `columns`, which the
+        # rebase check already treats as a conflict, so base's state
+        # == head's state)
         if base_man.get("column_map"):
             manifest["column_map"] = base_man["column_map"]
+        if base_man.get("dropped_physical"):
+            manifest["dropped_physical"] = base_man["dropped_physical"]
         if head_v != base_v:
             manifest["rebased_from_base"] = base_v
         try:
@@ -1199,7 +1211,8 @@ def commit_upsert(
     # type change raises here with zero orphan files written
     columns = _merge_ddl(prev.get("columns"), _columns_ddl(merged, pcols))
     new_entries = _stage_files(
-        merged, store, version, pcols, prev.get("column_map")
+        merged, store, version, pcols, prev.get("column_map"),
+        prev.get("dropped_physical"),
     )
     return _publish_incremental(
         spark,
@@ -1355,7 +1368,8 @@ def commit_merge(
         )
         version = prev_v + 1
         new_entries = _stage_files(
-            merged, store, version, pcols, prev.get("column_map")
+            merged, store, version, pcols, prev.get("column_map"),
+            prev.get("dropped_physical"),
         )
     finally:
         src.unpersist()
@@ -2006,6 +2020,8 @@ def clone_store(
         manifest["columns"] = man["columns"]
     if man.get("column_map"):
         manifest["column_map"] = man["column_map"]
+    if man.get("dropped_physical"):
+        manifest["dropped_physical"] = man["dropped_physical"]
     _claim_manifest(dst, manifest)
     _copy_bloom_sidecar(dst, 1, _read_bloom_sidecar(src, version))
     _advance_current(dst, 1)
@@ -2030,6 +2046,8 @@ def rollback(store: str, to_version: int) -> int:
         manifest["columns"] = man["columns"]
     if man.get("column_map"):
         manifest["column_map"] = man["column_map"]
+    if man.get("dropped_physical"):
+        manifest["dropped_physical"] = man["dropped_physical"]
     head = _read_manifest(store, head_v)
     if head["partition_col"] == man["partition_col"]:
         # delta form: a rollback usually shares most files with the
@@ -2107,12 +2125,14 @@ def rename_column(store: str, old: str, new: str) -> int:
         raise ValueError(f"column {new!r} already exists")
     cmap = dict(man.get("column_map") or {})
     phys = cmap.pop(old, old)
-    others_phys = {cmap.get(n, n) for n in names if n != old}
-    if new in others_phys:
+    occupied = {cmap.get(n, n) for n in names if n != old} | set(
+        man.get("dropped_physical") or ()
+    )
+    if new in occupied:
         raise ValueError(
-            f"{new!r} is the physical name of another column; pick a"
-            " different name (or compact/overwrite to materialize"
-            " renames first)"
+            f"{new!r} is the physical name of another (or a dropped)"
+            " column; pick a different name (or compact/overwrite to"
+            " materialize the evolution first)"
         )
     if new != phys:
         cmap[new] = phys
@@ -2126,6 +2146,8 @@ def rename_column(store: str, old: str, new: str) -> int:
     }
     if cmap:
         manifest["column_map"] = cmap
+    if man.get("dropped_physical"):
+        manifest["dropped_physical"] = man["dropped_physical"]
     _claim_incremental(
         store, manifest, head_v, [], [], man["files"]
     )
@@ -2135,6 +2157,64 @@ def rename_column(store: str, old: str, new: str) -> int:
         with os.fdopen(fd, "w", encoding="utf-8") as f:
             f.write(json.dumps(bloom))
         os.rename(tmp, _bloom_path(store, manifest["version"]))
+    _advance_current(store, manifest["version"])
+    return manifest["version"]
+
+
+def drop_column(store: str, col: str) -> int:
+    """DROP a column without rewriting a byte — the rename's sibling
+    (Delta's drop-with-column-mapping). The commit is an empty delta
+    sharing every file; the column simply leaves the manifest's
+    ``columns`` DDL, so readers never request its physical column
+    again (old versions still read it — that is what time travel
+    means). The column's PHYSICAL name is recorded as a TOMBSTONE
+    (``dropped_physical``): carried files still hold the dead data,
+    so a later same-named column would silently resurrect it —
+    re-adding the name raises until a full rewrite
+    (``commit_overwrite``) materializes the schema and clears the
+    evolution state. GDPR note, stated not hidden: dropping hides the
+    column from the CURRENT schema; purging its bytes is
+    ``compact_version`` (rewrites files from the logical schema)
+    plus ``vacuum``."""
+    head_v = current_version(store)
+    man = _read_prev_manifest(store, head_v, "drop_column")
+    pcols = _norm_pcols(man["partition_col"])
+    if col in pcols:
+        raise ValueError(
+            f"partition column {col!r} cannot be dropped; re-partition"
+            " via commit_overwrite instead"
+        )
+    ddl = man.get("columns")
+    if ddl is None:
+        raise ValueError(
+            "drop_column needs a manifest with a recorded schema"
+            " (store predates schema recording)"
+        )
+    pairs = _ddl_pairs(ddl)
+    if col not in [n for n, _ in pairs]:
+        raise ValueError(f"no column {col!r} in {[n for n, _ in pairs]}")
+    cmap = dict(man.get("column_map") or {})
+    phys = cmap.pop(col, col)
+    manifest = {
+        "version": head_v + 1,
+        "partition_col": man["partition_col"],
+        "columns": ", ".join(
+            f"{n} {t}" for n, t in pairs if n != col
+        ),
+        "dropped": {"column": col},
+        "dropped_physical": sorted(
+            set(man.get("dropped_physical") or ()) | {phys}
+        ),
+    }
+    if cmap:
+        manifest["column_map"] = cmap
+    _claim_incremental(store, manifest, head_v, [], [], man["files"])
+    # same files ⇒ same blooms; a bloom for the dead physical column
+    # is unreachable (filters translate from the logical schema) and
+    # harmless
+    _copy_bloom_sidecar(
+        store, manifest["version"], _read_bloom_sidecar(store, head_v)
+    )
     _advance_current(store, manifest["version"])
     return manifest["version"]
 
@@ -2486,7 +2566,8 @@ def compact_partitions(
     if zorder_cols:
         extra["zorder"] = list(zorder_cols)
     new_entries = _stage_files(
-        compacted, store, prev_v + 1, pcols, prev.get("column_map")
+        compacted, store, prev_v + 1, pcols, prev.get("column_map"),
+        prev.get("dropped_physical"),
     )
     return _publish_incremental(
         spark,
@@ -2541,13 +2622,16 @@ def compact_version(
     # files with untouched partitions, so one physical name space
     # must keep covering every file (stage under physical names)
     entries = _stage_files(
-        compacted, store, version, pcols, prev.get("column_map")
+        compacted, store, version, pcols, prev.get("column_map"),
+        prev.get("dropped_physical"),
     )
     manifest = {"version": version, "partition_col": _man_pcol(pcols),
                 "columns": _columns_ddl(compacted, pcols),
                 "files": entries, "compacted_from": prev_v}
     if prev.get("column_map"):
         manifest["column_map"] = prev["column_map"]
+    if prev.get("dropped_physical"):
+        manifest["dropped_physical"] = prev["dropped_physical"]
     if zorder_cols:
         manifest["zorder"] = list(zorder_cols)
     _claim_manifest(store, manifest)
@@ -2610,7 +2694,8 @@ def commit_delete(
         )
         columns = _columns_ddl(survivors, pcols)
         new_entries = _stage_files(
-            survivors, store, version, pcols, prev.get("column_map")
+            survivors, store, version, pcols, prev.get("column_map"),
+            prev.get("dropped_physical"),
         )
     return _publish_incremental(
         spark,

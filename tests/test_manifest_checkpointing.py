@@ -432,3 +432,112 @@ def test_vstore_cli_rename_column(spark, tmp_path, capsys):
     assert "renamed k -> key" in out and "zero-copy" in out
     assert "key" in vs.read_version(spark, store).columns
     assert cli(["vstore", "rename-column", store, "--old", "x"]) == 2
+
+
+def test_drop_column_lifecycle(spark, tmp_path):
+    """drop_column (round 10, rename's sibling): zero-copy, old
+    versions keep the column, later commits work, and re-adding the
+    name is refused everywhere until an overwrite materializes the
+    schema — carried files still hold the dead physical data and a
+    same-named column would silently resurrect it."""
+    from engine.sources.vstore_datasource import register_vstore
+
+    register_vstore(spark)
+    store = str(tmp_path / "drop")
+    vs.commit_overwrite(
+        spark.createDataFrame(
+            [("a", 1, 10, "x"), ("b", 2, 20, "y")],
+            "part string, k long, v long, w string",
+        ),
+        store,
+        "part",
+    )
+    v2 = vs.drop_column(store, "w")
+    raw = vs._read_manifest_raw(store, v2)
+    assert raw["delta"]["adds"] == [] and raw["delta"]["removes"] == []
+    assert raw["dropped_physical"] == ["w"]
+    assert raw["dropped"] == {"column": "w"}
+
+    # head reads without w; v1 still reads it (time travel)
+    assert "w" not in vs.read_version(spark, store).columns
+    assert sorted(
+        (r.part, r.k, r.v)
+        for r in vs.read_version(spark, store).collect()
+    ) == [("a", 1, 10), ("b", 2, 20)]
+    assert sorted(
+        r.w for r in vs.read_version(spark, store, 1).collect()
+    ) == ["x", "y"]
+    # the vstore source sees the dropped schema too
+    assert "w" not in spark.read.format("vstore").load(store).columns
+
+    # post-drop commits speak the narrowed schema
+    v3 = vs.commit_upsert(
+        spark,
+        store,
+        spark.createDataFrame([("a", 9, 90)], "part string, k long, v long"),
+        ["part", "k"],
+    )
+    assert ("a", 9, 90) in {
+        (r.part, r.k, r.v)
+        for r in vs.read_version(spark, store, v3).collect()
+    }
+
+    # resurrection guards: engine upsert, sink append, rename target
+    with pytest.raises(ValueError, match="renamed or dropped"):
+        vs.commit_upsert(
+            spark,
+            store,
+            spark.createDataFrame(
+                [("a", 1, 10, "zombie")],
+                "part string, k long, v long, w string",
+            ),
+            ["part", "k"],
+        )
+    with pytest.raises(Exception, match="renamed or dropped"):
+        spark.createDataFrame(
+            [("c", 3, 30, "zombie")],
+            "part string, k long, v long, w string",
+        ).write.format("vstore").mode("append").save(store)
+    vs.rename_column(store, "v", "val")  # rename still fine post-drop
+    with pytest.raises(ValueError, match="physical name"):
+        vs.rename_column(store, "val", "w")
+
+    # a drop-only step is CDC-invisible (shares every file)
+    assert vs.table_changes(spark, store, v2, v3 - 1, ["part", "k"]).count() \
+        if v3 - 1 > v2 else True
+    assert vs.table_changes(spark, store, 1, v2, ["part", "k"]).count() == 0
+
+    # guards: partition col, missing col
+    with pytest.raises(ValueError, match="partition column"):
+        vs.drop_column(store, "part")
+    with pytest.raises(ValueError, match="no column"):
+        vs.drop_column(store, "nope")
+
+    # a full overwrite materializes the schema and clears the
+    # tombstone: the name is reusable afterwards
+    vs.commit_overwrite(
+        spark.createDataFrame(
+            [("a", 1, "fresh")], "part string, k long, w string"
+        ),
+        store,
+        "part",
+    )
+    assert sorted(
+        r.w for r in vs.read_version(spark, store).collect()
+    ) == ["fresh"]
+
+
+def test_vstore_cli_drop_column(spark, tmp_path, capsys):
+    from engine.__main__ import main as cli
+
+    store = str(tmp_path / "clidrop")
+    vs.commit_overwrite(
+        spark.createDataFrame([("a", 1, 2)], "part string, k long, v long"),
+        store,
+        "part",
+    )
+    assert cli(["vstore", "drop-column", store, "--old", "v"]) == 0
+    out = capsys.readouterr().out
+    assert "dropped v" in out and "zero-copy" in out
+    assert "v" not in vs.read_version(spark, store).columns
+    assert cli(["vstore", "drop-column", store]) == 2
