@@ -20,10 +20,11 @@ copy-on-write at FILE granularity with a manifest per version:
 
 * ``commit_overwrite`` — a full snapshot: new files + a manifest
   listing only them.
-* ``commit_upsert`` — the merge path: ONLY partitions holding a
-  changed key get new files; the new manifest carries the untouched
-  partitions' OLD file entries forward (copy-on-write), so version
-  n+1 costs the touched partitions, not the table.
+* ``commit_upsert`` — the merge path: ONLY files whose footer stats
+  or bloom sidecar ADMIT a changed key get rewritten (round 11's
+  file-granular copy-on-write, ``_plan_file_rewrite``); the new
+  manifest carries every other entry forward, so version n+1 costs
+  the files holding changed keys, not the partition, never the table.
 * ``commit_delete`` — copy-on-write deletion (the GDPR path); with
   ``vacuum`` it is a PROVABLE purge, because the only files that ever
   held the key are the rewritten partitions' old files.
@@ -975,11 +976,16 @@ def commit_overwrite(
 # commit time: the loser re-reads the log, checks whether anything that
 # landed since its base version overlaps what it wrote, and if not,
 # re-points its ALREADY-STAGED files at the new head and claims again.
-# Partition-level granularity is exactly right for this store because
-# every incremental commit rewrites whole partitions: two commits with
-# disjoint touched-partition sets produce byte-identical files in
-# either order, so the rebase is pure manifest surgery — zero data
-# movement, zero recompute.
+# Partition-level granularity is right for this store because every
+# incremental commit declares the partitions it writes (its keys'
+# partitions): two commits with disjoint touched-partition sets
+# produce byte-identical files in either order, so the rebase is pure
+# manifest surgery — zero data movement, zero recompute. Round 11's
+# file-granular rewrite keeps the CONFLICT check at partition
+# granularity on purpose (conservative): the rewritten-file set
+# inside a touched partition is stats-derived, so only the
+# disjoint-partition guarantee keeps a rebased commit byte-identical
+# to its serial re-run.
 
 
 def _changed_partitions(ma: dict, mb: dict) -> set:
@@ -1069,6 +1075,7 @@ def _publish_incremental(
     columns: str | None,
     extra: dict,
     max_retries: int,
+    rewritten: set | None = None,
 ) -> int:
     """Publish an incremental commit prepared against ``base_v``:
     carry forward the head's untouched-partition entries, add the
@@ -1080,14 +1087,25 @@ def _publish_incremental(
     PREPARING attempt's number for provenance; after a rebase the
     manifest that lists them carries a higher number plus
     ``rebased_from_base`` (file names are opaque — only the manifest
-    binds files to a version)."""
+    binds files to a version).
+
+    ``rewritten`` (round 11, file-granular copy-on-write) narrows the
+    replacement INSIDE the touched partitions to the named files: a
+    touched partition's other entries carry forward like any untouched
+    partition's. None keeps the pre-round-11 semantics (every file of
+    a touched partition is replaced). Rebase safety is unchanged —
+    the conflict check stays partition-granular, so a rebase only
+    lands when the head's touched-partition entries are byte-identical
+    to the base's and the rewritten set is still exact."""
     pcols = _norm_pcols(base_man["partition_col"])
     head_v, head = base_v, base_man
     retries = 0
     while True:
         keep, removed = [], []
         for e in head["files"]:
-            if _norm_pval(e["partition"]) in touched:
+            if _norm_pval(e["partition"]) in touched and (
+                rewritten is None or e["file"] in rewritten
+            ):
                 removed.append(e)
             else:
                 keep.append(e)
@@ -1132,6 +1150,174 @@ def _publish_incremental(
         return manifest["version"]
 
 
+# File-granular copy-on-write planning (round 11, VERDICT r10 #1).
+# Pre-round-11, DELETE/MERGE/UPSERT rewrote EVERY file of a touched
+# partition; at 100 TB with ~1 TB partitions a one-key GDPR delete
+# rewrote ~1 TB. The read path already kept per-file minmax stats
+# (parquet footers, recorded at commit) and bloom sidecars for point
+# probes — the write path now uses the same metadata to prune the
+# REWRITE set: a file whose stats or bloom PROVE no changed key can
+# live in it is carried forward verbatim, exactly like an untouched
+# partition (Delta's findTouchedFiles, done catalog-side). Both
+# checks are conservative — no stats / unsupported type / bloom
+# false positive only ever ADMITS a file, so the worst case is the
+# old whole-partition rewrite, never a missed row.
+
+_REWRITE_KEY_CAP = 20_000  # driver-side exact-admission bound
+
+
+def _stat_admits(stats: dict, col: str, value) -> bool:
+    """False only when the file's recorded [min, max] PROVES ``value``
+    absent (string stats are Delta-truncated outer bounds, so the
+    interval test stays conservative)."""
+    s = (stats or {}).get(col)
+    if s is None:
+        return True
+    try:
+        return s[0] <= value <= s[1]
+    except TypeError:  # stat/value types incomparable: keep the file
+        return True
+
+
+def _bloom_words_admit(words: list[str] | None, positions) -> bool:
+    if words is None:
+        return True
+    for p in positions:
+        if not (int(words[p // 64], 16) >> (p % 64)) & 1:
+            return False
+    return True
+
+
+def _plan_file_rewrite(
+    keys_df: DataFrame,
+    key_cols: list[str],
+    pcols: list[str],
+    prev: dict,
+    store: str,
+    prev_v: int,
+) -> tuple[set, list[dict], list[dict]]:
+    """Decide which of the head's files a keyed commit must rewrite:
+    returns (touched partitions, entries to rewrite, entries in
+    touched partitions carried forward verbatim).
+
+    Two tiers, both O(metadata) on the driver, no table scan:
+
+    * exact (≤ ``_REWRITE_KEY_CAP`` distinct keys): collect the key
+      tuples and admit a file iff SOME key passes its per-column
+      minmax stats AND its bloom sidecar bits (positions are cached
+      per value, so the md5 work is O(keys), and a file short-circuits
+      on its first admitting key);
+    * range fallback (larger changesets): one groupBy(partition)
+      min/max aggregate over the keys frame; a file is carried only
+      when some key column's changeset range and file range are
+      provably disjoint. Coarser, but still prunes the common
+      append-mostly-new-keys shape where changed keys cluster.
+
+    A key with a NULL non-partition component matches no base row
+    (SQL equality) and admits nothing; its partition still counts as
+    touched — an upsert INSERTS such rows, so the commit's declared
+    write set must cover the partitions it adds files to. Bloom
+    probes only run for str/int values (the canonical string forms
+    the build job hashes — see the bloom section); every other type
+    falls back to stats alone."""
+    vcols = [c for c in key_cols if c not in pcols]
+    cmap = prev.get("column_map") or {}
+    key_rows = None
+    if vcols:
+        key_rows = (
+            keys_df.select(*key_cols)
+            .distinct()
+            .limit(_REWRITE_KEY_CAP + 1)
+            .collect()
+        )
+        if len(key_rows) > _REWRITE_KEY_CAP:
+            key_rows = None  # too many keys: range-fallback tier
+    if key_rows is not None:
+        touched = {tuple(str(r[c]) for c in pcols) for r in key_rows}
+    else:
+        touched = {
+            tuple(str(r[c]) for c in pcols)
+            for r in keys_df.select(*pcols).distinct().collect()
+        }
+    old_touched = [
+        e for e in prev["files"] if _norm_pval(e["partition"]) in touched
+    ]
+    if not vcols:
+        # key == partition columns: every row of a touched partition
+        # matches by definition — whole-partition rewrite is exact
+        return touched, old_touched, []
+    rewrite: list[dict] = []
+    carried: list[dict] = []
+    if key_rows is not None:
+        by_part: dict[tuple, list[tuple]] = {}
+        for r in key_rows:
+            if any(r[c] is None for c in vcols):
+                continue
+            by_part.setdefault(
+                tuple(str(r[c]) for c in pcols), []
+            ).append(tuple(r[c] for c in vcols))
+        sidecar = _read_bloom_sidecar(store, prev_v)
+        bits = sidecar["bits"] if sidecar else 0
+        pos_cache: dict[str, list[int]] = {}
+        for e in old_touched:
+            stats = e.get("stats") or {}
+            blooms = (
+                sidecar["files"].get(e["file"]) if sidecar else None
+            )
+            admit = False
+            for key in by_part.get(_norm_pval(e["partition"]), ()):
+                ok = True
+                for c, v in zip(vcols, key):
+                    phys = cmap.get(c, c)
+                    if not _stat_admits(stats, phys, v):
+                        ok = False
+                        break
+                    if (
+                        blooms is not None
+                        and isinstance(v, (str, int))
+                        and not isinstance(v, bool)
+                    ):
+                        canon = str(v)
+                        poses = pos_cache.get(canon)
+                        if poses is None:
+                            poses = _bloom_positions_py(v, bits)
+                            pos_cache[canon] = poses
+                        if not _bloom_words_admit(blooms.get(phys), poses):
+                            ok = False
+                            break
+                if ok:
+                    admit = True
+                    break
+            (rewrite if admit else carried).append(e)
+        return touched, rewrite, carried
+    aggs = []
+    for c in vcols:
+        aggs.append(F.min(c).alias(f"__vs_lo_{c}"))
+        aggs.append(F.max(c).alias(f"__vs_hi_{c}"))
+    ranges = {
+        tuple(str(r[c]) for c in pcols): {
+            c: (r[f"__vs_lo_{c}"], r[f"__vs_hi_{c}"]) for c in vcols
+        }
+        for r in keys_df.groupBy(*pcols).agg(*aggs).collect()
+    }
+    for e in old_touched:
+        rng = ranges.get(_norm_pval(e["partition"]))
+        stats = e.get("stats") or {}
+        admit = True
+        for c, (lo, hi) in (rng or {}).items():
+            s = stats.get(cmap.get(c, c))
+            if s is None or lo is None:
+                continue  # no stats / all-null key column: keep
+            try:
+                if s[0] > hi or s[1] < lo:
+                    admit = False
+                    break
+            except TypeError:
+                continue
+        (rewrite if admit else carried).append(e)
+    return touched, rewrite, carried
+
+
 def commit_upsert(
     spark: SparkSession,
     store: str,
@@ -1141,10 +1327,13 @@ def commit_upsert(
     expectations: dict | None = None,
     on_violation: str = "fail",
 ) -> int:
-    """Copy-on-write MERGE as the next version: partitions holding a
-    changed key are rewritten (survivors + changeset) into NEW files;
-    every untouched partition's manifest entries carry over verbatim.
-    The previous version keeps reading its own (immutable) files.
+    """Copy-on-write MERGE as the next version: within the partitions
+    holding a changed key, only the FILES whose stats/bloom admit one
+    (``_plan_file_rewrite``) are rewritten (survivors + changeset)
+    into NEW files; every other entry — untouched partitions AND
+    provably key-free files inside touched ones — carries over
+    verbatim. The previous version keeps reading its own (immutable)
+    files.
 
     ``key_cols`` MUST include the partition column: the touched set is
     computed from the changeset's partition values, so a key whose
@@ -1181,21 +1370,21 @@ def commit_upsert(
     changeset, exp_stats = _apply_expectations(
         changeset, expectations, on_violation
     )
-    touched = {
-        tuple(str(r[c]) for c in pcols)
-        for r in changeset.select(*pcols).distinct().collect()
-    }
-    old_touched = [
-        e for e in prev["files"] if _norm_pval(e["partition"]) in touched
-    ]
+    # file-granular planning (round 11): only files whose stats/bloom
+    # ADMIT a changed key are rewritten; the rest of the touched
+    # partitions carry forward like untouched partitions
+    touched, to_rewrite, _ = _plan_file_rewrite(
+        changeset, key_cols, pcols, prev, store, prev_v
+    )
     version = prev_v + 1
     merged = changeset
-    if old_touched:
-        # through read_version so the partition columns (absent from
+    if to_rewrite:
+        # through _load_entries so the partition columns (absent from
         # the data files; they lived in the staging directory names)
         # are restored before the merge
-        base = read_version(
-            spark, store, prev_v, partition_values=sorted(touched)
+        base = _load_entries(
+            spark, store, to_rewrite, prev["partition_col"],
+            prev.get("columns"), prev.get("column_map"),
         )
         survivors = base.join(
             F.broadcast(changeset.select(*key_cols).distinct()),
@@ -1224,6 +1413,7 @@ def commit_upsert(
         columns,
         exp_stats,
         max_retries,
+        rewritten={e["file"] for e in to_rewrite},
     )
 
 
@@ -1273,13 +1463,13 @@ def commit_merge(
     source, exp_stats = _apply_expectations(
         source, expectations, on_violation
     )
-    touched = {
-        tuple(str(r[c]) for c in pcols)
-        for r in source.select(*pcols).distinct().collect()
-    }
-    old_touched = [
-        e for e in prev["files"] if _norm_pval(e["partition"]) in touched
-    ]
+    # file-granular planning (round 11): a file no source key can
+    # live in (stats/bloom proof) is carried forward verbatim — its
+    # rows are all unmatched-base-rows by construction, so skipping
+    # the rewrite preserves merge semantics exactly
+    touched, to_rewrite, _ = _plan_file_rewrite(
+        source, key_cols, pcols, prev, store, prev_v
+    )
     del_cond = (
         F.coalesce(
             F.expr(matched_delete_condition).cast("boolean"), F.lit(False)
@@ -1292,9 +1482,10 @@ def commit_merge(
     # touched partitions (never the table) and left unhinted: the
     # planner broadcasts it when it fits and shuffle-joins on the
     # same keys the rewrite below shuffles anyway when it does not.
-    if old_touched:
-        base = read_version(
-            spark, store, prev_v, partition_values=sorted(touched)
+    if to_rewrite:
+        base = _load_entries(
+            spark, store, to_rewrite, prev["partition_col"],
+            prev.get("columns"), prev.get("column_map"),
         )
         base_keys = (
             base.select(*key_cols)
@@ -1349,7 +1540,7 @@ def commit_merge(
             F.col("__vs_fate").isin("updated", "inserted")
         ).drop("__vs_matched", "__vs_fate")
         merged = winners
-        if old_touched:
+        if to_rewrite:
             # base rows survive unless their key was updated OR deleted
             # unhinted like base_keys above: gone_keys is bounded by
             # the SOURCE, not the table, but a large changeset's key
@@ -1390,6 +1581,7 @@ def commit_merge(
             },
         },
         max_retries,
+        rewritten={e["file"] for e in to_rewrite},
     )
 
 
@@ -2647,9 +2839,11 @@ def commit_delete(
     key_cols: list[str],
     max_retries: int = 0,
 ) -> int:
-    """Copy-on-write DELETE as the next version: partitions holding a
-    doomed key are rewritten WITHOUT those rows; untouched partitions'
-    entries carry forward; a partition whose every row is deleted
+    """Copy-on-write DELETE as the next version: the FILES whose
+    stats/bloom admit a doomed key (``_plan_file_rewrite``) are
+    rewritten WITHOUT those rows; every other entry — untouched
+    partitions and provably key-free files inside touched ones —
+    carries forward; a partition whose every row is deleted
     disappears from the new manifest. ``keys`` must carry the
     partition column (targeted deletion at 100 TB starts from the
     partition, never a table scan).
@@ -2673,19 +2867,20 @@ def commit_delete(
             f"key_cols {key_cols} must include the partition column(s)"
             f" {missing}: deletion rewrites only the keys' partitions"
         )
-    touched = {
-        tuple(str(r[c]) for c in pcols)
-        for r in keys.select(*pcols).distinct().collect()
-    }
-    old_touched = [
-        e for e in prev["files"] if _norm_pval(e["partition"]) in touched
-    ]
+    # file-granular planning (round 11): only files whose stats/bloom
+    # admit a doomed key are rewritten — a one-key delete on a
+    # many-file partition rewrites one file (plus bloom false
+    # positives), not the partition
+    touched, to_rewrite, _ = _plan_file_rewrite(
+        keys, key_cols, pcols, prev, store, prev_v
+    )
     version = prev_v + 1
     new_entries: list[dict] = []
     columns = prev.get("columns")
-    if old_touched:
-        base = read_version(
-            spark, store, prev_v, partition_values=sorted(touched)
+    if to_rewrite:
+        base = _load_entries(
+            spark, store, to_rewrite, prev["partition_col"],
+            prev.get("columns"), prev.get("column_map"),
         )
         survivors = base.join(
             F.broadcast(keys.select(*key_cols).distinct()),
@@ -2707,4 +2902,5 @@ def commit_delete(
         columns,
         {"deleted_keys": int(keys.count())},
         max_retries,
+        rewritten={e["file"] for e in to_rewrite},
     )

@@ -48,19 +48,25 @@ def test_incremental_commits_are_delta_manifests(spark, tmp_path):
     assert raw["delta"]["base"] == 1
     assert {e["partition"] for e in raw["delta"]["adds"]} == {"p1"}
     assert {e["partition"] for e in raw["delta"]["removes"]} == {"p1"}
-    # removes reference exactly v1's p1 files
+    # removes reference exactly the v1 p1 files whose stats admit
+    # k=1 — round 11's file-granular planner carries the rest of the
+    # partition verbatim
     v1_p1 = {
-        e["file"]
+        e["file"]: e["stats"]["k"]
         for e in vs._read_manifest(store, 1)["files"]
         if e["partition"] == "p1"
     }
-    assert {r["file"] for r in raw["delta"]["removes"]} == v1_p1
+    admitting = {
+        f for f, (lo, hi) in v1_p1.items() if lo <= 1 <= hi
+    }
+    assert {r["file"] for r in raw["delta"]["removes"]} == admitting
+    assert admitting  # the k=1 file really was rewritten
 
     man = vs._read_manifest(store, v2)
     carried = {
         e["file"]
         for e in vs._read_manifest(store, 1)["files"]
-        if e["partition"] != "p1"
+        if e["file"] not in admitting
     }
     assert {e["file"] for e in man["files"]} == (
         carried | {e["file"] for e in raw["delta"]["adds"]}

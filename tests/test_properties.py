@@ -716,15 +716,12 @@ def test_concurrent_commit_pairs_match_model(spark, rounds, tmp_path_factory):
     arbitrary commits (upsert or delete over arbitrary keys) are
     prepared against the same base; A lands mid-way through B's
     publish. B must raise CommitConflict iff A actually CHANGED a
-    partition B touches — an upsert always rewrites its partitions,
-    but a delete over a partition that is already EMPTY stages no
-    files and changes nothing, so B rebasing past it is correct
-    (serializable: the no-op delete commutes). Otherwise B rebases
-    and lands and the store equals the serial application A;B. Every
-    retained version must equal its model prefix — rebases never
-    corrupt time travel."""
-    import pytest as _pytest
-
+    partition B touches (checked post-hoc from A's manifests — with
+    file-granular planning a delete whose keys provably miss every
+    file changes nothing, so B rebasing past it is correct: the no-op
+    commutes). Otherwise B rebases and lands and the store equals the
+    serial application A;B. Every retained version must equal its
+    model prefix — rebases never corrupt time travel."""
     import engine.versioned_store as vs
 
     store = str(tmp_path_factory.mktemp("vstore_occ") / "s")
@@ -777,28 +774,33 @@ def test_concurrent_commit_pairs_match_model(spark, rounds, tmp_path_factory):
                 commit(_a, _i, 0)  # A lands before B's first claim
             return _real(store_, manifest)
 
-        a_parts = {p for p, _ in op_a[1]}
-        if op_a[0] == "delete":
-            # a delete only rewrites partitions that currently hold
-            # rows; an empty partition contributes no file changes
-            a_changed = {
-                p for p in a_parts if any(mp == p for mp, _ in model)
-            }
-        else:
-            a_changed = a_parts
-        conflict = bool(a_changed & {p for p, _ in op_b[1]})
+        v_base = vs.current_version(store)
         vs._claim_manifest = hooked
         try:
-            if not conflict:
-                commit(op_b, j, retries=1)
-            else:
-                with _pytest.raises(vs.CommitConflict):
-                    commit(op_b, j, retries=3)
+            commit(op_b, j, retries=3)
+            b_landed = True
+        except vs.CommitConflict:
+            b_landed = False
         finally:
             vs._claim_manifest = real
+        # The implementation's contract is partition-granular conflict
+        # against the partitions A actually CHANGED — verified
+        # post-hoc from the manifests, because with round 11's
+        # file-granular planner the model alone cannot predict it: a
+        # delete of an absent key changes nothing even in a non-empty
+        # partition (stats prove it), while a stats false positive
+        # may rewrite identical rows into new files (still a change).
+        changed_a = vs._changed_partitions(
+            vs._read_manifest(store, v_base),
+            vs._read_manifest(store, v_base + 1),  # A landed first
+        )
+        b_parts = {(f"p{p}",) for p, _ in op_b[1]}
+        assert b_landed == (not (changed_a & b_parts)), (
+            changed_a, b_parts, b_landed,
+        )
         apply_model(op_a, i)
         history.append(dict(model))
-        if not conflict:
+        if b_landed:
             apply_model(op_b, j)
             history.append(dict(model))
 

@@ -298,8 +298,21 @@ def test_versioned_store_time_travel_pruning_and_vacuum(spark, tmp_path):
     b1 = {e["file"] for e in m1["files"] if e["partition"] == "b"}
     b2 = {e["file"] for e in m2["files"] if e["partition"] == "b"}
     assert b1 == b2 and b1
+    # file-granular copy-on-write (round 11): within touched
+    # partition 'a', the file holding k=1 is rewritten, but a file
+    # whose stats prove it holds neither changed key (k=2 only)
+    # carries forward verbatim
+    a1 = {
+        e["file"]: e for e in m1["files"] if e["partition"] == "a"
+    }
     a2 = {e["file"] for e in m2["files"] if e["partition"] == "a"}
-    assert not (a2 & {e["file"] for e in m1["files"]})  # 'a' rewritten
+    shared_a = a2 & set(a1)
+    for f in shared_a:  # every carried 'a' file provably lacks 1 and 4
+        lo, hi = a1[f]["stats"]["k"]
+        assert not (lo <= 1 <= hi) and not (lo <= 4 <= hi)
+    rewritten_a = set(a1) - a2
+    assert rewritten_a  # the k=1 file was rewritten
+    assert a2 - set(a1)  # and new files hold the merged rows
 
     # catalog-side pruning: only partition-b files reach the reader
     only_b = read_version(spark, store, v2, partition_values=["b"])
@@ -1319,7 +1332,16 @@ def test_multicolumn_partitioned_store(spark, tmp_path):
         for e in man["files"]
         if e["file"] in carried
     }
-    assert ("s1", "d2") not in untouched and len(untouched) == 5
+    # every other cell's files all carry; within (s1, d2) the
+    # file-granular planner (round 11) rewrites exactly the files
+    # whose stats admit k=5 and carries the rest verbatim
+    assert len(untouched) >= 5
+    for e in man["files"]:
+        if tuple(e["partition"]) != ("s1", "d2"):
+            assert e["file"] in carried
+            continue
+        lo, hi = e["stats"]["k"]
+        assert (e["file"] in carried) == (not lo <= 5 <= hi)
     assert read_version(spark, store, v2).filter(
         "k = 5"
     ).collect()[0].v == "v2:5"
