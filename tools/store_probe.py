@@ -230,6 +230,65 @@ def _probe(spark, root: str, n_files: int, n_parts: int) -> dict:
     return out
 
 
+def _probe_file_granular(spark, root: str, n_files: int = 64,
+                         rows_per: int = 20_000) -> dict:
+    """Round-11 write-path pruning: rewritten bytes for a one-key
+    DELETE on a multi-file partition must be ∝ files admitting the
+    key (here: 1 of ``n_files``, ranges disjoint), never ∝ partition
+    size. REAL files this time — the planner reads their footer
+    stats, so hard-linked seeds would all share one range."""
+    store = os.path.join(root, "store_granular")
+    df = (
+        spark.range(n_files * rows_per)
+        .select(
+            F.lit("p").alias("part"),
+            F.col("id").alias("doc_id"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        .repartitionByRange(n_files, "doc_id")
+    )
+    vs.commit_overwrite(df, store, "part")
+    man = vs._read_manifest(store, 1)
+    part_bytes = sum(e["bytes"] for e in man["files"])
+    out = {
+        "n_files": len(man["files"]),
+        "partition_bytes": part_bytes,
+    }
+
+    t0 = time.monotonic()
+    v2 = vs.commit_delete(
+        spark,
+        store,
+        spark.createDataFrame(
+            [("p", n_files * rows_per // 2)], "part string, doc_id long"
+        ),
+        ["part", "doc_id"],
+    )
+    out["delete_1key_s"] = round(time.monotonic() - t0, 3)
+    adds, removes = vs._step_delta(store, v2)
+    by_file = {e["file"]: e for e in man["files"]}
+    out["rewritten_files"] = len(removes)
+    out["rewritten_bytes"] = sum(
+        by_file[r["file"]]["bytes"] for r in removes
+    )
+    out["rewrite_fraction"] = round(
+        out["rewritten_bytes"] / part_bytes, 4
+    )
+
+    # a 10-key upsert clustered in one range file: same contract
+    mid = n_files * rows_per // 4
+    chg = spark.createDataFrame(
+        [("p", mid + i, "UPDATED") for i in range(10)],
+        "part string, doc_id long, payload string",
+    )
+    t0 = time.monotonic()
+    v3 = vs.commit_upsert(spark, store, chg, ["part", "doc_id"])
+    out["upsert_10key_s"] = round(time.monotonic() - t0, 3)
+    _, removes3 = vs._step_delta(store, v3)
+    out["upsert_rewritten_files"] = len(removes3)
+    return out
+
+
 def main() -> None:
     import shutil
     import tempfile
@@ -243,13 +302,16 @@ def main() -> None:
             _probe(spark, root, nf, max(1, min(n_parts, nf)))
             for nf in (1_000, n_files)
         ]
+        granular = _probe_file_granular(spark, root)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     hdr = list(results[0])
     print("\t".join(hdr))
     for r in results:
         print("\t".join(str(r[k]) for k in hdr))
-    print(json.dumps({"store_probe": results}))
+    print("file-granular rewrite:", granular)
+    print(json.dumps({"store_probe": results,
+                      "file_granular": granular}))
 
 
 if __name__ == "__main__":
