@@ -78,6 +78,7 @@ class VStoreFilePartition(InputPartition):
         pcols: tuple,
         preds: tuple = (),
         cmap: dict | None = None,
+        dv: tuple = (),
     ):
         self.path = path
         self.pvals = pvals
@@ -89,6 +90,9 @@ class VStoreFilePartition(InputPartition):
         # column-mapping rename state: {logical: physical} — files
         # always speak physical (engine/versioned_store.py round 10)
         self.cmap = cmap or {}
+        # deletion-vector positions (merge-on-read, round 11): sorted
+        # physical row indices read() must drop before anything else
+        self.dv = dv
 
 
 def _store_schema_ddl(man: dict) -> str:
@@ -217,6 +221,7 @@ class VStoreReader(DataSourceReader):
                 self._pcols,
                 self._preds,
                 self._cmap,
+                tuple((e.get("dv") or {}).get("pos", ())),
             )
             for e in self._entries
         ]
@@ -276,7 +281,23 @@ class VStoreReader(DataSourceReader):
         expr = None
         for f in row_filters:
             expr = f if expr is None else expr & f
-        table = pq.read_table(partition.path, filters=expr)
+        dv = getattr(partition, "dv", ())
+        if dv:
+            # deletion vector: positions address PHYSICAL rows, so
+            # the mask must apply before any row filter — read raw
+            # (row order == file order), drop DV'd positions, then
+            # filter. DV'd files are the point-delete tail, so losing
+            # read_table's row-group predicate skipping here is noise.
+            import numpy as np
+
+            table = pq.read_table(partition.path)
+            mask = np.ones(table.num_rows, dtype=bool)
+            mask[list(dv)] = False
+            table = table.filter(pa.array(mask))
+            if expr is not None:
+                table = table.filter(expr)
+        else:
+            table = pq.read_table(partition.path, filters=expr)
         n = table.num_rows
         cols = []
         for field in target:

@@ -129,7 +129,9 @@ class _AppendFilePartition(InputPartition):
 class _CDFPartition(InputPartition):
     """One (version step, storage partition) diff unit: the files the
     step removed (`a_files`) and added (`b_files`) for one partition
-    value. Cross-step type widening needs no per-side DDL here: the
+    value — each as ``(file, dv_positions)``, so deletion-vector'd
+    entries diff on their LIVE rows.
+    Cross-step type widening needs no per-side DDL here: the
     read kernel loads raw values and the resolved (widened) output
     schema types the emitted arrays.
 
@@ -145,8 +147,8 @@ class _CDFPartition(InputPartition):
         self,
         pval: tuple,
         pcols: tuple,
-        a_files: list[str],
-        b_files: list[str],
+        a_files: list,
+        b_files: list,
         key_cols: tuple,
         commit_version: int | None,
         bucket: int = 0,
@@ -196,23 +198,34 @@ def _key_bucket(key: tuple, n_buckets: int) -> int:
     return zlib.crc32(repr(tuple(norm)).encode("utf-8")) % n_buckets
 
 
-def _load_side(store: str, files: list[str], pval: tuple, pcols: tuple,
+def _load_side(store: str, files: list, pval: tuple, pcols: tuple,
                names: list[str], key_idx: list[int] | None = None,
                bucket: int = 0, n_buckets: int = 1,
                cmap: dict | None = None) -> list[list]:
     """Read one side's files with pyarrow, restore the partition
     columns as constants, null-fill columns the (older) side's files
-    lack, and return a list of rows (values in `names` order). With
-    ``n_buckets`` > 1, rows whose key hashes outside ``bucket`` are
-    dropped per file AS they are read, so a sub-bucketed task's peak
-    Python-row memory is one file's rows plus its own bucket — never
-    the whole partition."""
+    lack, and return a list of rows (values in `names` order). Each
+    item of ``files`` is ``(name, dv_positions)`` — a deletion
+    vector's positions (merge-on-read, round 11) are masked out
+    FIRST, so both diff sides see only live rows (a bare string item
+    is accepted for dv-less callers). With ``n_buckets`` > 1, rows
+    whose key hashes outside ``bucket`` are dropped per file AS they
+    are read, so a sub-bucketed task's peak Python-row memory is one
+    file's rows plus its own bucket — never the whole partition."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     cmap = cmap or {}
     rows: list[list] = []
-    for f in files:
+    for item in files:
+        f, dv = item if isinstance(item, tuple) else (item, ())
         t = pq.read_table(os.path.join(store, "data", f))
+        if dv:
+            import numpy as np
+
+            mask = np.ones(t.num_rows, dtype=bool)
+            mask[list(dv)] = False
+            t = t.filter(pa.array(mask))
         cols = []
         for n in names:
             phys = cmap.get(n, n)
@@ -425,16 +438,18 @@ def _step_units(
     grouped: dict[tuple, tuple[list, list]] = {}
     for e in a_only:
         grouped.setdefault(_norm_pval(e["partition"]), ([], []))[0].append(
-            (e["file"], e.get("n_rows"))
+            (e["file"], e.get("n_rows"),
+             tuple((e.get("dv") or {}).get("pos", ())))
         )
     for e in b_only:
         grouped.setdefault(_norm_pval(e["partition"]), ([], []))[1].append(
-            (e["file"], e.get("n_rows"))
+            (e["file"], e.get("n_rows"),
+             tuple((e.get("dv") or {}).get("pos", ())))
         )
     units: list[_CDFPartition] = []
     for pval, (a, b) in sorted(grouped.items()):
-        af = [f for f, _ in a]
-        bf = [f for f, _ in b]
+        af = [(f, dv) for f, _, dv in a]
+        bf = [(f, dv) for f, _, dv in b]
         # Bound each diff task's Python-row memory: when either side's
         # manifest row count exceeds max_rows, sub-bucket the unit by
         # key hash (round-9 verdict #3). Entries lacking n_rows (very
@@ -444,7 +459,7 @@ def _step_units(
         if max_rows:
             totals = []
             for side in (a, b):
-                ns = [n for _, n in side]
+                ns = [n for _, n, _ in side]
                 totals.append(
                     None if any(n is None for n in ns) else sum(ns)
                 )

@@ -324,7 +324,9 @@ def _claim_incremental(
         "base": base_v,
         "adds": new_entries,
         # removes carry n_rows so change-feed planning can size its
-        # per-task diff units straight from the delta (no resolution)
+        # per-task diff units straight from the delta (no resolution),
+        # and dv so a single-step feed can reconstruct the pre-image
+        # of a file whose deletion vector this commit replaced
         "removes": [
             {
                 "file": r["file"],
@@ -332,6 +334,7 @@ def _claim_incremental(
                 **(
                     {"n_rows": r["n_rows"]} if "n_rows" in r else {}
                 ),
+                **({"dv": r["dv"]} if "dv" in r else {}),
             }
             for r in removes
         ],
@@ -988,14 +991,33 @@ def commit_overwrite(
 # to its serial re-run.
 
 
+def _entry_key(e: dict) -> tuple:
+    """Content identity of a manifest entry: the (version-unique,
+    immutable) file name PLUS its deletion-vector state. Two versions
+    sharing a file name contribute identical LIVE rows only when their
+    DVs also match — a merge-on-read delete changes an entry's logical
+    content without renaming the file, so every shared-file shortcut
+    (diff, change feed, conflict detection) must compare this key,
+    never the bare name."""
+    dv = e.get("dv")
+    return (e["file"], tuple(dv["pos"]) if dv else None)
+
+
+def _live_rows(e: dict) -> int:
+    """Logical row count of an entry: physical rows minus DV'd ones."""
+    dv = e.get("dv")
+    return e["n_rows"] - (dv["n"] if dv else 0)
+
+
 def _changed_partitions(ma: dict, mb: dict) -> set:
     """Partitions whose FILE SET differs between two manifests — the
-    partitions a commit logically wrote (files added or removed). File
-    names are version-unique, so file-set identity is content
-    identity; a partition carried forward by copy-on-write has
-    identical entries on both sides and never shows up here."""
-    a = {e["file"]: _norm_pval(e["partition"]) for e in ma["files"]}
-    b = {e["file"]: _norm_pval(e["partition"]) for e in mb["files"]}
+    partitions a commit logically wrote (files added, removed, or
+    DV'd). File names are version-unique and immutable, so entry-KEY
+    identity (name + DV state) is content identity; a partition
+    carried forward by copy-on-write has identical entries on both
+    sides and never shows up here."""
+    a = {_entry_key(e): _norm_pval(e["partition"]) for e in ma["files"]}
+    b = {_entry_key(e): _norm_pval(e["partition"]) for e in mb["files"]}
     return {p for f, p in a.items() if f not in b} | {
         p for f, p in b.items() if f not in a
     }
@@ -1076,6 +1098,7 @@ def _publish_incremental(
     extra: dict,
     max_retries: int,
     rewritten: set | None = None,
+    dv_commit: bool = False,
 ) -> int:
     """Publish an incremental commit prepared against ``base_v``:
     carry forward the head's untouched-partition entries, add the
@@ -1143,9 +1166,21 @@ def _publish_incremental(
                 store, base_v, base_man, touched
             )
             continue
-        _maybe_write_blooms(
-            spark, store, manifest["version"], new_entries, keep, None, 0
-        )
+        if dv_commit:
+            # a DV commit re-lists EXISTING files: their blooms are
+            # already in the previous sidecar and stay valid (blooms
+            # describe physical rows; extra bits for deleted rows are
+            # false positives, which pruning tolerates) — carry, never
+            # rebuild
+            _maybe_write_blooms(
+                spark, store, manifest["version"], [],
+                keep + new_entries, None, 0,
+            )
+        else:
+            _maybe_write_blooms(
+                spark, store, manifest["version"], new_entries, keep,
+                None, 0,
+            )
         _advance_current(store, manifest["version"])
         return manifest["version"]
 
@@ -1592,9 +1627,18 @@ def _load_entries(
     pcol,
     ddl: str | None,
     column_map: dict | None = None,
+    with_lineage: bool = False,
 ) -> DataFrame | None:
     """Load a manifest entry subset with the partition column(s)
     restored (None for an empty subset).
+
+    Entries carrying a DELETION VECTOR (``dv`` — merge-on-read point
+    deletes, round 11) have their doomed row POSITIONS dropped here
+    via a broadcast anti-join on (file, ``_metadata.row_index``), so
+    every consumer — snapshot reads, upsert survivor scans, change
+    feeds — sees only live rows. ``with_lineage`` keeps the
+    ``__vs_file``/``__vs_pos`` columns in the result (the DV write
+    path needs them to address the rows it dooms).
 
     With a recorded data-file schema (``ddl``, every round-8+
     manifest), all entries are read in ONE ``spark.read`` call — the
@@ -1652,14 +1696,42 @@ def _load_entries(
             )
         for logical, phys in cmap.items():
             reader = reader.withColumnRenamed(phys, logical)
-        return (
-            reader
-            .withColumn(
-                "__vs_file",
-                F.element_at(F.split(F.input_file_name(), "/"), -1),
+        dv_pairs = [
+            (e["file"], int(p))
+            for e in entries
+            if e.get("dv")
+            for p in e["dv"]["pos"]
+        ]
+        need_pos = with_lineage or bool(dv_pairs)
+        if need_pos:
+            reader = reader.withColumn(
+                "__vs_pos", F.col("_metadata.row_index")
             )
-            .join(F.broadcast(fmap), "__vs_file")
-            .drop("__vs_file")
+        out = reader.withColumn(
+            "__vs_file",
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+        ).join(F.broadcast(fmap), "__vs_file")
+        if dv_pairs:
+            dvdf = spark.createDataFrame(
+                dv_pairs, "__vs_file string, __vs_pos bigint"
+            )
+            out = out.join(
+                F.broadcast(dvdf), ["__vs_file", "__vs_pos"], "left_anti"
+            )
+        if not with_lineage:
+            out = out.drop("__vs_file", "__vs_pos")
+        return out
+    if any(e.get("dv") for e in entries):
+        # unreachable by construction: DVs postdate schema recording,
+        # so a dv-carrying manifest always has `columns` — guard
+        # anyway, the legacy loop below would resurrect deleted rows
+        raise ValueError(
+            "manifest entries carry deletion vectors but no recorded"
+            " schema; store metadata is corrupt"
+        )
+    if with_lineage:
+        raise ValueError(
+            "with_lineage requires a recorded schema (round-8+ store)"
         )
     by_part: dict[tuple, list[str]] = {}
     for e in entries:
@@ -2244,14 +2316,16 @@ def rollback(store: str, to_version: int) -> int:
     if head["partition_col"] == man["partition_col"]:
         # delta form: a rollback usually shares most files with the
         # head it supersedes, so the manifest records only the churn
-        target = {e["file"] for e in man["files"]}
-        in_head = {e["file"] for e in head["files"]}
+        # (entry-KEY identity: a file whose DV changed between target
+        # and head must be re-added with the target's DV state)
+        target = {_entry_key(e) for e in man["files"]}
+        in_head = {_entry_key(e) for e in head["files"]}
         _claim_incremental(
             store,
             manifest,
             head_v,
-            [e for e in man["files"] if e["file"] not in in_head],
-            [e for e in head["files"] if e["file"] not in target],
+            [e for e in man["files"] if _entry_key(e) not in in_head],
+            [e for e in head["files"] if _entry_key(e) not in target],
             man["files"],
         )
     else:
@@ -2442,11 +2516,11 @@ def version_diff(
             f" ({pcol} vs {mb['partition_col']}); diff across a"
             " re-partitioning boundary is not defined"
         )
-    shared = {e["file"] for e in ma["files"]} & {
-        e["file"] for e in mb["files"]
+    shared = {_entry_key(e) for e in ma["files"]} & {
+        _entry_key(e) for e in mb["files"]
     }
-    a_only = [e for e in ma["files"] if e["file"] not in shared]
-    b_only = [e for e in mb["files"] if e["file"] not in shared]
+    a_only = [e for e in ma["files"] if _entry_key(e) not in shared]
+    b_only = [e for e in mb["files"] if _entry_key(e) not in shared]
     schema = (
         "source string, n_added bigint, n_removed bigint, n_changed bigint,"
         " n_unchanged bigint, tok_delta bigint, diff_h bigint"
@@ -2473,12 +2547,13 @@ def version_diff(
             pcol, "source"
         ).select(*cols)
         d = diff_frames(a_df, b_df)
-    # shared files: all-unchanged, counted from manifest metadata alone
+    # shared entries: all-unchanged, counted from manifest metadata
+    # alone (LIVE rows — a DV'd shared file counts its undeleted rows)
     shared_counts: dict[str, int] = {}
     for e in ma["files"]:
-        if e["file"] in shared:
+        if _entry_key(e) in shared:
             shared_counts[e["partition"]] = (
-                shared_counts.get(e["partition"], 0) + e["n_rows"]
+                shared_counts.get(e["partition"], 0) + _live_rows(e)
             )
     if not shared_counts:
         return d
@@ -2508,14 +2583,15 @@ def _unshared_entries(
     ma: dict, mb: dict
 ) -> tuple[list[dict], list[dict]]:
     """Entries each version holds that the other does not — the only
-    files a diff or change feed ever needs to open (a file shared by
-    both manifests contributes identical rows to both sides)."""
-    shared = {e["file"] for e in ma["files"]} & {
-        e["file"] for e in mb["files"]
+    files a diff or change feed ever needs to open (an entry shared
+    by both manifests — same file, same DV state — contributes
+    identical live rows to both sides)."""
+    shared = {_entry_key(e) for e in ma["files"]} & {
+        _entry_key(e) for e in mb["files"]
     }
     return (
-        [e for e in ma["files"] if e["file"] not in shared],
-        [e for e in mb["files"] if e["file"] not in shared],
+        [e for e in ma["files"] if _entry_key(e) not in shared],
+        [e for e in mb["files"] if _entry_key(e) not in shared],
     )
 
 
@@ -2832,12 +2908,95 @@ def compact_version(
     return version
 
 
+_DV_MAX_POSITIONS = 100_000
+
+
+def _commit_delete_dv(
+    spark: SparkSession,
+    store: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    prev_v: int,
+    prev: dict,
+    touched: set,
+    to_rewrite: list[dict],
+    max_retries: int,
+) -> int:
+    """Merge-on-read DELETE (Delta 2.x deletion vectors, round 11):
+    instead of rewriting the admitted files, record each doomed row's
+    POSITION in a per-entry deletion vector — the commit costs one
+    scan of the admitted files plus O(doomed rows) manifest JSON,
+    never a data write. Readers drop DV'd positions via a broadcast
+    anti-join on (file, ``_metadata.row_index``) (``_load_entries``);
+    the Python data source and change-feed readers mask the same
+    positions in their Arrow reads. Compaction materializes DVs away
+    (it stages survivor rows into fresh files). Bounded by
+    ``_DV_MAX_POSITIONS`` doomed rows per commit — past that a
+    copy-on-write delete is cheaper than hauling positions through
+    the manifest, and the caller is told so."""
+    new_entries: list[dict] = []
+    rewritten: set = set()
+    if to_rewrite:
+        base = _load_entries(
+            spark, store, to_rewrite, prev["partition_col"],
+            prev.get("columns"), prev.get("column_map"),
+            with_lineage=True,
+        )
+        doomed = (
+            base.join(
+                F.broadcast(keys.select(*key_cols).distinct()),
+                key_cols,
+                "left_semi",
+            )
+            .select("__vs_file", "__vs_pos")
+            .limit(_DV_MAX_POSITIONS + 1)
+            .collect()
+        )
+        if len(doomed) > _DV_MAX_POSITIONS:
+            raise ValueError(
+                f"merge-on-read delete would doom more than"
+                f" {_DV_MAX_POSITIONS} rows; use the copy-on-write"
+                " path (merge_on_read=False) for bulk deletes"
+            )
+        by_file: dict[str, list[int]] = {}
+        for r in doomed:
+            by_file.setdefault(r["__vs_file"], []).append(
+                int(r["__vs_pos"])
+            )
+        for e in to_rewrite:
+            pos = by_file.get(e["file"])
+            if not pos:
+                continue  # stats/bloom false positive: carry verbatim
+            old = (e.get("dv") or {}).get("pos", [])
+            merged = sorted(set(old) | set(pos))
+            rewritten.add(e["file"])
+            if len(merged) >= e["n_rows"]:
+                continue  # fully dead file: drop the entry outright
+            ne = {k: v for k, v in e.items() if k != "dv"}
+            ne["dv"] = {"n": len(merged), "pos": merged}
+            new_entries.append(ne)
+    return _publish_incremental(
+        spark,
+        store,
+        prev_v,
+        prev,
+        touched,
+        new_entries,
+        prev.get("columns"),
+        {"deleted_keys": int(keys.count()), "merge_on_read": True},
+        max_retries,
+        rewritten=rewritten,
+        dv_commit=True,
+    )
+
+
 def commit_delete(
     spark: SparkSession,
     store: str,
     keys: DataFrame,
     key_cols: list[str],
     max_retries: int = 0,
+    merge_on_read: bool = False,
 ) -> int:
     """Copy-on-write DELETE as the next version: the FILES whose
     stats/bloom admit a doomed key (``_plan_file_rewrite``) are
@@ -2857,7 +3016,15 @@ def commit_delete(
     (untouched partitions' shared files never contained it).
 
     ``max_retries`` > 0 enables the same disjoint-partition optimistic
-    rebase as ``commit_upsert`` (see the concurrency section)."""
+    rebase as ``commit_upsert`` (see the concurrency section).
+
+    ``merge_on_read=True`` switches to DELETION VECTORS
+    (``_commit_delete_dv``): doomed row positions are recorded in the
+    manifest instead of rewriting any file — a point delete costs KB
+    of metadata, and readers filter the positions out. Purge caveat:
+    a DV delete leaves the bytes in the data file; the GDPR story
+    requires a compaction of the DV'd partitions (materializes the
+    DVs into fresh files) before vacuum."""
     prev_v = current_version(store)
     prev = _read_prev_manifest(store, prev_v, "commit_delete")
     pcols = _norm_pcols(prev["partition_col"])
@@ -2874,6 +3041,11 @@ def commit_delete(
     touched, to_rewrite, _ = _plan_file_rewrite(
         keys, key_cols, pcols, prev, store, prev_v
     )
+    if merge_on_read:
+        return _commit_delete_dv(
+            spark, store, keys, key_cols, prev_v, prev, touched,
+            to_rewrite, max_retries,
+        )
     version = prev_v + 1
     new_entries: list[dict] = []
     columns = prev.get("columns")
