@@ -66,6 +66,63 @@ def _calibration(spark) -> dict:
     return {"cpu_md5_sec": med(cpu), "spark_fixed_job_sec": med(job)}
 
 
+def _store_microbench(spark) -> dict:
+    """Versioned-store metadata-plane microbench (VERDICT r10 #5):
+    the 13 headliners contain no store row, so a commit-path or
+    stream-planning regression was invisible to BENCH round-over-
+    round (round 10's checkpointing speedup lived only in
+    SCALE_PROBE prose). Fixed synthetic store — 20 partitions × 4
+    range files — then medians of the three operations a production
+    refresh loop runs continuously: a one-key upsert commit (stage +
+    plan + claim), head resolution (checkpoint/delta-chain read), and
+    one batch-CDF window read. Everything in a temp dir, removed
+    after."""
+    import shutil
+    import tempfile
+
+    import engine.versioned_store as vs
+    from pyspark.sql import functions as F
+
+    def med(times: list[float]) -> float:
+        return round(sorted(times)[len(times) // 2], 4)
+
+    root = tempfile.mkdtemp(prefix="bench-store-")
+    try:
+        store = os.path.join(root, "s")
+        df = (
+            spark.range(20 * 4 * 50)
+            .select(
+                (F.col("id") % 20).cast("string").alias("part"),
+                F.col("id").alias("k"),
+                F.sha2(F.col("id").cast("string"), 256).alias("v"),
+            )
+            .repartitionByRange(4, "k")
+        )
+        vs.commit_overwrite(df, store, "part")
+        commit_s, resolve_s, cdf_s = [], [], []
+        for i in range(5):
+            chg = spark.createDataFrame(
+                [(str(i % 20), 4000 + i, f"new:{i}")],
+                "part string, k long, v string",
+            )
+            t0 = time.perf_counter()
+            v = vs.commit_upsert(spark, store, chg, ["part", "k"])
+            commit_s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            vs._read_manifest(store, v)
+            resolve_s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            vs.table_changes(spark, store, v - 1, v, ["part", "k"]).count()
+            cdf_s.append(time.perf_counter() - t0)
+        return {
+            "upsert_commit_sec": med(commit_s),
+            "head_resolve_sec": med(resolve_s),
+            "cdf_window_sec": med(cdf_s),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
     try:
@@ -137,22 +194,40 @@ def main() -> None:
     # Spark job overhead (not raw CPU) dominates the suite's variance,
     # so the Spark anchor is the scaling basis; cpu_md5_sec is recorded
     # alongside for cross-checking a claimed normalization.
-    _REF_SPARK_ANCHOR = 0.3949  # BENCH_r07 spark_fixed_job_sec
-    normalized = round(
-        total * _REF_SPARK_ANCHOR / calibration["spark_fixed_job_sec"], 3
-    )
+    # A single anchor over-corrects when a host is slow at fixed-job
+    # dispatch but fast at throughput or vice versa (VERDICT r10
+    # wrongness #1: r9 normalized to 8.4 s, r10 to 11.4 s, while raw +
+    # per-query said r10 was the best round). Emit BOTH anchors plus
+    # per-query normalized medians, so the honest cross-round read is
+    # in the JSON instead of prose: when the anchors disagree, host
+    # state — not code — moved, and per-query ratios name any real
+    # regression directly.
+    _REF_SPARK_ANCHOR = 0.3949  # BENCH_r07 (driver) spark_fixed_job_sec
+    _REF_CPU_ANCHOR = 0.1405  # BENCH_r07 (driver) cpu_md5_sec
+    spark_scale = _REF_SPARK_ANCHOR / calibration["spark_fixed_job_sec"]
+    cpu_scale = _REF_CPU_ANCHOR / calibration["cpu_md5_sec"]
+    normalized = round(total * spark_scale, 3)
+    store_bench = _store_microbench(spark)
+    print(f"# store: {store_bench}", file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_time",
                 "value": total,
                 "value_normalized": normalized,
+                "value_normalized_cpu": round(total * cpu_scale, 3),
                 "normalized_to": {
                     "spark_fixed_job_sec": _REF_SPARK_ANCHOR,
+                    "cpu_md5_sec": _REF_CPU_ANCHOR,
                     "reference": "BENCH_r07",
                 },
                 "unit": "sec",
                 "queries": per_query,
+                "queries_normalized": {
+                    n: round(t * spark_scale, 3)
+                    for n, t in per_query.items()
+                },
+                "store": store_bench,
                 "runs_per_query": N_RUNS,
                 "agg": "median",
                 "calibration": calibration,

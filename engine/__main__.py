@@ -237,12 +237,12 @@ def cmd_vstore(args: argparse.Namespace) -> int:
         )
         print(f"cloned {args.store}@v{src_v:05d} -> {args.dest}@v00001")
         return 0
-    if args.action == "rollback":
+    if args.action in ("rollback", "restore"):
         if args.version is None:
-            print("rollback requires --version", file=sys.stderr)
+            print(f"{args.action} requires --version", file=sys.stderr)
             return 2
         v = vs.rollback(args.store, args.version)
-        print(f"rolled back to v{args.version:05d} as v{v:05d}")
+        print(f"restored v{args.version:05d} as v{v:05d}")
         return 0
     if args.action == "rename-column":
         if not args.old or not args.new:
@@ -360,8 +360,8 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument(
         "action",
         choices=(
-            "versions", "read", "rollback", "vacuum", "changes",
-            "compact", "history", "clone", "rename-column",
+            "versions", "read", "rollback", "restore", "vacuum",
+            "changes", "compact", "history", "clone", "rename-column",
             "drop-column",
         ),
     )

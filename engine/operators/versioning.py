@@ -3839,3 +3839,199 @@ def store_rename_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = vs.read_version(spark, store, v4)
     assert "content_hash" not in head.columns, head.columns
     return out.unionByName(facet("v4:dropped", head, "token_count"))
+
+
+# -- store_lifecycle_suite: DV delete, restore, auto-OPTIMIZE (round 11) --------
+#
+# Round-11 closes the table format's remaining production verbs
+# (VERDICT r10 #1-#4) and this suite routes all of them into ONE
+# driver-hashed row, the way store_format_suite did for round 8's:
+#
+#   v1  commit_overwrite, range-fragmented, doc_id blooms
+#   v2  commit_delete(merge_on_read=True): DELETION VECTORS — doomed
+#       positions in the manifest, ZERO files rewritten (meta:dv pins
+#       file-set equality v1==v2 plus the doomed-row count)
+#   v3  commit_delete (copy-on-write): the file-granular planner
+#       rewrites only stats/bloom-admitted files
+#   v4  a BAD upsert stamps ' [bad]' over every live src1 doc
+#   v5  restore(v3): the recovery verb — pre-merge data becomes the
+#       head as a new commit, history intact (the `bad` facet reads
+#       v4 through time travel AFTER the restore)
+#   v6  optimize_auto: stats-driven OPTIMIZE — selects fragmented /
+#       DV'd partitions from the manifest alone and materializes the
+#       restored head's surviving deletion vectors away
+#
+# Facets: `dv:<source>` reads the DV'd snapshot v2 through the vstore
+# SQL source (the Arrow-side position mask in the driver's hash
+# path); `head:<source>` the final head (== v3's state: restore undid
+# the bad merge, optimize preserved content); `bad` the v4 image
+# (update visible only in history); `meta:*` constants pinning
+# zero-rewrite DV commits, history depth, DV-free-after-OPTIMIZE and
+# OPTIMIZE's CDC-invisibility (table_changes(restore, head) empty —
+# which also proves a DV'd entry and its materialized rewrite diff as
+# content-equal).
+#
+# 100 TB shape: the DV commit is O(doomed positions) metadata + one
+# bounded scan of admitted files; the CoW delete rewrites only
+# admitting files (probed: 1.6% of a 64-file partition's bytes for a
+# 1-key delete); restore is one JSON write; optimize_auto reads
+# manifest stats only to pick its targets.
+
+_LC_ORACLE = """
+WITH rows0 AS (
+  SELECT source, doc_id, text FROM documents
+),
+live2 AS (  -- after the DV delete
+  SELECT * FROM rows0 WHERE doc_id % 97 <> 0
+),
+live3 AS (  -- after the copy-on-write delete (== restored head)
+  SELECT * FROM live2 WHERE doc_id % 89 <> 1
+),
+bad AS (    -- the v4 image of src1, visible only via time travel
+  SELECT source, doc_id, text || ' [bad]' AS text
+  FROM live3 WHERE source = 'src1'
+),
+facets AS (
+  SELECT 'dv:' || source AS facet, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(bit_xor({row_h}) AS BIGINT) AS h
+  FROM live2 GROUP BY source
+  UNION ALL
+  SELECT 'head:' || source, CAST(count(*) AS BIGINT),
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT),
+         CAST(bit_xor({row_h}) AS BIGINT)
+  FROM live3 GROUP BY source
+  UNION ALL
+  SELECT 'bad', CAST(count(*) AS BIGINT),
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT),
+         CAST(bit_xor({row_h}) AS BIGINT)
+  FROM bad
+  UNION ALL
+  SELECT 'meta:dv', CAST(1 AS BIGINT),
+         CAST((SELECT count(*) FROM rows0 WHERE doc_id % 97 = 0)
+              AS BIGINT),
+         CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT 'meta:history', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT 'meta:optimize', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT)
+)
+SELECT * FROM facets
+"""
+
+
+def _lc_oracle() -> str:
+    from engine.operators.corpus_build import _ROW_H_DUCK
+
+    return _LC_ORACLE.format(row_h=_ROW_H_DUCK)
+
+
+@query(
+    "store_lifecycle_suite",
+    oracle=_lc_oracle(),
+    tags=("pipeline", "versioning", "deletion-vectors", "restore",
+          "compaction", "datasource", "documents"),
+)
+def store_lifecycle_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV delete → file-granular delete → bad merge → restore →
+    auto-OPTIMIZE, every read through the vstore data source (section
+    comment)."""
+    import engine.versioned_store as vs
+    from engine.sources.vstore_datasource import register_vstore
+
+    store = corpus_out_dir(sf_dir) + "_lifecycle"
+    shutil.rmtree(store, ignore_errors=True)
+    register_vstore(spark)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text"
+    )
+    vs.commit_overwrite(
+        _corpus_store_rows(docs).repartitionByRange(4, "doc_id"),
+        store,
+        "source",
+        bloom_cols=["doc_id"],
+    )
+
+    # v2 — deletion vectors: zero files rewritten
+    dv_keys = docs.filter("doc_id % 97 = 0").select("source", "doc_id")
+    v2 = vs.commit_delete(
+        spark, store, dv_keys, ["source", "doc_id"], merge_on_read=True
+    )
+    m1 = vs._read_manifest(store, 1)
+    m2 = vs._read_manifest(store, v2)
+    dv_zero_rewrite = int(
+        {e["file"] for e in m1["files"]}
+        == {e["file"] for e in m2["files"]}
+    )
+    doomed = sum(
+        (e.get("dv") or {}).get("n", 0) for e in m2["files"]
+    )
+
+    # v3 — copy-on-write delete through the file-granular planner
+    cow_keys = docs.filter("doc_id % 89 = 1").select("source", "doc_id")
+    v3 = vs.commit_delete(spark, store, cow_keys, ["source", "doc_id"])
+
+    # v4 — the bad merge: stamp every live src1 doc
+    bad_chg = _corpus_store_rows(
+        docs.filter(
+            "source = 'src1' AND doc_id % 97 <> 0 AND doc_id % 89 <> 1"
+        ).withColumn("text", F.concat("text", F.lit(" [bad]")))
+    )
+    v4 = vs.commit_upsert(spark, store, bad_chg, ["source", "doc_id"])
+
+    # v5 — RESTORE: pre-merge data back at the head, history intact
+    restore_v = vs.restore(store, v3)
+
+    # v6 — stats-driven OPTIMIZE (may be a no-op at tiny scale when
+    # nothing is fragmented AND no DV survived the CoW delete)
+    vs.optimize_auto(
+        spark, store, max_files=1, target_file_bytes=128 << 20
+    )
+    head_v = vs.current_version(store)
+
+    def via_source(version: int | None, view: str):
+        opt = f", version '{version}'" if version is not None else ""
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW {view}"
+            f" USING vstore OPTIONS (path '{store}'{opt})"
+        )
+        return spark.table(view)
+
+    def facet(df: DataFrame, label):
+        return df.groupBy(label.alias("facet")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("bit_xor(h)").cast("bigint").alias("h"),
+        )
+
+    dv_f = facet(
+        via_source(v2, "lc_v2"), F.concat(F.lit("dv:"), F.col("source"))
+    )
+    head_f = facet(
+        via_source(None, "lc_head"),
+        F.concat(F.lit("head:"), F.col("source")),
+    )
+    bad_f = facet(
+        via_source(v4, "lc_v4").filter("source = 'src1'"), F.lit("bad")
+    )
+    m_head = vs._read_manifest(store, head_v)
+    dv_after = sum(1 for e in m_head["files"] if e.get("dv"))
+    cdc_after = (
+        vs.table_changes(
+            spark, store, restore_v, head_v, ["source", "doc_id"]
+        ).count()
+        if head_v != restore_v
+        else 0
+    )
+    meta_f = spark.createDataFrame(
+        [
+            ("meta:dv", dv_zero_rewrite, doomed, 0),
+            ("meta:history", int(head_v >= 5), 0, 0),
+            ("meta:optimize", dv_after, cdc_after, 0),
+        ],
+        "facet string, n bigint, n_tokens bigint, h bigint",
+    )
+    return dv_f.unionByName(head_f).unionByName(bad_f).unionByName(meta_f)
