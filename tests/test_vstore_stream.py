@@ -622,6 +622,60 @@ def test_cdf_subbucketing_matches_table_changes(spark, tmp_path):
     assert got == want and len(want) == 220  # 100 pre+post, 20 inserts
 
 
+def test_cdf_subbucketing_survives_adversarial_key_skew(spark, tmp_path):
+    """VERDICT r10 wrongness #2: `_key_bucket` is CRC-based, so a
+    pathological key set can collide every row into ONE bucket — the
+    memory bound degrades (one task carries the whole unit, the
+    others read-and-drop), but the FEED must stay exact: empty sibling
+    buckets contribute nothing and the union still equals
+    `table_changes`. This pins that graceful degradation on a key set
+    constructed to all hash to bucket 0."""
+    import engine.versioned_store as vs
+    from engine.sources.vstore_datasource import register_vstore
+    from engine.sources.vstore_stream import _key_bucket, _step_units
+
+    register_vstore(spark)
+    # 120 keys that _key_bucket sends to bucket 0 of 3 — the exact
+    # adversary: totals say "split 3 ways", the data says "one bucket"
+    ks, k = [], 0
+    while len(ks) < 120:
+        if _key_bucket(("p", k), 3) == 0:
+            ks.append(k)
+        k += 1
+    store = str(tmp_path / "skewed")
+    base = spark.createDataFrame(
+        [("p", k, f"x{k}") for k in ks], "part string, k long, v string"
+    )
+    vs.commit_overwrite(base.coalesce(2), store, "part")
+    rewrite = spark.createDataFrame(
+        [("p", k, f"y{k}") for k in ks[::2]],
+        "part string, k long, v string",
+    )
+    vs.commit_upsert(spark, store, rewrite, ["part", "k"])
+
+    units = _step_units(store, 1, 2, ["part", "k"], None, max_rows=50)
+    assert {u.n_buckets for u in units} == {3}  # planner split 3 ways
+
+    feed = (
+        spark.read.format("vstore")
+        .option("read_changes", "true")
+        .option("key_cols", "part,k")
+        .option("from_version", 1)
+        .option("to_version", 2)
+        .option("max_rows_per_cdf_task", 50)
+        .load(store)
+    )
+    cols = ["part", "k", "v", "_change_type"]
+    got = sorted(tuple(r[c] for c in cols) for r in feed.collect())
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in vs.table_changes(
+            spark, store, 1, 2, ["part", "k"]
+        ).collect()
+    )
+    assert got == want and len(want) == 120  # 60 pre + 60 post images
+
+
 def test_admission_restart_does_not_regress_offset(spark, tmp_path):
     """REGRESSION (round-10 review #1): after a checkpoint restart the
     reader cannot see the committed offset, and capping from

@@ -289,6 +289,78 @@ def _probe_file_granular(spark, root: str, n_files: int = 64,
     return out
 
 
+def _probe_concurrent(spark, root: str, n_files: int, n_parts: int,
+                      n_writers: int = 8) -> dict:
+    """Round-11 (VERDICT r10 #7): N writers racing commit_upsert on
+    disjoint partitions of a checkpointed ``n_files``-file store —
+    the retry-storm shape that breaks table formats once OCC meets a
+    long metadata plane. Every writer must land (disjoint partitions
+    rebase cleanly); recorded: commit latency distribution, claim
+    attempts vs commits (the surplus is lost races → rebases), and
+    the wall time for the whole convoy."""
+    import threading
+
+    store, seed = _build_store(
+        spark, os.path.join(root, "conc"), n_files, n_parts
+    )
+    attempts = [0]
+    lock = threading.Lock()
+    real = vs._claim_manifest
+
+    def counting(store_, manifest):
+        with lock:
+            attempts[0] += 1
+        return real(store_, manifest)
+
+    lat: list[float] = []
+    errs: list[str] = []
+
+    def writer(i: int) -> None:
+        part = f"src{i % n_parts:04d}"
+        chg = spark.createDataFrame(
+            [(part, 10**9 + i, 5, 123)],
+            "source string, doc_id bigint, n_tokens bigint, h bigint",
+        )
+        t0 = time.monotonic()
+        try:
+            vs.commit_upsert(
+                spark, store, chg, ["source", "doc_id"],
+                max_retries=n_writers * 2,
+            )
+            with lock:
+                lat.append(time.monotonic() - t0)
+        except Exception as exc:  # noqa: BLE001 - probe records all
+            with lock:
+                errs.append(f"{type(exc).__name__}: {exc}")
+
+    vs._claim_manifest = counting
+    t0 = time.monotonic()
+    try:
+        threads = [
+            threading.Thread(target=writer, args=(i,))
+            for i in range(n_writers)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        vs._claim_manifest = real
+    wall = time.monotonic() - t0
+    lat.sort()
+    return {
+        "n_files": n_files,
+        "n_writers": n_writers,
+        "committed": len(lat),
+        "errors": errs,
+        "claim_attempts": attempts[0],
+        "rebases": attempts[0] - len(lat),
+        "commit_p50_s": round(lat[len(lat) // 2], 3) if lat else None,
+        "commit_max_s": round(lat[-1], 3) if lat else None,
+        "wall_s": round(wall, 3),
+    }
+
+
 def main() -> None:
     import shutil
     import tempfile
@@ -303,6 +375,9 @@ def main() -> None:
             for nf in (1_000, n_files)
         ]
         granular = _probe_file_granular(spark, root)
+        concurrent = _probe_concurrent(
+            spark, root, n_files, max(1, min(n_parts, n_files))
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
     hdr = list(results[0])
@@ -310,8 +385,10 @@ def main() -> None:
     for r in results:
         print("\t".join(str(r[k]) for k in hdr))
     print("file-granular rewrite:", granular)
+    print("concurrent writers:", concurrent)
     print(json.dumps({"store_probe": results,
-                      "file_granular": granular}))
+                      "file_granular": granular,
+                      "concurrent": concurrent}))
 
 
 if __name__ == "__main__":
