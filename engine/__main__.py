@@ -282,6 +282,25 @@ def cmd_vstore(args: argparse.Namespace) -> int:
         )
         feed.show(args.limit, truncate=False)
         return 0
+    if args.action == "optimize":
+        zcols = args.zorder.split(",") if args.zorder else None
+        v = vs.optimize_auto(
+            _spark(), args.store,
+            max_files=args.max_files,
+            target_file_bytes=args.target_file_bytes,
+            zorder_cols=zcols, max_retries=args.retries,
+        )
+        if v is None:
+            print("store is healthy: no-op")
+            return 0
+        man = vs._read_manifest(args.store, v)
+        print(
+            f"optimized as v{v:05d}:"
+            f" {man['optimized_partitions']} partition(s) rewritten,"
+            f" {len(man['files'])} files total"
+            + (f" zorder={zcols}" if zcols else "")
+        )
+        return 0
     if args.action == "compact":
         zcols = args.zorder.split(",") if args.zorder else None
         if args.partial:
@@ -361,8 +380,8 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         choices=(
             "versions", "read", "rollback", "restore", "vacuum",
-            "changes", "compact", "history", "clone", "rename-column",
-            "drop-column",
+            "changes", "compact", "optimize", "history", "clone",
+            "rename-column", "drop-column",
         ),
     )
     v.add_argument("store")
@@ -416,7 +435,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     v.add_argument(
         "--zorder", default=None,
-        help="compact: comma-separated numeric columns to z-order by",
+        help="compact/optimize: comma-separated numeric columns to"
+        " z-order by",
+    )
+    v.add_argument(
+        "--max-files", type=int, default=8,
+        help="optimize: partitions with more files than this qualify",
+    )
+    v.add_argument(
+        "--target-file-bytes", type=int, default=128 << 20,
+        help="optimize: output file size target; partitions whose"
+        " median file is under half this also qualify",
     )
     v.add_argument(
         "--partitions", default=None,

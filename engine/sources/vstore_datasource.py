@@ -911,14 +911,27 @@ class VStoreDataSource(DataSource):
             from engine.sources.vstore_stream import _cdf_ddl
 
             tv = self.options.get("to_version")
-            v = int(tv) if tv is not None else current_version(store)
-            streaming = "from_version" not in self.options
+            tts = self.options.get("to_timestamp")
+            if tv is not None:
+                v = int(tv)
+            elif tts is not None:
+                from engine.versioned_store import version_at_timestamp
+
+                v = version_at_timestamp(store, float(tts))
+            else:
+                v = current_version(store)
+            # a batch window is addressed by version OR timestamp
+            streaming = (
+                "from_version" not in self.options
+                and "from_timestamp" not in self.options
+            )
             if not streaming:
                 # pin the resolved window end like the snapshot path
                 # pins "version": otherwise the batch reader re-resolves
                 # the head and a commit landing mid-planning feeds
                 # newer changes through an older resolved schema
                 self.options["to_version"] = str(v)
+                self.options.pop("to_timestamp", None)
             man = _read_manifest(store, v)
             cols = man.get("columns")
             if cols is None:

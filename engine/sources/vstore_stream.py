@@ -498,14 +498,36 @@ class VStoreCDFBatchReader(_ReadKernels, DataSourceReader):
         self.schema_ = schema
         self.key_cols = _parse_key_cols(options)
         fv = options.get("from_version")
-        if fv is None:
+        fts = options.get("from_timestamp")
+        if fv is None and fts is None:
             raise ValueError(
                 "batch change-feed reads require from_version (the"
-                " exclusive lower version bound)"
+                " exclusive lower version bound) or from_timestamp"
             )
-        self.va = int(fv)
+        if fv is not None and fts is not None:
+            raise ValueError(
+                "pass from_version or from_timestamp, not both"
+            )
+        if fts is not None:
+            # timestamp addressing (Delta's startingTimestamp): the
+            # window starts AFTER the version current at that instant
+            from engine.versioned_store import version_at_timestamp
+
+            self.va = version_at_timestamp(self.store, float(fts))
+        else:
+            self.va = int(fv)
         tv = options.get("to_version")
-        self.vb = int(tv) if tv is not None else current_version(self.store)
+        tts = options.get("to_timestamp")
+        if tv is not None and tts is not None:
+            raise ValueError("pass to_version or to_timestamp, not both")
+        if tts is not None:
+            from engine.versioned_store import version_at_timestamp
+
+            self.vb = version_at_timestamp(self.store, float(tts))
+        else:
+            self.vb = (
+                int(tv) if tv is not None else current_version(self.store)
+            )
         if self.va > self.vb:
             raise ValueError(
                 f"from_version {self.va} is newer than to_version"

@@ -2619,9 +2619,11 @@ def _unshared_entries(
 def table_changes(
     spark: SparkSession,
     store: str,
-    va: int,
-    vb: int,
+    va: int | None,
+    vb: int | None,
     key_cols: list[str],
+    va_timestamp: float | None = None,
+    vb_timestamp: float | None = None,
 ) -> DataFrame:
     """Row-level change feed between two retained versions — the read
     side Delta calls Change Data Feed and Iceberg exposes as a
@@ -2642,7 +2644,26 @@ def table_changes(
     upsert path) guarantees a key living in a shared file cannot also
     appear in an unshared one, so skipping shared files loses nothing.
     Additive schema evolution is handled by null-filling columns
-    missing from the older side."""
+    missing from the older side.
+
+    ``va_timestamp``/``vb_timestamp`` address the endpoints by commit
+    time instead (Delta's starting/endingTimestamp): each resolves to
+    the version CURRENT at that instant via ``version_at_timestamp``,
+    so the feed is "what changed between these two wall-clock
+    moments". Mutually exclusive with the corresponding version
+    argument."""
+    if va_timestamp is not None:
+        if va is not None:
+            raise ValueError("pass va or va_timestamp, not both")
+        va = version_at_timestamp(store, va_timestamp)
+    if vb_timestamp is not None:
+        if vb is not None:
+            raise ValueError("pass vb or vb_timestamp, not both")
+        vb = version_at_timestamp(store, vb_timestamp)
+    if va is None or vb is None:
+        raise ValueError(
+            "table_changes needs both endpoints (version or timestamp)"
+        )
     ma, mb = _read_manifest(store, va), _read_manifest(store, vb)
     pcol = ma["partition_col"]
     if mb["partition_col"] != pcol:

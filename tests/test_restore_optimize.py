@@ -192,3 +192,80 @@ def test_optimize_auto_splits_large_partition_by_bytes(spark, tmp_path):
     m2 = vs._read_manifest(store, v2)
     assert 2 <= len(m2["files"]) <= 8  # ~4, never 1, never 16
     assert vs.read_version(spark, store, v2).count() == 4000
+
+
+def test_cli_optimize_and_restore_verbs(spark, tmp_path, capsys):
+    """The maintenance verbs exist on the CLI surface: `vstore
+    optimize` (stats-driven) and `vstore restore`."""
+    from engine.__main__ import main
+
+    store = str(tmp_path / "s")
+    df = spark.createDataFrame(
+        [("p", k, f"v:{k}") for k in range(24)],
+        "part string, k long, v string",
+    ).repartition(6, "k")
+    vs.commit_overwrite(df, store, "part")
+
+    rc = main(["vstore", "optimize", store, "--max-files", "2",
+               "--target-file-bytes", str(1 << 20)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "optimized as v00002" in out
+    assert len(vs._read_manifest(store, 2)["files"]) == 1
+
+    # now healthy (one file): the stats-driven selector finds nothing
+    rc = main(["vstore", "optimize", store, "--max-files", "2",
+               "--target-file-bytes", "1"])
+    assert rc == 0
+    assert "no-op" in capsys.readouterr().out
+
+    rc = main(["vstore", "restore", store, "--version", "1"])
+    assert rc == 0
+    assert "restored v00001 as v00003" in capsys.readouterr().out
+    assert vs.read_version(spark, store, 3).count() == 24
+
+
+def test_table_changes_by_timestamp(spark, tmp_path):
+    """Timestamp-addressed change feeds: endpoints resolve to the
+    version CURRENT at each instant, both in the engine API and
+    through the data source's from_timestamp/to_timestamp options."""
+    import time as _time
+
+    from engine.sources.vstore_datasource import register_vstore
+
+    register_vstore(spark)
+    store = _store(spark, tmp_path)
+    t1 = vs._read_manifest_raw(store, 1)["committed_at"]
+    chg = spark.createDataFrame(
+        [("p0", 0, "NEW"), ("p0", 99, "INS")],
+        "part string, k long, v string",
+    )
+    vs.commit_upsert(spark, store, chg, ["part", "k"])
+    t2 = vs._read_manifest_raw(store, 2)["committed_at"]
+
+    feed = vs.table_changes(
+        spark, store, None, None, ["part", "k"],
+        va_timestamp=t1, vb_timestamp=t2,
+    )
+    got = sorted((r.k, r._change_type) for r in feed.collect())
+    assert got == [
+        (0, "update_postimage"), (0, "update_preimage"), (99, "insert")
+    ]
+
+    src = (
+        spark.read.format("vstore")
+        .option("read_changes", "true")
+        .option("key_cols", "part,k")
+        .option("from_timestamp", str(t1))
+        .option("to_timestamp", str(t2))
+        .load(store)
+    )
+    got2 = sorted((r.k, r._change_type) for r in src.collect())
+    assert got2 == got
+
+    with pytest.raises(Exception, match="not both"):
+        vs.table_changes(
+            spark, store, 1, None, ["part", "k"], va_timestamp=t1,
+            vb_timestamp=t2,
+        )
+    _time.sleep(0)
