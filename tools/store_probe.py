@@ -289,6 +289,47 @@ def _probe_file_granular(spark, root: str, n_files: int = 64,
     return out
 
 
+def _probe_bloom_plane(spark, root: str, n_files: int = 512,
+                       rows_per: int = 200) -> dict:
+    """Round-11 bloom sidecar plane: per-commit sidecar bytes on a
+    bloomed store. Pre-round-11 every commit re-wrote the WHOLE
+    table's blooms as hex JSON; now a commit writes a delta (its new
+    files only) and checkpoint-cadence versions write binary parquet.
+    Reported: the delta bytes an upsert commit writes, what the old
+    full-JSON form would have been, and the parquet checkpoint size."""
+    store = os.path.join(root, "store_bloom")
+    df = (
+        spark.range(n_files * rows_per)
+        .select(
+            F.lit("p").alias("part"),
+            F.col("id").alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("v"),
+        )
+        .repartitionByRange(n_files, "k")
+    )
+    vs.commit_overwrite(df, store, "part", bloom_cols=["k", "v"])
+    chg = spark.createDataFrame(
+        [("p", 10**9, "upd")], "part string, k long, v string"
+    )
+    t0 = time.monotonic()
+    v2 = vs.commit_upsert(spark, store, chg, ["part", "k"])
+    commit_s = time.monotonic() - t0
+    delta_bytes = os.path.getsize(vs._bloom_path(store, v2))
+    resolved = vs._read_bloom_sidecar(store, v2)
+    full_json_bytes = len(json.dumps(resolved))
+    vs._write_bloom_checkpoint(store, v2, resolved)
+    ckpt_bytes = os.path.getsize(vs._bloom_ckpt_path(store, v2))
+    os.remove(vs._bloom_ckpt_path(store, v2))
+    return {
+        "n_files": n_files,
+        "bloom_cols": 2,
+        "delta_sidecar_bytes": delta_bytes,
+        "pre_r11_full_json_bytes": full_json_bytes,
+        "ckpt_parquet_bytes": ckpt_bytes,
+        "upsert_commit_s": round(commit_s, 3),
+    }
+
+
 def _probe_concurrent(spark, root: str, n_files: int, n_parts: int,
                       n_writers: int = 8) -> dict:
     """Round-11 (VERDICT r10 #7): N writers racing commit_upsert on
@@ -375,6 +416,7 @@ def main() -> None:
             for nf in (1_000, n_files)
         ]
         granular = _probe_file_granular(spark, root)
+        bloom = _probe_bloom_plane(spark, root)
         concurrent = _probe_concurrent(
             spark, root, n_files, max(1, min(n_parts, n_files))
         )
@@ -385,9 +427,11 @@ def main() -> None:
     for r in results:
         print("\t".join(str(r[k]) for k in hdr))
     print("file-granular rewrite:", granular)
+    print("bloom plane:", bloom)
     print("concurrent writers:", concurrent)
     print(json.dumps({"store_probe": results,
                       "file_granular": granular,
+                      "bloom_plane": bloom,
                       "concurrent": concurrent}))
 
 
