@@ -134,7 +134,9 @@ def cmd_vstore(args: argparse.Namespace) -> int:
         seen: set[str] = set()
         for v in vs.versions(args.store):
             man = vs._read_manifest(args.store, v)
-            rows = sum(e["n_rows"] for e in man["files"])
+            # LIVE rows: a deletion-vector'd entry counts only its
+            # undeleted rows, matching what reads return
+            rows = sum(vs._live_rows(e) for e in man["files"])
             size = sum(e.get("bytes", 0) for e in man["files"])
             # bytes this version added beyond what older versions
             # already store — the copy-on-write dividend, made visible

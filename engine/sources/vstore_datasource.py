@@ -912,6 +912,13 @@ class VStoreDataSource(DataSource):
 
             tv = self.options.get("to_version")
             tts = self.options.get("to_timestamp")
+            if tv is not None and tts is not None:
+                # the reader's own guard is unreachable through this
+                # path (the resolver pops to_timestamp below), so the
+                # conflict must raise HERE, like from_*'s does
+                raise ValueError(
+                    "pass to_version or to_timestamp, not both"
+                )
             if tv is not None:
                 v = int(tv)
             elif tts is not None:

@@ -217,6 +217,17 @@ def _write_checkpoint(store: str, version: int, entries: list[dict]) -> None:
                 ],
                 pa.string(),
             ),
+            # deletion vectors (round 11) MUST round-trip: a dropped
+            # dv at a checkpoint-cadence version would resurrect the
+            # deleted rows for every read resolving through it
+            # (review r11 #1 — found by repro before any release)
+            "dv": pa.array(
+                [
+                    None if e.get("dv") is None else json.dumps(e["dv"])
+                    for e in entries
+                ],
+                pa.string(),
+            ),
         }
     )
     fd, tmp = tempfile.mkstemp(dir=_mdir(store))
@@ -241,6 +252,9 @@ def _read_checkpoint(path: str) -> list[dict]:
             e["bytes"] = cols["bytes"][i]
         if cols["stats"][i] is not None:
             e["stats"] = json.loads(cols["stats"][i])
+        # pre-round-11 checkpoints have no dv column
+        if cols.get("dv") and cols["dv"][i] is not None:
+            e["dv"] = json.loads(cols["dv"][i])
         out.append(e)
     return out
 
@@ -1007,9 +1021,11 @@ def _entry_key(e: dict) -> tuple:
 
 
 def _live_rows(e: dict) -> int:
-    """Logical row count of an entry: physical rows minus DV'd ones."""
+    """Logical row count of an entry: physical rows minus DV'd ones
+    (0 for pre-row-recording entries — callers treat it as a count,
+    never a divisor)."""
     dv = e.get("dv")
-    return e["n_rows"] - (dv["n"] if dv else 0)
+    return (e.get("n_rows") or 0) - (dv["n"] if dv else 0)
 
 
 def _changed_partitions(ma: dict, mb: dict) -> set:
@@ -1270,8 +1286,25 @@ def _plan_file_rewrite(
         )
         if len(key_rows) > _REWRITE_KEY_CAP:
             key_rows = None  # too many keys: range-fallback tier
+    ranges: dict[tuple, dict] | None = None
     if key_rows is not None:
         touched = {tuple(str(r[c]) for c in pcols) for r in key_rows}
+    elif vcols:
+        # fallback tier: ONE aggregate serves both the touched set
+        # (its group keys) and the per-partition key ranges — a
+        # separate distinct().collect() would re-scan the (by
+        # definition large) changeset (review r11 #7)
+        aggs = []
+        for c in vcols:
+            aggs.append(F.min(c).alias(f"__vs_lo_{c}"))
+            aggs.append(F.max(c).alias(f"__vs_hi_{c}"))
+        ranges = {
+            tuple(str(r[c]) for c in pcols): {
+                c: (r[f"__vs_lo_{c}"], r[f"__vs_hi_{c}"]) for c in vcols
+            }
+            for r in keys_df.groupBy(*pcols).agg(*aggs).collect()
+        }
+        touched = set(ranges)
     else:
         touched = {
             tuple(str(r[c]) for c in pcols)
@@ -1296,6 +1329,7 @@ def _plan_file_rewrite(
             ).append(tuple(r[c] for c in vcols))
         sidecar = _read_bloom_sidecar(store, prev_v)
         bits = sidecar["bits"] if sidecar else 0
+        bloom_k = sidecar.get("k", _BLOOM_K) if sidecar else _BLOOM_K
         pos_cache: dict[str, list[int]] = {}
         for e in old_touched:
             stats = e.get("stats") or {}
@@ -1318,7 +1352,7 @@ def _plan_file_rewrite(
                         canon = str(v)
                         poses = pos_cache.get(canon)
                         if poses is None:
-                            poses = _bloom_positions_py(v, bits)
+                            poses = _bloom_positions_py(v, bits, bloom_k)
                             pos_cache[canon] = poses
                         if not _bloom_words_admit(blooms.get(phys), poses):
                             ok = False
@@ -1328,16 +1362,6 @@ def _plan_file_rewrite(
                     break
             (rewrite if admit else carried).append(e)
         return touched, rewrite, carried
-    aggs = []
-    for c in vcols:
-        aggs.append(F.min(c).alias(f"__vs_lo_{c}"))
-        aggs.append(F.max(c).alias(f"__vs_hi_{c}"))
-    ranges = {
-        tuple(str(r[c]) for c in pcols): {
-            c: (r[f"__vs_lo_{c}"], r[f"__vs_hi_{c}"]) for c in vcols
-        }
-        for r in keys_df.groupBy(*pcols).agg(*aggs).collect()
-    }
     for e in old_touched:
         rng = ranges.get(_norm_pval(e["partition"]))
         stats = e.get("stats") or {}
@@ -1895,6 +1919,39 @@ def _read_bloom_checkpoint(path: str) -> dict:
     return {**meta, "files": files}
 
 
+def _bloom_config(store: str, version: int) -> dict | None:
+    """Just the sidecar's {bits, k, cols} — WITHOUT resolving the
+    file→bloom map. The commit path needs only the config to decide
+    chainability and write its delta (review r11 #5: resolving the
+    full map per commit re-created the O(table) sidecar cost the
+    delta shape exists to remove); parquet checkpoints answer from
+    schema metadata alone, delta JSONs are O(commit churn) small. A
+    legacy full-form JSON pays one whole-file parse — its successor
+    commits write delta forms, so the cost is one-time per store."""
+    ck = _bloom_ckpt_path(store, version)
+    if os.path.exists(ck):
+        import pyarrow.parquet as pq
+
+        meta = json.loads(
+            pq.read_schema(ck).metadata[b"vstore_bloom"]
+        )
+        return {
+            "bits": meta["bits"],
+            "k": meta.get("k", _BLOOM_K),
+            "cols": meta["cols"],
+        }
+    try:
+        with open(_bloom_path(store, version), encoding="utf-8") as f:
+            raw = json.load(f)
+    except FileNotFoundError:
+        return None
+    return {
+        "bits": raw["bits"],
+        "k": raw.get("k", _BLOOM_K),
+        "cols": raw["cols"],
+    }
+
+
 def _read_bloom_sidecar(store: str, version: int) -> dict | None:
     """The version's RESOLVED bloom map ({bits, k, cols, files}) —
     parquet checkpoints read directly; delta-form JSON sidecars walk
@@ -1932,10 +1989,16 @@ def _read_bloom_sidecar(store: str, version: int) -> dict | None:
     }
 
 
-def _bloom_positions_py(value, bits: int) -> list[int]:
+def _bloom_positions_py(value, bits: int, k: int | None = None) -> list[int]:
+    """Probe positions for ``value``: MUST use the probed sidecar's
+    recorded ``k``, never the build default — a sidecar written with
+    fewer hashes per value has no bits at the extra positions, so an
+    over-k probe would wrongly prove PRESENT keys absent (review r11
+    #3: on the write path that silently skips a delete's rewrite)."""
     from engine.functions.hashing import h60_py
 
-    return [h60_py(f"bf{i}:{value}") % bits for i in range(_BLOOM_K)]
+    k = _BLOOM_K if k is None else k
+    return [h60_py(f"bf{i}:{value}") % bits for i in range(k)]
 
 
 def _build_blooms(
@@ -2030,7 +2093,7 @@ def _maybe_write_blooms(
     for v in reversed(versions(store)):
         if v >= version:
             continue
-        prev = _read_bloom_sidecar(store, v)
+        prev = _bloom_config(store, v)  # config only, never the map
         if prev is not None:
             pv = v
             break
@@ -2061,9 +2124,10 @@ def _maybe_write_blooms(
     )
     os.makedirs(_mdir(store), exist_ok=True)  # sidecar lands pre-manifest
     if chainable and version % _CHECKPOINT_INTERVAL == 0:
+        resolved = _read_bloom_sidecar(store, pv)  # checkpoint only
         live = dict(new_blooms)
         for e in carried:
-            b = prev["files"].get(e["file"])
+            b = resolved["files"].get(e["file"])
             if b and e["file"] not in live:
                 live[e["file"]] = b
         _write_bloom_checkpoint(
@@ -2111,7 +2175,7 @@ def _copy_carried_blooms(
     for v in reversed(versions(store)):
         if v >= version:
             continue
-        prev = _read_bloom_sidecar(store, v)
+        prev = _bloom_config(store, v)  # config only, never the map
         if prev is not None:
             pv = v
             break
@@ -2136,9 +2200,10 @@ def _copy_carried_blooms(
             chainable = True
             out_cols = sorted(set(prev["cols"]) | set(cols))
     if chainable and version % _CHECKPOINT_INTERVAL == 0:
+        resolved = _read_bloom_sidecar(store, pv)  # checkpoint only
         live = dict(new_blooms or {})
         for f in carried_files:
-            b = prev["files"].get(f)
+            b = resolved["files"].get(f)
             if b and f not in live:
                 live[f] = b
         _write_bloom_checkpoint(
@@ -2188,6 +2253,7 @@ def _bloom_prune(
     if sidecar is None:
         return entries
     bits = sidecar["bits"]
+    k = sidecar.get("k", _BLOOM_K)
     kept = []
     for e in entries:
         blooms = sidecar["files"].get(e["file"], {})
@@ -2196,7 +2262,7 @@ def _bloom_prune(
             words = blooms.get(col)
             if words is None:
                 continue
-            for p in _bloom_positions_py(val, bits):
+            for p in _bloom_positions_py(val, bits, k):
                 if not (int(words[p // 64], 16) >> (p % 64)) & 1:
                     admit = False
                     break
@@ -3085,7 +3151,10 @@ def select_compaction_targets(
         by_part.setdefault(_norm_pval(e["partition"]), []).append(e)
     out = []
     for p, es in sorted(by_part.items()):
-        sizes = sorted(e["bytes"] for e in es)
+        # entries predating byte recording size as 0: a partition of
+        # unknown-size files reads as small-filed, which errs toward
+        # compacting it — the safe direction for a maintenance verb
+        sizes = sorted(e.get("bytes") or 0 for e in es)
         median = sizes[len(sizes) // 2]
         if (
             len(es) > max_files
@@ -3144,26 +3213,44 @@ def optimize_auto(
         compacted = _cluster_for_rewrite(df, pcols, zorder_cols, n_out)
     else:
         # ~target-sized outputs: split each partition value across
-        # ceil(partition bytes / target) tasks via a deterministic
-        # row-hash salt (plain repartition on pcols alone would fold
-        # every partition value into ONE file regardless of size)
-        k = min(
-            -(-max(by_part.values()) // target_file_bytes),
-            max(by_part_files.values()),
-        )
-        if k <= 1:
+        # ceil(ITS bytes / target) tasks via a deterministic row-hash
+        # salt — the modulus is PER PARTITION (review r11 #6: one
+        # global modulus sized by the largest target re-fragmented
+        # every small co-target into k tiny files, immediately
+        # re-qualifying them for the next maintenance pass). Plain
+        # repartition on pcols alone would fold every partition value
+        # into ONE file regardless of size.
+        per_k = {
+            p: min(
+                -(-b // target_file_bytes), by_part_files[p]
+            )
+            for p, b in by_part.items()
+        }
+        if max(per_k.values()) <= 1:
             compacted = df.repartition(n_out, *pcols)
         else:
+            kmap = spark.createDataFrame(
+                [(*p, k) for p, k in sorted(per_k.items())],
+                ", ".join(f"{c} string" for c in pcols)
+                + ", __vs_k int",
+            )
             compacted = (
-                df.withColumn(
+                df.join(F.broadcast(kmap), list(pcols))
+                .withColumn(
                     "__vs_salt",
                     F.pmod(
-                        F.xxhash64(*[F.col(c) for c in df.columns]),
-                        F.lit(k),
+                        F.xxhash64(
+                            *[
+                                F.col(c)
+                                for c in df.columns
+                                if c not in pcols
+                            ]
+                        ),
+                        F.greatest(F.col("__vs_k"), F.lit(1)),
                     ),
                 )
                 .repartition(n_out, *pcols, "__vs_salt")
-                .drop("__vs_salt")
+                .drop("__vs_salt", "__vs_k")
             )
     extra: dict = {"optimized_partitions": len(targets)}
     if zorder_cols:

@@ -132,3 +132,51 @@ def test_restore_and_clone_copy_resolved_full_form(spark, tmp_path):
     assert "base" not in rawc
     got = vs.read_version(spark, dst, 1, point_filters={"k": 5})
     assert [r.v for r in got.collect()] == ["NEW"]
+
+
+def test_write_admission_respects_sidecar_k(spark, tmp_path, monkeypatch):
+    """REGRESSION (review r11 #3): bloom probes must use the probed
+    sidecar's recorded k, not the build default — an over-k probe
+    against a smaller-k sidecar can wrongly prove a PRESENT key
+    absent, silently skipping a delete's rewrite."""
+    store = str(tmp_path / "s")
+    monkeypatch.setattr(vs, "_BLOOM_K", 2)  # store written with k=2
+    _bloomed(spark, store)
+    assert json.load(open(vs._bloom_path(store, 1)))["k"] == 2
+    monkeypatch.setattr(vs, "_BLOOM_K", 4)  # engine now defaults k=4
+
+    # read path: the k=2 sidecar still prunes correctly
+    got = vs.read_version(spark, store, 1, point_filters={"k": 7})
+    assert [r.v for r in got.collect()] == ["v:7"]
+    # write path: the delete must find and rewrite the k=7 file
+    v2 = vs.commit_delete(
+        spark,
+        store,
+        spark.createDataFrame([("p", 7)], "part string, k long"),
+        ["part", "k"],
+    )
+    got = sorted(r.k for r in vs.read_version(spark, store, v2).collect())
+    assert 7 not in got and len(got) == 63
+
+
+def test_cdf_option_conflicts_raise(spark, tmp_path):
+    """REGRESSION (review r11 #8): to_version+to_timestamp through
+    the data source raises instead of silently preferring one."""
+    import pytest as _pytest
+
+    from engine.sources.vstore_datasource import register_vstore
+
+    register_vstore(spark)
+    store = str(tmp_path / "s")
+    _bloomed(spark, store)
+    with _pytest.raises(Exception, match="not both"):
+        (
+            spark.read.format("vstore")
+            .option("read_changes", "true")
+            .option("key_cols", "part,k")
+            .option("from_version", 0)
+            .option("to_version", 1)
+            .option("to_timestamp", "9999999999")
+            .load(store)
+            .collect()
+        )

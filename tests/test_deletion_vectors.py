@@ -267,3 +267,48 @@ def test_dv_only_commit_conflicts_like_a_write(spark, tmp_path):
             )
     finally:
         vs._claim_manifest = real
+
+
+def test_dv_survives_manifest_checkpoint(spark, tmp_path, monkeypatch):
+    """REGRESSION (review r11 #1): parquet manifest checkpoints must
+    round-trip the dv field — a checkpoint-cadence version resolving
+    without it would resurrect every DV-deleted row, and vacuum
+    (which checkpoints the oldest retained version and drops the
+    delta JSONs that still carried dv) would make it permanent."""
+    monkeypatch.setattr(vs, "_CHECKPOINT_INTERVAL", 3)
+    store, n = _mk(spark, tmp_path)
+    vs.commit_delete(
+        spark, store, _keys(spark, [5]), ["part", "k"],
+        merge_on_read=True,
+    )
+    # v3 lands on the checkpoint cadence carrying the dv'd entry
+    chg = spark.createDataFrame(
+        [("p", 1000, "new")], "part string, k long, v string"
+    )
+    v3 = vs.commit_upsert(spark, store, chg, ["part", "k"])
+    assert v3 == 3 and os.path.exists(vs._ckpt_path(store, 3))
+    m3 = vs._read_manifest(store, 3)
+    assert any(e.get("dv") for e in m3["files"])  # round-tripped
+    got = sorted(r.k for r in vs.read_version(spark, store, 3).collect())
+    assert got == [k for k in range(n) if k != 5] + [1000]
+
+    # and through vacuum: only the checkpointed version remains
+    vs.vacuum(store, keep_latest=1)
+    got = sorted(r.k for r in vs.read_version(spark, store).collect())
+    assert got == [k for k in range(n) if k != 5] + [1000]
+
+
+def test_cli_versions_reports_live_rows(spark, tmp_path, capsys):
+    """REGRESSION (review r11 #4): `vstore versions` counts live rows
+    (dv-deleted rows excluded), matching what reads return."""
+    from engine.__main__ import main
+
+    store, n = _mk(spark, tmp_path)
+    vs.commit_delete(
+        spark, store, _keys(spark, [1, 2, 3]), ["part", "k"],
+        merge_on_read=True,
+    )
+    assert main(["vstore", "versions", store]) == 0
+    out = capsys.readouterr().out
+    assert f"{n} rows" in out  # v1: all physical rows live
+    assert f"{n - 3} rows" in out  # v2: dv'd rows excluded

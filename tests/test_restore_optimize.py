@@ -269,3 +269,34 @@ def test_table_changes_by_timestamp(spark, tmp_path):
             vb_timestamp=t2,
         )
     _time.sleep(0)
+
+
+def test_optimize_auto_salt_is_per_partition(spark, tmp_path):
+    """REGRESSION (review r11 #6): the byte-sizing salt modulus is
+    per partition — a small co-target partition collapses to ONE
+    file even when a large sibling splits into several."""
+    store = str(tmp_path / "s")
+    big = spark.createDataFrame(
+        [("big", k, "z" * 2000) for k in range(4000)],
+        "part string, k long, v string",
+    )
+    small = spark.createDataFrame(
+        [("small", 10_000 + k, f"s:{k}") for k in range(8)],
+        "part string, k long, v string",
+    )
+    vs.commit_overwrite(
+        big.unionByName(small).repartition(16, "k"), store, "part"
+    )
+    man = vs._read_manifest(store, 1)
+    big_bytes = sum(
+        e["bytes"] for e in man["files"] if e["partition"] == "big"
+    )
+    target = max(1, big_bytes // 4)
+    v2 = vs.optimize_auto(spark, store, max_files=4,
+                          target_file_bytes=target)
+    m2 = vs._read_manifest(store, v2)
+    small2 = [e for e in m2["files"] if e["partition"] == "small"]
+    big2 = [e for e in m2["files"] if e["partition"] == "big"]
+    assert len(small2) == 1  # NOT re-fragmented by big's modulus
+    assert 2 <= len(big2) <= 8
+    assert vs.read_version(spark, store, v2).count() == 4008
