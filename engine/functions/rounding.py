@@ -99,3 +99,45 @@ def duck_round_he(expr: str, ndigits: int) -> str:
         f"floor(({expr}) * CAST({scale!r} AS DOUBLE) + 0.5)"
         f" / CAST({scale!r} AS DOUBLE)"
     )
+
+
+# -- Spark-SQL text twins ----------------------------------------------------
+#
+# Same IEEE ops as the Column helpers above, as Spark SQL TEXT for use
+# inside F.expr()/selectExpr() strings. Why text: building a rounded
+# aggregate through the Column API costs ~15 Python<->JVM round trips
+# per output column (each operator call crosses py4j at ~1-3 ms on the
+# bench sandbox — measured round 11, tools/count_py4j.py), while one
+# F.expr ships the whole expression in a single parse. The `D` suffix
+# on literals is load-bearing: a bare `10000.0` parses as DECIMAL(6,1)
+# in Spark SQL (the Column path's F.lit(10000.0) is DOUBLE), which
+# would change the arithmetic. floor(DOUBLE) is BIGINT on both paths,
+# so the resolved expression trees — and therefore the values — are
+# identical to the Column versions.
+
+
+def sql_round_he(expr: str, ndigits: int) -> str:
+    """Spark-SQL text twin of :func:`round_he`."""
+    scale = float(10**ndigits)
+    return f"floor(({expr}) * {scale!r}D + 0.5D) / {scale!r}D"
+
+
+def sql_qsum(expr: str, q: float = VALUE_Q) -> str:
+    """Spark-SQL text twin of :func:`qsum`."""
+    return (
+        f"CAST(sum(CAST(floor(({expr}) * {q!r}D + 0.5D)"
+        f" AS BIGINT)) AS BIGINT)"
+    )
+
+
+def sql_qsum_rounded(expr: str, ndigits: int, q: float = VALUE_Q) -> str:
+    """Spark-SQL text twin of :func:`qsum_rounded`."""
+    return sql_round_he(f"CAST({sql_qsum(expr, q)} AS DOUBLE) / {q!r}D", ndigits)
+
+
+def sql_qavg_rounded(expr: str, ndigits: int, q: float = VALUE_Q) -> str:
+    """Spark-SQL text twin of :func:`qavg_rounded`."""
+    return sql_round_he(
+        f"CAST({sql_qsum(expr, q)} AS DOUBLE) / {q!r}D / count({expr})",
+        ndigits,
+    )

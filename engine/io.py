@@ -74,11 +74,35 @@ def normalize_fixture_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Lazy-scan plan memo, keyed weakly by session then by (dir, table).
+# This caches the unexecuted DataFrame OBJECT (a logical plan), never
+# data: every action on it still scans the parquet files. The point is
+# driver-side latency — building the scan costs ~10 Python↔JVM round
+# trips (read.parquet, dtypes, the ts normalization) at ~1-3 ms each on
+# the bench sandbox (measured round 11, tools/count_py4j.py), and a
+# federated query re-loads the same table per facet (q7_q8_q9 builds
+# 12 scans of 5 tables; the bench repeats that 5×). A WeakKeyDictionary
+# keeps a stopped/replaced session's entries collectable; a fresh
+# session wrapper simply re-misses.
+import weakref
+
+_SCAN_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    pin_fixture_ts_confs(spark)
-    return normalize_fixture_ts(spark.read.parquet(table_path(sf_dir, name)))
+    per_session = _SCAN_MEMO.setdefault(spark, {})
+    df = per_session.get((sf_dir, name))
+    if df is None:
+        pin_fixture_ts_confs(spark)
+        df = normalize_fixture_ts(
+            spark.read.parquet(table_path(sf_dir, name))
+        )
+        per_session[(sf_dir, name)] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

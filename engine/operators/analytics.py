@@ -255,19 +255,20 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode fan-out is capped at CAP² rows per user before the
     pair-level distinct."""
     ev = load_table(spark, sf_dir, "events")
-    ui = ev.filter(F.col("event_type") == "purchase").select(
+    ui = ev.filter("event_type = 'purchase'").selectExpr(
         "user_id",
-        F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        "CAST(get_json_object(props, '$.k') AS BIGINT) AS item",
     )
     baskets = ui.groupBy("user_id").agg(
-        F.slice(F.sort_array(F.collect_set("item")), 1, PR_BASKET_CAP).alias(
-            "items"
+        F.expr(
+            f"slice(sort_array(collect_set(item)), 1, {PR_BASKET_CAP})"
+            " AS items"
         )
     )
     return (
-        baskets.select(F.explode("items").alias("lo"), "items")
-        .select("lo", F.explode("items").alias("hi"))
-        .filter(F.col("lo") < F.col("hi"))
+        baskets.selectExpr("explode(items) AS lo", "items")
+        .selectExpr("lo", "explode(items) AS hi")
+        .filter("lo < hi")
         .distinct()
     )
 
@@ -354,7 +355,7 @@ def pagerank_core(
 
     from pyspark import StorageLevel
 
-    from engine.functions.rounding import round_he
+    from engine.functions.rounding import sql_round_he
     from engine.session import static_planning
 
     # m comes from the caller-persisted pair cache (one cheap cached
@@ -420,32 +421,25 @@ def pagerank_core(
                 F.lit(0.0).alias("pr9"),
             )
         pr0 = math.floor(1.0 / n * 1e9 + 0.5) / 1e9  # same IEEE ops as oracle
-        pr = deg.select(F.col("src").alias("item"), "d", F.lit(pr0).alias("pr"))
+        pr = deg.selectExpr("src AS item", "d", f"{pr0!r}D AS pr")
+        newpr = sql_round_he(
+            f"{PR_TELEPORT!r}D / {float(n)!r}D + {PR_DAMP!r}D"
+            " * (CAST(coalesce(s, 0) AS DOUBLE) / 1e9)",
+            9,
+        )
         for _i in range(PR_ITERS):
             contrib = edges.join(
-                pr.select(F.col("item").alias("src"), "d", "pr"), "src"
-            ).select(
+                pr.selectExpr("item AS src", "d", "pr"), "src"
+            ).selectExpr(
                 "dst",
-                F.floor(
-                    F.col("pr") / F.col("d").cast("double") * F.lit(1e9)
-                    + F.lit(0.5)
-                )
-                .cast("bigint")
-                .alias("c"),
+                "CAST(floor(pr / CAST(d AS DOUBLE) * 1e9 + 0.5D)"
+                " AS BIGINT) AS c",
             )
-            s = contrib.groupBy("dst").agg(F.sum("c").cast("bigint").alias("s"))
-            pr = deg.join(s, deg.src == s.dst, "left").select(
-                F.col("src").alias("item"),
-                "d",
-                round_he(
-                    F.lit(PR_TELEPORT) / F.lit(float(n))
-                    + F.lit(PR_DAMP)
-                    * (
-                        F.coalesce(F.col("s"), F.lit(0)).cast("double")
-                        / F.lit(1e9)
-                    ),
-                    9,
-                ).alias("pr"),
+            s = contrib.groupBy("dst").agg(
+                F.expr("CAST(sum(c) AS BIGINT) AS s")
+            )
+            pr = deg.join(s, F.expr("src = dst"), "left").selectExpr(
+                "src AS item", "d", f"{newpr} AS pr"
             )
             # No per-round localCheckpoint: each round's rank vector
             # has exactly ONE consumer (the next round's contribution
@@ -692,53 +686,45 @@ def triangle_core(
 def _triangle_core_plan(pairs: DataFrame):
     from pyspark import StorageLevel
 
-    from engine.functions.rounding import round_he
+    from engine.functions.rounding import sql_round_he
 
     deg = (
-        pairs.select(F.col("lo").alias("item"))
-        .unionAll(pairs.select(F.col("hi").alias("item")))
+        pairs.selectExpr("lo AS item")
+        .unionAll(pairs.selectExpr("hi AS item"))
         .groupBy("item")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .agg(F.expr("CAST(count(1) AS BIGINT) AS d"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    e = (
-        pairs.join(deg.select(F.col("item").alias("lo"), F.col("d").alias("dl")), "lo")
-        .join(deg.select(F.col("item").alias("hi"), F.col("d").alias("dh")), "hi")
+    e = pairs.join(deg.selectExpr("item AS lo", "d AS dl"), "lo").join(
+        deg.selectExpr("item AS hi", "d AS dh"), "hi"
     )
-    fwd = (F.col("dl") < F.col("dh")) | (
-        (F.col("dl") == F.col("dh")) & (F.col("lo") < F.col("hi"))
-    )
-    o = e.select(
-        F.when(fwd, F.col("lo")).otherwise(F.col("hi")).alias("src"),
-        F.when(fwd, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
-        F.when(fwd, F.col("dh")).otherwise(F.col("dl")).alias("dd"),
+    fwd = "(dl < dh OR (dl = dh AND lo < hi))"
+    o = e.selectExpr(
+        f"IF({fwd}, lo, hi) AS src",
+        f"IF({fwd}, hi, lo) AS dst",
+        f"IF({fwd}, dh, dl) AS dd",
         # three consumers (both wedge legs + the closing join):
         # orient once, not 3x
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    o1 = o.select("src", F.col("dst").alias("b"), F.col("dd").alias("db"))
-    o2 = o.select("src", F.col("dst").alias("c"), F.col("dd").alias("dc"))
-    wedges = o1.join(o2, "src").filter(
-        (F.col("db") < F.col("dc"))
-        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
-    )
-    o3 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    tri = wedges.join(o3, ["b", "c"]).select(
-        F.col("src").alias("a"), "b", "c"
-    )
+    o1 = o.selectExpr("src", "dst AS b", "dd AS db")
+    o2 = o.selectExpr("src", "dst AS c", "dd AS dc")
+    wedges = o1.join(o2, "src").filter("db < dc OR (db = dc AND b < c)")
+    o3 = o.selectExpr("src AS b", "dst AS c")
+    tri = wedges.join(o3, ["b", "c"]).selectExpr("src AS a", "b", "c")
     pern = (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("item"))
+        tri.selectExpr("explode(array(a, b, c)) AS item")
         .groupBy("item")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+        .agg(F.expr("CAST(count(1) AS BIGINT) AS n_tri"))
     )
-    coeff = F.when(
-        F.col("degree") >= 2,
-        round_he(
-            F.lit(2.0)
-            * F.col("n_triangles").cast("double")
-            / (F.col("degree").cast("double") * (F.col("degree") - 1).cast("double")),
+    coeff = (
+        "CASE WHEN degree >= 2 THEN "
+        + sql_round_he(
+            "2.0D * CAST(n_triangles AS DOUBLE)"
+            " / (CAST(degree AS DOUBLE) * CAST(degree - 1 AS DOUBLE))",
             6,
-        ),
-    ).otherwise(F.lit(0.0))
+        )
+        + " ELSE 0.0D END"
+    )
     plan = (
         deg.join(pern, deg.item == pern.item, "left")
         .select(
@@ -746,8 +732,7 @@ def _triangle_core_plan(pairs: DataFrame):
             F.col("d").alias("degree"),
             F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_triangles"),
         )
-        .withColumn("clustering6", coeff)
-        .select("item", "degree", "n_triangles", "clustering6")
+        .selectExpr("item", "degree", "n_triangles", f"{coeff} AS clustering6")
     )
     return plan, [deg, o]
 
@@ -1252,12 +1237,12 @@ def kcore_core(
         prev = edges
         for _ in range(KCORE_ROUNDS):
             deg = (
-                edges.select(F.col("lo").alias("item"))
-                .unionAll(edges.select(F.col("hi").alias("item")))
+                edges.selectExpr("lo AS item")
+                .unionAll(edges.selectExpr("hi AS item"))
                 .groupBy("item")
-                .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+                .agg(F.expr("CAST(count(1) AS BIGINT) AS d"))
             )
-            keep = deg.filter(F.col("d") >= KCORE_K).select("item")
+            keep = deg.filter(f"d >= {KCORE_K}").select("item")
             prev = edges
             nxt = (
                 edges.join(keep.withColumnRenamed("item", "lo"), "lo", "left_semi")
@@ -1266,18 +1251,17 @@ def kcore_core(
             )
             # One peel round, pre-checkpoint (armed-only no-op).
             edges = audited_checkpoint("kcore_round", nxt)
-        cnt_last = edges.agg(F.count(F.lit(1)).alias("_c_last"))
-        cnt_prev = prev.agg(F.count(F.lit(1)).alias("_c_prev"))
+        cnt_last = edges.agg(F.expr("count(1) AS _c_last"))
+        cnt_prev = prev.agg(F.expr("count(1) AS _c_prev"))
         out = (
-            edges.select(F.col("lo").alias("item"))
-            .unionAll(edges.select(F.col("hi").alias("item")))
+            edges.selectExpr("lo AS item")
+            .unionAll(edges.selectExpr("hi AS item"))
             .groupBy("item")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
-            .filter(F.col("core_deg") >= KCORE_K)
+            .agg(F.expr("CAST(count(1) AS BIGINT) AS core_deg"))
+            .filter(f"core_deg >= {KCORE_K}")
             .crossJoin(F.broadcast(cnt_last))  # 1-row scalar
             .crossJoin(F.broadcast(cnt_prev))  # 1-row scalar
-            .withColumn("converged", F.col("_c_last") == F.col("_c_prev"))
-            .drop("_c_last", "_c_prev")
+            .selectExpr("item", "core_deg", "_c_last = _c_prev AS converged")
         )
         # The return cut is the leaf every CONSUMER plan scans — it
         # must carry its own capture tag (id-matched, round 7), the

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from engine.functions.rounding import duck_round_he, round_he
+from engine.functions.rounding import duck_round_he, round_he, sql_round_he
 from engine.registry import query
 from engine.operators.similarity import _DUCK_EMB, _SPARK_DOT, _spark_emb
 
@@ -137,50 +137,47 @@ def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     shuffle nothing, but interpreted higher-order functions measured
     ~70% slower than this codegen'd aggregate at bench scale."""
     keep = list(e.columns)  # pass input columns through unchanged
-    scored = e.join(F.broadcast(cents)).withColumn("_d2", F.expr(_SPARK_D2))
-    payload = F.struct(
-        *[F.col(c) for c in keep if c != "vec_id"],
-        F.col("cid"),
-        F.col("_d2"),
+    scored = e.join(F.broadcast(cents)).selectExpr(
+        *keep, "cid", f"{_SPARK_D2} AS _d2"
     )
-    best = F.min_by(payload, F.struct(F.col("_d2"), F.col("cid"))).alias("_b")
-    cols = [
-        F.col("vec_id") if c == "vec_id" else F.col(f"_b.{c}").alias(c)
-        for c in keep
-    ]
-    return scored.groupBy("vec_id").agg(best).select(
-        *cols,
-        F.col("_b.cid").alias("cluster"),
-        F.col("_b._d2").alias("d2"),
+    payload = ", ".join([c for c in keep if c != "vec_id"] + ["cid", "_d2"])
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.expr(f"min_by(struct({payload}), struct(_d2, cid)) AS _b"))
+        .selectExpr(
+            *[c if c == "vec_id" else f"_b.{c} AS {c}" for c in keep],
+            "_b.cid AS cluster",
+            "_b._d2 AS d2",
+        )
     )
 
 
 def _update_dims(assign: DataFrame) -> DataFrame:
     return (
-        assign.select("cluster", F.posexplode("emb").alias("dim_i", "val"))
-        .select(
+        assign.selectExpr("cluster", "posexplode(emb) AS (dim_i, val)")
+        .selectExpr(
             "cluster",
-            F.col("dim_i").cast("bigint").alias("dim_i"),
-            F.floor(F.col("val") * F.lit(KM_Q)).cast("bigint").alias("q"),
+            "CAST(dim_i AS BIGINT) AS dim_i",
+            f"CAST(floor(val * {KM_Q!r}D) AS BIGINT) AS q",
         )
         .groupBy("cluster", "dim_i")
         .agg(
-            F.sum("q").cast("bigint").alias("sq"),
-            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr("CAST(sum(q) AS BIGINT) AS sq"),
+            F.expr("CAST(count(1) AS BIGINT) AS n"),
         )
     )
 
 
 def _cents_from_dims(dims: DataFrame) -> DataFrame:
-    mean6 = round_he(F.col("sq").cast("double") / F.col("n") / F.lit(KM_Q), 6)
+    mean6 = sql_round_he(f"CAST(sq AS DOUBLE) / n / {KM_Q!r}D", 6)
     return (
-        dims.select(F.col("cluster").alias("cid"), "dim_i", mean6.alias("cval"))
+        dims.selectExpr("cluster AS cid", "dim_i", f"{mean6} AS cval")
         .groupBy("cid")
         .agg(
             F.expr(
                 "transform(array_sort(collect_list(struct(dim_i, cval))),"
-                " s -> s.cval)"
-            ).alias("cvec")
+                " s -> s.cval) AS cvec"
+            )
         )
     )
 
@@ -190,8 +187,8 @@ def _lloyd_full(e: DataFrame, k: int, updates: int) -> tuple[DataFrame, DataFram
     init = first k vectors by id, then ``updates`` assign→update
     rounds. Returns (final assignment, final centroids) — the final
     assignment is computed against the final centroids."""
-    cents = e.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("cvec")
+    cents = e.filter(f"vec_id < {k}").selectExpr(
+        "vec_id AS cid", "emb AS cvec"
     )
     a = _assign(e, cents)
     for _ in range(updates):
@@ -237,12 +234,12 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations, output = final per-cluster per-dimension centroid stats
     (K × dim rows — bounded at any corpus size)."""
     dims = _update_dims(kmeans_assignments(spark, sf_dir))
-    mean6 = round_he(F.col("sq").cast("double") / F.col("n") / F.lit(KM_Q), 6)
-    return dims.select(
+    mean6 = sql_round_he(f"CAST(sq AS DOUBLE) / n / {KM_Q!r}D", 6)
+    return dims.selectExpr(
         "cluster",
         "dim_i",
-        F.col("n").cast("bigint").alias("n_vecs"),
-        mean6.alias("centroid"),
+        "CAST(n AS BIGINT) AS n_vecs",
+        f"{mean6} AS centroid",
     )
 
 
@@ -276,37 +273,25 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is persisted — without it Spark re-runs all Lloyd iterations per
     consumer."""
     a = kmeans_assignments(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    pa = a.select(
-        F.col("vec_id").alias("va"),
-        F.col("cluster").alias("ca"),
-        F.col("emb").alias("ea"),
-        F.col("nrm").alias("na"),
+    pa = a.selectExpr(
+        "vec_id AS va", "cluster AS ca", "emb AS ea", "nrm AS na"
     )
-    pb = a.select(
-        F.col("vec_id").alias("vb"),
-        F.col("cluster").alias("cb"),
-        F.col("emb").alias("eb"),
-        F.col("nrm").alias("nb"),
+    pb = a.selectExpr(
+        "vec_id AS vb", "cluster AS cb", "emb AS eb", "nrm AS nb"
     )
-    cos = F.expr(_SPARK_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
+    cos = _SPARK_DOT.format(a="ea", b="eb") + " / (na * nb)"
     dups = (
-        pa.join(pb, (F.col("ca") == F.col("cb")) & (F.col("va") < F.col("vb")))
-        .withColumn("_cos", cos)
-        .filter(F.col("_cos") >= SEM_COS)
-        .select(F.col("vb").alias("dup_id"))
+        pa.join(pb, F.expr("ca = cb AND va < vb"))
+        .selectExpr("vb", f"{cos} AS _cos")
+        .filter(f"_cos >= {SEM_COS!r}D")
+        .selectExpr("vb AS dup_id")
         .distinct()
     )
-    return (
-        a.join(dups, a.vec_id == dups.dup_id, "left")
-        .select(
-            "vec_id",
-            "cluster",
-            round_he(F.col("d2"), 6).alias("dist2"),
-            F.when(F.col("dup_id").isNotNull(), 1)
-            .otherwise(0)
-            .cast("int")
-            .alias("is_dup"),
-        )
+    return a.join(dups, F.expr("vec_id = dup_id"), "left").selectExpr(
+        "vec_id",
+        "cluster",
+        sql_round_he("d2", 6) + " AS dist2",
+        "CAST(CASE WHEN dup_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup",
     )
 
 
@@ -388,16 +373,16 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _spark_emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     outs = []
     for s in range(PQ_M):
-        es = e.select(
-            "vec_id", F.slice("emb", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("emb")
+        es = e.selectExpr(
+            "vec_id", f"slice(emb, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM}) AS emb"
         )
         a = _lloyd(es, PQ_K, PQ_UPDATES)
         outs.append(
-            a.select(
+            a.selectExpr(
                 "vec_id",
-                F.lit(s).cast("bigint").alias("sub_i"),
-                F.col("cluster").cast("bigint").alias("code"),
-                round_he(F.col("d2"), 6).alias("err6"),
+                f"CAST({s} AS BIGINT) AS sub_i",
+                "CAST(cluster AS BIGINT) AS code",
+                sql_round_he("d2", 6) + " AS err6",
             )
         )
     out = outs[0]
@@ -479,8 +464,8 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _spark_emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     parts = []
     for s in range(PQ_M):
-        es = e.select(
-            "vec_id", F.slice("emb", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("emb")
+        es = e.selectExpr(
+            "vec_id", f"slice(emb, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM}) AS emb"
         )
         a, cents = _lloyd_full(es, PQ_K, PQ_UPDATES)
         # Both the final assignment and the ADC table consume the
@@ -491,18 +476,16 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # instead of re-scoring the corpus per subspace.
         cents = cents.persist(StorageLevel.MEMORY_AND_DISK)
         a = a.persist(StorageLevel.MEMORY_AND_DISK)
-        qs = es.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("qid"), F.col("emb")
+        qs = es.filter(f"vec_id < {N_QUERIES}").selectExpr(
+            "vec_id AS qid", "emb"
         )
-        adc = (
-            qs.join(F.broadcast(cents))  # Q × K rows — tiny, bounded
-            .withColumn("_pd2", F.expr(_SPARK_D2))
-            .select("qid", F.col("cid").alias("code"), F.col("_pd2").alias("_pd"))
+        adc = qs.join(F.broadcast(cents)).selectExpr(  # Q × K rows — tiny
+            "qid", "cid AS code", f"{_SPARK_D2} AS _pd"
         )
-        codes = a.select("vec_id", F.col("cluster").alias("code"))
+        codes = a.selectExpr("vec_id", "cluster AS code")
         parts.append(
-            codes.join(F.broadcast(adc), "code").select(
-                "vec_id", "qid", F.lit(s).alias("_sub"), "_pd"
+            codes.join(F.broadcast(adc), "code").selectExpr(
+                "vec_id", "qid", f"{s} AS _sub", "_pd"
             )
         )
     # Assemble per-(vector, query) scores with ONE shuffle: union the
@@ -519,23 +502,27 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         allp = allp.unionAll(p)
     scored = allp.groupBy("vec_id", "qid").agg(
         *[
-            F.sum(F.when(F.col("_sub") == s, F.col("_pd"))).alias(f"pd{s}")
+            F.expr(f"sum(CASE WHEN _sub = {s} THEN _pd END) AS pd{s}")
             for s in range(PQ_M)
         ]
     )
-    total = (
-        (F.col("pd0") + F.col("pd1")) + F.col("pd2")
-    ) + F.col("pd3")
-    w = W.partitionBy("qid").orderBy(F.col("_adc").asc(), F.col("vec_id"))
     return (
-        scored.filter(F.col("vec_id") != F.col("qid"))
-        .withColumn("_adc", total)
-        .withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= TOPK)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("vec_id").alias("neighbor_id"),
-            round_he(F.col("_adc"), 6).alias("adc_d2"),
+        scored.filter("vec_id <> qid")
+        .selectExpr(
+            "vec_id", "qid", "((pd0 + pd1) + pd2) + pd3 AS _adc"
+        )
+        .selectExpr(
+            "vec_id",
+            "qid",
+            "_adc",
+            "CAST(row_number() OVER (PARTITION BY qid"
+            " ORDER BY _adc ASC, vec_id) AS BIGINT) AS rn",
+        )
+        .filter(f"rn <= {TOPK}")
+        .selectExpr(
+            "qid AS query_id",
+            "vec_id AS neighbor_id",
+            sql_round_he("_adc", 6) + " AS adc_d2",
             "rn",
         )
     )

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from engine.functions.rounding import duck_round_he, round_he
+from engine.functions.rounding import duck_round_he, round_he, sql_round_he
 from engine.io import load_table
 from engine.plans import audited_checkpoint, record_iteration_plan
 from engine.registry import query
@@ -160,38 +160,36 @@ def _dedup_ngram_jaccard_plan(spark: SparkSession, sf_dir: str):
     # than the raw text — spills rather than OOMs at corpus scale.
     sh = (
         _spark_shingles(docs, distinct=False)
-        .select("doc_id", F.xxhash64("shingle").alias("sh_h"))
+        .selectExpr("doc_id", "xxhash64(shingle) AS sh_h")
         .repartition("sh_h")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = sh.groupBy("doc_id").agg(F.expr("count(1) AS n"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(
-            b,
-            (F.col("a.sh_h") == F.col("b.sh_h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        a.join(b, F.expr("a.sh_h = b.sh_h AND a.doc_id < b.doc_id"))
+        .groupBy(
+            F.expr("a.doc_id AS doc_a"), F.expr("b.doc_id AS doc_b")
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("both_cnt"))
+        .agg(F.expr("count(1) AS both_cnt"))
     )
     # Shingle-set sizes are one row per document — broadcast both sides
     # of the enrichment join so the (potentially huge) pair table never
     # shuffles again.
     na = F.broadcast(sizes.alias("na"))
     nb = F.broadcast(sizes.alias("nb"))
-    jac = F.col("both_cnt") * 1.0 / (F.col("na.n") + F.col("nb.n") - F.col("both_cnt"))
+    jac = "both_cnt * 1.0D / (na.n + nb.n - both_cnt)"
     out = (
-        inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
-        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
-        .filter(jac >= JACCARD_THRESHOLD)
+        inter.join(na, F.expr("doc_a = na.doc_id"))
+        .join(nb, F.expr("doc_b = nb.doc_id"))
+        .filter(f"{jac} >= {JACCARD_THRESHOLD!r}D")
         # round_he, not engine-native round: Spark's BigDecimal HALF_UP
         # and DuckDB's scaled-double round disagree on decimal half-
         # boundaries (e.g. 1/640 = 0.0015625 at 6 digits) — the exact
         # divergence class engine/functions/rounding.py exists to kill.
-        .select("doc_a", "doc_b", round_he(jac, 6).alias("jaccard"))
+        .selectExpr("doc_a", "doc_b", sql_round_he(jac, 6) + " AS jaccard")
     )
     return out, [sh]
 

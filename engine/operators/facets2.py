@@ -120,29 +120,29 @@ def graph_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             f_tc = pool.submit(analytics.triangle_core, pairs, nparts)
             f_kc = pool.submit(analytics.kcore_core, pairs, nparts)
             pr_df, tc_df, kc_df = f_pr.result(), f_tc.result(), f_kc.result()
-    pr = pr_df.select(
-        F.lit("pagerank").alias("facet"),
+    pr = pr_df.selectExpr(
+        "'pagerank' AS facet",
         "item",
-        F.col("out_deg").alias("n1"),
-        _nb().alias("n2"),
-        F.col("pr9").alias("x"),
-        _nbool().alias("flag"),
+        "out_deg AS n1",
+        "CAST(NULL AS BIGINT) AS n2",
+        "pr9 AS x",
+        "CAST(NULL AS BOOLEAN) AS flag",
     )
-    tc = tc_df.select(
-        F.lit("triangle").alias("facet"),
+    tc = tc_df.selectExpr(
+        "'triangle' AS facet",
         "item",
-        F.col("degree").alias("n1"),
-        F.col("n_triangles").alias("n2"),
-        F.col("clustering6").alias("x"),
-        _nbool().alias("flag"),
+        "degree AS n1",
+        "n_triangles AS n2",
+        "clustering6 AS x",
+        "CAST(NULL AS BOOLEAN) AS flag",
     )
-    kc = kc_df.select(
-        F.lit("kcore").alias("facet"),
+    kc = kc_df.selectExpr(
+        "'kcore' AS facet",
         "item",
-        F.col("core_deg").alias("n1"),
-        _nb().alias("n2"),
-        _nd().alias("x"),
-        F.col("converged").alias("flag"),
+        "core_deg AS n1",
+        "CAST(NULL AS BIGINT) AS n2",
+        "CAST(NULL AS DOUBLE) AS x",
+        "converged AS flag",
     )
     # All three cores materialized eagerly above (localCheckpoint), so
     # the shared pair cache has no remaining consumers — drop it.

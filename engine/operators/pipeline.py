@@ -283,34 +283,28 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = docs.selectExpr(
         "doc_id",
-        F.expr(_DECON_EVAL_SPARK).alias("is_eval"),
-        F.split(F.lower("text"), " ").alias("t"),
+        f"{_DECON_EVAL_SPARK} AS is_eval",
+        "split(lower(text), ' ') AS t",
     )
     grams = (
-        toks.select(
+        toks.selectExpr(
             "doc_id",
             "is_eval",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, greatest(size(t) - {DECON_NGRAM - 1}, 1)),"
-                    f" i -> concat_ws(' ', slice(t, i, {DECON_NGRAM})))"
-                )
-            ).alias("gram"),
+            f"explode(transform(sequence(1, greatest(size(t) - {DECON_NGRAM - 1}, 1)),"
+            f" i -> concat_ws(' ', slice(t, i, {DECON_NGRAM})))) AS gram",
         )
-        .select(
-            "doc_id", "is_eval", F.expr(SPARK_H60.format(x="gram")).alias("g")
-        )
+        .selectExpr("doc_id", "is_eval", SPARK_H60.format(x="gram") + " AS g")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ev = grams.filter("is_eval").select("g").distinct()
     return (
-        grams.filter(~F.col("is_eval"))
+        grams.filter("NOT is_eval")
         .join(ev, "g")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .agg(F.expr("count(1) AS n_shared_grams"))
     )
 
 
@@ -761,33 +755,39 @@ def _pipeline_decontam_pack_plan(spark: SparkSession, sf_dir: str):
     contaminated = pipeline_decontaminate(spark, sf_dir).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    null_b = F.lit(None).cast("bigint")
-    decon_facet = contaminated.select(
-        F.lit("decontam").alias("facet"),
+    decon_facet = contaminated.selectExpr(
+        "'decontam' AS facet",
         "doc_id",
-        null_b.alias("bucket"),
-        F.col("n_shared_grams").alias("n"),
-        null_b.alias("seq_id"),
-        null_b.alias("seq_offset"),
+        "CAST(NULL AS BIGINT) AS bucket",
+        "n_shared_grams AS n",
+        "CAST(NULL AS BIGINT) AS seq_id",
+        "CAST(NULL AS BIGINT) AS seq_offset",
     )
     docs = load_table(spark, sf_dir, "documents")
+    bucket_sql = (
+        SPARK_H60.format(x="concat('pack:', cast(doc_id as string))")
+        + f" % {PACK_BUCKETS}"
+    )
     clean = (
-        docs.filter(~F.expr(_DECON_EVAL_SPARK))
+        docs.filter(f"NOT ({_DECON_EVAL_SPARK})")
         .join(contaminated.select("doc_id"), "doc_id", "left_anti")
-        .select(
+        .selectExpr(
             "doc_id",
-            _pack_bucket_expr().alias("bucket"),
-            F.size(F.split("text", " ")).alias("n_tokens"),
+            f"{bucket_sql} AS bucket",
+            "size(split(text, ' ')) AS n_tokens",
         )
     )
-    seq_id, seq_offset = _pack_positions()
-    pack_facet = clean.select(
-        F.lit("pack").alias("facet"),
+    cum = (
+        "coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+    )
+    pack_facet = clean.selectExpr(
+        "'pack' AS facet",
         "doc_id",
-        F.col("bucket").cast("bigint").alias("bucket"),
-        F.col("n_tokens").cast("bigint").alias("n"),
-        seq_id.alias("seq_id"),
-        seq_offset.alias("seq_offset"),
+        "CAST(bucket AS BIGINT) AS bucket",
+        "CAST(n_tokens AS BIGINT) AS n",
+        f"CAST({cum} / {PACK_CTX} AS BIGINT) AS seq_id",
+        f"CAST({cum} % {PACK_CTX} AS BIGINT) AS seq_offset",
     )
     return decon_facet.unionAll(pack_facet), [contaminated]
 

@@ -34,6 +34,7 @@ from engine.functions.rounding import (
     duck_round_he,
     qsum_rounded,
     round_he,
+    sql_round_he,
 )
 from engine.io import load_table
 from engine.registry import query
@@ -224,34 +225,34 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # folds the cached finer one — without this, every union branch
     # re-aggregates from raw and the "continuous aggregate" claim is a
     # lie in the physical plan. Rollups are bounded (|hours|, |days|).
-    qv = F.floor(F.col("value") * F.lit(VALUE_Q) + F.lit(0.5)).cast("bigint")
     hourly = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("bucket_start")
+        F.expr("date_trunc('hour', ts) AS bucket_start")
     ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(qv).cast("bigint").alias("q_value"),
+        F.expr("count(1) AS n_events"),
+        F.expr(
+            f"CAST(sum(CAST(floor(value * {VALUE_Q!r}D + 0.5D) AS BIGINT))"
+            " AS BIGINT) AS q_value"
+        ),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    fold = [
+        F.expr("CAST(sum(n_events) AS BIGINT) AS n_events"),
+        F.expr("CAST(sum(q_value) AS BIGINT) AS q_value"),
+    ]
     daily = hourly.groupBy(
-        F.date_trunc("day", "bucket_start").alias("bucket_start")
-    ).agg(
-        F.sum("n_events").cast("bigint").alias("n_events"),
-        F.sum("q_value").cast("bigint").alias("q_value"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+        F.expr("date_trunc('day', bucket_start) AS bucket_start")
+    ).agg(*fold).persist(StorageLevel.MEMORY_AND_DISK)
     monthly = daily.groupBy(
-        F.date_trunc("month", "bucket_start").alias("bucket_start")
-    ).agg(
-        F.sum("n_events").cast("bigint").alias("n_events"),
-        F.sum("q_value").cast("bigint").alias("q_value"),
-    )
+        F.expr("date_trunc('month', bucket_start) AS bucket_start")
+    ).agg(*fold)
 
     def fmt(df: DataFrame, grain: str) -> DataFrame:
-        dollars = F.col("q_value").cast("double") / F.lit(VALUE_Q)
-        return df.select(
-            F.lit(grain).alias("grain"),
+        dollars = f"CAST(q_value AS DOUBLE) / {VALUE_Q!r}D"
+        return df.selectExpr(
+            f"'{grain}' AS grain",
             "bucket_start",
             "n_events",
-            round_he(dollars, 2).alias("sum_value"),
-            round_he(dollars / F.col("n_events"), 4).alias("avg_value"),
+            sql_round_he(dollars, 2) + " AS sum_value",
+            sql_round_he(f"({dollars}) / n_events", 4) + " AS avg_value",
         )
 
     return fmt(hourly, "hour").unionAll(fmt(daily, "day")).unionAll(

@@ -37,6 +37,8 @@ from engine.functions.rounding import (
     qsum,
     qsum_rounded,
     round_he,
+    sql_qavg_rounded,
+    sql_qsum_rounded,
 )
 from engine.io import load_table
 from engine.registry import query
@@ -74,26 +76,30 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — the scan dominates, which is exactly right.
     """
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dp = "l_extendedprice * (1 - l_discount)"
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        # qsum/qavg integer grids, not round(sum(double)): partial
+        # double sums combine in task order, and a half-boundary
+        # round then flips across runs/engines (rounding.py). Row
+        # values are exact on the grid (prices/discounts have <= 2
+        # decimals, disc_price 4, charge 6 -> the 1e6 grid).
+        # Aggregates ship as sql_* TEXT (one parse each) rather than
+        # Column chains — same resolved expressions, ~40× fewer py4j
+        # round trips to build (rounding.py SQL-twin note).
+        li.filter("l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            # qsum/qavg integer grids, not round(sum(double)): partial
-            # double sums combine in task order, and a half-boundary
-            # round then flips across runs/engines (rounding.py). Row
-            # values are exact on the grid (prices/discounts have <= 2
-            # decimals, disc_price 4, charge 6 -> the 1e6 grid).
-            qsum_rounded("l_quantity", 2).alias("sum_qty"),
-            qsum_rounded("l_extendedprice", 2).alias("sum_base_price"),
-            qsum_rounded(disc_price, 2).alias("sum_disc_price"),
-            qsum_rounded(
-                disc_price * (1 + F.col("l_tax")), 2, q=1_000_000.0
-            ).alias("sum_charge"),
-            qavg_rounded("l_quantity", 4).alias("avg_qty"),
-            qavg_rounded("l_extendedprice", 4).alias("avg_price"),
-            qavg_rounded("l_discount", 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.expr(f"{sql_qsum_rounded('l_quantity', 2)} AS sum_qty"),
+            F.expr(f"{sql_qsum_rounded('l_extendedprice', 2)} AS sum_base_price"),
+            F.expr(f"{sql_qsum_rounded(dp, 2)} AS sum_disc_price"),
+            F.expr(
+                f"{sql_qsum_rounded(f'({dp}) * (1 + l_tax)', 2, q=1_000_000.0)}"
+                " AS sum_charge"
+            ),
+            F.expr(f"{sql_qavg_rounded('l_quantity', 4)} AS avg_qty"),
+            F.expr(f"{sql_qavg_rounded('l_extendedprice', 4)} AS avg_price"),
+            F.expr(f"{sql_qavg_rounded('l_discount', 6)} AS avg_disc"),
+            F.expr("count(1) AS count_order"),
         )
     )
 
@@ -134,24 +140,25 @@ def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 adapted. customer is broadcast (dim); orders⋈lineitem is
     the only shuffle join; LIMIT executes as TakeOrderedAndProject.
     Tie-broken by l_orderkey so top-k is deterministic."""
-    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    cust = _t(spark, sf_dir, "customer").filter("c_mktsegment = 'BUILDING'")
     orders = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+        "o_orderdate < TIMESTAMP '1998-03-15 00:00:00'"
     )
     li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+        "l_shipdate > TIMESTAMP '1998-03-15 00:00:00'"
     )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, F.expr("l_orderkey = o_orderkey"))
+        .join(F.broadcast(cust), F.expr("o_custkey = c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            qsum_rounded(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
-                "revenue"
+            F.expr(
+                f"{sql_qsum_rounded('l_extendedprice * (1 - l_discount)', 2)}"
+                " AS revenue"
             )
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
 
@@ -211,26 +218,27 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem⋈orders once and streams through four broadcast hash joins."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+        " AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"
     )
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    region = _t(spark, sf_dir, "region").filter("r_name = 'ASIA'")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, F.expr("l_orderkey = o_orderkey"))
+        .join(F.broadcast(cust), F.expr("o_custkey = c_custkey"))
         .join(
             F.broadcast(supp),
-            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+            F.expr("l_suppkey = s_suppkey AND c_nationkey = s_nationkey"),
         )
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(nation), F.expr("s_nationkey = n_nationkey"))
+        .join(F.broadcast(region), F.expr("n_regionkey = r_regionkey"))
         .groupBy("n_name")
         .agg(
-            qsum_rounded(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
-                "revenue"
+            F.expr(
+                f"{sql_qsum_rounded('l_extendedprice * (1 - l_discount)', 2)}"
+                " AS revenue"
             )
         )
     )

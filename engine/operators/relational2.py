@@ -22,6 +22,7 @@ from engine.functions.rounding import (
     qsum,
     qsum_rounded,
     round_he,
+    sql_qsum_rounded,
 )
 from engine.io import load_table
 from engine.registry import query
@@ -59,26 +60,28 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
-    n1 = nation.select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
-    )
-    n2 = nation.select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
-    )
-    pair = F.col("supp_nation").isin("NATION_1", "NATION_2") & F.col(
-        "cust_nation"
-    ).isin("NATION_1", "NATION_2") & (F.col("supp_nation") != F.col("cust_nation"))
+    n1 = nation.selectExpr("n_nationkey AS n1_key", "n_name AS supp_nation")
+    n2 = nation.selectExpr("n_nationkey AS n2_key", "n_name AS cust_nation")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
-        .filter(pair)
-        .groupBy("supp_nation", "cust_nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        li.join(orders, F.expr("l_orderkey = o_orderkey"))
+        .join(F.broadcast(supp), F.expr("l_suppkey = s_suppkey"))
+        .join(F.broadcast(cust), F.expr("o_custkey = c_custkey"))
+        .join(F.broadcast(n1), F.expr("s_nationkey = n1_key"))
+        .join(F.broadcast(n2), F.expr("c_nationkey = n2_key"))
+        .filter(
+            "supp_nation IN ('NATION_1', 'NATION_2')"
+            " AND cust_nation IN ('NATION_1', 'NATION_2')"
+            " AND supp_nation <> cust_nation"
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.expr("CAST(year(o_orderdate) AS INT) AS o_year"),
+        )
         .agg(
-            qsum_rounded(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
-                "volume"
+            F.expr(
+                f"{sql_qsum_rounded('l_extendedprice * (1 - l_discount)', 2)}"
+                " AS volume"
             )
         )
     )
@@ -115,25 +118,28 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     straddled a cent boundary (round-2 finding) — integer sums are
     order-independent, so the output is bit-stable under ANY plan."""
     li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    part = _t(spark, sf_dir, "part").filter("p_type = 'PROMO'")
     supp = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders")
     nation = _t(spark, sf_dir, "nation")
-    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("bigint")  # noqa: E731
-    profit_1e4 = cents("l_extendedprice") * (
-        F.lit(100) - cents("l_discount")
-    ) - F.lit(60) * cents("p_retailprice") * F.col("l_quantity").cast("bigint")
+    cents = "CAST(floor({c} * 100 + 0.5D) AS BIGINT)"
+    profit_1e4 = (
+        f"{cents.format(c='l_extendedprice')}"
+        f" * (100 - {cents.format(c='l_discount')})"
+        f" - 60 * {cents.format(c='p_retailprice')}"
+        " * CAST(l_quantity AS BIGINT)"
+    )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        li.join(F.broadcast(part), F.expr("l_partkey = p_partkey"))
+        .join(F.broadcast(supp), F.expr("l_suppkey = s_suppkey"))
+        .join(orders, F.expr("l_orderkey = o_orderkey"))
+        .join(F.broadcast(nation), F.expr("s_nationkey = n_nationkey"))
         .groupBy(
-            F.col("n_name").alias("nation"),
-            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.expr("n_name AS nation"),
+            F.expr("CAST(year(o_orderdate) AS INT) AS o_year"),
         )
         .agg(
-            (F.sum(profit_1e4).cast("double") / F.lit(10000.0)).alias("profit")
+            F.expr(f"CAST(sum({profit_1e4}) AS DOUBLE) / 10000.0D AS profit")
         )
     )
 

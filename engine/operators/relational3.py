@@ -36,7 +36,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from engine.functions.rounding import duck_qsum, duck_round_he, qsum, round_he
+from engine.functions.rounding import (
+    duck_qsum,
+    duck_round_he,
+    qsum,
+    round_he,
+    sql_qsum,
+    sql_round_he,
+)
 from engine.io import load_table
 from engine.registry import query
 
@@ -199,49 +206,39 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders; part/customer/supplier/nation/region all broadcast."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
-        "p_partkey"
-    )
+    p = _t(spark, sf_dir, "part").filter("p_type = 'ECONOMY'").select("p_partkey")
     nat = _t(spark, sf_dir, "nation")
     cust = (
         _t(spark, sf_dir, "customer")
-        .join(
-            F.broadcast(nat.alias("cn")),
-            F.col("c_nationkey") == F.col("cn.n_nationkey"),
-        )
+        .join(F.broadcast(nat.alias("cn")), F.expr("c_nationkey = cn.n_nationkey"))
         .join(
             F.broadcast(_t(spark, sf_dir, "region")),
-            F.col("cn.n_regionkey") == F.col("r_regionkey"),
+            F.expr("cn.n_regionkey = r_regionkey"),
         )
-        .filter(F.col("r_name") == "ASIA")
+        .filter("r_name = 'ASIA'")
         .select("c_custkey")
     )
     supp = (
         _t(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(nat.alias("sn")),
-            F.col("s_nationkey") == F.col("sn.n_nationkey"),
-        )
-        .select("s_suppkey", F.col("sn.n_name").alias("supp_nation"))
+        .join(F.broadcast(nat.alias("sn")), F.expr("s_nationkey = sn.n_nationkey"))
+        .selectExpr("s_suppkey", "sn.n_name AS supp_nation")
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = "l_extendedprice * (1 - l_discount)"
     joined = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(F.broadcast(p), F.expr("l_partkey = p_partkey"))
+        .join(o, F.expr("l_orderkey = o_orderkey"))
+        .join(F.broadcast(cust), F.expr("o_custkey = c_custkey"))
+        .join(F.broadcast(supp), F.expr("l_suppkey = s_suppkey"))
+    )
+    nat2_vol = f"CASE WHEN supp_nation = 'NATION_2' THEN {vol} ELSE 0.0D END"
+    share = sql_round_he(
+        f"CAST({sql_qsum(nat2_vol)} AS DOUBLE)"
+        f" / CAST({sql_qsum(vol)} AS DOUBLE)",
+        6,
     )
     return (
-        joined.groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(
-            round_he(
-                qsum(
-                    F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(0.0)
-                ).cast("double")
-                / qsum(vol).cast("double"),
-                6,
-            ).alias("mkt_share")
-        )
+        joined.groupBy(F.expr("year(o_orderdate) AS o_year"))
+        .agg(F.expr(f"{share} AS mkt_share"))
         .orderBy("o_year")
     )
 

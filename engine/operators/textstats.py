@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from engine.functions.rounding import duck_round_he, round_he
+from engine.functions.rounding import duck_round_he, round_he, sql_round_he
 from engine.io import load_table
 from engine.registry import query
 
@@ -343,47 +343,53 @@ def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan to demonstrate one projection, this pays one scan for
     all of them. Still zero Python UDFs, zero shuffles."""
     docs = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
-    n_chars = F.length("text")
+    # One selectExpr: the whole projection ships as SQL text (a single
+    # parse) instead of ~150 Column-API py4j round trips per build
+    # (rounding.py SQL-twin note). SQL string literals unescape
+    # backslashes, so regex backslashes are doubled here ('\\S+' in
+    # the SQL text is the regex \S+ — exactly the string the Column
+    # form passed via F.lit(r"\S+")).
+    n_tokens = "size(regexp_extract_all(text, '\\\\S+', 0))"
     scores = _lang_scores_sql("spark")
-    stop_ratio = F.expr(scores["en"]) * 1.0 / F.nullif(n_tokens, F.lit(0))
-    digit_ratio = F.length(F.regexp_replace("text", "[^0-9]", "")) * 1.0 / F.nullif(
-        n_chars, F.lit(0)
+    stop_ratio = f"{scores['en']} * 1.0D / nullif({n_tokens}, 0)"
+    digit_ratio = (
+        "length(regexp_replace(text, '[^0-9]', '')) * 1.0D"
+        " / nullif(length(text), 0)"
     )
     # round_he on every rounded ratio (not engine-native round): the
     # half-boundary divergence class rounding.py documents — Spark's
     # BigDecimal HALF_UP vs DuckDB's scaled-double round can differ by
     # one last-digit ulp on exact decimal halves.
-    quality = round_he(
-        1.0
-        / (1.0 + F.exp(-(0.3 * F.log(1 + n_tokens) + 2.0 * stop_ratio - 5.0 * digit_ratio))),
+    quality = sql_round_he(
+        f"1.0D / (1.0D + exp(-(0.3D * ln(1 + {n_tokens})"
+        f" + 2.0D * ({stop_ratio}) - 5.0D * ({digit_ratio}))))",
         6,
     )
-    return docs.select(
+    return docs.selectExpr(
         "doc_id",
-        n_chars.cast("bigint").alias("n_chars_calc"),
-        F.when(n_chars == F.col("n_chars"), 1).otherwise(0).cast("int").alias("n_chars_ok"),
-        n_tokens.cast("bigint").alias("n_tokens"),
-        round_he(
-            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) * 1.0
-            / F.nullif(n_tokens.cast("bigint"), F.lit(0)),
+        "CAST(length(text) AS BIGINT) AS n_chars_calc",
+        "CAST(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END AS INT)"
+        " AS n_chars_ok",
+        f"CAST({n_tokens} AS BIGINT) AS n_tokens",
+        sql_round_he(
+            "length(replace(text, ' ', '')) * 1.0D"
+            f" / nullif(CAST({n_tokens} AS BIGINT), 0)",
             4,
-        ).alias("avg_token_len"),
-        round_he(digit_ratio, 6).alias("digit_ratio"),
-        round_he(
-            F.length(F.regexp_replace("text", "[^A-Z]", "")) * 1.0
-            / F.nullif(n_chars, F.lit(0)),
-            6,
-        ).alias("upper_ratio"),
-        F.col("lang").alias("lang_declared"),
-        F.expr(_langid_case(scores)).alias("lang_predicted"),
-        F.expr(scores["en"]).cast("bigint").alias("en_stopword_hits"),
-        quality.alias("quality"),
-        F.size(
-            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0)
         )
-        .cast("bigint")
-        .alias("n_bpeish_tokens"),
+        + " AS avg_token_len",
+        sql_round_he(digit_ratio, 6) + " AS digit_ratio",
+        sql_round_he(
+            "length(regexp_replace(text, '[^A-Z]', '')) * 1.0D"
+            " / nullif(length(text), 0)",
+            6,
+        )
+        + " AS upper_ratio",
+        "lang AS lang_declared",
+        _langid_case(scores) + " AS lang_predicted",
+        f"CAST({scores['en']} AS BIGINT) AS en_stopword_hits",
+        quality + " AS quality",
+        "CAST(size(regexp_extract_all(lower(text),"
+        " '[a-z0-9]+|[^a-z0-9\\\\s]', 0)) AS BIGINT) AS n_bpeish_tokens",
     )
 
 

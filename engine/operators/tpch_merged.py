@@ -130,30 +130,42 @@ def q7_q8_q9_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bilateral shipping volume: k1/k2 = supplier/customer nation),
     `q8` (market share of one nation within a region's imports), `q9`
     (product-line profit by producing nation). All are multi-join
-    star shapes with broadcast dims and one fact shuffle."""
-    q7 = relational2.q7_nation_volume(spark, sf_dir).select(
-        F.lit("q7").alias("facet"),
-        F.col("supp_nation").alias("k1"),
-        F.col("cust_nation").alias("k2"),
-        F.col("o_year").cast("bigint").alias("o_year"),
-        F.col("volume").alias("x"),
+    star shapes with broadcast dims and one fact shuffle.
+
+    The three facets share no intermediate state, so they are
+    materialized CONCURRENTLY (checkpoint_concurrently — guide-§2.6
+    overlap): executed lazily as one union, their ~17 broadcast builds
+    and AQE stage materializations serialized into ~35 driver round
+    trips of 30-300 ms each (profiled round 11); overlapped, the wall
+    is roughly the longest facet. Each facet's result is a few hundred
+    aggregated rows, recomputed per call."""
+    q7 = relational2.q7_nation_volume(spark, sf_dir).selectExpr(
+        "'q7' AS facet",
+        "supp_nation AS k1",
+        "cust_nation AS k2",
+        "CAST(o_year AS BIGINT) AS o_year",
+        "volume AS x",
     )
-    nv = F.lit(None).cast("string")
-    q8 = relational3.q8_market_share(spark, sf_dir).select(
-        F.lit("q8").alias("facet"),
-        nv.alias("k1"),
-        nv.alias("k2"),
-        F.col("o_year").cast("bigint").alias("o_year"),
-        F.col("mkt_share").alias("x"),
+    q8 = relational3.q8_market_share(spark, sf_dir).selectExpr(
+        "'q8' AS facet",
+        "CAST(NULL AS STRING) AS k1",
+        "CAST(NULL AS STRING) AS k2",
+        "CAST(o_year AS BIGINT) AS o_year",
+        "mkt_share AS x",
     )
-    q9 = relational2.q9_product_profit(spark, sf_dir).select(
-        F.lit("q9").alias("facet"),
-        F.col("nation").alias("k1"),
-        nv.alias("k2"),
-        F.col("o_year").cast("bigint").alias("o_year"),
-        F.col("profit").alias("x"),
+    q9 = relational2.q9_product_profit(spark, sf_dir).selectExpr(
+        "'q9' AS facet",
+        "nation AS k1",
+        "CAST(NULL AS STRING) AS k2",
+        "CAST(o_year AS BIGINT) AS o_year",
+        "profit AS x",
     )
-    return q7.unionAll(q8).unionAll(q9)
+    from engine.plans import checkpoint_concurrently
+
+    q7c, q8c, q9c = checkpoint_concurrently(
+        [("q7q8q9_q7", q7), ("q7q8q9_q8", q8), ("q7q8q9_q9", q9)]
+    )
+    return q7c.unionAll(q8c).unionAll(q9c)
 
 
 @query(

@@ -5,6 +5,7 @@ optimal (pushdown reached the scan, dims broadcast, no cartesian)."""
 from engine.plans.inspect import (
     audited_checkpoint,
     captured_rdd_ids,
+    checkpoint_concurrently,
     executed_exchange_ids,
     formatted_plan,
     has_broadcast_hash_join,
@@ -19,6 +20,7 @@ from engine.plans.inspect import (
 __all__ = [
     "audited_checkpoint",
     "captured_rdd_ids",
+    "checkpoint_concurrently",
     "executed_exchange_ids",
     "formatted_plan",
     "has_broadcast_hash_join",

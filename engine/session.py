@@ -67,7 +67,28 @@ def get_spark(app_name: str = "engine", shuffle_partitions: int | None = None) -
     ensure_vendor_path()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+        env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        if env is not None:
+            shuffle_partitions = int(env)
+        else:
+            # Scale-adaptive default: size the static shuffle width to
+            # the session's actual parallelism instead of a constant.
+            # A fixed 32 at local[8] schedules 4 waves of near-empty
+            # tasks per exchange (pure overhead at bench scale), while
+            # AQE only coalesces DOWN — it cannot recover parallelism
+            # a too-small static number never offered. Floor of 8
+            # keeps skew-split granularity on tiny sessions. On a real
+            # cluster the production width comes from
+            # SPARK_GRAFT_SHUFFLE_PARTITIONS (sized to data/256 MB per
+            # guide §2.2) with AQE coalescing the remainder; this
+            # branch only governs un-overridden local runs. At the
+            # bench's local[32] this resolves to 32 — identical plans
+            # to every prior round's recorded numbers.
+            try:
+                n = int(cpus)
+            except ValueError:
+                n = os.cpu_count() or 32
+            shuffle_partitions = max(8, n)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -79,6 +100,16 @@ def get_spark(app_name: str = "engine", shuffle_partitions: int | None = None) -
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # PySpark 4 captures the Python call site for every Column
+        # operation (PySparkCurrentOrigin set/get/clear — three extra
+        # JVM round trips per operator, plus a Python stack walk) so
+        # error messages can point at user code. Measured round 11:
+        # ~35% of all py4j commands issued while BUILDING query plans
+        # were this bookkeeping, at ~1-3 ms per round trip on the
+        # bench sandbox. The knob is PySpark's own documented
+        # "reduce performance slowdown" switch; query errors keep the
+        # JVM stack trace, they just lose the Python-line pointer.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # events.parquet stores TIMESTAMP(NANOS); Spark has no ns type —
