@@ -1249,10 +1249,13 @@ def _plan_file_rewrite(
     prev: dict,
     store: str,
     prev_v: int,
-) -> tuple[set, list[dict], list[dict]]:
+) -> tuple[set, list[dict], list[dict], list | None]:
     """Decide which of the head's files a keyed commit must rewrite:
     returns (touched partitions, entries to rewrite, entries in
-    touched partitions carried forward verbatim).
+    touched partitions carried forward verbatim, and — when the exact
+    tier ran — the collected distinct key rows, so the caller's
+    anti-join can broadcast them as a LOCAL relation instead of
+    recomputing the changeset a second time for its distinct()).
 
     Two tiers, both O(metadata) on the driver, no table scan:
 
@@ -1316,7 +1319,7 @@ def _plan_file_rewrite(
     if not vcols:
         # key == partition columns: every row of a touched partition
         # matches by definition — whole-partition rewrite is exact
-        return touched, old_touched, []
+        return touched, old_touched, [], key_rows
     rewrite: list[dict] = []
     carried: list[dict] = []
     if key_rows is not None:
@@ -1361,7 +1364,7 @@ def _plan_file_rewrite(
                     admit = True
                     break
             (rewrite if admit else carried).append(e)
-        return touched, rewrite, carried
+        return touched, rewrite, carried, key_rows
     for e in old_touched:
         rng = ranges.get(_norm_pval(e["partition"]))
         stats = e.get("stats") or {}
@@ -1377,7 +1380,7 @@ def _plan_file_rewrite(
             except TypeError:
                 continue
         (rewrite if admit else carried).append(e)
-    return touched, rewrite, carried
+    return touched, rewrite, carried, None
 
 
 def commit_upsert(
@@ -1435,7 +1438,7 @@ def commit_upsert(
     # file-granular planning (round 11): only files whose stats/bloom
     # ADMIT a changed key are rewritten; the rest of the touched
     # partitions carry forward like untouched partitions
-    touched, to_rewrite, _ = _plan_file_rewrite(
+    touched, to_rewrite, _, key_rows = _plan_file_rewrite(
         changeset, key_cols, pcols, prev, store, prev_v
     )
     version = prev_v + 1
@@ -1448,10 +1451,18 @@ def commit_upsert(
             spark, store, to_rewrite, prev["partition_col"],
             prev.get("columns"), prev.get("column_map"),
         )
+        # the planner already collected the distinct keys (exact
+        # tier): broadcast them as a local relation instead of
+        # recomputing the changeset — which may itself be an expensive
+        # query — a second time just for its distinct()
+        if key_rows is not None:
+            anti_keys = spark.createDataFrame(
+                key_rows, changeset.select(*key_cols).schema
+            )
+        else:
+            anti_keys = changeset.select(*key_cols).distinct()
         survivors = base.join(
-            F.broadcast(changeset.select(*key_cols).distinct()),
-            key_cols,
-            "left_anti",
+            F.broadcast(anti_keys), key_cols, "left_anti"
         )
         # allowMissingColumns = additive schema evolution: a changeset
         # introducing a new column null-fills the survivors (and a
@@ -1529,7 +1540,7 @@ def commit_merge(
     # live in (stats/bloom proof) is carried forward verbatim — its
     # rows are all unmatched-base-rows by construction, so skipping
     # the rewrite preserves merge semantics exactly
-    touched, to_rewrite, _ = _plan_file_rewrite(
+    touched, to_rewrite, _, _ = _plan_file_rewrite(
         source, key_cols, pcols, prev, store, prev_v
     )
     del_cond = (
@@ -2967,56 +2978,51 @@ def table_changes(
                 )
             a_df = a_df.withColumn(f.name, F.col(f.name).cast(w))
             b_df = b_df.withColumn(f.name, F.col(f.name).cast(w))
+    # projection block as SQL text (one parse per select instead of
+    # ~6 py4j calls per column — this build ran ~750 commands on a
+    # 3-column store, round-11 profile); identifiers backticked so
+    # any legal column name survives the round trip
     val_cols = [c for c in b_df.columns if c not in key_cols]
-    old = a_df.select(
-        *key_cols,
-        *[F.col(c).alias(f"__o_{c}") for c in val_cols],
-        F.lit(True).alias("__in_old"),
+    kq = [f"`{c}`" for c in key_cols]
+    old = a_df.selectExpr(
+        *kq,
+        *[f"`{c}` AS `__o_{c}`" for c in val_cols],
+        "true AS __in_old",
     )
-    new = b_df.select(
-        *key_cols,
-        *[F.col(c).alias(f"__n_{c}") for c in val_cols],
-        F.lit(True).alias("__in_new"),
+    new = b_df.selectExpr(
+        *kq,
+        *[f"`{c}` AS `__n_{c}`" for c in val_cols],
+        "true AS __in_new",
     )
     j = old.join(new, key_cols, "full_outer")
     same = (
-        F.struct(*[F.col(f"__o_{c}") for c in val_cols]).eqNullSafe(
-            F.struct(*[F.col(f"__n_{c}") for c in val_cols])
-        )
+        "(struct("
+        + ", ".join(f"`__o_{c}`" for c in val_cols)
+        + ") <=> struct("
+        + ", ".join(f"`__n_{c}`" for c in val_cols)
+        + "))"
         if val_cols
-        else F.lit(True)  # key-only table: presence IS the content
+        else "true"  # key-only table: presence IS the content
     )
 
-    def img(prefix: str, ct: str):
-        return F.struct(
-            *[F.col(f"__{prefix}_{c}").alias(c) for c in val_cols],
-            F.lit(ct).alias("_change_type"),
-        )
+    def img(prefix: str, ct: str) -> str:
+        fields = [f"`__{prefix}_{c}` AS `{c}`" for c in val_cols]
+        fields.append(f"'{ct}' AS _change_type")
+        return "struct(" + ", ".join(fields) + ")"
 
+    case = (
+        "CASE WHEN __in_old IS NULL THEN array(" + img("n", "insert") + ")"
+        " WHEN __in_new IS NULL THEN array(" + img("o", "delete") + ")"
+        " ELSE array("
+        + img("o", "update_preimage")
+        + ", "
+        + img("n", "update_postimage")
+        + ") END"
+    )
     return (
-        j.filter(
-            F.col("__in_old").isNull()
-            | F.col("__in_new").isNull()
-            | ~same
-        )
-        .select(
-            *key_cols,
-            F.explode(
-                F.when(
-                    F.col("__in_old").isNull(), F.array(img("n", "insert"))
-                )
-                .when(
-                    F.col("__in_new").isNull(), F.array(img("o", "delete"))
-                )
-                .otherwise(
-                    F.array(
-                        img("o", "update_preimage"),
-                        img("n", "update_postimage"),
-                    )
-                )
-            ).alias("__c"),
-        )
-        .select(*key_cols, "__c.*")
+        j.filter(f"__in_old IS NULL OR __in_new IS NULL OR NOT {same}")
+        .selectExpr(*kq, f"explode({case}) AS __c")
+        .selectExpr(*kq, "__c.*")
     )
 
 
@@ -3460,7 +3466,7 @@ def commit_delete(
     # admit a doomed key are rewritten — a one-key delete on a
     # many-file partition rewrites one file (plus bloom false
     # positives), not the partition
-    touched, to_rewrite, _ = _plan_file_rewrite(
+    touched, to_rewrite, _, key_rows = _plan_file_rewrite(
         keys, key_cols, pcols, prev, store, prev_v
     )
     if merge_on_read:
@@ -3476,10 +3482,16 @@ def commit_delete(
             spark, store, to_rewrite, prev["partition_col"],
             prev.get("columns"), prev.get("column_map"),
         )
+        # same local-relation reuse as commit_upsert: the planner's
+        # exact tier already holds the distinct doomed keys
+        if key_rows is not None:
+            anti_keys = spark.createDataFrame(
+                key_rows, keys.select(*key_cols).schema
+            )
+        else:
+            anti_keys = keys.select(*key_cols).distinct()
         survivors = base.join(
-            F.broadcast(keys.select(*key_cols).distinct()),
-            key_cols,
-            "left_anti",
+            F.broadcast(anti_keys), key_cols, "left_anti"
         )
         columns = _columns_ddl(survivors, pcols)
         new_entries = _stage_files(
