@@ -19,6 +19,64 @@ from engine.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Executor-side signal (VERDICT r11 #7): at sf0.1 every headliner is
+# driver-latency-bound (8-core wall ≈ 32-core wall), so an executor-
+# side regression is invisible in the wall-time numbers. Enable the UI
+# status store for the bench session (measured overhead: within run-
+# to-run noise — the listener bus is on in every default Spark deploy)
+# and record, per query, the total executor run time of its measured
+# runs' stages from the REST API. Purely additive: the timed loop, the
+# one-line JSON contract and $SPARK_GRAFT_CPUS handling are unchanged;
+# set SPARK_GRAFT_UI=0 to drop the signal.
+os.environ.setdefault("SPARK_GRAFT_UI", "1")
+
+
+def _executor_run_ms(spark, t_start: float, t_end: float) -> float | None:
+    """Sum executorRunTime (ms) over the COMPLETE stages of every job
+    submitted in [t_start, t_end) (epoch seconds), via the UI REST
+    API. Time-window matching rather than job groups: facet jobs
+    submitted from checkpoint_concurrently's pool threads don't
+    inherit the main thread's group, and the bench loop is serial so
+    the window owns its jobs. None when the UI is off or any lookup
+    fails — the signal is best-effort and must never fail the bench."""
+    import datetime as _dt
+    import json as _json
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return None
+        app = spark.sparkContext.applicationId
+
+        def get(path: str):
+            with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app}{path}", timeout=10
+            ) as r:
+                return _json.load(r)
+
+        stage_ids = set()
+        for job in get("/jobs"):
+            sub = job.get("submissionTime")
+            if not sub:
+                continue
+            # "2031-03-01T12:00:00.123GMT" → epoch
+            ts = (
+                _dt.datetime.strptime(
+                    sub.replace("GMT", "+0000"), "%Y-%m-%dT%H:%M:%S.%f%z"
+                ).timestamp()
+            )
+            if t_start <= ts < t_end:
+                stage_ids.update(job.get("stageIds", ()))
+        total = 0.0
+        for sid in sorted(stage_ids):
+            for att in get(f"/stages/{sid}"):
+                if att.get("status") == "COMPLETE":
+                    total += att.get("executorRunTime", 0)
+        return round(total, 1)
+    except Exception:
+        return None
+
 
 def _calibration(spark) -> dict:
     """Hardware anchor (VERDICT r6 #2): two fixed-work probes recorded
@@ -169,7 +227,10 @@ def main() -> None:
     # map-heavy queries.
     N_RUNS = 5
     per_query: dict[str, float] = {}
+    per_query_exec_ms: dict[str, float] = {}
     for name in names:
+        spark.sparkContext.setJobDescription(f"bench:{name}")
+        t_q0 = time.time()
         times = []
         for _ in range(N_RUNS):
             t0 = time.time()
@@ -178,9 +239,20 @@ def main() -> None:
             times.append(time.time() - t0)
             spark.catalog.clearCache()
         per_query[name] = round(sorted(times)[N_RUNS // 2], 3)
+        exec_ms = _executor_run_ms(spark, t_q0, time.time())
+        if exec_ms is not None:
+            # total over N_RUNS → per-run mean (stages don't repeat
+            # identically enough across runs for a median to be
+            # meaningful at stage granularity)
+            per_query_exec_ms[name] = round(exec_ms / N_RUNS, 1)
         print(
             f"# {name}: median {per_query[name]}s of "
-            + "/".join(f"{t:.3f}" for t in times),
+            + "/".join(f"{t:.3f}" for t in times)
+            + (
+                f" exec_ms/run={per_query_exec_ms[name]}"
+                if name in per_query_exec_ms
+                else ""
+            ),
             file=sys.stderr,
         )
 
@@ -228,6 +300,13 @@ def main() -> None:
                     for n, t in per_query.items()
                 },
                 "store": store_bench,
+                # mean executor run time per measured run (ms) — the
+                # executor-side signal; absent when the UI is disabled
+                **(
+                    {"queries_executor_run_ms": per_query_exec_ms}
+                    if per_query_exec_ms
+                    else {}
+                ),
                 "runs_per_query": N_RUNS,
                 "agg": "median",
                 "calibration": calibration,

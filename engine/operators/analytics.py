@@ -1198,10 +1198,12 @@ def kcore_core(
     into the output — exactly how the oracle's CTE computes the same
     flag, and no eager count job per round.
 
-    Per-round localCheckpoint is load-bearing, not just lineage
+    Eager localCheckpoint cuts are load-bearing, not just lineage
     hygiene: a fully lazy persist-chain alternative planned ~90s at
     ANY scale factor (AQE re-planning nested cached subtrees per
-    consumer), vs ~2s with eager cuts. Like pagerank_core, the whole
+    consumer), vs ~2s with eager cuts. Round 12 fuses TWO peel rounds
+    per cut (see the loop comment) — same values, half the
+    materializations. Like pagerank_core, the whole
     peel runs under static planning with the shuffle width pinned to
     the MEASURED edge count: an earlier adaptive variant leaned on
     AQE's runtime broadcast conversion (1.9 s adaptive vs 5.5 s
@@ -1230,28 +1232,58 @@ def kcore_core(
         if pinned_width is not None
         else static_planning(pairs.sparkSession, shuffle_partitions=nparts)
     )
+    def _peel(edges: DataFrame) -> DataFrame:
+        """One lazy peel round: degree filter + two semi-joins."""
+        deg = (
+            edges.selectExpr("lo AS item")
+            .unionAll(edges.selectExpr("hi AS item"))
+            .groupBy("item")
+            .agg(F.expr("CAST(count(1) AS BIGINT) AS d"))
+        )
+        keep = deg.filter(f"d >= {KCORE_K}").select("item")
+        return (
+            edges.join(keep.withColumnRenamed("item", "lo"), "lo", "left_semi")
+            .join(keep.withColumnRenamed("item", "hi"), "hi", "left_semi")
+            .select("lo", "hi")
+        )
+
     with ctx:
         edges = audited_checkpoint(
             "kcore_edges_pre", pairs.repartition(nparts, "lo")
         )
-        prev = edges
-        for _ in range(KCORE_ROUNDS):
-            deg = (
-                edges.selectExpr("lo AS item")
-                .unionAll(edges.selectExpr("hi AS item"))
-                .groupBy("item")
-                .agg(F.expr("CAST(count(1) AS BIGINT) AS d"))
-            )
-            keep = deg.filter(f"d >= {KCORE_K}").select("item")
-            prev = edges
-            nxt = (
-                edges.join(keep.withColumnRenamed("item", "lo"), "lo", "left_semi")
-                .join(keep.withColumnRenamed("item", "hi"), "hi", "left_semi")
-                .select("lo", "hi")
-            )
-            # One peel round, pre-checkpoint (armed-only no-op).
-            edges = audited_checkpoint("kcore_round", nxt)
+        # FUSED peel (round 12, guide §2.4/§5): TWO rounds per
+        # localCheckpoint instead of one. The per-round checkpoint
+        # existed because a round's output has three consumers (both
+        # degree projections + the join source); fusing keeps the
+        # eager cut but halves the materializations — each of which
+        # is a full write of the edge set plus a serialized driver
+        # job dispatch. The price is that the fused plan re-executes
+        # the inner round's semi-joins per consumer — map-side-only
+        # work over the (already checkpointed, monotonically
+        # shrinking) previous edge set, with the inner degree
+        # exchange and broadcast build shared via exchange reuse —
+        # while each saved checkpoint was a full pass + storage of
+        # the same data AND a driver round trip that no cluster size
+        # can shrink. Values are unchanged: the peel sequence is
+        # identical, only the materialization cadence moved.
+        rounds_left = KCORE_ROUNDS
+        prev_ckpt = edges  # checkpoint from which e_{K-1} is derivable
+        last_step_fused = False
+        while rounds_left >= 2:
+            prev_ckpt = edges
+            edges = audited_checkpoint("kcore_round2", _peel(_peel(edges)))
+            last_step_fused = True
+            rounds_left -= 2
+        if rounds_left == 1:
+            prev_ckpt = edges
+            edges = audited_checkpoint("kcore_round2", _peel(edges))
+            last_step_fused = False
         cnt_last = edges.agg(F.expr("count(1) AS _c_last"))
+        # Convergence test needs |e_{K-1}|. Under fusion e_{K-1} is
+        # not materialized; replay ONE round lazily from the previous
+        # checkpoint inside the output job (a bounded degree shuffle +
+        # map pass) instead of paying a whole extra checkpoint for it.
+        prev = _peel(prev_ckpt) if last_step_fused else prev_ckpt
         cnt_prev = prev.agg(F.expr("count(1) AS _c_prev"))
         out = (
             edges.selectExpr("lo AS item")

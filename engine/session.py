@@ -110,7 +110,15 @@ def get_spark(app_name: str = "engine", shuffle_partitions: int | None = None) -
         # "reduce performance slowdown" switch; query errors keep the
         # JVM stack trace, they just lose the Python-line pointer.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
-        .config("spark.ui.enabled", "false")
+        # UI (and with it the status store + REST API) stays off for
+        # leanness except where a caller needs task metrics — bench.py
+        # sets SPARK_GRAFT_UI=1 to record per-query executor run time
+        # (VERDICT r11 #7: at small SFs wall time is driver-latency-
+        # bound, so executor-side regressions need their own signal).
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
+        )
         .config("spark.sql.parquet.compression.codec", "zstd")
         # events.parquet stores TIMESTAMP(NANOS); Spark has no ns type —
         # read as long and convert in engine.io.load_table.

@@ -592,7 +592,13 @@ def _footer_stats(path: str) -> dict:
     treat conservatively (file kept)."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    return _footer_stats_md(pq.ParquetFile(path).metadata)
+
+
+def _footer_stats_md(md) -> dict:
+    """`_footer_stats` over an already-opened footer metadata object —
+    so a caller that also needs `md.num_rows` (the commit path) opens
+    each footer exactly once."""
     out: dict[str, list] = {}
     for ci in range(md.num_columns):
         col = md.schema.column(ci)
@@ -740,33 +746,18 @@ def _stage_files(
             for d in os.listdir(staging)
         ):
             return []
-        spark = df.sparkSession
-        # per-file row counts from the footers of the staged write —
-        # a |files|-row metadata aggregate, no data re-read.
-        # input_file_name() returns a URI, which percent-encodes the
-        # path a second time (the on-disk Hive-escaped dir
-        # 'source=web%20crawl' arrives as '...web%2520crawl'); unquote
-        # ONCE to recover the on-disk name, else counts.get() below
-        # silently defaults every special-charactered partition's
-        # n_rows to 0 (ADVICE r7: version_diff then under-reports
-        # unchanged rows from manifest metadata).
-        # (decode only the trailing <partition dir>/<file> components so
-        # special characters in the staging path itself cannot skew the
-        # relpath; the key matches os.path.join(part_dir, part) below)
+        # Per-file row counts and skipping stats both come from the
+        # staged files' parquet FOOTERS, opened once per file in the
+        # rename loop below (num_rows is authoritative footer
+        # metadata). Until round 12 the counts ran as a separate
+        # Spark aggregate over the staging dir (read-back + groupBy +
+        # collect = one more serialized job per commit, plus a second
+        # footer pass for schema inference); the footer loop is
+        # O(new files) driver-side metadata work the commit protocol
+        # already pays for stats.
+        import pyarrow.parquet as pq
+
         depth = len(pcols)  # partition dirs nest one level per column
-        counts = {
-            os.path.join(
-                *(unquote(c) for c in r["file"].split("/")[-depth - 1:])
-            ): r["n"]
-            for r in spark.read.parquet(staging)
-            .groupBy(
-                F.input_file_name().alias("uri"),
-                *[F.col(c) for c in pcols],
-            )
-            .agg(F.count(F.lit(1)).alias("n"))
-            .selectExpr("replace(uri, 'file://', '') as file", "n")
-            .collect()
-        }
 
         def _part_dirs(base: str, level: int, rel: str, vals: tuple):
             """Yield (relative dir, decoded partition tuple) for every
@@ -806,9 +797,10 @@ def _stage_files(
                     continue
                 name = f"v{version:05d}-{uuid.uuid4().hex[:8]}-{i:04d}.parquet"
                 src = os.path.join(full, part)
-                n_rows = counts.get(os.path.join(part_dir, part), 0)
+                md = pq.ParquetFile(src).metadata
+                n_rows = md.num_rows
                 n_bytes = os.path.getsize(src)
-                stats = _footer_stats(src)
+                stats = _footer_stats_md(md)
                 os.rename(src, os.path.join(store, _DATA, name))
                 entries.append(
                     {
@@ -2952,10 +2944,24 @@ def table_changes(
         return spark.createDataFrame(
             [], f"{ddl}, {pddl}, _change_type string"
         )
-    if a_df is None:
-        a_df = spark.createDataFrame([], b_df.schema)
-    if b_df is None:
-        b_df = spark.createDataFrame([], a_df.schema)
+    if a_df is None or b_df is None:
+        # One-sided window (round 12, guide §2.4 — remove the shuffle
+        # outright): per-version key-uniqueness means a key in an
+        # unshared file of one side cannot also live in a file shared
+        # by both versions, so an empty a-side proves every b-side row
+        # is an INSERT (and an empty b-side, a DELETE) — the full-outer
+        # join would classify every row that way and filter nothing.
+        # Emit the feed join-free: this is the steady-state shape of an
+        # append-only refresh window (the planner rewrote no files), so
+        # at scale the feed costs one scan of the new files, no
+        # exchange. Values identical to the join path by construction.
+        side, ct = (b_df, "insert") if a_df is None else (a_df, "delete")
+        val_cols = [c for c in side.columns if c not in key_cols]
+        return side.selectExpr(
+            *[f"`{c}`" for c in key_cols],
+            *[f"`{c}`" for c in val_cols],
+            f"'{ct}' AS _change_type",
+        )
     for f in b_df.schema.fields:
         if f.name not in a_df.columns:
             a_df = a_df.withColumn(f.name, F.lit(None).cast(f.dataType))
