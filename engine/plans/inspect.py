@@ -179,7 +179,18 @@ def audited_checkpoint(tag: str, df: DataFrame) -> DataFrame:
     one id per round under the same tag (the counts record round 1
     only; the final plan references the last round's checkpoint).
     Disarmed this is exactly ``record_iteration_plan`` (a no-op) +
-    ``localCheckpoint`` — production plans pay nothing extra."""
+    ``localCheckpoint`` — production plans pay nothing extra.
+
+    SIZE CONTRACT: localCheckpoint is NOT fault-tolerant — the blocks
+    live only in the executors' block managers, and losing one loses
+    the data with no lineage to recompute. Every call site must
+    therefore checkpoint a BOUNDED intermediate (an aggregate, a
+    monotonically shrinking iteration state, a few-hundred-row facet
+    result), never a fact table. When the sink is armed the audit
+    enforces this: the checkpointed RDD's actual block-manager size is
+    recorded under the tag (``ckpt_bytes`` — a driver-side storage-info
+    lookup, no job) and ``tests/test_plans.py`` asserts every audited
+    payload stays within budget at the test scale factors."""
     record_iteration_plan(tag, df)
     out = df.localCheckpoint()
     if ITERATION_PLAN_SINK is not None:
@@ -188,6 +199,19 @@ def audited_checkpoint(tag: str, df: DataFrame) -> DataFrame:
             ITERATION_PLAN_SINK.setdefault(tag, {}).setdefault(
                 "rdd_ids", []
             ).append(m.group(1))
+        try:
+            jsc = out.sparkSession.sparkContext._jsc.sc()
+            sizes = {
+                info.id(): info.memSize() + info.diskSize()
+                for info in jsc.getRDDStorageInfo()
+            }
+            rid = int(m.group(1)) if m else None
+            if rid in sizes:
+                ITERATION_PLAN_SINK.setdefault(tag, {}).setdefault(
+                    "ckpt_bytes", []
+                ).append(sizes[rid])
+        except Exception:
+            pass  # audit-only signal; never fail the query path
     return out
 
 

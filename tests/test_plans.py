@@ -246,6 +246,16 @@ def test_eager_subplans_within_exchange_budget(spark):
     for tag, (lo, hi) in facet_budgets.items():
         assert tag in got, (tag, sorted(got))
         assert lo <= got[tag]["X"] <= hi, (tag, got[tag])
+    # SIZE CONTRACT (audited_checkpoint docstring): localCheckpoint
+    # payloads are not fault-tolerant, so every audited site must
+    # checkpoint a bounded aggregate, never a fact table. The armed
+    # audit records each checkpoint's actual block-manager footprint;
+    # 64 MiB at sf0.001 is ~100x above the largest measured payload
+    # while a fact-table checkpoint would blow straight through it.
+    sized = {t: e["ckpt_bytes"] for t, e in got.items() if "ckpt_bytes" in e}
+    assert sized, got  # the guard itself must be live
+    for tag, sizes in sized.items():
+        assert max(sizes) < 64 * 1024 * 1024, (tag, sizes)
 
 
 def test_runtime_bloom_filter_prunes_selective_dim_join(spark):
