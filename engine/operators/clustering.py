@@ -43,6 +43,7 @@ from engine.operators.similarity import _DUCK_EMB, _SPARK_DOT, _spark_emb
 # data). SPARK_GRAFT_KM_K makes that contract operational — it is
 # read ONCE at import, before the oracle SQL strings are formatted,
 # so the Spark plan and its DuckDB oracle always agree on K.
+import itertools as _itertools
 import os as _os
 
 KM_K = int(_os.environ.get("SPARK_GRAFT_KM_K", "8"))
@@ -120,38 +121,6 @@ _SPARK_D2 = (
 )
 
 
-def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment as a min_by aggregate: broadcast the
-    K centroids, score each (vector, centroid) map-side with the same
-    in-order IEEE fold as the oracle, and take per-vector
-    ``min_by(payload, (d2, cid))`` — the lexicographic ordering struct
-    reproduces the oracle's row_number tie-break exactly (cid is unique
-    per vector, so the min is unique).
-
-    Shuffle shape: each vector's K scored rows are co-located (they
-    come from one input row via the broadcast), so the partial
-    aggregate collapses them map-side and the exchange carries n rows —
-    the previous per-vector window shuffled all n×K expanded rows AND
-    sorted every group (K× shuffle amplification on the corpus per
-    Lloyd iteration). A fully row-local array-expression argmin would
-    shuffle nothing, but interpreted higher-order functions measured
-    ~70% slower than this codegen'd aggregate at bench scale."""
-    keep = list(e.columns)  # pass input columns through unchanged
-    scored = e.join(F.broadcast(cents)).selectExpr(
-        *keep, "cid", f"{_SPARK_D2} AS _d2"
-    )
-    payload = ", ".join([c for c in keep if c != "vec_id"] + ["cid", "_d2"])
-    return (
-        scored.groupBy("vec_id")
-        .agg(F.expr(f"min_by(struct({payload}), struct(_d2, cid)) AS _b"))
-        .selectExpr(
-            *[c if c == "vec_id" else f"_b.{c} AS {c}" for c in keep],
-            "_b.cid AS cluster",
-            "_b._d2 AS d2",
-        )
-    )
-
-
 def _update_dims(assign: DataFrame) -> DataFrame:
     return (
         assign.selectExpr("cluster", "posexplode(emb) AS (dim_i, val)")
@@ -168,33 +137,107 @@ def _update_dims(assign: DataFrame) -> DataFrame:
     )
 
 
-def _cents_from_dims(dims: DataFrame) -> DataFrame:
-    mean6 = sql_round_he(f"CAST(sq AS DOUBLE) / n / {KM_Q!r}D", 6)
-    return (
-        dims.selectExpr("cluster AS cid", "dim_i", f"{mean6} AS cval")
-        .groupBy("cid")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(dim_i, cval))),"
-                " s -> s.cval) AS cvec"
-            )
-        )
+# One temp-view name per _lloyd* call — the name never affects results
+# (canonicalized plans strip aliases), it only avoids cross-talk if two
+# chains are ever built concurrently in one session.
+_LLOYD_VIEW_SEQ = _itertools.count()
+
+
+def _lloyd_sql_texts(base: str, k: int, updates: int, extras: list[str]) -> tuple[str, str]:
+    """The Lloyd chain as two Spark-SQL texts over nested INLINE
+    subqueries (the engine twin of ``_duck_chain``): returns
+    ``(assignment_sql, centroids_sql)`` for the final round.
+
+    Assignment is a min_by aggregate: broadcast the K centroids, score
+    each (vector, centroid) map-side with the same in-order IEEE fold
+    as the oracle, and take per-vector ``min_by(payload, (d2, cid))`` —
+    the lexicographic ordering struct reproduces the oracle's
+    row_number tie-break exactly (cid is unique per vector, so the min
+    is unique). Shuffle shape: each vector's K scored rows are
+    co-located (they come from one input row via the broadcast), so
+    the partial aggregate collapses them map-side and the exchange
+    carries n rows. A fully row-local array-expression argmin would
+    shuffle nothing, but interpreted higher-order functions measured
+    ~70% slower than this codegen'd aggregate at bench scale.
+
+    SQL text, not Column chains (round 12, guide §4 at plan-build
+    time): the chain resolves in ONE parse per output instead of ~80
+    structural py4j round trips per subspace — same analyzed plan,
+    same values (oracle hash-exact). Inline subqueries rather than a
+    WITH clause, deliberately: CTEs analyze to WithCTE/CTERelationRef
+    nodes whose ids defeat CacheManager's sameResult matching, so the
+    persisted centroids/assignment in ann_pq_adc_topk would stop being
+    substituted into sibling plans (measured: the armed plan audit saw
+    the centroid chain's exchanges DOUBLE under the WITH form). Plain
+    nested subqueries canonicalize exactly like the old Column-chain
+    plans, keeping both the within-query reuse and the
+    embedding_pq ↔ ann_pq_adc_topk facet cache-share."""
+    cols = ["emb"] + extras
+    payload = ", ".join(cols + ["cid", "_d2"])
+    unpack = ", ".join(
+        ["vec_id"]
+        + [f"_b.{c} AS {c}" for c in cols]
+        + ["_b.cid AS cluster", "_b._d2 AS d2"]
     )
+    ecols = ", ".join(["e.vec_id"] + [f"e.{c}" for c in cols])
+    mean6 = sql_round_he(f"CAST(sq AS DOUBLE) / n / {KM_Q!r}D", 6)
+
+    def assign(c_sql: str) -> str:
+        return f"""(
+  SELECT {unpack}
+  FROM (
+    SELECT vec_id, min_by(struct({payload}), struct(_d2, cid)) AS _b
+    FROM (
+      SELECT /*+ BROADCAST(c) */ {ecols}, c.cid, {_SPARK_D2} AS _d2
+      FROM {base} e CROSS JOIN {c_sql} c
+    ) GROUP BY vec_id
+  )
+)"""
+
+    def cents_of(a_sql: str) -> str:
+        dims = f"""(
+  SELECT cluster, dim_i, CAST(sum(q) AS BIGINT) AS sq,
+         CAST(count(1) AS BIGINT) AS n
+  FROM (
+    SELECT cluster, CAST(dim_i AS BIGINT) AS dim_i,
+           CAST(floor(val * {KM_Q!r}D) AS BIGINT) AS q
+    FROM (SELECT cluster, posexplode(emb) AS (dim_i, val) FROM {a_sql})
+  ) GROUP BY cluster, dim_i
+)"""
+        return f"""(
+  SELECT cid, transform(array_sort(collect_list(struct(dim_i, cval))),
+              s -> s.cval) AS cvec
+  FROM (SELECT cluster AS cid, dim_i, {mean6} AS cval FROM {dims})
+  GROUP BY cid
+)"""
+
+    c_sql = (
+        f"(SELECT vec_id AS cid, emb AS cvec FROM {base}"
+        f" WHERE vec_id < {k})"
+    )
+    a_sql = assign(c_sql)
+    for _ in range(updates):
+        c_sql = cents_of(a_sql)
+        a_sql = assign(c_sql)
+    return f"SELECT * FROM {a_sql}", f"SELECT * FROM {c_sql}"
 
 
 def _lloyd_full(e: DataFrame, k: int, updates: int) -> tuple[DataFrame, DataFrame]:
     """Deterministic Lloyd chain over any (vec_id, emb[, ...]) frame:
     init = first k vectors by id, then ``updates`` assign→update
     rounds. Returns (final assignment, final centroids) — the final
-    assignment is computed against the final centroids."""
-    cents = e.filter(f"vec_id < {k}").selectExpr(
-        "vec_id AS cid", "emb AS cvec"
-    )
-    a = _assign(e, cents)
-    for _ in range(updates):
-        cents = _cents_from_dims(_update_dims(a))
-        a = _assign(e, cents)
-    return a, cents
+    assignment is computed against the final centroids. Both outputs
+    are single-parse SQL texts sharing the same nested-subquery chain;
+    a caller that persists one (ann_pq_adc_topk persists the centroids
+    and the assignment) still shares it with the other via
+    CacheManager subtree substitution, exactly as the Column-chain
+    form did (see _lloyd_sql_texts on why NOT a WITH clause)."""
+    spark = e.sparkSession
+    view = f"_lloyd_src_{next(_LLOYD_VIEW_SEQ)}"
+    e.createOrReplaceTempView(view)
+    extras = [c for c in e.columns if c not in ("vec_id", "emb")]
+    a_sql, c_sql = _lloyd_sql_texts(view, k, updates, extras)
+    return spark.sql(a_sql), spark.sql(c_sql)
 
 
 def _lloyd(e: DataFrame, k: int, updates: int) -> DataFrame:
