@@ -83,29 +83,29 @@ def setops_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (UNION ALL of heterogeneous activity streams with a kind tag and
     per-actor counts), `no_orders` (anti-join: customer segments with
     their order-less counts). key = the cohort member / segment."""
-    lapsed = relational.setop_lapsed_customers(spark, sf_dir).select(
-        F.lit("lapsed").alias("facet"),
-        F.col("custkey").cast("string").alias("key"),
-        _nv().alias("kind"),
-        _nb().alias("n"),
+    lapsed = relational.setop_lapsed_customers(spark, sf_dir).selectExpr(
+        "'lapsed' AS facet",
+        "CAST(custkey AS STRING) AS key",
+        "CAST(NULL AS STRING) AS kind",
+        "CAST(NULL AS BIGINT) AS n",
     )
-    rep = relational.setop_repeat_customers(spark, sf_dir).select(
-        F.lit("repeat").alias("facet"),
-        F.col("custkey").cast("string").alias("key"),
-        _nv().alias("kind"),
-        _nb().alias("n"),
+    rep = relational.setop_repeat_customers(spark, sf_dir).selectExpr(
+        "'repeat' AS facet",
+        "CAST(custkey AS STRING) AS key",
+        "CAST(NULL AS STRING) AS kind",
+        "CAST(NULL AS BIGINT) AS n",
     )
-    act = relational2.union_all_activity(spark, sf_dir).select(
-        F.lit("activity").alias("facet"),
-        F.col("actor_id").cast("string").alias("key"),
+    act = relational2.union_all_activity(spark, sf_dir).selectExpr(
+        "'activity' AS facet",
+        "CAST(actor_id AS STRING) AS key",
         "kind",
         "n",
     )
-    cwo = relational.customers_without_orders(spark, sf_dir).select(
-        F.lit("no_orders").alias("facet"),
-        F.col("c_mktsegment").alias("key"),
-        _nv().alias("kind"),
-        F.col("n_customers").alias("n"),
+    cwo = relational.customers_without_orders(spark, sf_dir).selectExpr(
+        "'no_orders' AS facet",
+        "c_mktsegment AS key",
+        "CAST(NULL AS STRING) AS kind",
+        "n_customers AS n",
     )
     return lapsed.unionAll(rep).unionAll(act).unionAll(cwo)
 
@@ -138,45 +138,45 @@ def multi_grain_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     `pivot` (priority columns per status: p1/p2/p3 = urgent/high/low
     o_totalprice sums). k1/k2 = the grain keys (NULL marks subtotal rows for the
     lattice facets — the facet tag keeps them from colliding)."""
-    gs = relational2.grouping_sets_sql(spark, sf_dir).select(
-        F.lit("grouping_sets").alias("facet"),
-        F.col("l_returnflag").alias("k1"),
-        F.col("l_linestatus").alias("k2"),
+    gs = relational2.grouping_sets_sql(spark, sf_dir).selectExpr(
+        "'grouping_sets' AS facet",
+        "l_returnflag AS k1",
+        "l_linestatus AS k2",
         "n",
-        F.col("total").alias("x"),
-        _nb().alias("p1"),
-        _nb().alias("p2"),
-        _nb().alias("p3"),
+        "total AS x",
+        "CAST(NULL AS BIGINT) AS p1",
+        "CAST(NULL AS BIGINT) AS p2",
+        "CAST(NULL AS BIGINT) AS p3",
     )
-    cu = relational.cube_lineitem_flags(spark, sf_dir).select(
-        F.lit("cube").alias("facet"),
-        F.col("l_returnflag").alias("k1"),
-        F.col("l_linestatus").alias("k2"),
-        F.col("n_lines").alias("n"),
-        F.col("total_qty").alias("x"),
-        _nb().alias("p1"),
-        _nb().alias("p2"),
-        _nb().alias("p3"),
+    cu = relational.cube_lineitem_flags(spark, sf_dir).selectExpr(
+        "'cube' AS facet",
+        "l_returnflag AS k1",
+        "l_linestatus AS k2",
+        "n_lines AS n",
+        "total_qty AS x",
+        "CAST(NULL AS BIGINT) AS p1",
+        "CAST(NULL AS BIGINT) AS p2",
+        "CAST(NULL AS BIGINT) AS p3",
     )
-    ro = relational.rollup_order_status(spark, sf_dir).select(
-        F.lit("rollup").alias("facet"),
-        F.col("o_orderstatus").alias("k1"),
-        F.col("o_orderpriority").alias("k2"),
-        F.col("n_orders").alias("n"),
-        F.col("total_price").alias("x"),
-        _nb().alias("p1"),
-        _nb().alias("p2"),
-        _nb().alias("p3"),
+    ro = relational.rollup_order_status(spark, sf_dir).selectExpr(
+        "'rollup' AS facet",
+        "o_orderstatus AS k1",
+        "o_orderpriority AS k2",
+        "n_orders AS n",
+        "total_price AS x",
+        "CAST(NULL AS BIGINT) AS p1",
+        "CAST(NULL AS BIGINT) AS p2",
+        "CAST(NULL AS BIGINT) AS p3",
     )
-    pv = relational2.pivot_priority_by_status(spark, sf_dir).select(
-        F.lit("pivot").alias("facet"),
-        F.col("o_orderstatus").alias("k1"),
-        _nv().alias("k2"),
-        _nb().alias("n"),
-        _nd().alias("x"),
-        F.col("urgent").alias("p1"),
-        F.col("high").alias("p2"),
-        F.col("low").alias("p3"),
+    pv = relational2.pivot_priority_by_status(spark, sf_dir).selectExpr(
+        "'pivot' AS facet",
+        "o_orderstatus AS k1",
+        "CAST(NULL AS STRING) AS k2",
+        "CAST(NULL AS BIGINT) AS n",
+        "CAST(NULL AS DOUBLE) AS x",
+        "urgent AS p1",
+        "high AS p2",
+        "low AS p3",
     )
     return gs.unionAll(cu).unionAll(ro).unionAll(pv)
 
@@ -203,25 +203,25 @@ def distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-bucket histogram of order totalprice: k = bucket, n = count,
     x1/x2 = bucket min/max). The histogram's min/max scalar is a
     1-row broadcast, never a driver round trip."""
-    st = relational2.stats_lineitem_summary(spark, sf_dir).select(
-        F.lit("stats").alias("facet"),
-        F.col("l_returnflag").alias("k"),
-        _nb().alias("n"),
-        F.col("sd_qty").alias("x1"),
-        F.col("var_disc").alias("x2"),
-        F.col("corr_qty_price").alias("x3"),
-        F.col("median_qty").alias("x4"),
-        F.col("p90_price").alias("x5"),
+    st = relational2.stats_lineitem_summary(spark, sf_dir).selectExpr(
+        "'stats' AS facet",
+        "l_returnflag AS k",
+        "CAST(NULL AS BIGINT) AS n",
+        "sd_qty AS x1",
+        "var_disc AS x2",
+        "corr_qty_price AS x3",
+        "median_qty AS x4",
+        "p90_price AS x5",
     )
-    hi = relational3.histogram_order_totalprice(spark, sf_dir).select(
-        F.lit("histogram").alias("facet"),
-        F.col("bucket").cast("string").alias("k"),
-        F.col("n_orders").alias("n"),
-        F.col("bucket_min").alias("x1"),
-        F.col("bucket_max").alias("x2"),
-        _nd().alias("x3"),
-        _nd().alias("x4"),
-        _nd().alias("x5"),
+    hi = relational3.histogram_order_totalprice(spark, sf_dir).selectExpr(
+        "'histogram' AS facet",
+        "CAST(bucket AS STRING) AS k",
+        "n_orders AS n",
+        "bucket_min AS x1",
+        "bucket_max AS x2",
+        "CAST(NULL AS DOUBLE) AS x3",
+        "CAST(NULL AS DOUBLE) AS x4",
+        "CAST(NULL AS DOUBLE) AS x5",
     )
     return st.unionAll(hi)
 
@@ -270,65 +270,65 @@ def events_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     seconds), and `range` (events in each open order's 24 h window via
     the bucketed-grid equi-join — never a BroadcastNestedLoopJoin:
     id1 = order, n = event count, x1 = summed value)."""
-    jp = relational.events_json_props(spark, sf_dir).select(
-        F.lit("json_props").alias("facet"),
-        F.col("event_type").alias("key"),
-        _nb().alias("id1"),
-        _nb().alias("id2"),
-        _nt().alias("ts1"),
-        _nt().alias("ts2"),
-        F.col("n_events").alias("n"),
-        F.col("avg_k").alias("x1"),
-        F.col("min_k").alias("x2"),
-        F.col("max_k").alias("x3"),
+    jp = relational.events_json_props(spark, sf_dir).selectExpr(
+        "'json_props' AS facet",
+        "event_type AS key",
+        "CAST(NULL AS BIGINT) AS id1",
+        "CAST(NULL AS BIGINT) AS id2",
+        "CAST(NULL AS TIMESTAMP) AS ts1",
+        "CAST(NULL AS TIMESTAMP) AS ts2",
+        "n_events AS n",
+        "avg_k AS x1",
+        "min_k AS x2",
+        "max_k AS x3",
     )
-    fu = windows.funnel_view_to_purchase(spark, sf_dir).select(
-        F.lit("funnel").alias("facet"),
-        _nv().alias("key"),
-        F.col("n_viewers").alias("id1"),
-        F.col("n_converted").alias("id2"),
-        _nt().alias("ts1"),
-        _nt().alias("ts2"),
-        _nb().alias("n"),
-        F.col("conversion_rate").alias("x1"),
-        F.col("avg_seconds_to_convert").alias("x2"),
-        _nd().alias("x3"),
+    fu = windows.funnel_view_to_purchase(spark, sf_dir).selectExpr(
+        "'funnel' AS facet",
+        "CAST(NULL AS STRING) AS key",
+        "n_viewers AS id1",
+        "n_converted AS id2",
+        "CAST(NULL AS TIMESTAMP) AS ts1",
+        "CAST(NULL AS TIMESTAMP) AS ts2",
+        "CAST(NULL AS BIGINT) AS n",
+        "conversion_rate AS x1",
+        "avg_seconds_to_convert AS x2",
+        "CAST(NULL AS DOUBLE) AS x3",
     )
-    zs = pandas_udfs.zscore_purchases_grouped(spark, sf_dir).select(
-        F.lit("zscore").alias("facet"),
-        _nv().alias("key"),
-        F.col("user_id").alias("id1"),
-        F.col("event_id").alias("id2"),
-        _nt().alias("ts1"),
-        _nt().alias("ts2"),
-        _nb().alias("n"),
-        F.col("z").alias("x1"),
-        _nd().alias("x2"),
-        _nd().alias("x3"),
+    zs = pandas_udfs.zscore_purchases_grouped(spark, sf_dir).selectExpr(
+        "'zscore' AS facet",
+        "CAST(NULL AS STRING) AS key",
+        "user_id AS id1",
+        "event_id AS id2",
+        "CAST(NULL AS TIMESTAMP) AS ts1",
+        "CAST(NULL AS TIMESTAMP) AS ts2",
+        "CAST(NULL AS BIGINT) AS n",
+        "z AS x1",
+        "CAST(NULL AS DOUBLE) AS x2",
+        "CAST(NULL AS DOUBLE) AS x3",
     )
-    ao = asof.asof_purchase_prior_view(spark, sf_dir).select(
-        F.lit("asof").alias("facet"),
-        _nv().alias("key"),
-        F.col("purchase_id").alias("id1"),
-        F.col("user_id").alias("id2"),
-        F.col("purchase_ts").alias("ts1"),
-        F.col("prev_view_ts").alias("ts2"),
-        F.col("gap_s").alias("n"),
-        _nd().alias("x1"),
-        _nd().alias("x2"),
-        _nd().alias("x3"),
+    ao = asof.asof_purchase_prior_view(spark, sf_dir).selectExpr(
+        "'asof' AS facet",
+        "CAST(NULL AS STRING) AS key",
+        "purchase_id AS id1",
+        "user_id AS id2",
+        "purchase_ts AS ts1",
+        "prev_view_ts AS ts2",
+        "gap_s AS n",
+        "CAST(NULL AS DOUBLE) AS x1",
+        "CAST(NULL AS DOUBLE) AS x2",
+        "CAST(NULL AS DOUBLE) AS x3",
     )
-    rj = rangejoin.range_join_order_day_events(spark, sf_dir).select(
-        F.lit("range").alias("facet"),
-        _nv().alias("key"),
-        F.col("o_orderkey").alias("id1"),
-        _nb().alias("id2"),
-        _nt().alias("ts1"),
-        _nt().alias("ts2"),
-        F.col("n_events").alias("n"),
-        F.col("sum_value").alias("x1"),
-        _nd().alias("x2"),
-        _nd().alias("x3"),
+    rj = rangejoin.range_join_order_day_events(spark, sf_dir).selectExpr(
+        "'range' AS facet",
+        "CAST(NULL AS STRING) AS key",
+        "o_orderkey AS id1",
+        "CAST(NULL AS BIGINT) AS id2",
+        "CAST(NULL AS TIMESTAMP) AS ts1",
+        "CAST(NULL AS TIMESTAMP) AS ts2",
+        "n_events AS n",
+        "sum_value AS x1",
+        "CAST(NULL AS DOUBLE) AS x2",
+        "CAST(NULL AS DOUBLE) AS x3",
     )
     return jp.unionAll(fu).unionAll(zs).unionAll(ao).unionAll(rj)
 
@@ -356,23 +356,23 @@ def temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     falling in each open order's 24 h window via the bucketed-grid
     equi-join — never a BroadcastNestedLoopJoin; id1 = order, n =
     event count, x = summed value)."""
-    ao = asof.asof_purchase_prior_view(spark, sf_dir).select(
-        F.lit("asof").alias("facet"),
-        F.col("purchase_id").alias("id1"),
-        F.col("user_id").alias("id2"),
-        F.col("purchase_ts").alias("ts1"),
-        F.col("prev_view_ts").alias("ts2"),
-        F.col("gap_s").alias("n"),
-        _nd().alias("x"),
+    ao = asof.asof_purchase_prior_view(spark, sf_dir).selectExpr(
+        "'asof' AS facet",
+        "purchase_id AS id1",
+        "user_id AS id2",
+        "purchase_ts AS ts1",
+        "prev_view_ts AS ts2",
+        "gap_s AS n",
+        "CAST(NULL AS DOUBLE) AS x",
     )
-    rj = rangejoin.range_join_order_day_events(spark, sf_dir).select(
-        F.lit("range").alias("facet"),
-        F.col("o_orderkey").alias("id1"),
-        _nb().alias("id2"),
-        F.lit(None).cast("timestamp").alias("ts1"),
-        F.lit(None).cast("timestamp").alias("ts2"),
-        F.col("n_events").alias("n"),
-        F.col("sum_value").alias("x"),
+    rj = rangejoin.range_join_order_day_events(spark, sf_dir).selectExpr(
+        "'range' AS facet",
+        "o_orderkey AS id1",
+        "CAST(NULL AS BIGINT) AS id2",
+        "CAST(NULL AS TIMESTAMP) AS ts1",
+        "CAST(NULL AS TIMESTAMP) AS ts2",
+        "n_events AS n",
+        "sum_value AS x",
     )
     return ao.unionAll(rj)
 
@@ -425,75 +425,75 @@ def scalar_predicate_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pure scan-projection facets stay narrow; the two aggregate facets
     shuffle on tiny key domains."""
-    d = relational.scalar_date_functions(spark, sf_dir).select(
-        F.lit("date_fns").alias("facet"),
-        F.col("o_orderkey").alias("k"),
-        _nv().alias("s1"),
-        _nv().alias("s2"),
-        _nv().alias("s3"),
-        F.col("o_year").cast("bigint").alias("n1"),
-        F.col("o_quarter").cast("bigint").alias("n2"),
-        F.col("o_month").cast("bigint").alias("n3"),
-        F.col("o_day").cast("bigint").alias("n4"),
-        _nd().alias("x"),
-        F.col("due_date").cast("timestamp").alias("t1"),
-        F.col("order_month").cast("timestamp").alias("t2"),
+    d = relational.scalar_date_functions(spark, sf_dir).selectExpr(
+        "'date_fns' AS facet",
+        "o_orderkey AS k",
+        "CAST(NULL AS STRING) AS s1",
+        "CAST(NULL AS STRING) AS s2",
+        "CAST(NULL AS STRING) AS s3",
+        "CAST(o_year AS BIGINT) AS n1",
+        "CAST(o_quarter AS BIGINT) AS n2",
+        "CAST(o_month AS BIGINT) AS n3",
+        "CAST(o_day AS BIGINT) AS n4",
+        "CAST(NULL AS DOUBLE) AS x",
+        "CAST(due_date AS TIMESTAMP) AS t1",
+        "CAST(order_month AS TIMESTAMP) AS t2",
     )
     nt = F.lit(None).cast("timestamp")
-    p = relational.scalar_part_functions(spark, sf_dir).select(
-        F.lit("part_fns").alias("facet"),
-        F.col("p_partkey").alias("k"),
-        F.col("uname").alias("s1"),
-        F.col("prefix").alias("s2"),
-        F.col("brand_type").alias("s3"),
-        F.col("name_len").cast("bigint").alias("n1"),
-        F.col("size_dev").cast("bigint").alias("n2"),
-        F.col("size_mod").cast("bigint").alias("n3"),
-        F.col("price_sqrt_floor").cast("bigint").alias("n4"),
-        F.col("taxed_price").alias("x"),
-        nt.alias("t1"),
-        nt.alias("t2"),
+    p = relational.scalar_part_functions(spark, sf_dir).selectExpr(
+        "'part_fns' AS facet",
+        "p_partkey AS k",
+        "uname AS s1",
+        "prefix AS s2",
+        "brand_type AS s3",
+        "CAST(name_len AS BIGINT) AS n1",
+        "CAST(size_dev AS BIGINT) AS n2",
+        "CAST(size_mod AS BIGINT) AS n3",
+        "CAST(price_sqrt_floor AS BIGINT) AS n4",
+        "taxed_price AS x",
+        "CAST(NULL AS TIMESTAMP) AS t1",
+        "CAST(NULL AS TIMESTAMP) AS t2",
     )
-    lr = relational2.like_regexp_filters(spark, sf_dir).select(
-        F.lit("like_regexp").alias("facet"),
-        F.col("p_partkey").alias("k"),
-        F.col("p_name").alias("s1"),
-        F.col("p_brand").alias("s2"),
-        _nv().alias("s3"),
-        _nb().alias("n1"),
-        _nb().alias("n2"),
-        _nb().alias("n3"),
-        _nb().alias("n4"),
-        _nd().alias("x"),
-        nt.alias("t1"),
-        nt.alias("t2"),
+    lr = relational2.like_regexp_filters(spark, sf_dir).selectExpr(
+        "'like_regexp' AS facet",
+        "p_partkey AS k",
+        "p_name AS s1",
+        "p_brand AS s2",
+        "CAST(NULL AS STRING) AS s3",
+        "CAST(NULL AS BIGINT) AS n1",
+        "CAST(NULL AS BIGINT) AS n2",
+        "CAST(NULL AS BIGINT) AS n3",
+        "CAST(NULL AS BIGINT) AS n4",
+        "CAST(NULL AS DOUBLE) AS x",
+        "CAST(NULL AS TIMESTAMP) AS t1",
+        "CAST(NULL AS TIMESTAMP) AS t2",
     )
-    nb_ = relational2.null_bucketing(spark, sf_dir).select(
-        F.lit("null_bucketing").alias("facet"),
-        _nb().alias("k"),
-        F.col("bal_bucket").alias("s1"),
-        _nv().alias("s2"),
-        _nv().alias("s3"),
-        F.col("n").alias("n1"),
-        _nb().alias("n2"),
-        _nb().alias("n3"),
-        _nb().alias("n4"),
-        F.col("avg_bal").alias("x"),
-        nt.alias("t1"),
-        nt.alias("t2"),
+    nb_ = relational2.null_bucketing(spark, sf_dir).selectExpr(
+        "'null_bucketing' AS facet",
+        "CAST(NULL AS BIGINT) AS k",
+        "bal_bucket AS s1",
+        "CAST(NULL AS STRING) AS s2",
+        "CAST(NULL AS STRING) AS s3",
+        "n AS n1",
+        "CAST(NULL AS BIGINT) AS n2",
+        "CAST(NULL AS BIGINT) AS n3",
+        "CAST(NULL AS BIGINT) AS n4",
+        "avg_bal AS x",
+        "CAST(NULL AS TIMESTAMP) AS t1",
+        "CAST(NULL AS TIMESTAMP) AS t2",
     )
-    mm = relational2.minmax_by_lookup(spark, sf_dir).select(
-        F.lit("minmax_by").alias("facet"),
-        _nb().alias("k"),
-        F.col("n_name").alias("s1"),
-        F.col("richest_customer").alias("s2"),
-        _nv().alias("s3"),
-        _nb().alias("n1"),
-        _nb().alias("n2"),
-        _nb().alias("n3"),
-        _nb().alias("n4"),
-        F.col("max_bal").alias("x"),
-        nt.alias("t1"),
-        nt.alias("t2"),
+    mm = relational2.minmax_by_lookup(spark, sf_dir).selectExpr(
+        "'minmax_by' AS facet",
+        "CAST(NULL AS BIGINT) AS k",
+        "n_name AS s1",
+        "richest_customer AS s2",
+        "CAST(NULL AS STRING) AS s3",
+        "CAST(NULL AS BIGINT) AS n1",
+        "CAST(NULL AS BIGINT) AS n2",
+        "CAST(NULL AS BIGINT) AS n3",
+        "CAST(NULL AS BIGINT) AS n4",
+        "max_bal AS x",
+        "CAST(NULL AS TIMESTAMP) AS t1",
+        "CAST(NULL AS TIMESTAMP) AS t2",
     )
     return d.unionAll(p).unionAll(lr).unionAll(nb_).unionAll(mm)

@@ -212,117 +212,117 @@ def events_lifecycle_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     - `rolling`:     7-day rolling distinct users via the fixed x7
       contribution explode (t1 = day, n1 = active users).
     """
-    at = analytics.purchase_attribution(spark, sf_dir).select(
-        F.lit("attribution").alias("facet"),
-        F.col("first_touch").alias("k1"),
-        F.col("last_touch").alias("k2"),
-        _nb().alias("id"),
-        _nb().alias("seq"),
-        _nt().alias("t1"),
-        _nt().alias("t2"),
-        F.col("n_purchases").alias("n1"),
-        _nb().alias("n2"),
-        _nbool().alias("flag"),
-        F.col("revenue2").alias("x1"),
-        _nd().alias("x2"),
+    at = analytics.purchase_attribution(spark, sf_dir).selectExpr(
+        "'attribution' AS facet",
+        "first_touch AS k1",
+        "last_touch AS k2",
+        "CAST(NULL AS BIGINT) AS id",
+        "CAST(NULL AS BIGINT) AS seq",
+        "CAST(NULL AS TIMESTAMP) AS t1",
+        "CAST(NULL AS TIMESTAMP) AS t2",
+        "n_purchases AS n1",
+        "CAST(NULL AS BIGINT) AS n2",
+        "CAST(NULL AS BOOLEAN) AS flag",
+        "revenue2 AS x1",
+        "CAST(NULL AS DOUBLE) AS x2",
     )
-    tm = analytics.event_transition_matrix(spark, sf_dir).select(
-        F.lit("markov").alias("facet"),
-        F.col("from_type").alias("k1"),
-        F.col("to_type").alias("k2"),
-        _nb().alias("id"),
-        _nb().alias("seq"),
-        _nt().alias("t1"),
-        _nt().alias("t2"),
-        F.col("n").alias("n1"),
-        F.col("n_from").alias("n2"),
-        _nbool().alias("flag"),
-        F.col("p6").alias("x1"),
-        _nd().alias("x2"),
+    tm = analytics.event_transition_matrix(spark, sf_dir).selectExpr(
+        "'markov' AS facet",
+        "from_type AS k1",
+        "to_type AS k2",
+        "CAST(NULL AS BIGINT) AS id",
+        "CAST(NULL AS BIGINT) AS seq",
+        "CAST(NULL AS TIMESTAMP) AS t1",
+        "CAST(NULL AS TIMESTAMP) AS t2",
+        "n AS n1",
+        "n_from AS n2",
+        "CAST(NULL AS BOOLEAN) AS flag",
+        "p6 AS x1",
+        "CAST(NULL AS DOUBLE) AS x2",
     )
-    sc = analytics.scd2_user_tiers(spark, sf_dir).select(
-        F.lit("scd2").alias("facet"),
-        F.col("tier").alias("k1"),
-        _nv().alias("k2"),
-        F.col("user_id").alias("id"),
-        F.col("version").alias("seq"),
-        F.col("valid_from").alias("t1"),
-        F.col("valid_to").alias("t2"),
-        _nb().alias("n1"),
-        _nb().alias("n2"),
-        F.col("is_current").alias("flag"),
-        _nd().alias("x1"),
-        _nd().alias("x2"),
+    sc = analytics.scd2_user_tiers(spark, sf_dir).selectExpr(
+        "'scd2' AS facet",
+        "tier AS k1",
+        "CAST(NULL AS STRING) AS k2",
+        "user_id AS id",
+        "version AS seq",
+        "valid_from AS t1",
+        "valid_to AS t2",
+        "CAST(NULL AS BIGINT) AS n1",
+        "CAST(NULL AS BIGINT) AS n2",
+        "is_current AS flag",
+        "CAST(NULL AS DOUBLE) AS x1",
+        "CAST(NULL AS DOUBLE) AS x2",
     )
-    tr = analytics.trending_items(spark, sf_dir).select(
-        F.lit("trending").alias("facet"),
-        _nv().alias("k1"),
-        _nv().alias("k2"),
-        F.col("item").alias("id"),
-        F.col("rank").alias("seq"),
-        F.col("day").alias("t1"),
-        _nt().alias("t2"),
-        F.col("n").alias("n1"),
-        F.col("n_prev").alias("n2"),
-        _nbool().alias("flag"),
-        _nd().alias("x1"),
-        _nd().alias("x2"),
+    tr = analytics.trending_items(spark, sf_dir).selectExpr(
+        "'trending' AS facet",
+        "CAST(NULL AS STRING) AS k1",
+        "CAST(NULL AS STRING) AS k2",
+        "item AS id",
+        "rank AS seq",
+        "day AS t1",
+        "CAST(NULL AS TIMESTAMP) AS t2",
+        "n AS n1",
+        "n_prev AS n2",
+        "CAST(NULL AS BOOLEAN) AS flag",
+        "CAST(NULL AS DOUBLE) AS x1",
+        "CAST(NULL AS DOUBLE) AS x2",
     )
-    gf = analytics.events_daily_gapfill(spark, sf_dir).select(
-        F.lit("gapfill").alias("facet"),
-        F.col("event_type").alias("k1"),
-        _nv().alias("k2"),
-        _nb().alias("id"),
-        _nb().alias("seq"),
-        F.col("day").alias("t1"),
-        _nt().alias("t2"),
-        F.col("n").alias("n1"),
-        _nb().alias("n2"),
-        F.col("is_gap").alias("flag"),
-        F.col("locf2").alias("x1"),
-        _nd().alias("x2"),
+    gf = analytics.events_daily_gapfill(spark, sf_dir).selectExpr(
+        "'gapfill' AS facet",
+        "event_type AS k1",
+        "CAST(NULL AS STRING) AS k2",
+        "CAST(NULL AS BIGINT) AS id",
+        "CAST(NULL AS BIGINT) AS seq",
+        "day AS t1",
+        "CAST(NULL AS TIMESTAMP) AS t2",
+        "n AS n1",
+        "CAST(NULL AS BIGINT) AS n2",
+        "is_gap AS flag",
+        "locf2 AS x1",
+        "CAST(NULL AS DOUBLE) AS x2",
     )
-    ol = analytics.value_trend_ols(spark, sf_dir).select(
-        F.lit("ols").alias("facet"),
-        F.col("event_type").alias("k1"),
-        _nv().alias("k2"),
-        _nb().alias("id"),
-        _nb().alias("seq"),
-        _nt().alias("t1"),
-        _nt().alias("t2"),
-        F.col("n").alias("n1"),
-        _nb().alias("n2"),
-        _nbool().alias("flag"),
-        F.col("slope6").alias("x1"),
-        F.col("intercept6").alias("x2"),
+    ol = analytics.value_trend_ols(spark, sf_dir).selectExpr(
+        "'ols' AS facet",
+        "event_type AS k1",
+        "CAST(NULL AS STRING) AS k2",
+        "CAST(NULL AS BIGINT) AS id",
+        "CAST(NULL AS BIGINT) AS seq",
+        "CAST(NULL AS TIMESTAMP) AS t1",
+        "CAST(NULL AS TIMESTAMP) AS t2",
+        "n AS n1",
+        "CAST(NULL AS BIGINT) AS n2",
+        "CAST(NULL AS BOOLEAN) AS flag",
+        "slope6 AS x1",
+        "intercept6 AS x2",
     )
-    rc = relational.events_retention_cohorts(spark, sf_dir).select(
-        F.lit("retention").alias("facet"),
-        _nv().alias("k1"),
-        _nv().alias("k2"),
-        _nb().alias("id"),
-        F.col("offset_days").cast("bigint").alias("seq"),
-        F.col("cohort_day").alias("t1"),
-        _nt().alias("t2"),
-        F.col("n_users").alias("n1"),
-        F.col("cohort_size").alias("n2"),
-        _nbool().alias("flag"),
-        F.col("retention_rate").alias("x1"),
-        _nd().alias("x2"),
+    rc = relational.events_retention_cohorts(spark, sf_dir).selectExpr(
+        "'retention' AS facet",
+        "CAST(NULL AS STRING) AS k1",
+        "CAST(NULL AS STRING) AS k2",
+        "CAST(NULL AS BIGINT) AS id",
+        "CAST(offset_days AS BIGINT) AS seq",
+        "cohort_day AS t1",
+        "CAST(NULL AS TIMESTAMP) AS t2",
+        "n_users AS n1",
+        "cohort_size AS n2",
+        "CAST(NULL AS BOOLEAN) AS flag",
+        "retention_rate AS x1",
+        "CAST(NULL AS DOUBLE) AS x2",
     )
-    ra = relational.events_rolling_active_users(spark, sf_dir).select(
-        F.lit("rolling").alias("facet"),
-        _nv().alias("k1"),
-        _nv().alias("k2"),
-        _nb().alias("id"),
-        _nb().alias("seq"),
-        F.col("day").alias("t1"),
-        _nt().alias("t2"),
-        F.col("active_users_7d").alias("n1"),
-        _nb().alias("n2"),
-        _nbool().alias("flag"),
-        _nd().alias("x1"),
-        _nd().alias("x2"),
+    ra = relational.events_rolling_active_users(spark, sf_dir).selectExpr(
+        "'rolling' AS facet",
+        "CAST(NULL AS STRING) AS k1",
+        "CAST(NULL AS STRING) AS k2",
+        "CAST(NULL AS BIGINT) AS id",
+        "CAST(NULL AS BIGINT) AS seq",
+        "day AS t1",
+        "CAST(NULL AS TIMESTAMP) AS t2",
+        "active_users_7d AS n1",
+        "CAST(NULL AS BIGINT) AS n2",
+        "CAST(NULL AS BOOLEAN) AS flag",
+        "CAST(NULL AS DOUBLE) AS x1",
+        "CAST(NULL AS DOUBLE) AS x2",
     )
     return (
         at.unionAll(tm)
@@ -358,27 +358,27 @@ def bpe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns the merge table and the final vocabulary state)."""
     words = bpe._spark_words(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     merges, final_words = bpe.learn_chain(words)
-    bm = merges.select(
-        F.lit("merge").alias("facet"),
+    bm = merges.selectExpr(
+        "'merge' AS facet",
         "step",
-        F.col("merge_left").alias("k1"),
-        F.col("merge_right").alias("k2"),
-        _nb().alias("doc_id"),
-        F.col("pair_count").alias("n1"),
-        _nb().alias("n2"),
-        _nb().alias("n3"),
-        _nd().alias("x"),
+        "merge_left AS k1",
+        "merge_right AS k2",
+        "CAST(NULL AS BIGINT) AS doc_id",
+        "pair_count AS n1",
+        "CAST(NULL AS BIGINT) AS n2",
+        "CAST(NULL AS BIGINT) AS n3",
+        "CAST(NULL AS DOUBLE) AS x",
     )
-    be = bpe.encode_from_vocab(spark, sf_dir, final_words).select(
-        F.lit("encode").alias("facet"),
-        _nb().alias("step"),
-        _nv().alias("k1"),
-        _nv().alias("k2"),
+    be = bpe.encode_from_vocab(spark, sf_dir, final_words).selectExpr(
+        "'encode' AS facet",
+        "CAST(NULL AS BIGINT) AS step",
+        "CAST(NULL AS STRING) AS k1",
+        "CAST(NULL AS STRING) AS k2",
         "doc_id",
-        F.col("n_words").alias("n1"),
-        F.col("n_chars_alpha").alias("n2"),
-        F.col("n_tokens").alias("n3"),
-        F.col("compression6").alias("x"),
+        "n_words AS n1",
+        "n_chars_alpha AS n2",
+        "n_tokens AS n3",
+        "compression6 AS x",
     )
     return bm.unionAll(be)
 
@@ -407,32 +407,32 @@ def dedup_minhash_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard = x — the headline dedup_ngram_jaccard operator,
     which keeps its own oracle as a library entry). All three generate
     candidates from bucket equi-joins — nothing all-pairs."""
-    mh = dedup.dedup_minhash_lsh(spark, sf_dir).select(
-        F.lit("minhash").alias("facet"),
+    mh = dedup.dedup_minhash_lsh(spark, sf_dir).selectExpr(
+        "'minhash' AS facet",
         "doc_a",
         "doc_b",
-        _nb().alias("n_common"),
-        _nb().alias("n_a"),
-        _nb().alias("n_b"),
-        F.col("est_jaccard").alias("x"),
+        "CAST(NULL AS BIGINT) AS n_common",
+        "CAST(NULL AS BIGINT) AS n_a",
+        "CAST(NULL AS BIGINT) AS n_b",
+        "est_jaccard AS x",
     )
-    pf = dedup.dedup_prefix_filter(spark, sf_dir).select(
-        F.lit("prefix").alias("facet"),
-        F.col("id_a").alias("doc_a"),
-        F.col("id_b").alias("doc_b"),
+    pf = dedup.dedup_prefix_filter(spark, sf_dir).selectExpr(
+        "'prefix' AS facet",
+        "id_a AS doc_a",
+        "id_b AS doc_b",
         "n_common",
         "n_a",
         "n_b",
-        F.col("jaccard6").alias("x"),
+        "jaccard6 AS x",
     )
-    ng = dedup.dedup_ngram_jaccard(spark, sf_dir).select(
-        F.lit("ngram").alias("facet"),
+    ng = dedup.dedup_ngram_jaccard(spark, sf_dir).selectExpr(
+        "'ngram' AS facet",
         "doc_a",
         "doc_b",
-        _nb().alias("n_common"),
-        _nb().alias("n_a"),
-        _nb().alias("n_b"),
-        F.col("jaccard").alias("x"),
+        "CAST(NULL AS BIGINT) AS n_common",
+        "CAST(NULL AS BIGINT) AS n_a",
+        "CAST(NULL AS BIGINT) AS n_b",
+        "jaccard AS x",
     )
     return mh.unionAll(pf).unionAll(ng)
 
@@ -477,33 +477,33 @@ def grains_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     `upsert` write-back changeset (only delta-touched cells:
     n = merged count, x1/x2/x3 = sum before/sum after/avg after,
     p1/p2 = old/added counts; sum_old NULL marks brand-new cells)."""
-    mg = facets.multi_grain_pivot(spark, sf_dir).select(
+    mg = facets.multi_grain_pivot(spark, sf_dir).selectExpr(
         "facet",
         "k1",
         "k2",
         "n",
-        F.col("x").alias("x1"),
-        _nd().alias("x2"),
-        _nd().alias("x3"),
-        _nd().alias("x4"),
-        _nd().alias("x5"),
+        "x AS x1",
+        "CAST(NULL AS DOUBLE) AS x2",
+        "CAST(NULL AS DOUBLE) AS x3",
+        "CAST(NULL AS DOUBLE) AS x4",
+        "CAST(NULL AS DOUBLE) AS x5",
         "p1",
         "p2",
         "p3",
     )
-    ds = facets.distribution_stats(spark, sf_dir).select(
+    ds = facets.distribution_stats(spark, sf_dir).selectExpr(
         "facet",
-        F.col("k").alias("k1"),
-        _nv().alias("k2"),
+        "k AS k1",
+        "CAST(NULL AS STRING) AS k2",
         "n",
         "x1",
         "x2",
         "x3",
         "x4",
         "x5",
-        _nb().alias("p1"),
-        _nb().alias("p2"),
-        _nb().alias("p3"),
+        "CAST(NULL AS BIGINT) AS p1",
+        "CAST(NULL AS BIGINT) AS p2",
+        "CAST(NULL AS BIGINT) AS p3",
     )
     ir = rangejoin.rollup_incremental_merge(spark, sf_dir).select(
         F.lit("incr").alias("facet"),
@@ -554,19 +554,19 @@ def scalar_setops_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     setops_cohorts facets mapped onto the same schema (s1 = cohort
     member / segment, s2 = activity kind, n1 = count)."""
     sp = facets.scalar_predicate_facets(spark, sf_dir)
-    so = facets.setops_cohorts(spark, sf_dir).select(
+    so = facets.setops_cohorts(spark, sf_dir).selectExpr(
         "facet",
-        _nb().alias("k"),
-        F.col("key").alias("s1"),
-        F.col("kind").alias("s2"),
-        _nv().alias("s3"),
-        F.col("n").alias("n1"),
-        _nb().alias("n2"),
-        _nb().alias("n3"),
-        _nb().alias("n4"),
-        _nd().alias("x"),
-        _nt().alias("t1"),
-        _nt().alias("t2"),
+        "CAST(NULL AS BIGINT) AS k",
+        "key AS s1",
+        "kind AS s2",
+        "CAST(NULL AS STRING) AS s3",
+        "n AS n1",
+        "CAST(NULL AS BIGINT) AS n2",
+        "CAST(NULL AS BIGINT) AS n3",
+        "CAST(NULL AS BIGINT) AS n4",
+        "CAST(NULL AS DOUBLE) AS x",
+        "CAST(NULL AS TIMESTAMP) AS t1",
+        "CAST(NULL AS TIMESTAMP) AS t2",
     )
     return sp.unionAll(so)
 
@@ -668,65 +668,65 @@ def streaming_enriched_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         en_df, wc_df, sid_df, vp_df, la_df, sb_df = (
             f.result() for f in (f_en, f_wc, f_sid, f_vp, f_la, f_sb)
         )
-    en = en_df.select(
-        F.lit("enriched").alias("facet"),
+    en = en_df.selectExpr(
+        "'enriched' AS facet",
         "event_id",
         "user_id",
-        F.col("n_name").alias("key"),
-        _nt().alias("day"),
-        _nt().alias("t2"),
-        _nb().alias("n"),
-        F.col("value").alias("x"),
+        "n_name AS key",
+        "CAST(NULL AS TIMESTAMP) AS day",
+        "CAST(NULL AS TIMESTAMP) AS t2",
+        "CAST(NULL AS BIGINT) AS n",
+        "`value` AS x",
     )
-    wc = wc_df.select(
+    wc = wc_df.selectExpr(
         "facet",
-        _nb().alias("event_id"),
-        _nb().alias("user_id"),
-        F.col("event_type").alias("key"),
+        "CAST(NULL AS BIGINT) AS event_id",
+        "CAST(NULL AS BIGINT) AS user_id",
+        "event_type AS key",
         "day",
-        _nt().alias("t2"),
+        "CAST(NULL AS TIMESTAMP) AS t2",
         "n",
         "x",
     )
-    sid = sid_df.select(
-        F.lit("inc_dedup").alias("facet"),
-        F.col("doc_id").alias("event_id"),
-        _nb().alias("user_id"),
-        F.col("kind").alias("key"),
-        _nt().alias("day"),
-        _nt().alias("t2"),
-        F.col("duplicate_of").alias("n"),
-        _nd().alias("x"),
+    sid = sid_df.selectExpr(
+        "'inc_dedup' AS facet",
+        "doc_id AS event_id",
+        "CAST(NULL AS BIGINT) AS user_id",
+        "kind AS key",
+        "CAST(NULL AS TIMESTAMP) AS day",
+        "CAST(NULL AS TIMESTAMP) AS t2",
+        "duplicate_of AS n",
+        "CAST(NULL AS DOUBLE) AS x",
     )
-    vp = vp_df.select(
-        F.lit("vp_pairs").alias("facet"),
-        F.col("view_id").alias("event_id"),
+    vp = vp_df.selectExpr(
+        "'vp_pairs' AS facet",
+        "view_id AS event_id",
         "user_id",
-        _nv().alias("key"),
-        F.col("view_ts").alias("day"),
-        F.col("purchase_ts").alias("t2"),
-        F.col("purchase_id").alias("n"),
-        F.col("purchase_value").alias("x"),
+        "CAST(NULL AS STRING) AS key",
+        "view_ts AS day",
+        "purchase_ts AS t2",
+        "purchase_id AS n",
+        "purchase_value AS x",
     )
-    la = la_df.select(
-        F.lit("late").alias("facet"),
-        F.col("n_total").alias("event_id"),
-        F.col("n_stream").alias("user_id"),
-        F.col("event_type").alias("key"),
+    la = la_df.selectExpr(
+        "'late' AS facet",
+        "n_total AS event_id",
+        "n_stream AS user_id",
+        "event_type AS key",
         "day",
-        _nt().alias("t2"),
-        F.col("n_dropped_late").alias("n"),
-        _nd().alias("x"),
+        "CAST(NULL AS TIMESTAMP) AS t2",
+        "n_dropped_late AS n",
+        "CAST(NULL AS DOUBLE) AS x",
     )
-    sb = sb_df.select(
-        F.lit("sess").alias("facet"),
-        _nb().alias("event_id"),
+    sb = sb_df.selectExpr(
+        "'sess' AS facet",
+        "CAST(NULL AS BIGINT) AS event_id",
         "user_id",
-        _nv().alias("key"),
-        F.col("session_start").alias("day"),
-        F.col("session_end").alias("t2"),
-        F.col("n_events").alias("n"),
-        _nd().alias("x"),
+        "CAST(NULL AS STRING) AS key",
+        "session_start AS day",
+        "session_end AS t2",
+        "n_events AS n",
+        "CAST(NULL AS DOUBLE) AS x",
     )
     return (
         en.unionAll(wc).unionAll(vp).unionAll(sid).unionAll(la).unionAll(sb)
@@ -791,32 +791,32 @@ def w_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the round-8 `sessionize` facet (batch gap-based sessionization —
     per (user_id, session_seq=seq): rnk = events in session, rnk2 =
     session duration in seconds)."""
-    wr = windows.w_rankings(spark, sf_dir).select(
+    wr = windows.w_rankings(spark, sf_dir).selectExpr(
         "facet",
         "grp",
         "key",
         "rnk",
         "rnk2",
         "x",
-        _nb().alias("event_id"),
-        _nb().alias("user_id"),
-        _nt().alias("ts"),
-        _nb().alias("seq"),
-        _nb().alias("prev_event_id"),
-        _nd().alias("running_value"),
-        _nd().alias("mov_avg_7"),
-        _nd().alias("next_value"),
-        _nd().alias("first_val"),
-        _nd().alias("last_val"),
-        _nd().alias("ts_cume_dist"),
+        "CAST(NULL AS BIGINT) AS event_id",
+        "CAST(NULL AS BIGINT) AS user_id",
+        "CAST(NULL AS TIMESTAMP) AS ts",
+        "CAST(NULL AS BIGINT) AS seq",
+        "CAST(NULL AS BIGINT) AS prev_event_id",
+        "CAST(NULL AS DOUBLE) AS running_value",
+        "CAST(NULL AS DOUBLE) AS mov_avg_7",
+        "CAST(NULL AS DOUBLE) AS next_value",
+        "CAST(NULL AS DOUBLE) AS first_val",
+        "CAST(NULL AS DOUBLE) AS last_val",
+        "CAST(NULL AS DOUBLE) AS ts_cume_dist",
     )
-    wf = windows.w_frames_navigation(spark, sf_dir).select(
-        F.lit("frames").alias("facet"),
-        _nv().alias("grp"),
-        _nb().alias("key"),
-        _nb().alias("rnk"),
-        _nb().alias("rnk2"),
-        _nd().alias("x"),
+    wf = windows.w_frames_navigation(spark, sf_dir).selectExpr(
+        "'frames' AS facet",
+        "CAST(NULL AS STRING) AS grp",
+        "CAST(NULL AS BIGINT) AS key",
+        "CAST(NULL AS BIGINT) AS rnk",
+        "CAST(NULL AS BIGINT) AS rnk2",
+        "CAST(NULL AS DOUBLE) AS x",
         "event_id",
         "user_id",
         "ts",
@@ -829,24 +829,24 @@ def w_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_val",
         "ts_cume_dist",
     )
-    ws = windows.w_sessionize_events(spark, sf_dir).select(
-        F.lit("sessionize").alias("facet"),
-        _nv().alias("grp"),
-        _nb().alias("key"),
-        F.col("n_events").alias("rnk"),
-        F.col("duration_s").alias("rnk2"),
-        _nd().alias("x"),
-        _nb().alias("event_id"),
+    ws = windows.w_sessionize_events(spark, sf_dir).selectExpr(
+        "'sessionize' AS facet",
+        "CAST(NULL AS STRING) AS grp",
+        "CAST(NULL AS BIGINT) AS key",
+        "n_events AS rnk",
+        "duration_s AS rnk2",
+        "CAST(NULL AS DOUBLE) AS x",
+        "CAST(NULL AS BIGINT) AS event_id",
         "user_id",
-        _nt().alias("ts"),
-        F.col("session_seq").alias("seq"),
-        _nb().alias("prev_event_id"),
-        _nd().alias("running_value"),
-        _nd().alias("mov_avg_7"),
-        _nd().alias("next_value"),
-        _nd().alias("first_val"),
-        _nd().alias("last_val"),
-        _nd().alias("ts_cume_dist"),
+        "CAST(NULL AS TIMESTAMP) AS ts",
+        "session_seq AS seq",
+        "CAST(NULL AS BIGINT) AS prev_event_id",
+        "CAST(NULL AS DOUBLE) AS running_value",
+        "CAST(NULL AS DOUBLE) AS mov_avg_7",
+        "CAST(NULL AS DOUBLE) AS next_value",
+        "CAST(NULL AS DOUBLE) AS first_val",
+        "CAST(NULL AS DOUBLE) AS last_val",
+        "CAST(NULL AS DOUBLE) AS ts_cume_dist",
     )
     return wr.unionAll(wf).unionAll(ws)
 
@@ -867,18 +867,18 @@ def doc_fingerprint_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     winnowing fingerprints per doc — fp = selected hash) plus the
     simhash facets (`fingerprint`: per-doc 60-bit simhash in fp;
     `near_pair`: hamming-≤3 pairs via pigeonhole chunk blocking)."""
-    df_ = textstats.doc_fingerprints(spark, sf_dir).select(
-        F.lit("winnow").alias("facet"),
-        F.col("doc_id").alias("doc_a"),
-        _nb().alias("doc_b"),
+    df_ = textstats.doc_fingerprints(spark, sf_dir).selectExpr(
+        "'winnow' AS facet",
+        "doc_id AS doc_a",
+        "CAST(NULL AS BIGINT) AS doc_b",
         "fp",
-        _ni().alias("hamming"),
+        "CAST(NULL AS INT) AS hamming",
     )
-    sd = dedup.simhash_dedup(spark, sf_dir).select(
+    sd = dedup.simhash_dedup(spark, sf_dir).selectExpr(
         "facet",
         "doc_a",
         "doc_b",
-        F.col("simhash").alias("fp"),
+        "simhash AS fp",
         "hamming",
     )
     return df_.unionAll(sd)
@@ -902,25 +902,25 @@ def q10_q22_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers: x1 = revenue, x2 = balance) and `q22` (idle rich
     customers per nation via NOT EXISTS + scalar avg subquery: nkey =
     nation, n = customers, x1 = total balance)."""
-    q10 = relational.q10_returned_items(spark, sf_dir).select(
-        F.lit("q10").alias("facet"),
+    q10 = relational.q10_returned_items(spark, sf_dir).selectExpr(
+        "'q10' AS facet",
         "c_custkey",
-        F.col("c_name").alias("name"),
-        F.col("n_name").alias("nation"),
-        _nb().alias("nkey"),
-        _nb().alias("n"),
-        F.col("revenue").alias("x1"),
-        F.col("c_acctbal").alias("x2"),
+        "c_name AS name",
+        "n_name AS nation",
+        "CAST(NULL AS BIGINT) AS nkey",
+        "CAST(NULL AS BIGINT) AS n",
+        "revenue AS x1",
+        "c_acctbal AS x2",
     )
-    q22 = relational2.q22_idle_rich_customers(spark, sf_dir).select(
-        F.lit("q22").alias("facet"),
-        _nb().alias("c_custkey"),
-        _nv().alias("name"),
-        _nv().alias("nation"),
-        F.col("c_nationkey").cast("bigint").alias("nkey"),
-        F.col("numcust").alias("n"),
-        F.col("totacctbal").alias("x1"),
-        _nd().alias("x2"),
+    q22 = relational2.q22_idle_rich_customers(spark, sf_dir).selectExpr(
+        "'q22' AS facet",
+        "CAST(NULL AS BIGINT) AS c_custkey",
+        "CAST(NULL AS STRING) AS name",
+        "CAST(NULL AS STRING) AS nation",
+        "CAST(c_nationkey AS BIGINT) AS nkey",
+        "numcust AS n",
+        "totacctbal AS x1",
+        "CAST(NULL AS DOUBLE) AS x2",
     )
     return q10.unionAll(q22)
 
@@ -943,25 +943,25 @@ def q13_q18_order_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram via left outer join: n1 = order count, n2 = customers)
     and `q18` (large-quantity orders via HAVING + top-100: id1/id2 =
     customer/order, x1/x2 = totalprice/quantity)."""
-    q13 = relational2.q13_order_count_histogram(spark, sf_dir).select(
-        F.lit("q13").alias("facet"),
-        F.col("c_count").alias("n1"),
-        F.col("custdist").alias("n2"),
-        _nb().alias("id1"),
-        _nb().alias("id2"),
-        _nt().alias("t"),
-        _nd().alias("x1"),
-        _nd().alias("x2"),
+    q13 = relational2.q13_order_count_histogram(spark, sf_dir).selectExpr(
+        "'q13' AS facet",
+        "c_count AS n1",
+        "custdist AS n2",
+        "CAST(NULL AS BIGINT) AS id1",
+        "CAST(NULL AS BIGINT) AS id2",
+        "CAST(NULL AS TIMESTAMP) AS t",
+        "CAST(NULL AS DOUBLE) AS x1",
+        "CAST(NULL AS DOUBLE) AS x2",
     )
-    q18 = relational.q18_large_orders(spark, sf_dir).select(
-        F.lit("q18").alias("facet"),
-        _nb().alias("n1"),
-        _nb().alias("n2"),
-        F.col("c_custkey").alias("id1"),
-        F.col("o_orderkey").alias("id2"),
-        F.col("o_orderdate").alias("t"),
-        F.col("o_totalprice").alias("x1"),
-        F.col("sum_qty").alias("x2"),
+    q18 = relational.q18_large_orders(spark, sf_dir).selectExpr(
+        "'q18' AS facet",
+        "CAST(NULL AS BIGINT) AS n1",
+        "CAST(NULL AS BIGINT) AS n2",
+        "c_custkey AS id1",
+        "o_orderkey AS id2",
+        "o_orderdate AS t",
+        "o_totalprice AS x1",
+        "sum_qty AS x2",
     )
     return q13.unionAll(q18)
 
@@ -991,29 +991,29 @@ def pipeline_split_samplers(spark: SparkSession, sf_dir: str) -> DataFrame:
     `lsplit_audit`: multi-doc clusters spanning >1 split under the
     naive doc_id bucket vs the canonical bucket — the canonical row is
     structurally 0, computed end-to-end)."""
-    sp = pipeline.pipeline_train_val_test_split(spark, sf_dir).select(
-        F.lit("split").alias("facet"),
-        F.col("split").alias("grp"),
-        _nb().alias("doc_id"),
-        F.col("n_docs").alias("n"),
-        F.col("total_chars").alias("n2"),
-        _nb().alias("n3"),
+    sp = pipeline.pipeline_train_val_test_split(spark, sf_dir).selectExpr(
+        "'split' AS facet",
+        "split AS grp",
+        "CAST(NULL AS BIGINT) AS doc_id",
+        "n_docs AS n",
+        "total_chars AS n2",
+        "CAST(NULL AS BIGINT) AS n3",
     )
-    sa = pipeline.pipeline_samplers(spark, sf_dir).select(
+    sa = pipeline.pipeline_samplers(spark, sf_dir).selectExpr(
         "facet",
         "grp",
         "doc_id",
         "n",
-        _nb().alias("n2"),
-        _nb().alias("n3"),
+        "CAST(NULL AS BIGINT) AS n2",
+        "CAST(NULL AS BIGINT) AS n3",
     )
-    ls = pipeline.pipeline_leakage_safe_split(spark, sf_dir).select(
-        F.concat(F.lit("lsplit_"), F.col("facet")).alias("facet"),
-        F.col("key").alias("grp"),
-        _nb().alias("doc_id"),
-        F.col("n1").alias("n"),
-        F.col("n2").alias("n2"),
-        F.col("n3").alias("n3"),
+    ls = pipeline.pipeline_leakage_safe_split(spark, sf_dir).selectExpr(
+        "concat('lsplit_', facet) AS facet",
+        "key AS grp",
+        "CAST(NULL AS BIGINT) AS doc_id",
+        "n1 AS n",
+        "n2 AS n2",
+        "n3 AS n3",
     )
     return sp.unionAll(sa).unionAll(ls)
 
@@ -1064,77 +1064,78 @@ def corpus_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
                 top-3 TF-IDF terms and corpus-global top-20 tokens
                 (s1 = token, rank, x = score/count).
     """
-    ws = analytics.weighted_sample_aes(spark, sf_dir).select(
-        F.lit("aes").alias("facet"),
-        F.col("source").alias("s1"),
-        _nv().alias("s2"),
+    # selectExpr strings, not Column chains — see eval_quality_audit.
+    ws = analytics.weighted_sample_aes(spark, sf_dir).selectExpr(
+        "'aes' AS facet",
+        "source AS s1",
+        "CAST(NULL AS STRING) AS s2",
         "doc_id",
         "rank",
-        F.col("n_chars").alias("n1"),
-        _nb().alias("n2"),
-        _nd().alias("x"),
-        _nbool().alias("flag1"),
-        _nbool().alias("flag2"),
+        "n_chars AS n1",
+        "CAST(NULL AS BIGINT) AS n2",
+        "CAST(NULL AS DOUBLE) AS x",
+        "CAST(NULL AS BOOLEAN) AS flag1",
+        "CAST(NULL AS BOOLEAN) AS flag2",
     )
-    ip = analytics.inverted_index_postings(spark, sf_dir).select(
-        F.lit("index").alias("facet"),
-        F.col("term").alias("s1"),
-        F.col("postings").alias("s2"),
-        _nb().alias("doc_id"),
-        _nb().alias("rank"),
-        F.col("df").alias("n1"),
-        F.col("tf").alias("n2"),
-        _nd().alias("x"),
-        _nbool().alias("flag1"),
-        _nbool().alias("flag2"),
+    ip = analytics.inverted_index_postings(spark, sf_dir).selectExpr(
+        "'index' AS facet",
+        "term AS s1",
+        "postings AS s2",
+        "CAST(NULL AS BIGINT) AS doc_id",
+        "CAST(NULL AS BIGINT) AS rank",
+        "df AS n1",
+        "tf AS n2",
+        "CAST(NULL AS DOUBLE) AS x",
+        "CAST(NULL AS BOOLEAN) AS flag1",
+        "CAST(NULL AS BOOLEAN) AS flag2",
     )
-    fz = analytics.fuzzy_token_pairs(spark, sf_dir).select(
-        F.lit("fuzzy").alias("facet"),
-        F.col("tok_a").alias("s1"),
-        F.col("tok_b").alias("s2"),
-        _nb().alias("doc_id"),
-        _nb().alias("rank"),
-        F.col("freq_a").alias("n1"),
-        F.col("freq_b").alias("n2"),
-        _nd().alias("x"),
-        _nbool().alias("flag1"),
-        _nbool().alias("flag2"),
+    fz = analytics.fuzzy_token_pairs(spark, sf_dir).selectExpr(
+        "'fuzzy' AS facet",
+        "tok_a AS s1",
+        "tok_b AS s2",
+        "CAST(NULL AS BIGINT) AS doc_id",
+        "CAST(NULL AS BIGINT) AS rank",
+        "freq_a AS n1",
+        "freq_b AS n2",
+        "CAST(NULL AS DOUBLE) AS x",
+        "CAST(NULL AS BOOLEAN) AS flag1",
+        "CAST(NULL AS BOOLEAN) AS flag2",
     )
-    cl = textstats.collocations_lift(spark, sf_dir).select(
-        F.lit("colloc").alias("facet"),
-        F.col("w1").alias("s1"),
-        F.col("w2").alias("s2"),
-        _nb().alias("doc_id"),
-        _nb().alias("rank"),
-        F.col("n_pair").alias("n1"),
-        _nb().alias("n2"),
-        F.col("lift6").alias("x"),
-        _nbool().alias("flag1"),
-        _nbool().alias("flag2"),
+    cl = textstats.collocations_lift(spark, sf_dir).selectExpr(
+        "'colloc' AS facet",
+        "w1 AS s1",
+        "w2 AS s2",
+        "CAST(NULL AS BIGINT) AS doc_id",
+        "CAST(NULL AS BIGINT) AS rank",
+        "n_pair AS n1",
+        "CAST(NULL AS BIGINT) AS n2",
+        "lift6 AS x",
+        "CAST(NULL AS BOOLEAN) AS flag1",
+        "CAST(NULL AS BOOLEAN) AS flag2",
     )
-    hh = approx.approx_heavy_hitters(spark, sf_dir).select(
-        F.lit("heavy").alias("facet"),
-        F.col("token").alias("s1"),
-        _nv().alias("s2"),
-        _nb().alias("doc_id"),
-        _nb().alias("rank"),
-        F.col("exact_cnt").alias("n1"),
-        _nb().alias("n2"),
-        _nd().alias("x"),
-        F.col("cm_no_underestimate").alias("flag1"),
-        F.col("cm_within_eps").alias("flag2"),
+    hh = approx.approx_heavy_hitters(spark, sf_dir).selectExpr(
+        "'heavy' AS facet",
+        "token AS s1",
+        "CAST(NULL AS STRING) AS s2",
+        "CAST(NULL AS BIGINT) AS doc_id",
+        "CAST(NULL AS BIGINT) AS rank",
+        "exact_cnt AS n1",
+        "CAST(NULL AS BIGINT) AS n2",
+        "CAST(NULL AS DOUBLE) AS x",
+        "cm_no_underestimate AS flag1",
+        "cm_within_eps AS flag2",
     )
-    tr = textstats.term_rankings(spark, sf_dir).select(
+    tr = textstats.term_rankings(spark, sf_dir).selectExpr(
         "facet",
-        F.col("token").alias("s1"),
-        _nv().alias("s2"),
+        "token AS s1",
+        "CAST(NULL AS STRING) AS s2",
         "doc_id",
-        F.col("rnk").alias("rank"),
-        _nb().alias("n1"),
-        _nb().alias("n2"),
+        "rnk AS rank",
+        "CAST(NULL AS BIGINT) AS n1",
+        "CAST(NULL AS BIGINT) AS n2",
         "x",
-        _nbool().alias("flag1"),
-        _nbool().alias("flag2"),
+        "CAST(NULL AS BOOLEAN) AS flag1",
+        "CAST(NULL AS BOOLEAN) AS flag2",
     )
     return ws.unionAll(ip).unionAll(fz).unionAll(cl).unionAll(hh).unionAll(tr)
 
@@ -1180,65 +1181,68 @@ def eval_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     load, x1/x2 = hottest-key share and max-partition imbalance in
     basis points — integer-grid values cast to the facet's double
     slots, so the cast is exact)."""
-    le = textstats.langid_eval(spark, sf_dir).select(
-        F.lit("langid").alias("facet"),
-        F.col("cls").alias("key"),
-        _nb().alias("doc_id"),
-        F.col("tp").alias("n1"),
-        F.col("fp").alias("n2"),
-        F.col("fn").alias("n3"),
-        F.col("support").alias("n4"),
-        F.col("precision6").alias("x1"),
-        F.col("recall6").alias("x2"),
-        F.col("f16").alias("x3"),
+    # Facet re-projections as selectExpr STRINGS (round 12, guide §4 at
+    # plan-build time): one parse per facet instead of ~30 Column-object
+    # round trips each — same expressions, same typed nulls.
+    le = textstats.langid_eval(spark, sf_dir).selectExpr(
+        "'langid' AS facet",
+        "cls AS key",
+        "CAST(NULL AS BIGINT) AS doc_id",
+        "tp AS n1",
+        "fp AS n2",
+        "fn AS n3",
+        "support AS n4",
+        "precision6 AS x1",
+        "recall6 AS x2",
+        "f16 AS x3",
     )
-    dq = relational3.data_quality_audit(spark, sf_dir).select(
-        F.lit("dq").alias("facet"),
-        F.col("check").alias("key"),
-        _nb().alias("doc_id"),
-        F.col("value").alias("n1"),
-        _nb().alias("n2"),
-        _nb().alias("n3"),
-        _nb().alias("n4"),
-        _nd().alias("x1"),
-        _nd().alias("x2"),
-        _nd().alias("x3"),
+    dq = relational3.data_quality_audit(spark, sf_dir).selectExpr(
+        "'dq' AS facet",
+        "`check` AS key",
+        "CAST(NULL AS BIGINT) AS doc_id",
+        "`value` AS n1",
+        "CAST(NULL AS BIGINT) AS n2",
+        "CAST(NULL AS BIGINT) AS n3",
+        "CAST(NULL AS BIGINT) AS n4",
+        "CAST(NULL AS DOUBLE) AS x1",
+        "CAST(NULL AS DOUBLE) AS x2",
+        "CAST(NULL AS DOUBLE) AS x3",
     )
-    qf = textstats.quality_quantile_filter(spark, sf_dir).select(
-        F.lit("quantile").alias("facet"),
-        F.col("source").alias("key"),
+    qf = textstats.quality_quantile_filter(spark, sf_dir).selectExpr(
+        "'quantile' AS facet",
+        "source AS key",
         "doc_id",
-        _nb().alias("n1"),
-        _nb().alias("n2"),
-        _nb().alias("n3"),
-        _nb().alias("n4"),
-        F.col("quality").alias("x1"),
-        F.col("pct_rank").alias("x2"),
-        _nd().alias("x3"),
+        "CAST(NULL AS BIGINT) AS n1",
+        "CAST(NULL AS BIGINT) AS n2",
+        "CAST(NULL AS BIGINT) AS n3",
+        "CAST(NULL AS BIGINT) AS n4",
+        "quality AS x1",
+        "pct_rank AS x2",
+        "CAST(NULL AS DOUBLE) AS x3",
     )
-    sk = skew.shuffle_skew_profile(spark, sf_dir).select(
-        F.lit("skew").alias("facet"),
-        F.col("facet").alias("key"),
-        _nb().alias("doc_id"),
-        F.col("n_rows").alias("n1"),
-        F.col("n_keys").alias("n2"),
-        F.col("top1_cnt").alias("n3"),
-        F.col("maxpart_load").alias("n4"),
-        F.col("top1_bp").cast("double").alias("x1"),
-        F.col("imb_bp").cast("double").alias("x2"),
-        _nd().alias("x3"),
+    sk = skew.shuffle_skew_profile(spark, sf_dir).selectExpr(
+        "'skew' AS facet",
+        "facet AS key",
+        "CAST(NULL AS BIGINT) AS doc_id",
+        "n_rows AS n1",
+        "n_keys AS n2",
+        "top1_cnt AS n3",
+        "maxpart_load AS n4",
+        "CAST(top1_bp AS DOUBLE) AS x1",
+        "CAST(imb_bp AS DOUBLE) AS x2",
+        "CAST(NULL AS DOUBLE) AS x3",
     )
-    tr = textstats.text_repetition(spark, sf_dir).select(
-        F.lit("rep").alias("facet"),
-        _nv().alias("key"),
+    tr = textstats.text_repetition(spark, sf_dir).selectExpr(
+        "'rep' AS facet",
+        "CAST(NULL AS STRING) AS key",
         "doc_id",
-        F.col("n_tokens").alias("n1"),
-        _nb().alias("n2"),
-        _nb().alias("n3"),
-        F.col("keep").cast("bigint").alias("n4"),
-        F.col("distinct_token_ratio").alias("x1"),
-        F.col("top_bigram_frac").alias("x2"),
-        F.col("dup_trigram_frac").alias("x3"),
+        "n_tokens AS n1",
+        "CAST(NULL AS BIGINT) AS n2",
+        "CAST(NULL AS BIGINT) AS n3",
+        "CAST(keep AS BIGINT) AS n4",
+        "distinct_token_ratio AS x1",
+        "top_bigram_frac AS x2",
+        "dup_trigram_frac AS x3",
     )
     return le.unionAll(dq).unionAll(qf).unionAll(sk).unionAll(tr)
 
@@ -1267,35 +1271,35 @@ def recsys_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     batched stub cross-encoder — score = model ppm, rank = rerank
     position), `paths` (MATCH_RECOGNIZE-lite: per-user event-type
     paths matched against the broadcast pattern set)."""
-    co = recsys.item_cooccurrence(spark, sf_dir).select(
-        F.lit("cooc").alias("facet"),
-        F.col("item_a").alias("id1"),
-        F.col("item_b").alias("id2"),
-        _nv().alias("pattern"),
-        F.col("n_ab").alias("n"),
-        _nb().alias("rank"),
-        _nb().alias("score"),
-        F.col("cosine6").alias("x"),
+    co = recsys.item_cooccurrence(spark, sf_dir).selectExpr(
+        "'cooc' AS facet",
+        "item_a AS id1",
+        "item_b AS id2",
+        "CAST(NULL AS STRING) AS pattern",
+        "n_ab AS n",
+        "CAST(NULL AS BIGINT) AS rank",
+        "CAST(NULL AS BIGINT) AS score",
+        "cosine6 AS x",
     )
-    rr = rerank.rerank_cross_encoder(spark, sf_dir).select(
-        F.lit("rerank").alias("facet"),
-        F.col("query_id").alias("id1"),
-        F.col("neighbor_id").alias("id2"),
-        _nv().alias("pattern"),
-        _nb().alias("n"),
-        F.col("rnk").alias("rank"),
-        F.col("model_score_ppm").alias("score"),
-        F.col("cos_sim").alias("x"),
+    rr = rerank.rerank_cross_encoder(spark, sf_dir).selectExpr(
+        "'rerank' AS facet",
+        "query_id AS id1",
+        "neighbor_id AS id2",
+        "CAST(NULL AS STRING) AS pattern",
+        "CAST(NULL AS BIGINT) AS n",
+        "rnk AS rank",
+        "model_score_ppm AS score",
+        "cos_sim AS x",
     )
-    up = recsys.user_path_patterns(spark, sf_dir).select(
-        F.lit("paths").alias("facet"),
-        _nb().alias("id1"),
-        _nb().alias("id2"),
+    up = recsys.user_path_patterns(spark, sf_dir).selectExpr(
+        "'paths' AS facet",
+        "CAST(NULL AS BIGINT) AS id1",
+        "CAST(NULL AS BIGINT) AS id2",
         "pattern",
-        F.col("n_users").alias("n"),
-        _nb().alias("rank"),
-        _nb().alias("score"),
-        _nd().alias("x"),
+        "n_users AS n",
+        "CAST(NULL AS BIGINT) AS rank",
+        "CAST(NULL AS BIGINT) AS score",
+        "CAST(NULL AS DOUBLE) AS x",
     )
     return co.unionAll(rr).unionAll(up)
 
@@ -1359,59 +1363,59 @@ def _embedding_suite_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the union-level embedding_suite_pre count smeared six facets into
     # one 20-60 window, wide enough for a single facet to double its
     # shuffles unnoticed; per-facet ±2 budgets in test_plans.py bite.
-    km = clustering.embedding_kmeans(spark, sf_dir).select(
-        F.lit("kmeans").alias("facet"),
-        F.col("cluster").alias("id1"),
-        F.col("dim_i").alias("id2"),
-        _nv().alias("src"),
-        F.col("n_vecs").alias("n"),
-        F.col("centroid").alias("x"),
-        _ni().alias("flag"),
+    km = clustering.embedding_kmeans(spark, sf_dir).selectExpr(
+        "'kmeans' AS facet",
+        "cluster AS id1",
+        "dim_i AS id2",
+        "CAST(NULL AS STRING) AS src",
+        "n_vecs AS n",
+        "centroid AS x",
+        "CAST(NULL AS INT) AS flag",
     )
-    pq = clustering.embedding_pq(spark, sf_dir).select(
-        F.lit("pq").alias("facet"),
-        F.col("vec_id").alias("id1"),
-        F.col("sub_i").alias("id2"),
-        _nv().alias("src"),
-        F.col("code").alias("n"),
-        F.col("err6").alias("x"),
-        _ni().alias("flag"),
+    pq = clustering.embedding_pq(spark, sf_dir).selectExpr(
+        "'pq' AS facet",
+        "vec_id AS id1",
+        "sub_i AS id2",
+        "CAST(NULL AS STRING) AS src",
+        "code AS n",
+        "err6 AS x",
+        "CAST(NULL AS INT) AS flag",
     )
-    adc = clustering.ann_pq_adc_topk(spark, sf_dir).select(
-        F.lit("adc").alias("facet"),
-        F.col("query_id").alias("id1"),
-        F.col("neighbor_id").alias("id2"),
-        _nv().alias("src"),
-        F.col("rn").alias("n"),
-        F.col("adc_d2").alias("x"),
-        _ni().alias("flag"),
+    adc = clustering.ann_pq_adc_topk(spark, sf_dir).selectExpr(
+        "'adc' AS facet",
+        "query_id AS id1",
+        "neighbor_id AS id2",
+        "CAST(NULL AS STRING) AS src",
+        "rn AS n",
+        "adc_d2 AS x",
+        "CAST(NULL AS INT) AS flag",
     )
-    ce = similarity.source_embedding_centroids(spark, sf_dir).select(
-        F.lit("centroid").alias("facet"),
-        _nb().alias("id1"),
-        F.col("dim_i").alias("id2"),
-        F.col("source").alias("src"),
-        F.col("n_vecs").alias("n"),
-        F.col("centroid").alias("x"),
-        _ni().alias("flag"),
+    ce = similarity.source_embedding_centroids(spark, sf_dir).selectExpr(
+        "'centroid' AS facet",
+        "CAST(NULL AS BIGINT) AS id1",
+        "dim_i AS id2",
+        "source AS src",
+        "n_vecs AS n",
+        "centroid AS x",
+        "CAST(NULL AS INT) AS flag",
     )
-    ou = similarity.embedding_outliers(spark, sf_dir).select(
-        F.lit("outlier").alias("facet"),
-        F.col("vec_id").alias("id1"),
-        _nb().alias("id2"),
-        F.col("source").alias("src"),
-        _nb().alias("n"),
-        F.col("dist2").alias("x"),
-        F.col("is_outlier").alias("flag"),
+    ou = similarity.embedding_outliers(spark, sf_dir).selectExpr(
+        "'outlier' AS facet",
+        "vec_id AS id1",
+        "CAST(NULL AS BIGINT) AS id2",
+        "source AS src",
+        "CAST(NULL AS BIGINT) AS n",
+        "dist2 AS x",
+        "is_outlier AS flag",
     )
-    sl = similarity.sign_lsh_near_dups(spark, sf_dir).select(
-        F.lit("sign_lsh").alias("facet"),
-        F.col("vec_a").alias("id1"),
-        F.col("vec_b").alias("id2"),
-        _nv().alias("src"),
-        _nb().alias("n"),
-        F.col("cos_sim").alias("x"),
-        _ni().alias("flag"),
+    sl = similarity.sign_lsh_near_dups(spark, sf_dir).selectExpr(
+        "'sign_lsh' AS facet",
+        "vec_a AS id1",
+        "vec_b AS id2",
+        "CAST(NULL AS STRING) AS src",
+        "CAST(NULL AS BIGINT) AS n",
+        "cos_sim AS x",
+        "CAST(NULL AS INT) AS flag",
     )
     for tag, df in (
         ("embedding_suite_kmeans_pre", km),
@@ -1464,60 +1468,60 @@ def dedup_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     `scrub` consumer stage (doc_b = md5-h60 of the scrubbed text —
     pins the output corpus byte-for-byte; n1/n2/n3 = original length /
     cut spans / scrubbed length)."""
-    di = dedup.dedup_incremental(spark, sf_dir).select(
-        F.lit("incremental").alias("facet"),
-        F.col("doc_id").alias("doc_a"),
-        F.col("duplicate_of").alias("doc_b"),
+    di = dedup.dedup_incremental(spark, sf_dir).selectExpr(
+        "'incremental' AS facet",
+        "doc_id AS doc_a",
+        "duplicate_of AS doc_b",
         "kind",
-        _nb().alias("n1"),
-        _nb().alias("n2"),
-        _nb().alias("n3"),
-        _nd().alias("x"),
-        _ni().alias("flag"),
+        "CAST(NULL AS BIGINT) AS n1",
+        "CAST(NULL AS BIGINT) AS n2",
+        "CAST(NULL AS BIGINT) AS n3",
+        "CAST(NULL AS DOUBLE) AS x",
+        "CAST(NULL AS INT) AS flag",
     )
-    fp = textstats.fingerprint_near_pairs(spark, sf_dir).select(
-        F.lit("fp_pairs").alias("facet"),
+    fp = textstats.fingerprint_near_pairs(spark, sf_dir).selectExpr(
+        "'fp_pairs' AS facet",
         "doc_a",
         "doc_b",
-        _nv().alias("kind"),
-        F.col("shared_fps").alias("n1"),
-        _nb().alias("n2"),
-        _nb().alias("n3"),
-        _nd().alias("x"),
-        _ni().alias("flag"),
+        "CAST(NULL AS STRING) AS kind",
+        "shared_fps AS n1",
+        "CAST(NULL AS BIGINT) AS n2",
+        "CAST(NULL AS BIGINT) AS n3",
+        "CAST(NULL AS DOUBLE) AS x",
+        "CAST(NULL AS INT) AS flag",
     )
-    cd = dedup.dedup_crossdoc_ngram_coverage(spark, sf_dir).select(
-        F.lit("crossdoc").alias("facet"),
-        F.col("doc_id").alias("doc_a"),
-        _nb().alias("doc_b"),
-        _nv().alias("kind"),
-        F.col("n_tokens").alias("n1"),
-        F.col("dup_gram_occurrences").alias("n2"),
-        F.col("covered_tokens").alias("n3"),
-        F.col("coverage_frac").alias("x"),
-        F.col("dup_heavy").alias("flag"),
+    cd = dedup.dedup_crossdoc_ngram_coverage(spark, sf_dir).selectExpr(
+        "'crossdoc' AS facet",
+        "doc_id AS doc_a",
+        "CAST(NULL AS BIGINT) AS doc_b",
+        "CAST(NULL AS STRING) AS kind",
+        "n_tokens AS n1",
+        "dup_gram_occurrences AS n2",
+        "covered_tokens AS n3",
+        "coverage_frac AS x",
+        "dup_heavy AS flag",
     )
-    ss = dedup.dedup_substring_spans(spark, sf_dir).select(
-        F.concat(F.lit("sub_"), F.col("facet")).alias("facet"),
-        F.col("id").alias("doc_a"),
-        _nb().alias("doc_b"),
-        _nv().alias("kind"),
-        F.col("n_spans").alias("n1"),
-        F.col("n_dup_spans").alias("n2"),
-        F.col("first_dup_start").alias("n3"),
-        _nd().alias("x"),
-        _ni().alias("flag"),
+    ss = dedup.dedup_substring_spans(spark, sf_dir).selectExpr(
+        "concat('sub_', facet) AS facet",
+        "id AS doc_a",
+        "CAST(NULL AS BIGINT) AS doc_b",
+        "CAST(NULL AS STRING) AS kind",
+        "n_spans AS n1",
+        "n_dup_spans AS n2",
+        "first_dup_start AS n3",
+        "CAST(NULL AS DOUBLE) AS x",
+        "CAST(NULL AS INT) AS flag",
     )
-    sc = dedup.dedup_substring_scrub(spark, sf_dir).select(
-        F.lit("scrub").alias("facet"),
-        F.col("doc_id").alias("doc_a"),
-        F.col("scrub_h").alias("doc_b"),
-        _nv().alias("kind"),
-        F.col("orig_len").alias("n1"),
-        F.col("n_cut_spans").alias("n2"),
-        F.col("scrub_len").alias("n3"),
-        _nd().alias("x"),
-        _ni().alias("flag"),
+    sc = dedup.dedup_substring_scrub(spark, sf_dir).selectExpr(
+        "'scrub' AS facet",
+        "doc_id AS doc_a",
+        "scrub_h AS doc_b",
+        "CAST(NULL AS STRING) AS kind",
+        "orig_len AS n1",
+        "n_cut_spans AS n2",
+        "scrub_len AS n3",
+        "CAST(NULL AS DOUBLE) AS x",
+        "CAST(NULL AS INT) AS flag",
     )
     return di.unionAll(fp).unionAll(cd).unionAll(ss).unionAll(sc)
 
@@ -1560,59 +1564,59 @@ def pipeline_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     accounting: key = power-of-two bucket or 'global' baseline,
     seq/pos = docs / real tokens, n1/n2 = padded slots / waste in
     basis points)."""
-    lm = pipeline.pipeline_lm_likelihood(spark, sf_dir).select(
-        F.lit("lm").alias("facet"),
-        _nv().alias("key"),
+    lm = pipeline.pipeline_lm_likelihood(spark, sf_dir).selectExpr(
+        "'lm' AS facet",
+        "CAST(NULL AS STRING) AS key",
         "doc_id",
-        _nb().alias("seq"),
-        _nb().alias("pos"),
-        F.col("n_bigrams").alias("n1"),
-        F.col("sum_p_q9").alias("n2"),
-        F.col("avg_bigram_p").alias("x"),
-        F.col("surprising").alias("flag"),
+        "CAST(NULL AS BIGINT) AS seq",
+        "CAST(NULL AS BIGINT) AS pos",
+        "n_bigrams AS n1",
+        "sum_p_q9 AS n2",
+        "avg_bigram_p AS x",
+        "surprising AS flag",
     )
-    tb = pipeline.pipeline_token_budget(spark, sf_dir).select(
-        F.lit("budget").alias("facet"),
-        F.col("source").alias("key"),
+    tb = pipeline.pipeline_token_budget(spark, sf_dir).selectExpr(
+        "'budget' AS facet",
+        "source AS key",
         "doc_id",
-        _nb().alias("seq"),
-        _nb().alias("pos"),
-        F.col("n_tokens").alias("n1"),
-        F.col("cum_tokens").alias("n2"),
-        F.col("quality").alias("x"),
-        _ni().alias("flag"),
+        "CAST(NULL AS BIGINT) AS seq",
+        "CAST(NULL AS BIGINT) AS pos",
+        "n_tokens AS n1",
+        "cum_tokens AS n2",
+        "quality AS x",
+        "CAST(NULL AS INT) AS flag",
     )
-    eo = pipeline.pipeline_epoch_order(spark, sf_dir).select(
-        F.lit("epoch").alias("facet"),
-        _nv().alias("key"),
+    eo = pipeline.pipeline_epoch_order(spark, sf_dir).selectExpr(
+        "'epoch' AS facet",
+        "CAST(NULL AS STRING) AS key",
         "doc_id",
-        F.col("epoch").alias("seq"),
+        "epoch AS seq",
         "pos",
-        _nb().alias("n1"),
-        _nb().alias("n2"),
-        _nd().alias("x"),
-        _ni().alias("flag"),
+        "CAST(NULL AS BIGINT) AS n1",
+        "CAST(NULL AS BIGINT) AS n2",
+        "CAST(NULL AS DOUBLE) AS x",
+        "CAST(NULL AS INT) AS flag",
     )
-    tm = pipeline.pipeline_temperature_mix(spark, sf_dir).select(
-        F.lit("tmix").alias("facet"),
-        F.col("source").alias("key"),
-        _nb().alias("doc_id"),
-        F.col("w_grid").alias("seq"),
-        F.col("rate_bp").alias("pos"),
-        F.col("n_docs").alias("n1"),
-        F.col("n_sampled").alias("n2"),
-        _nd().alias("x"),
-        _ni().alias("flag"),
+    tm = pipeline.pipeline_temperature_mix(spark, sf_dir).selectExpr(
+        "'tmix' AS facet",
+        "source AS key",
+        "CAST(NULL AS BIGINT) AS doc_id",
+        "w_grid AS seq",
+        "rate_bp AS pos",
+        "n_docs AS n1",
+        "n_sampled AS n2",
+        "CAST(NULL AS DOUBLE) AS x",
+        "CAST(NULL AS INT) AS flag",
     )
-    lb = pipeline.pipeline_length_buckets(spark, sf_dir).select(
-        F.lit("lenbuck").alias("facet"),
-        F.col("bucket").alias("key"),
-        _nb().alias("doc_id"),
-        F.col("n_docs").alias("seq"),
-        F.col("sum_tokens").alias("pos"),
-        F.col("padded").alias("n1"),
-        F.col("waste_bp").alias("n2"),
-        _nd().alias("x"),
-        _ni().alias("flag"),
+    lb = pipeline.pipeline_length_buckets(spark, sf_dir).selectExpr(
+        "'lenbuck' AS facet",
+        "bucket AS key",
+        "CAST(NULL AS BIGINT) AS doc_id",
+        "n_docs AS seq",
+        "sum_tokens AS pos",
+        "padded AS n1",
+        "waste_bp AS n2",
+        "CAST(NULL AS DOUBLE) AS x",
+        "CAST(NULL AS INT) AS flag",
     )
     return lm.unionAll(tb).unionAll(eo).unionAll(tm).unionAll(lb)

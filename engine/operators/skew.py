@@ -275,45 +275,48 @@ def shuffle_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+import itertools as _itertools
+
+_PROFILE_VIEW_SEQ = _itertools.count()
+
+
 def profile_key(rows: DataFrame, label: str) -> DataFrame:
     """One skew-profile row for a DataFrame with a single string key
     column ``k`` (see `shuffle_skew_profile` for column meanings).
     Factored out (round 7) so tests and ad-hoc tuning can profile ANY
     key expression — e.g. the post-salt composite key — with the exact
-    measurement the registered profiler uses."""
+    measurement the registered profiler uses.
+
+    Built as ONE SQL text over a temp view of ``rows`` (round 12,
+    guide §4 at plan-build time): the three-level aggregate resolved
+    in a single parse instead of ~35 structural py4j round trips per
+    profiled key — same expressions, same integer-grid values."""
     p = SKEW_PROFILE_PARTS
-    kc = rows.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
-    pl = (
-        kc.select(
-            "cnt",
-            F.expr(f"({SPARK_H60.format(x='k')}) % {p}").alias("part"),
-        )
-        .groupBy("part")
-        .agg(
-            F.sum("cnt").alias("load"),
-            F.count(F.lit(1)).alias("nk"),
-            F.max("cnt").alias("mx"),
-        )
-    )
-    return pl.agg(
-        F.sum("load").cast("bigint").alias("n_rows"),
-        F.sum("nk").cast("bigint").alias("n_keys"),
-        F.max("mx").cast("bigint").alias("top1_cnt"),
-        F.max("load").cast("bigint").alias("maxpart_load"),
-        F.count(F.lit(1)).cast("bigint").alias("parts_used"),
-    ).select(
-        F.lit(label).alias("facet"),
-        "n_rows",
-        "n_keys",
-        "top1_cnt",
-        "maxpart_load",
-        "parts_used",
-        F.expr("(20000 * top1_cnt + n_rows) DIV (2 * n_rows)")
-        .cast("bigint")
-        .alias("top1_bp"),
-        F.expr(f"(20000 * maxpart_load * {p} + n_rows) DIV (2 * n_rows)")
-        .cast("bigint")
-        .alias("imb_bp"),
+    view = f"_skew_rows_{next(_PROFILE_VIEW_SEQ)}"
+    rows.createOrReplaceTempView(view)
+    h = SPARK_H60.format(x="k")
+    return rows.sparkSession.sql(
+        f"""
+SELECT '{label}' AS facet, n_rows, n_keys, top1_cnt, maxpart_load,
+       parts_used,
+       CAST((20000 * top1_cnt + n_rows) DIV (2 * n_rows) AS BIGINT)
+         AS top1_bp,
+       CAST((20000 * maxpart_load * {p} + n_rows) DIV (2 * n_rows)
+            AS BIGINT) AS imb_bp
+FROM (
+  SELECT CAST(sum(load) AS BIGINT) AS n_rows,
+         CAST(sum(nk) AS BIGINT) AS n_keys,
+         CAST(max(mx) AS BIGINT) AS top1_cnt,
+         CAST(max(load) AS BIGINT) AS maxpart_load,
+         CAST(count(1) AS BIGINT) AS parts_used
+  FROM (
+    SELECT ({h}) % {p} AS part, sum(cnt) AS load,
+           count(1) AS nk, max(cnt) AS mx
+    FROM (SELECT k, count(1) AS cnt FROM {view} GROUP BY k)
+    GROUP BY part
+  )
+)
+"""
     )
 
 

@@ -49,17 +49,17 @@ def q4_q12_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority counts: key = priority, n1 = orders) and `q12` (shipmode
     line counts split by priority class: key = linestatus, n1/n2 =
     high/low counts)."""
-    q4 = relational.q4_order_priority(spark, sf_dir).select(
-        F.lit("q4").alias("facet"),
-        F.col("o_orderpriority").alias("key"),
-        F.col("order_count").alias("n1"),
-        F.lit(None).cast("bigint").alias("n2"),
+    q4 = relational.q4_order_priority(spark, sf_dir).selectExpr(
+        "'q4' AS facet",
+        "o_orderpriority AS key",
+        "order_count AS n1",
+        "CAST(NULL AS BIGINT) AS n2",
     )
-    q12 = relational.q12_priority_lines(spark, sf_dir).select(
-        F.lit("q12").alias("facet"),
-        F.col("l_linestatus").alias("key"),
-        F.col("high_line_count").alias("n1"),
-        F.col("low_line_count").alias("n2"),
+    q12 = relational.q12_priority_lines(spark, sf_dir).selectExpr(
+        "'q12' AS facet",
+        "l_linestatus AS key",
+        "high_line_count AS n1",
+        "low_line_count AS n2",
     )
     return q4.unionAll(q12)
 
@@ -87,25 +87,25 @@ def q6_q14_q17_q19_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     `q17` (small-quantity avg-yearly via correlated per-part mean),
     `q19` (disjunctive bracket predicate). Each facet exercises a
     different filter/aggregation shape over lineitem."""
-    q6 = relational.q6_forecast_revenue(spark, sf_dir).select(
-        F.lit("q6").alias("facet"),
-        F.col("revenue").alias("x"),
-        F.col("n_lines").alias("n"),
+    q6 = relational.q6_forecast_revenue(spark, sf_dir).selectExpr(
+        "'q6' AS facet",
+        "revenue AS x",
+        "n_lines AS n",
     )
-    q14 = relational.q14_promo_revenue(spark, sf_dir).select(
-        F.lit("q14").alias("facet"),
-        F.col("promo_revenue_pct").alias("x"),
-        F.lit(None).cast("bigint").alias("n"),
+    q14 = relational.q14_promo_revenue(spark, sf_dir).selectExpr(
+        "'q14' AS facet",
+        "promo_revenue_pct AS x",
+        "CAST(NULL AS BIGINT) AS n",
     )
-    q17 = relational2.q17_small_quantity_revenue(spark, sf_dir).select(
-        F.lit("q17").alias("facet"),
-        F.col("avg_yearly").alias("x"),
-        F.lit(None).cast("bigint").alias("n"),
+    q17 = relational2.q17_small_quantity_revenue(spark, sf_dir).selectExpr(
+        "'q17' AS facet",
+        "avg_yearly AS x",
+        "CAST(NULL AS BIGINT) AS n",
     )
-    q19 = relational2.q19_disjunctive_revenue(spark, sf_dir).select(
-        F.lit("q19").alias("facet"),
-        F.col("revenue").alias("x"),
-        F.col("n_lines").alias("n"),
+    q19 = relational2.q19_disjunctive_revenue(spark, sf_dir).selectExpr(
+        "'q19' AS facet",
+        "revenue AS x",
+        "n_lines AS n",
     )
     return q6.unionAll(q14).unionAll(q17).unionAll(q19)
 
@@ -185,21 +185,21 @@ def q11_q16_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts above a scalar-subquery threshold: k3 = partkey, x = stocked
     value) and `q16` (distinct-supplier counts per brand/type/size:
     k1/k2 = brand/type, k3 = size, n = suppliers)."""
-    q11 = relational3.q11_important_parts(spark, sf_dir).select(
-        F.lit("q11").alias("facet"),
-        F.lit(None).cast("string").alias("k1"),
-        F.lit(None).cast("string").alias("k2"),
-        F.col("p_partkey").cast("bigint").alias("k3"),
-        F.lit(None).cast("bigint").alias("n"),
-        F.col("part_value").alias("x"),
+    q11 = relational3.q11_important_parts(spark, sf_dir).selectExpr(
+        "'q11' AS facet",
+        "CAST(NULL AS STRING) AS k1",
+        "CAST(NULL AS STRING) AS k2",
+        "CAST(p_partkey AS BIGINT) AS k3",
+        "CAST(NULL AS BIGINT) AS n",
+        "part_value AS x",
     )
-    q16 = relational2.q16_part_supplier_counts(spark, sf_dir).select(
-        F.lit("q16").alias("facet"),
-        F.col("p_brand").alias("k1"),
-        F.col("p_type").alias("k2"),
-        F.col("p_size").cast("bigint").alias("k3"),
-        F.col("supplier_cnt").alias("n"),
-        F.lit(None).cast("double").alias("x"),
+    q16 = relational2.q16_part_supplier_counts(spark, sf_dir).selectExpr(
+        "'q16' AS facet",
+        "p_brand AS k1",
+        "p_type AS k2",
+        "CAST(p_size AS BIGINT) AS k3",
+        "supplier_cnt AS n",
+        "CAST(NULL AS DOUBLE) AS x",
     )
     return q11.unionAll(q16)
 
@@ -225,25 +225,25 @@ def q15_q20_q21_supplier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue), `q20` (suppliers dominating a part's stock via nested IN
     subqueries: k = nation), `q21` (multi-EXISTS last-to-ship wait
     counts: n = waits)."""
-    q15 = relational2.q15_top_supplier(spark, sf_dir).select(
-        F.lit("q15").alias("facet"),
+    q15 = relational2.q15_top_supplier(spark, sf_dir).selectExpr(
+        "'q15' AS facet",
         "s_name",
-        F.lit(None).cast("string").alias("k"),
-        F.col("s_suppkey").cast("bigint").alias("n"),
-        F.col("total_revenue").alias("x"),
+        "CAST(NULL AS STRING) AS k",
+        "CAST(s_suppkey AS BIGINT) AS n",
+        "total_revenue AS x",
     )
-    q20 = relational3.q20_dominant_suppliers(spark, sf_dir).select(
-        F.lit("q20").alias("facet"),
+    q20 = relational3.q20_dominant_suppliers(spark, sf_dir).selectExpr(
+        "'q20' AS facet",
         "s_name",
-        F.col("n_name").alias("k"),
-        F.lit(None).cast("bigint").alias("n"),
-        F.lit(None).cast("double").alias("x"),
+        "n_name AS k",
+        "CAST(NULL AS BIGINT) AS n",
+        "CAST(NULL AS DOUBLE) AS x",
     )
-    q21 = relational3.q21_last_to_ship_suppliers(spark, sf_dir).select(
-        F.lit("q21").alias("facet"),
+    q21 = relational3.q21_last_to_ship_suppliers(spark, sf_dir).selectExpr(
+        "'q21' AS facet",
         "s_name",
-        F.lit(None).cast("string").alias("k"),
-        F.col("numwait").cast("bigint").alias("n"),
-        F.lit(None).cast("double").alias("x"),
+        "CAST(NULL AS STRING) AS k",
+        "CAST(numwait AS BIGINT) AS n",
+        "CAST(NULL AS DOUBLE) AS x",
     )
     return q15.unionAll(q20).unionAll(q21)
